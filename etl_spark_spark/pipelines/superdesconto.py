@@ -1,0 +1,91 @@
+"""Flagship composite: the reference's superdesconto shape over fixtures.
+
+Reference pipeline (utils_superdesconto.py:88-99 + etl_job.py:28-56):
+two POS feeds → canonical rename → positional union → ranking window
+keeps the best-discounted sale per barcode label → joins product and
+authorization dimensions → aliased projection.
+
+Fixture mapping (FIXTURES.md §B): `lineitem` split on `l_linestatus`
+plays the two feeds; `etiqueta` is the zero-padded part key; `part` and
+`supplier` play the dimensions.
+
+Scale shape: one shuffle (window partition on etiqueta) + two broadcast
+hash joins of bounded dimensions — the fact table is never shuffled for
+the joins. Ordering includes a unique tiebreaker so results are
+deterministic under any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.normalize import etiqueta
+from ..operators.joins import broadcast_join
+from ..operators.setops import union_strict
+from ..operators.windows import top_k_per_group
+from ..sources import table
+
+CANONICAL = [
+    "filial",
+    "cod_prod",
+    "periodo",
+    "etiqueta",
+    "perc_dsc_cupom",
+    "venda",
+    "venda_desconto",
+    "src_ordem",
+    "src_linha",
+]
+
+
+def _feed(lineitem: DataFrame, status: str) -> DataFrame:
+    """One POS feed: filter + canonical projection/rename (P1/P4/P8)."""
+    return lineitem.filter(F.col("l_linestatus") == status).select(
+        F.col("l_suppkey").alias("filial"),
+        F.col("l_partkey").alias("cod_prod"),
+        F.col("l_shipdate").cast("date").cast("string").alias("periodo"),
+        etiqueta("l_partkey").alias("etiqueta"),
+        F.col("l_discount").alias("perc_dsc_cupom"),
+        F.col("l_extendedprice").alias("venda"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "venda_desconto"
+        ),
+        F.col("l_orderkey").alias("src_ordem"),
+        F.col("l_linenumber").alias("src_linha"),
+    )
+
+
+def best_sale_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(
+        spark, sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_retailprice"]
+    )
+    supplier = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+
+    cupom = union_strict(_feed(lineitem, "O"), _feed(lineitem, "F"))
+    best = top_k_per_group(
+        cupom,
+        partition_by=["etiqueta"],
+        order_by=[
+            F.col("venda_desconto").desc(),
+            F.col("src_ordem"),
+            F.col("src_linha"),
+        ],
+        k=1,
+    )
+    joined = broadcast_join(best, part, F.col("cod_prod") == F.col("p_partkey"))
+    joined = broadcast_join(joined, supplier, F.col("filial") == F.col("s_suppkey"))
+    return joined.select(
+        "etiqueta",
+        "filial",
+        "cod_prod",
+        "periodo",
+        "venda",
+        "venda_desconto",
+        "perc_dsc_cupom",
+        F.col("p_name").alias("produto_nome"),
+        F.col("p_brand").alias("produto_marca"),
+        F.col("p_retailprice").alias("preco_tabela"),
+        F.col("s_name").alias("fornecedor_nome"),
+    )

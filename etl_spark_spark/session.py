@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+The reference creates a bare session (`etl_job.py:118` in /root/reference).
+This engine pins the configs that matter for deterministic correctness and
+for scale:
+
+- UTC session timezone so timestamp semantics match the DuckDB oracle and
+  are cluster-location-independent.
+- AQE on (runtime re-planning: partition coalescing, skew-join splitting,
+  dynamic broadcast) — the main lever that keeps one static plan working
+  from sf0.001 local tests to 100 TB clusters.
+- Arrow for any pandas boundary (10-100x over pickling).
+- `spark.sql.shuffle.partitions` sized by env; at cluster scale AQE
+  coalesces down from a deliberately-high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl-spark-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``cpus`` only applies when no master is configured (local runs);
+    on a real cluster the deploy sets the master and executor topology.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

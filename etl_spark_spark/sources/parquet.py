@@ -1,0 +1,118 @@
+"""Sources: parquet scans with optional explicit schema and date pruning.
+
+Covers the reference's scan surface (SURVEY.md §2.1):
+- S1/S2 multi-file & single-path parquet scans
+  (reference utils_superdesconto.py:78-81,106,121)
+- S3 schema-constrained scan — explicit StructType as a projection/type
+  contract that also skips footer inference
+  (reference utils_ressarcimento.py:33-41,198-207)
+- S4 date-range source. The reference enumerates one file per day
+  (utils_superdesconto.py:62-66). That works but defeats Catalyst: with a
+  Hive-partitioned layout (``dt=YYYY-MM-DD/``) a simple range filter gets
+  partition-pruned for free and scales to years of data without building a
+  giant path list on the driver. We offer both: ``read_date_range`` emits a
+  range predicate (pushdown-friendly — a ``year(c)==y`` style filter would
+  NOT prune, see SURVEY.md §4), and ``date_range_paths`` keeps explicit
+  enumeration for non-partitioned layouts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def source(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    columns: Sequence[str] | None = None,
+    **options: str,
+) -> DataFrame:
+    """Generic scan. ``schema`` doubles as a column+type pruning contract;
+    ``columns`` is a plain projection (Catalyst prunes the scan either way —
+    explicit schema additionally skips footer inference on wide tables).
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if options:
+        reader = reader.options(**options)
+    if isinstance(paths, str):
+        df = reader.load(paths)
+    else:
+        df = reader.load(list(paths))
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    columns: Sequence[str] | None = None,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Read one fixture table (``{sf_dir}/{name}.parquet``)."""
+    return source(spark, f"{sf_dir}/{name}.parquet", schema=schema, columns=columns)
+
+
+def date_range_paths(
+    template: str, start: dt.date, end: dt.date
+) -> Iterator[str]:
+    """Enumerate one path per day in [start, end] from a strftime template,
+    e.g. ``gs://bucket/feed/{d:%Y/%m/%d}.parquet``. Fallback for layouts
+    without partition columns (reference utils_superdesconto.py:62-66).
+    """
+    d = start
+    while d <= end:
+        yield template.format(d=d)
+        d += dt.timedelta(days=1)
+
+
+def read_date_range(
+    df: DataFrame,
+    date_col: str,
+    start: dt.date,
+    end: dt.date,
+) -> DataFrame:
+    """Range-filter on a date/timestamp column, written as a half-open
+    interval so it pushes down to parquet row groups AND prunes Hive
+    partitions (a ``year(c) == y`` filter does neither)."""
+    lo = F.lit(start.isoformat()).cast("date")
+    hi = F.lit((end + dt.timedelta(days=1)).isoformat()).cast("date")
+    c = F.col(date_col)
+    return df.filter((c >= lo) & (c < hi))
+
+
+def read_events(
+    spark: SparkSession, sf_dir: str, with_ts: bool = True
+) -> DataFrame:
+    """Read the events feed, whose ``ts`` is a nanosecond parquet
+    timestamp (INT64 TIMESTAMP(NANOS)) that Spark's reader rejects by
+    default. We read nanos as long and rebuild a microsecond timestamp —
+    a runtime conf, safe to set on any session."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = source(spark, f"{sf_dir}/events.parquet")
+    if with_ts:
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def year_range_filter(df: DataFrame, col: str, year: int) -> DataFrame:
+    """Pushdown-friendly rewrite of ``F.year(c) == year``
+    (reference utils_ressarcimento.py:115,156,170): a closed-open range
+    predicate that reaches parquet min/max stats and partition pruning."""
+    c = F.col(col)
+    return df.filter(
+        (c >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (c < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+    )
