@@ -100,9 +100,15 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (J6; reference utils_ressarcimento.py:260,266)."""
+    """Left-anti join (J6; reference utils_ressarcimento.py:260,266):
+    customers with no orders in 1995 (scoped to a year so the result is
+    non-trivially non-empty at every sf)."""
     customer = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders", columns=["o_custkey"])
+    orders = year_range_filter(
+        table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"]),
+        "o_orderdate",
+        1995,
+    )
     return customer.join(
         orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")
@@ -322,7 +328,12 @@ SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust FROM (
 _CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+)
 """
 
 _ORDERS_ENRICHED_SQL = """

@@ -42,6 +42,32 @@ def top_k_per_group(
     return out if keep_rank else out.drop(rank_col)
 
 
+def top_one_per_group_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_struct: Column,
+) -> DataFrame:
+    """Top-1 per group as a hash aggregate (``max_by``) instead of a
+    ranking window.
+
+    Semantically identical to ``top_k_per_group(k=1)`` with a
+    descending-lexicographic ordering on ``order_struct`` (a struct
+    column where LARGER compares as better; negate numeric components
+    to flip direction, e.g. ``F.struct(score, -ts, -id)`` = max score,
+    ties to smallest ts then id).
+
+    Why it matters at scale: a window must shuffle EVERY row to its
+    key's partition and sort it; max_by partial-aggregates map-side, so
+    only ~one row per key per mapper crosses the shuffle. At 100 TB /
+    1000 executors that is the difference between shuffling the whole
+    fact table and shuffling ~|keys| rows.
+    """
+    keys = list(keys)
+    payload = F.struct(*[c for c in df.columns if c not in keys])
+    agg = df.groupBy(*keys).agg(F.max_by(payload, order_struct).alias("__best"))
+    return agg.select(*keys, "__best.*")
+
+
 def partitioned_sum(
     df: DataFrame,
     partition_by: Sequence[Column | str],

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..functions.normalize import etiqueta
 from ..operators.joins import broadcast_join
 from ..operators.setops import union_strict
-from ..operators.windows import top_k_per_group
+from ..operators.windows import top_one_per_group_agg
 from ..sources import table
 
 CANONICAL = [
@@ -64,15 +64,17 @@ def best_sale_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
 
     cupom = union_strict(_feed(lineitem, "O"), _feed(lineitem, "F"))
-    best = top_k_per_group(
+    # top-1 per label as a max_by hash aggregate: map-side partial agg means
+    # only ~one row per key per mapper is shuffled, vs a ranking window
+    # shuffling+sorting the whole fact (same result; see top_k_per_group).
+    best = top_one_per_group_agg(
         cupom,
-        partition_by=["etiqueta"],
-        order_by=[
-            F.col("venda_desconto").desc(),
-            F.col("src_ordem"),
-            F.col("src_linha"),
-        ],
-        k=1,
+        keys=["etiqueta"],
+        order_struct=F.struct(
+            F.col("venda_desconto"),
+            (-F.col("src_ordem")).alias("nord"),
+            (-F.col("src_linha")).alias("nlin"),
+        ),
     )
     joined = broadcast_join(best, part, F.col("cod_prod") == F.col("p_partkey"))
     joined = broadcast_join(joined, supplier, F.col("filial") == F.col("s_suppkey"))
