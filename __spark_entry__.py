@@ -25,11 +25,31 @@ from etl_spark_spark.functions.normalize import (
     strip_normalize,
     upper_trim,
 )
+from etl_spark_spark.functions.text import (
+    LANG_PROFILES,
+    lang_id,
+    lang_scores,
+    punct_count,
+    quality_score,
+    stopword_hits,
+    token_count,
+    tokens,
+    word_shingles,
+)
 from etl_spark_spark.operators.dedup import dedup_latest
+from etl_spark_spark.operators.multimodal import attach_media, extract_features
+from etl_spark_spark.operators.neardup import (
+    exact_dedup,
+    near_dup_minhash,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from etl_spark_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 from etl_spark_spark.operators.windows import top_k_per_group
 from etl_spark_spark.pipelines.ressarcimento import allocation_pipeline
 from etl_spark_spark.pipelines.superdesconto import best_sale_pipeline
 from etl_spark_spark.sources import read_events, table, year_range_filter
+from etl_spark_spark.streaming import sessionize_batch, tumbling_agg
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -183,6 +203,124 @@ def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- extension operators: text analysis / dedup / similarity / events ----
+
+
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/punctuation/stopword counting + quality scoring (extension:
+    text analysis over documents)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tokens"),
+        punct_count("text").alias("n_punct"),
+        stopword_hits("text", LANG_PROFILES["en"]).alias("n_stop_en"),
+        quality_score("text", LANG_PROFILES["en"]).alias("quality"),
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic argmax priority."""
+    docs = table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_PROFILES],
+        lang_id("text").alias("pred_lang"),
+    )
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint (hash groupBy)."""
+    docs = table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands x 2) candidate pairs, exact-Jaccard
+    verified at >= 0.5."""
+    docs = table(spark, sf_dir, "documents")
+    return near_dup_minhash(
+        docs, "doc_id", word_shingles(tokens("text"), 3), num_perms=8,
+        rows_per_band=2, threshold=0.5,
+    )
+
+
+def q_neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth all-pairs 3-gram Jaccard at >= 0.8."""
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", word_shingles(tokens("text"), 3), threshold=0.8
+    )
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (single aggregate, no explosion per
+    bit)."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", tokens("text"))
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-3 for query vectors vec_id < 10
+    (broadcast queries; JVM-side fold — bit-identical to the SQL
+    oracle's list_reduce)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=3
+    )
+
+
+def q_emb_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH top-3 (random-hyperplane buckets). No SQL oracle
+    (approximation is implementation-defined) -> rows-only check;
+    recall is pinned against the exact operator in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        dim=64, k=3,
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form of the streaming
+    op; same transformation runs on readStream)."""
+    events = read_events(spark, sf_dir)
+    return tumbling_agg(
+        events,
+        "ts",
+        "1 hour",
+        [F.col("event_type")],
+        [
+            F.count("*").alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        ],
+    ).select("window_start", "event_type", "n_events", "sum_value")
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (5-min gap) per user: session summary."""
+    events = read_events(spark, sf_dir)
+    s = sessionize_batch(events, "ts", ["user_id"], gap_seconds=300)
+    return s.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).alias("session_start_us"),
+        F.count("*").alias("n_events"),
+        money_sum("value").alias("sum_value"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media plumbing: text bytes as payload, Arrow-batched
+    mapInPandas feature extraction (deterministic fake decoder — real
+    codecs are stubbed; the Spark-side schema/batching is the point).
+    No SQL oracle (pandas-side) -> rows-only check."""
+    docs = table(spark, sf_dir, "documents")
+    media = attach_media(docs, "doc_id", "text", "text/plain")
+    return extract_features(media, fake=True)
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -203,6 +341,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_keys": q_normalize_keys,
         "monthly_orders_1995": q_monthly_orders_1995,
         "events_by_type": q_events_by_type,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "neardup_minhash": q_neardup_minhash,
+        "neardup_ngram_jaccard": q_neardup_ngram_jaccard,
+        "doc_simhash": q_doc_simhash,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_cosine_topk_lsh": q_emb_cosine_topk_lsh,
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -378,6 +527,197 @@ GROUP BY event_type
 """
 
 
+# -- extension oracles (documents / embeddings / events) --------------------
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_EN_PAT = r"\b(the|a|and|of|to)\b"
+
+_DOC_TEXT_STATS_SQL = rf"""
+WITH base AS (
+    SELECT doc_id, lang, text,
+           len({_TOKS}) AS n_tokens,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+           len(regexp_extract_all(lower(trim(text)), '{_EN_PAT}')) AS n_stop_en
+    FROM documents
+)
+SELECT doc_id, lang, n_tokens, n_punct, n_stop_en,
+       round(
+           least(1.0, (CAST(n_stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0)
+           * (1.0 - least(1.0, (CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 10.0)),
+       6) AS quality
+FROM base
+"""
+
+_LANGS = ["en", "es", "fr", "de", "zh"]
+_LANG_PATS = {
+    "en": r"\b(the|a|and|of|to)\b",
+    "es": r"\b(el|la|de|que|y)\b",
+    "fr": r"\b(le|la|et|les|des)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+}
+
+
+def _lang_case_sql() -> str:
+    whens = []
+    for lang in _LANGS[:-1]:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in _LANGS if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{_LANGS[-1]}' END"
+
+
+_DOC_LANG_ID_SQL = (
+    "WITH scored AS (SELECT doc_id, lang, "
+    + ", ".join(
+        rf"len(regexp_extract_all(lower(trim(text)), '{_LANG_PATS[lang]}')) AS score_{lang}"
+        for lang in _LANGS[:-1]
+    )
+    + r", len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS score_zh"
+    + " FROM documents) SELECT doc_id, lang, "
+    + ", ".join(f"score_{lang}" for lang in _LANGS)
+    + f", {_lang_case_sql()} AS pred_lang FROM scored"
+)
+
+_DOC_EXACT_DEDUP_SQL = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+_SHINGLES = rf"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh0 AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE []::VARCHAR[] END) AS s
+    FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+_MH_COLS = ", ".join(
+    f"min(md5('{p}~' || s)) AS mh{p}" for p in range(8)
+)
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, mh{2*b} || '#' || mh{2*b+1} AS key FROM sig"
+    for b in range(4)
+)
+
+_NEARDUP_MINHASH_SQL = f"""
+WITH {_SHINGLES},
+sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.inter / (sa.n + sb.n - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+"""
+
+_NEARDUP_NGRAM_SQL = f"""
+WITH {_SHINGLES},
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.inter / (sa.n + sb.n - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.8
+"""
+
+_SIMHASH_BIT_SUMS = ", ".join(
+    f"sum(((hv >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(60)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)" for j in range(60)
+)
+
+_DOC_SIMHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM tok),
+s AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM s
+"""
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+    "(acc, x) -> acc + x)"
+)
+
+_EMB_COSINE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id,
+           {_DOT.format(a="qv", b="cv")}
+           / nullif(sqrt({_DOT.format(a="qv", b="qv")})
+                    * sqrt({_DOT.format(a="cv", b="cv")}), 0) AS cos_sim
+    FROM c, q WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+    ) AS rank
+    FROM scored
+) t WHERE rank <= 3
+"""
+
+_EVENTS_TUMBLING_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL 1 hour, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {money_sum_sql("value")} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+_EVENTS_SESSIONIZE_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+m AS (
+    SELECT user_id, us, value,
+           CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > 300000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+    SELECT user_id, us, value,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING
+           ) - 1 AS session_id
+    FROM m
+)
+SELECT user_id, session_id,
+       min(us) AS session_start_us,
+       count(*) AS n_events,
+       {money_sum_sql("value")} AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -390,4 +730,15 @@ def oracle_sql() -> dict[str, str]:
         "normalize_keys": _NORMALIZE_KEYS_SQL,
         "monthly_orders_1995": _MONTHLY_ORDERS_SQL,
         "events_by_type": _EVENTS_BY_TYPE_SQL,
+        "doc_text_stats": _DOC_TEXT_STATS_SQL,
+        "doc_lang_id": _DOC_LANG_ID_SQL,
+        "doc_exact_dedup": _DOC_EXACT_DEDUP_SQL,
+        "neardup_minhash": _NEARDUP_MINHASH_SQL,
+        "neardup_ngram_jaccard": _NEARDUP_NGRAM_SQL,
+        "doc_simhash": _DOC_SIMHASH_SQL,
+        "emb_cosine_topk": _EMB_COSINE_SQL,
+        "events_tumbling": _EVENTS_TUMBLING_SQL,
+        "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+        # emb_cosine_topk_lsh and multimodal_features are intentionally
+        # oracle-less (approximate / pandas-side) -> rows-only check.
     }

@@ -1,0 +1,126 @@
+"""Text-analysis expression library (LLM-data-pipeline extension,
+SURVEY.md §7 / BASELINE north star).
+
+All Column-expression builders — JVM-side, codegen-friendly, no UDFs:
+tokenization, token/char/punctuation counting, stopword hits, a
+quality score, document fingerprinting, word n-gram shingles, and a
+stopword-profile language-ID heuristic.
+
+Determinism note: everything here is integer counting, per-row double
+arithmetic, or md5 — bit-reproducible across engines and cluster sizes,
+which is what lets every operator pair with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Lowercase + trim (the canonical form used for fingerprints)."""
+    return F.lower(F.trim(_col(c)))
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization of normalized text -> array<string>."""
+    return F.split(normalize_text(c), r"\s+")
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c))
+
+
+def punct_count(c: Column | str) -> Column:
+    return F.regexp_count(_col(c), F.lit(r"[^A-Za-z0-9\s]"))
+
+
+def stopword_hits(c: Column | str, words: list[str]) -> Column:
+    """Count of occurrences of any of ``words`` as whole tokens."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(normalize_text(c), F.lit(pat))
+
+
+def quality_score(c: Column | str, stopwords: list[str]) -> Column:
+    """Heuristic quality in [0,1]: rewards stopword density and
+    penalizes punctuation density (deterministic per-row doubles)."""
+    n_tok = token_count(c).cast("double")
+    stop_ratio = stopword_hits(c, stopwords).cast("double") / n_tok
+    punct_ratio = punct_count(c).cast("double") / F.length(_col(c)).cast("double")
+    score = F.least(F.lit(1.0), stop_ratio * 5.0) * (1.0 - F.least(F.lit(1.0), punct_ratio * 10.0))
+    return F.round(score, 6)
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Exact-duplicate fingerprint: md5 of whitespace-collapsed
+    normalized text."""
+    canon = F.regexp_replace(normalize_text(c), r"\s+", " ")
+    return F.md5(canon)
+
+
+def word_shingles(tokens_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (space-joined), empty when
+    the document has fewer than ``n`` tokens.
+
+    Uses 1-based element_at so the same indexing works in ANSI SQL
+    (DuckDB ``t[i]`` is 1-based). Guarded: Spark's ``sequence(1, k)``
+    counts DOWN when k < 1, so short docs get an explicit empty array.
+    """
+    t = _col(tokens_col)
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    return F.when(F.size(t) >= n, F.transform(idx, shingle)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+#: Stopword profiles for the language-ID heuristic. Tiny on purpose —
+#: real language ID would use character n-gram models; the operator
+#: contract (deterministic per-language scores + argmax with a fixed
+#: priority order) is what the engine provides.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": [],  # scored by CJK character presence instead
+}
+
+
+def lang_scores(c: Column | str) -> dict[str, Column]:
+    """Per-language integer scores: stopword hits (CJK char count for
+    zh)."""
+    out: dict[str, Column] = {}
+    for lang, words in LANG_PROFILES.items():
+        if words:
+            out[lang] = stopword_hits(c, words)
+        else:
+            out[lang] = F.regexp_count(_col(c), F.lit(r"[\x{4e00}-\x{9fff}]"))
+    return out
+
+
+def lang_id(c: Column | str) -> Column:
+    """Argmax language with a fixed priority order on ties
+    (en > es > fr > de > zh, i.e. the declaration order in
+    LANG_PROFILES) — mirrors a deterministic SQL CASE chain."""
+    scores = lang_scores(c)
+    langs = list(LANG_PROFILES)
+    expr = F.lit(langs[-1])
+    # build the CASE chain from lowest to highest priority
+    for lang in reversed(langs[:-1]):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            # lang wins if >= every higher-listed... priority encoded by
+            # evaluation order: earlier langs win ties by being checked last
+            c2 = scores[lang] >= scores[other]
+            cond = c2 if cond is None else (cond & c2)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr

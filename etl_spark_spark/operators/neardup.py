@@ -1,0 +1,204 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard
+(LLM-data-pipeline extension operators; SURVEY.md §7 Phase 3).
+
+Scale design notes (what changes at 100 TB):
+- Exact dedup is a fingerprint groupBy — pure hash aggregate, map-side
+  partial, no data skew beyond true duplicates.
+- MinHash signatures are ONE pass over exploded shingles (a single hash
+  aggregate with ``num_perms`` min() columns — no per-permutation scan).
+  LSH banding then joins docs only within band buckets, avoiding the
+  quadratic all-pairs comparison; the final Jaccard verification joins
+  shingle sets only for candidate pairs.
+- SimHash is a single aggregate with 60 per-bit sum columns (map-side
+  combinable, no explosion per bit), then near-neighbors can be found
+  by banding the 60-bit value.
+- Hashes are md5-derived everywhere (portable across engines), with
+  hex→int64 conversion for bit math; min() over hex strings is an
+  order-isomorphic stand-in for min() over the hash integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits int64 positive
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical (normalized) texts: canonical id = min id.
+    Returns (fingerprint, canonical_id, n_copies)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_set(df: DataFrame, id_col: str, shingles_col: Column) -> DataFrame:
+    """Explode to distinct (id, shingle) pairs."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles_col).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signature(
+    shingles: DataFrame, id_col: str, num_perms: int = 8
+) -> DataFrame:
+    """One row per id with columns mh0..mh{k-1}: the min over the doc's
+    shingles of md5 salted per permutation. Single hash aggregate."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}~"), F.col("shingle")))).alias(f"mh{p}")
+        for p in range(num_perms)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_perms: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Docs sharing any band of their signature -> candidate pairs
+    (id_a < id_b). Join happens only within band buckets."""
+    bands = []
+    for b in range(num_perms // rows_per_band):
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("#", *cols).alias("key"))
+        )
+    exploded = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, shingles: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via shingle-set joins.
+    Returns (id_a, id_b, jaccard)."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    sh_a = shingles.withColumnsRenamed({id_col: "id_a", "shingle": "s"})
+    sh_b = shingles.withColumnsRenamed({id_col: "id_b", "shingle": "s"})
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_minhash(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: Column,
+    num_perms: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate pairs with exact-Jaccard
+    verification: (id_a, id_b, jaccard >= threshold)."""
+    sh = shingle_set(df, id_col, shingles_col)
+    sig = minhash_signature(sh, id_col, num_perms)
+    cand = lsh_candidate_pairs(sig, id_col, num_perms, rows_per_band)
+    jac = jaccard_for_pairs(cand, sh, id_col)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: Column,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Ground-truth all-pairs n-gram Jaccard via shingle equi-join
+    (quadratic in docs sharing a shingle — the baseline MinHash-LSH
+    approximates; keep for verification / small corpora)."""
+    sh = shingle_set(df, id_col, shingles_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.withColumnsRenamed({id_col: "id_a"})
+    b = sh.withColumnsRenamed({id_col: "id_b"})
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, tokens_col: Column, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Per-document SimHash over the token multiset.
+
+    Token hash = first 15 md5 hex chars as int64 (60 usable bits). For
+    each bit j the aggregate sums ±1 across tokens; bit j of the
+    simhash is set iff the sum is positive. One hash aggregate with
+    ``bits`` sum columns — map-side combinable, no row explosion.
+    Returns (id, simhash int64).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens_col).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    tok = tok.select(F.col(id_col), h.alias("h"))
+    sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*sums)
+    value = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        value = term if value is None else value + term
+    return agg.select(F.col(id_col), value.alias("simhash"))

@@ -1,0 +1,158 @@
+"""Embedding similarity search (LLM-data-pipeline extension).
+
+- ``cosine_topk`` — exact brute-force top-k: broadcast the (small) query
+  set against the corpus, score with JVM-side higher-order functions,
+  rank per query. The corpus is scanned once, never shuffled; only
+  |queries| × k rows survive the aggregate. This is the correct
+  baseline and, with a broadcasted query set, scales linearly in corpus
+  size across executors.
+- ``lsh_bucket`` / ``cosine_topk_lsh`` — random-hyperplane LSH scale
+  path: hash each vector to a sign-bit bucket (hyperplane components
+  derived deterministically from md5, no RNG state to ship), compare
+  only within buckets (optionally with multi-probe across tables).
+  Approximate — pairs in different buckets are missed; recall grows
+  with the number of tables. No SQL oracle (approximation is
+  implementation-defined); verified by containment tests against
+  ``cosine_topk``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self-matches excluded).
+    Returns (query_id, neighbor_id, cos_sim, rank) — deterministic:
+    ties break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("__qvec", "__cvec").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    derived from md5 of (table, plane, i) — identical on every executor
+    and every run, no RNG to seed or broadcast."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{table}/{plane}/{i}".encode()).hexdigest()
+        out.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)
+    return out
+
+
+def lsh_bucket(
+    vec_col: str,
+    dim: int,
+    num_planes: int = 8,
+    table: int = 0,
+) -> Column:
+    """Sign-bit bucket id (0..2^planes-1) for each vector under the
+    ``table``-th deterministic hyperplane family."""
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        plane = _hyperplane(table, p, dim)
+        prods = F.zip_with(
+            F.col(vec_col),
+            F.array(*[F.lit(v) for v in plane]),
+            lambda x, y: x.cast("double") * y,
+        )
+        proj = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 3,
+    num_planes: int = 6,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: compare query/corpus vectors only when they
+    share an LSH bucket in at least one table. Bucket join replaces the
+    cross join — at scale, cost drops from |Q|×|C| to the sum of bucket
+    co-occupancies."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c_b = c.select(
+        "*",
+        F.array(
+            *[
+                lsh_bucket("__cvec", dim, num_planes, t)
+                for t in range(num_tables)
+            ]
+        ).alias("__buckets"),
+    ).select(
+        "neighbor_id",
+        "__cvec",
+        F.posexplode("__buckets"),
+    ).withColumnsRenamed({"pos": "table", "col": "bucket"})
+    q_b = q.select(
+        "*",
+        F.array(
+            *[
+                lsh_bucket("__qvec", dim, num_planes, t)
+                for t in range(num_tables)
+            ]
+        ).alias("__buckets"),
+    ).select(
+        "query_id",
+        "__qvec",
+        F.posexplode("__buckets"),
+    ).withColumnsRenamed({"pos": "table", "col": "bucket"})
+
+    cand = (
+        c_b.join(F.broadcast(q_b), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine("__qvec", "__cvec").alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

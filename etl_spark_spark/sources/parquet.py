@@ -101,9 +101,9 @@ def read_events(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = source(spark, f"{sf_dir}/events.parquet")
     if with_ts:
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # integer DIV, not floor(x/1000): a long/1000 double division
+        # rounds in the 2^53+ range and lands 1 µs off
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

@@ -1,0 +1,84 @@
+"""Structured Streaming ingestion path.
+
+Batch and stream share the same transformations; this module wires the
+streaming side: file-source ``readStream`` over the same parquet layout
+the batch engine reads, watermarked event-time windows for late data,
+and an ``availableNow`` runner that drains everything currently
+available and stops (the incremental-batch pattern that replaces the
+reference's daily-file enumeration + cron, SURVEY.md §2.9/§7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Streaming read of the events feed (explicit schema — required by
+    file streams — with the nanosecond ts rebuilt as a timestamp).
+    ``path`` must be a directory (file-source contract); use ``glob``
+    to select one table out of a multi-table directory."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "16"
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def stream_events_tumbling(
+    spark: SparkSession,
+    path: str,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    glob: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling count/sum per event_type over a stream of
+    the events feed. Late rows beyond the watermark are dropped;
+    state is bounded by watermark horizon × window count."""
+    events = read_events_stream(spark, path, glob=glob)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str = "drain") -> list:
+    """Drain the stream with trigger(availableNow) into an in-memory
+    table and return the rows — the batch-parity runner used by tests."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark = stream_df.sparkSession
+    rows = spark.table(query_name).collect()
+    q.stop()
+    return rows

@@ -1,0 +1,113 @@
+"""Tests for the LLM-data-pipeline extension operators: near-dup
+recall, LSH containment vs exact top-k, multimodal plumbing, and the
+Structured Streaming path's batch parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark_spark.functions.text import tokens, word_shingles
+from etl_spark_spark.operators.multimodal import attach_media, extract_features
+from etl_spark_spark.operators.neardup import (
+    near_dup_minhash,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from etl_spark_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from etl_spark_spark.sources import read_events, table
+from etl_spark_spark.streaming.stream import (
+    run_available_now,
+    stream_events_tumbling,
+)
+from etl_spark_spark.streaming.windows import tumbling_agg
+
+
+def test_minhash_finds_seeded_near_dups(spark, sf_dir):
+    """The fixture seeds high-Jaccard pairs; banded MinHash with
+    8 perms / 4 bands must catch every pair the exact all-pairs
+    method finds at jaccard >= 0.9 (prob of missing all 4 bands at
+    j=0.9 is ~(1-0.81)^4 ~ 0.1%)."""
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(tokens("text"), 3)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", sh, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in near_dup_minhash(docs, "doc_id", sh, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-duplicate documents"
+    missed = exact - lsh
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_close_for_near_dups(spark, sf_dir):
+    """Near-duplicate docs should have near-identical simhashes
+    (small hamming distance), unrelated docs mostly should not."""
+    docs = table(spark, sf_dir, "documents")
+    pair = (
+        ngram_jaccard_pairs(docs, "doc_id", word_shingles(tokens("text"), 3), 0.9)
+        .limit(1)
+        .collect()
+    )
+    assert pair
+    a, b = pair[0].id_a, pair[0].id_b
+    sh = {r.doc_id: r.simhash for r in simhash(
+        docs.filter(F.col("doc_id").isin(a, b)), "doc_id", tokens("text")
+    ).collect()}
+    hamming = bin(sh[a] ^ sh[b]).count("1")
+    assert hamming <= 10, f"near-dup pair {a},{b} hamming={hamming}"
+
+
+def test_lsh_topk_contained_in_exact(spark, sf_dir):
+    """Every (query, neighbor) the LSH variant returns must appear in
+    the exact brute-force ranking with the same cosine score."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(emb, q, "vec_id", "embedding", k=50).collect()
+    }
+    approx = cosine_topk_lsh(emb, q, "vec_id", "embedding", dim=64, k=3).collect()
+    assert approx, "LSH should return some neighbors"
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(exact[key] - r.cos_sim) < 1e-12
+
+
+def test_multimodal_feature_plumbing(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(20)
+    media = attach_media(docs, "doc_id", "text", "text/plain")
+    assert dict(media.dtypes)["media"] == "binary"
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r.media_type == "text/plain"
+        assert len(r.feat) == 8
+        assert r.n_bytes > 0 and len(r.checksum) == 32
+    # determinism across runs
+    feats2 = extract_features(media, fake=True).collect()
+    assert sorted(r.checksum for r in feats) == sorted(r.checksum for r in feats2)
+
+
+def test_streaming_matches_batch(spark, sf_dir):
+    """availableNow drain of the streaming tumbling agg equals the
+    batch tumbling agg on the same files (stream/batch parity)."""
+    stream_rows = {
+        (r.window_start, r.event_type, r.n_events)
+        for r in run_available_now(
+            stream_events_tumbling(spark, sf_dir, glob="events.parquet"),
+            query_name="t_stream_parity",
+        )
+    }
+    batch = tumbling_agg(
+        read_events(spark, sf_dir),
+        "ts",
+        "1 hour",
+        [F.col("event_type")],
+        [F.count("*").alias("n_events")],
+    ).collect()
+    batch_rows = {(r.window_start, r.event_type, r.n_events) for r in batch}
+    assert stream_rows == batch_rows

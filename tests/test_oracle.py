@@ -24,6 +24,15 @@ def test_oracle(name, spark, sf_dir):
     assert_oracle_match(spark, sf_dir, QUERIES[name], ORACLES[name])
 
 
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only(name, spark, sf_dir):
+    """Queries without a SQL oracle (approximate / pandas-side ops) must
+    still run and produce a stable schema."""
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
