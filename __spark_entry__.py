@@ -242,8 +242,9 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + LSH(4 bands x 2) candidate pairs, exact-Jaccard
     verified at >= 0.5."""
     docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
     return near_dup_minhash(
-        docs, "doc_id", word_shingles(tokens("text"), 3), num_perms=8,
+        toks, "doc_id", word_shingles("t", 3), num_perms=8,
         rows_per_band=2, threshold=0.5,
     )
 
@@ -251,9 +252,8 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ground-truth all-pairs 3-gram Jaccard at >= 0.8."""
     docs = table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        docs, "doc_id", word_shingles(tokens("text"), 3), threshold=0.8
-    )
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    return ngram_jaccard_pairs(toks, "doc_id", word_shingles("t", 3), threshold=0.8)
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,6 +69,12 @@ def word_shingles(tokens_col: Column | str, n: int = 3) -> Column:
     Uses 1-based element_at so the same indexing works in ANSI SQL
     (DuckDB ``t[i]`` is 1-based). Guarded: Spark's ``sequence(1, k)``
     counts DOWN when k < 1, so short docs get an explicit empty array.
+
+    PERF: pass a MATERIALIZED array column (``df.select(tokens(c)
+    .alias("t"))`` first), not the ``tokens(...)`` expression directly —
+    expressions are not common-subexpression-eliminated inside lambda
+    functions, so an inlined split() would be re-tokenized for every
+    element_at (quadratic per document; measured 15s -> 2s at sf0.1).
     """
     t = _col(tokens_col)
     idx = F.sequence(F.lit(1), F.size(t) - (n - 1))

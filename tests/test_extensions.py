@@ -28,14 +28,15 @@ def test_minhash_finds_seeded_near_dups(spark, sf_dir):
     method finds at jaccard >= 0.9 (prob of missing all 4 bands at
     j=0.9 is ~(1-0.81)^4 ~ 0.1%)."""
     docs = table(spark, sf_dir, "documents")
-    sh = word_shingles(tokens("text"), 3)
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    sh = word_shingles("t", 3)
     exact = {
         (r.id_a, r.id_b)
-        for r in ngram_jaccard_pairs(docs, "doc_id", sh, threshold=0.9).collect()
+        for r in ngram_jaccard_pairs(toks, "doc_id", sh, threshold=0.9).collect()
     }
     lsh = {
         (r.id_a, r.id_b)
-        for r in near_dup_minhash(docs, "doc_id", sh, threshold=0.5).collect()
+        for r in near_dup_minhash(toks, "doc_id", sh, threshold=0.5).collect()
     }
     assert exact, "fixture should contain near-duplicate documents"
     missed = exact - lsh
@@ -46,8 +47,9 @@ def test_simhash_close_for_near_dups(spark, sf_dir):
     """Near-duplicate docs should have near-identical simhashes
     (small hamming distance), unrelated docs mostly should not."""
     docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
     pair = (
-        ngram_jaccard_pairs(docs, "doc_id", word_shingles(tokens("text"), 3), 0.9)
+        ngram_jaccard_pairs(toks, "doc_id", word_shingles("t", 3), 0.9)
         .limit(1)
         .collect()
     )
