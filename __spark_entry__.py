@@ -44,12 +44,16 @@ from etl_spark_spark.operators.neardup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from etl_spark_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from etl_spark_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    cosine_topk_lsh,
+)
 from etl_spark_spark.operators.windows import top_k_per_group
 from etl_spark_spark.pipelines.ressarcimento import allocation_pipeline
 from etl_spark_spark.pipelines.superdesconto import best_sale_pipeline
 from etl_spark_spark.sources import read_events, table, year_range_filter
-from etl_spark_spark.streaming import sessionize_batch, tumbling_agg
+from etl_spark_spark.streaming import sessionize_batch, sliding_agg, tumbling_agg
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -321,6 +325,103 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, fake=True)
 
 
+def q_custkeys_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics) — set-op completeness beyond
+    the reference's unions (SURVEY.md §2.7)."""
+    orders = table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    y95 = year_range_filter(orders, "o_orderdate", 1995).select("o_custkey")
+    y96 = year_range_filter(orders, "o_orderdate", 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+def q_custkeys_only_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set semantics)."""
+    orders = table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    y95 = year_range_filter(orders, "o_orderdate", 1995).select("o_custkey")
+    y96 = year_range_filter(orders, "o_orderdate", 1996).select("o_custkey")
+    return y95.subtract(y96)
+
+
+def q_rollup_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — the idiomatic generalization of the
+    reference's manual coarser re-group (A5,
+    utils_ressarcimento.py:234-248)."""
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    sup = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    joined = li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    return (
+        joined.rollup(
+            F.col("s_nationkey").alias("nation_key"),
+            F.col("l_suppkey").alias("supp_key"),
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "perdas"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_supplier_share_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string surface parity: F.expr join condition (J4) +
+    selectExpr projection with an inline window (P3/W2 — the
+    reference's selectExpr window at utils_ressarcimento.py:223-230)."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    return (
+        li.join(sup, F.expr("l_suppkey = s_suppkey"))
+        .selectExpr(
+            "s_nationkey AS nation_key",
+            "l_suppkey AS supp_key",
+            # 100.0D: Spark SQL parses a bare 100.0 as DECIMAL(3,1),
+            # which would make the division decimal-typed; D forces double
+            "sum(cast(round(l_extendedprice * 100) as bigint)) "
+            "over (partition by l_suppkey) / 100.0D AS supp_total",
+        )
+        .distinct()
+    )
+
+
+def q_events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props parsed to MapType via from_json (vs the path-string
+    get_json_object in events_by_type) — §7 extension surface."""
+    events = read_events(spark, sf_dir, with_ts=False)
+    props_map = F.from_json(F.col("props"), "map<string,int>")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            props_map.getItem("k").alias("k_val"),
+        )
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes (each event lands in 2
+    windows)."""
+    events = read_events(spark, sf_dir)
+    return sliding_agg(
+        events,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        [F.col("event_type")],
+        [F.count("*").alias("n_events")],
+    ).select("window_start", "event_type", "n_events")
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs over
+    pre-normalized vectors; threshold tuned to the fixture's cosine
+    range so the result is non-empty)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -352,6 +453,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
         "multimodal_features": q_multimodal_features,
+        "custkeys_both_years": q_custkeys_both_years,
+        "custkeys_only_1995": q_custkeys_only_1995,
+        "rollup_losses": q_rollup_losses,
+        "supplier_share_expr": q_supplier_share_expr,
+        "events_props_map": q_events_props_map,
+        "events_sliding": q_events_sliding,
+        "emb_near_dup": q_emb_near_dup,
     }
 
 
@@ -718,6 +826,70 @@ FROM s GROUP BY 1, 2
 """
 
 
+_Y95 = "o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'"
+_Y96 = "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+
+_CUSTKEYS_BOTH_SQL = f"""
+SELECT o_custkey FROM orders WHERE {_Y95}
+INTERSECT
+SELECT o_custkey FROM orders WHERE {_Y96}
+"""
+
+_CUSTKEYS_ONLY_1995_SQL = f"""
+SELECT o_custkey FROM orders WHERE {_Y95}
+EXCEPT
+SELECT o_custkey FROM orders WHERE {_Y96}
+"""
+
+_ROLLUP_LOSSES_SQL = f"""
+SELECT s_nationkey AS nation_key, l_suppkey AS supp_key,
+       {money_sum_sql("l_extendedprice * l_discount")} AS perdas,
+       count(*) AS n_rows
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY ROLLUP (nation_key, supp_key)
+"""
+
+_SUPPLIER_SHARE_EXPR_SQL = """
+SELECT DISTINCT s_nationkey AS nation_key, l_suppkey AS supp_key,
+       sum(cast(round(l_extendedprice * 100) as bigint))
+           over (partition by l_suppkey) / 100.0 AS supp_total
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+_EVENTS_PROPS_MAP_SQL = """
+SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k_val
+FROM events WHERE event_type = 'purchase'
+"""
+
+_EVENTS_SLIDING_SQL = """
+WITH w AS (
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type
+    FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       count(*) AS n_events
+FROM w GROUP BY 1, 2
+"""
+
+_UNIT = (
+    "list_transform({v}, x -> CAST(x AS DOUBLE) / sqrt("
+    + _DOT.format(a="{v}", b="{v}")
+    + "))"
+)
+
+_EMB_NEAR_DUP_SQL = f"""
+WITH u AS (
+    SELECT vec_id, {_UNIT.format(v="embedding")} AS uv FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_DOT.format(a="a.uv", b="b.uv")} AS cos_sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE {_DOT.format(a="a.uv", b="b.uv")} >= 0.4
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -739,6 +911,13 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": _EMB_COSINE_SQL,
         "events_tumbling": _EVENTS_TUMBLING_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
+        "custkeys_both_years": _CUSTKEYS_BOTH_SQL,
+        "custkeys_only_1995": _CUSTKEYS_ONLY_1995_SQL,
+        "rollup_losses": _ROLLUP_LOSSES_SQL,
+        "supplier_share_expr": _SUPPLIER_SHARE_EXPR_SQL,
+        "events_props_map": _EVENTS_PROPS_MAP_SQL,
+        "events_sliding": _EVENTS_SLIDING_SQL,
+        "emb_near_dup": _EMB_NEAR_DUP_SQL,
         # emb_cosine_topk_lsh and multimodal_features are intentionally
         # oracle-less (approximate / pandas-side) -> rows-only check.
     }

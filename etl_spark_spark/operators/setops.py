@@ -33,3 +33,14 @@ def union_by_name(*dfs: DataFrame, allow_missing: bool = True) -> DataFrame:
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=allow_missing), dfs
     )
+
+
+def intersect_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """INTERSECT ALL (bag semantics). Not used by the reference —
+    added for set-op completeness (SURVEY.md §2.7 notes the gap)."""
+    return a.intersectAll(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """EXCEPT ALL (bag semantics)."""
+    return a.exceptAll(b)

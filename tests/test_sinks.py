@@ -1,0 +1,71 @@
+"""Sinks: Spark-native write/append and keyed upsert (MERGE emulation),
+plus the incremental-run orchestration helpers — the replacements for
+the reference's collect-to-pandas write path (SURVEY.md §4 hazard 2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_spark_spark.pipelines.incremental import (
+    backfill_years,
+    date_window,
+    run_guarded,
+    should_run_monthly,
+)
+from etl_spark_spark.sinks import upsert, write
+
+
+def test_write_replace_append(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    write(df, path, mode="overwrite")
+    assert spark.read.parquet(path).count() == 2
+    write(df, path, mode="append")
+    assert spark.read.parquet(path).count() == 4
+    write(df, path, mode="overwrite")
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_upsert_merge_semantics(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], ["k", "v"]
+    )
+    write(base, path, mode="overwrite")
+    src = spark.createDataFrame([(2, "NEW2"), (9, "NEW9")], ["k", "v"])
+    upsert(spark, src, path, keys=["k"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "old1", 2: "NEW2", 3: "old3", 9: "NEW9"}
+
+
+def test_upsert_creates_missing_target(spark, tmp_path):
+    path = str(tmp_path / "fresh")
+    src = spark.createDataFrame([(1, "a")], ["k", "v"])
+    upsert(spark, src, path, keys=["k"])
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_date_window_month_rollback():
+    # mid-month: month-to-date
+    assert date_window(dt.date(2024, 3, 15)) == (dt.date(2024, 3, 1), dt.date(2024, 3, 15))
+    # first days of month: roll back to cover previous month
+    assert date_window(dt.date(2024, 3, 4)) == (dt.date(2024, 2, 1), dt.date(2024, 3, 4))
+    # january rollback crosses the year
+    assert date_window(dt.date(2024, 1, 2)) == (dt.date(2023, 12, 1), dt.date(2024, 1, 2))
+    assert date_window(dt.date(2024, 3, 6)) == (dt.date(2024, 3, 1), dt.date(2024, 3, 6))
+
+
+def test_monthly_gate_and_backfill():
+    assert should_run_monthly(dt.date(2024, 3, 5))
+    assert not should_run_monthly(dt.date(2024, 3, 6))
+    assert list(backfill_years(2023, dt.date(2025, 3, 1))) == [2023, 2024, 2025]
+
+
+def test_run_guarded_skips_empty(spark, tmp_path):
+    written = []
+    df = spark.createDataFrame([(1,)], ["x"])
+    assert run_guarded(df, lambda d: written.append(d.count()))
+    assert written == [1]
+    empty = df.filter("x > 99")
+    assert not run_guarded(empty, lambda d: written.append(d.count()))
+    assert written == [1]
