@@ -27,6 +27,7 @@ from etl_spark_spark.functions.normalize import (
 )
 from etl_spark_spark.functions.text import (
     LANG_PROFILES,
+    fingerprint,
     lang_id,
     lang_scores,
     punct_count,
@@ -325,6 +326,44 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, fake=True)
 
 
+def q_global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (top-k). The reference has no global top-k
+    (SURVEY.md §2.6) — added for completeness. Spark plans this as
+    TakeOrderedAndProject: per-partition top-k then a k-row merge on
+    the driver side — no full global sort at any scale. Tiebreak on
+    o_orderkey makes the k-set deterministic."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact md5 fingerprint + a winnowing-style
+    rolling fingerprint (min over shingle hashes = 1-permutation
+    MinHash) + BPE-ish subtoken count (letter-runs / digit-runs /
+    single punctuation — a regex approximation of byte-pair
+    pre-tokenization)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "text",
+        tokens("text").alias("t"),
+    )
+    sh = word_shingles("t", 3)
+    min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return toks.select(
+        "doc_id",
+        fingerprint("text").alias("md5_fp"),
+        min_sh.alias("winnow_fp"),
+        F.regexp_count(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        ).alias("n_subtokens"),
+    )
+
+
 def q_custkeys_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (distinct set semantics) — set-op completeness beyond
     the reference's unions (SURVEY.md §2.7)."""
@@ -460,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_map": q_events_props_map,
         "events_sliding": q_events_sliding,
         "emb_near_dup": q_emb_near_dup,
+        "global_top_orders": q_global_top_orders,
+        "doc_fingerprints": q_doc_fingerprints,
     }
 
 
@@ -826,6 +867,27 @@ FROM s GROUP BY 1, 2
 """
 
 
+_GLOBAL_TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+_DOC_FINGERPRINTS_SQL = rf"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS md5_fp,
+       list_min(list_transform(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE []::VARCHAR[] END,
+           s -> md5(s))) AS winnow_fp,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
+FROM toks
+"""
+
 _Y95 = "o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'"
 _Y96 = "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
 
@@ -918,6 +980,8 @@ def oracle_sql() -> dict[str, str]:
         "events_props_map": _EVENTS_PROPS_MAP_SQL,
         "events_sliding": _EVENTS_SLIDING_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
+        "global_top_orders": _GLOBAL_TOP_ORDERS_SQL,
+        "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         # emb_cosine_topk_lsh and multimodal_features are intentionally
         # oracle-less (approximate / pandas-side) -> rows-only check.
     }
