@@ -848,7 +848,7 @@ WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
 m AS (
     SELECT user_id, us, value,
            CASE WHEN lag(us) OVER w IS NULL
-                  OR us - lag(us) OVER w > 300000000
+                  OR us - lag(us) OVER w >= 300000000
                 THEN 1 ELSE 0 END AS is_new
     FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
 ),

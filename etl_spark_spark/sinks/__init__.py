@@ -1,3 +1,3 @@
-from .write import upsert, write
+from .write import upsert, write, write_bucketed
 
-__all__ = ["write", "upsert"]
+__all__ = ["write", "upsert", "write_bucketed"]

@@ -32,11 +32,41 @@ def write(
     partition_by: Sequence[str] | None = None,
     fmt: str = "parquet",
 ) -> None:
-    """Replace/append a table directory. ``mode`` in {'overwrite','append'}."""
+    """Replace/append a table directory. ``mode`` in {'overwrite','append'}.
+
+    ``partition_by`` produces a Hive layout (``col=value/``) so readers'
+    filters on those columns become partition pruning (the scalable
+    replacement for the reference's manual daily-path enumeration,
+    SURVEY.md S4)."""
     writer = df.write.format(fmt).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: Sequence[str],
+    num_buckets: int = 32,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Save as a bucketed catalog table: rows are pre-shuffled into
+    ``num_buckets`` files by hash of ``bucket_by``. Two tables bucketed
+    the same way join WITHOUT an exchange — pay the shuffle once at
+    write time, reuse it every query. This is the recurring-fact-join
+    answer at 100 TB (bucketing needs ``saveAsTable``; plain ``save``
+    cannot record bucket metadata)."""
+    writer = (
+        df.write.format(fmt)
+        .mode(mode)
+        .bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)
 
 
 def upsert(

@@ -1,9 +1,12 @@
-from .windows import sessionize_batch, sliding_agg, tumbling_agg
+from .stateful import stream_session_agg, stream_user_totals
 from .stream import stream_events_tumbling
+from .windows import sessionize_batch, sliding_agg, tumbling_agg
 
 __all__ = [
     "tumbling_agg",
     "sliding_agg",
     "sessionize_batch",
     "stream_events_tumbling",
+    "stream_session_agg",
+    "stream_user_totals",
 ]

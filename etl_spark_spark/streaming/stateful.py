@@ -1,0 +1,81 @@
+"""Custom stateful streaming operators.
+
+Two shapes beyond plain windowed aggregation:
+
+- ``stream_session_agg`` — built-in ``F.session_window`` with a
+  watermark: Spark manages merge/expiry state; sessions emit once the
+  watermark passes their close. Batch parity: ``windows.sessionize_batch``
+  implements the identical gap rule, so every emitted streaming session
+  matches a batch session exactly.
+
+- ``stream_user_totals`` — ``applyInPandasWithState``: arbitrary
+  per-key state (running count/sum per user) carried across
+  micro-batches, Arrow-batched on the Python side. This is the template
+  for operators Spark lacks natively (custom decay models, cross-event
+  pattern state, per-entity accumulators); state size is O(keys), and
+  timeouts (ProcessingTime/EventTime) bound retention in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .stream import read_events_stream
+
+
+def stream_session_agg(
+    spark: SparkSession,
+    path: str,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    glob: str | None = None,
+) -> DataFrame:
+    """Per-user gap sessions over the event stream; emits closed
+    sessions (append mode) once the watermark passes."""
+    events = read_events_stream(spark, path, glob=glob)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def stream_user_totals(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Running (count, sum) per user via applyInPandasWithState —
+    emits the updated total for each user seen in a micro-batch."""
+    events = read_events_stream(spark, path, glob=glob)
+
+    def totals(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        totals,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

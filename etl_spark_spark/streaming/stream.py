@@ -67,13 +67,19 @@ def stream_events_tumbling(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str = "drain") -> list:
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str = "drain",
+    output_mode: str = "complete",
+) -> list:
     """Drain the stream with trigger(availableNow) into an in-memory
-    table and return the rows — the batch-parity runner used by tests."""
+    table and return the rows — the batch-parity runner used by tests.
+    ``output_mode``: complete for full aggregations, update for
+    stateful operators, append for watermarked emissions."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -70,10 +70,11 @@ def sessionize_batch(
     gap_seconds: int,
 ) -> DataFrame:
     """Assign a session id per key: a new session starts when the gap
-    from the previous event is > ``gap_seconds`` (strictly greater —
-    an event exactly at the gap boundary still joins the session,
-    matching ``session_window``'s [start, last+gap) semantics on
-    microsecond timestamps).
+    from the previous event is >= ``gap_seconds`` — identical to
+    ``F.session_window``'s rule (windows are [start, last+gap), so an
+    event arriving exactly at last+gap falls outside and opens a new
+    session). The streaming sessionizer in .stateful relies on this
+    parity.
 
     Adds ``session_id`` (0-based per key). One shuffle on the key.
     """
@@ -81,7 +82,7 @@ def sessionize_batch(
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
     us = F.unix_micros(F.col(ts_col))
     prev = F.lag(us).over(w)
-    is_new = (prev.isNull() | (us - prev > gap_seconds * 1_000_000)).cast("int")
+    is_new = (prev.isNull() | (us - prev >= gap_seconds * 1_000_000)).cast("int")
     return df.withColumn(
         "session_id",
         F.sum(is_new).over(
