@@ -37,7 +37,7 @@ from etl_spark_spark.functions.text import (
     tokens,
     word_shingles,
 )
-from etl_spark_spark.operators.dedup import dedup_latest
+from etl_spark_spark.operators.dedup import dedup_any, dedup_latest
 from etl_spark_spark.operators.multimodal import attach_media, extract_features
 from etl_spark_spark.operators.neardup import (
     exact_dedup,
@@ -326,6 +326,71 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, fake=True)
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filter on both sides of the date,
+    grouped revenue, global top-10 (TakeOrdered)."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    customer = table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(money_sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join through the region/nation hierarchy
+    with the local-supplier condition (customer and supplier in the
+    same nation), grouped revenue per nation. Dimensions broadcast;
+    the two fact tables join on their keys."""
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    customer = table(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supplier = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        year_range_filter(orders, "o_orderdate", 1996)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(money_sum(revenue).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q_dedup_any_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_any (A6 — arbitrary row per key) exposed through its
+    deterministic projection: the per-flag distinct-key count. The kept
+    row is arbitrary (hash-aggregate first()), so only key-derived
+    outputs are comparable across engines."""
+    li = table(spark, sf_dir, "lineitem")
+    deduped = dedup_any(li, ["l_returnflag", "l_partkey"])
+    return deduped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_distinct_parts")
+    )
+
+
 def q_global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort + limit (top-k). The reference has no global top-k
     (SURVEY.md §2.6) — added for completeness. Spark plans this as
@@ -501,6 +566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "global_top_orders": q_global_top_orders,
         "doc_fingerprints": q_doc_fingerprints,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "dedup_any_count": q_dedup_any_count,
     }
 
 
@@ -867,6 +935,44 @@ FROM s GROUP BY 1, 2
 """
 
 
+_SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       o_orderpriority,
+       {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+_LOCAL_SUPPLIER_SQL = f"""
+SELECT r_name AS region_name, n_name AS nation_name,
+       {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       count(*) AS n_items
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+_DEDUP_ANY_COUNT_SQL = """
+SELECT l_returnflag, count(*) AS n_distinct_parts FROM (
+    SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+) t GROUP BY 1
+"""
+
 _GLOBAL_TOP_ORDERS_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
@@ -982,6 +1088,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "global_top_orders": _GLOBAL_TOP_ORDERS_SQL,
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
+        "shipping_priority": _SHIPPING_PRIORITY_SQL,
+        "local_supplier_volume": _LOCAL_SUPPLIER_SQL,
+        "dedup_any_count": _DEDUP_ANY_COUNT_SQL,
         # emb_cosine_topk_lsh and multimodal_features are intentionally
         # oracle-less (approximate / pandas-side) -> rows-only check.
     }

@@ -63,6 +63,76 @@ def decode_media(payload: bytes, media_type: str, fake: bool = False):
     )
 
 
+def resize_media(
+    df: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Image-resize stage: same media schema out, payload replaced by
+    the resized rendition plus rendition metadata. The codec is stubbed
+    (no imaging libs in this container): the fake path deterministically
+    truncates/pads the payload to width*height bytes so downstream
+    schema/size logic is exercised for real."""
+    from collections.abc import Iterator
+
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_rows = []
+        for pdf in it:
+            payloads = []
+            for m in pdf["media"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "real image resize requires an imaging library; "
+                        "pass fake=True for the deterministic test path"
+                    )
+                m = m or b"\x00"  # empty payload -> zero-filled rendition
+                payloads.append((m * (target // len(m) + 1))[:target])
+            out = pdf.copy()
+            out["media"] = payloads
+            out["media_size"] = [len(p) for p in payloads]
+            out["width"] = width
+            out["height"] = height
+            out_rows.append(out)
+        yield from out_rows
+
+    return df.mapInPandas(
+        batches, schema=MEDIA_SCHEMA + ", width int, height int"
+    )
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int, frame_bytes: int = 64, fake: bool = True
+) -> DataFrame:
+    """Video frame-sampling stage: one output row per sampled frame
+    (id, frame_no, frame binary). Evenly strides the payload — the
+    UDTF-ish 1-to-N row shape matters; the codec is stubbed."""
+    from collections.abc import Iterator
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frame_nos, frames = [], [], []
+            for i, m in zip(pdf["id"], pdf["media"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "real frame sampling requires a video codec; "
+                        "pass fake=True for the deterministic test path"
+                    )
+                m = m or b""
+                stride = max(len(m) // max(n_frames, 1), 1)
+                for f in range(n_frames):
+                    start = f * stride
+                    ids.append(i)
+                    frame_nos.append(f)
+                    frames.append(m[start : start + frame_bytes])
+            yield pd.DataFrame(
+                {"id": ids, "frame_no": frame_nos, "frame": frames}
+            )
+
+    return df.mapInPandas(
+        batches, schema="id long, frame_no int, frame binary"
+    )
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Per-item feature extraction over media rows via mapInPandas
     (Arrow-batched; one Python worker per task, whole-batch amortized)."""

@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis): the engine's determinism
+contracts hold for arbitrary inputs, not just the fixtures."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_spark_spark.functions.money import money_sum
+from etl_spark_spark.operators.multimodal import attach_media, sample_frames
+
+MONEY = st.decimals(
+    min_value="-99999.99", max_value="99999.99", places=2
+).map(float)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(MONEY, min_size=1, max_size=50))
+def test_money_sum_is_exact(spark, values):
+    """money_sum over 2-decimal inputs equals the exact rational sum
+    regardless of row order or partitioning."""
+    df = spark.createDataFrame([(v,) for v in values], "v double").repartition(4)
+    got = df.agg(money_sum("v").alias("s")).collect()[0].s
+    exact = float(sum(Fraction(f"{v:.2f}") for v in values))
+    assert got == exact
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_dedup_latest_picks_true_max(spark, rows):
+    """dedup_latest keeps exactly the per-key row that a driver-side
+    max over (ts, uid) would pick."""
+    from etl_spark_spark.operators.dedup import dedup_latest
+
+    uniq = {(k, ts, uid) for k, ts, uid in rows}
+    df = spark.createDataFrame(list(uniq), "k int, ts int, uid int")
+    got = {
+        r.k: (r.ts, r.uid)
+        for r in dedup_latest(
+            df, ["k"], [F.col("ts").desc(), F.col("uid").desc()]
+        ).collect()
+    }
+    want: dict[int, tuple[int, int]] = {}
+    for k, ts, uid in uniq:
+        if k not in want or (ts, uid) > want[k]:
+            want[k] = (ts, uid)
+    assert got == want
+
+
+def test_resize_media_shape(spark):
+    from etl_spark_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame([(1, b"abc"), (2, b"")], ["doc_id", "payload"])
+    media = attach_media(df, "doc_id", "payload", "image/fake")
+    out = resize_media(media, width=8, height=4).collect()
+    assert all(r.media_size == 32 and r.width == 8 and r.height == 4 for r in out)
+    assert {r.id for r in out} == {1, 2}
+
+
+def test_frame_sampling_shape(spark):
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)) * 4), (2, b"xy")], ["doc_id", "payload"]
+    )
+    media = attach_media(df, "doc_id", "payload", "video/fake")
+    frames = sample_frames(media, n_frames=4, frame_bytes=16).collect()
+    assert len(frames) == 8  # 2 items x 4 frames
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.id, []).append(r)
+    assert [r.frame_no for r in sorted(by_id[1], key=lambda r: r.frame_no)] == [0, 1, 2, 3]
+    assert all(len(r.frame) <= 16 for r in frames)
