@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_spark_spark.functions.money import money_sum, money_sum_sql
 from etl_spark_spark.functions.normalize import (
@@ -48,6 +49,7 @@ from etl_spark_spark.operators.neardup import (
 from etl_spark_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 from etl_spark_spark.operators.windows import top_k_per_group
@@ -161,8 +163,19 @@ def q_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_normalize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Expression-builder normalization library (F1-F4), never UDFs."""
-    part = table(spark, sf_dir, "part")
+    """Expression-builder normalization library (F1-F4), never UDFs.
+    Reads with an explicit StructType (S3: schema as a projection/type
+    contract — skips footer inference, reads only declared columns;
+    reference utils_ressarcimento.py:33-41)."""
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+        ]
+    )
+    part = table(spark, sf_dir, "part", schema=schema)
     return part.select(
         "p_partkey",
         etiqueta("p_partkey").alias("etiqueta"),
@@ -286,6 +299,16 @@ def q_emb_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
         dim=64, k=3,
+    )
+
+
+def q_emb_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-3 (coarse quantizer + probed lists).
+    Approximate -> rows-only check; containment vs exact is pinned in
+    tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=3
     )
 
 
@@ -554,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_cosine_topk_lsh": q_emb_cosine_topk_lsh,
+        "emb_cosine_topk_ivf": q_emb_cosine_topk_ivf,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
         "multimodal_features": q_multimodal_features,

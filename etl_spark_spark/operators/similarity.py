@@ -143,6 +143,93 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer (here: the unit
+    vectors of the ``n_lists`` lowest-id corpus rows — deterministic, no
+    RNG/training step; swap in k-means centroids for production) assigns
+    every corpus vector to its nearest list; each query probes its
+    ``n_probe`` nearest lists and scores only those lists' members.
+
+    Cost model at scale: corpus assignment is one numpy matmul per Arrow
+    batch (embarrassingly parallel, done once and persistable); query
+    cost drops from |C| to ~|C|·n_probe/n_lists. Recall is tunable via
+    n_probe. Scoring stays expression-side (bit-identical to the exact
+    operator). Approximate -> no SQL oracle; containment-tested against
+    ``cosine_topk``.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    seed = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(n_lists)
+        .toPandas()
+    )
+    cents = _unit_rows(np.vstack(seed["v"].to_numpy()))
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assigned(df: DataFrame, probe: int, id_out: str) -> DataFrame:
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                u = _unit_rows(np.vstack(pdf["v"].to_numpy()))
+                sims = u @ c.T  # (n, L)
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+                ids = pdf["id"].to_numpy(dtype=np.int64)
+                vecs = pdf["v"].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(ids, probe),
+                        "list_id": order.reshape(-1).astype(np.int32),
+                        "v": [vecs[i] for i in np.repeat(np.arange(len(ids)), probe)],
+                    }
+                )
+
+        base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        out = base.mapInPandas(
+            fn, schema="id long, list_id int, v array<float>"
+        )
+        return out.withColumnsRenamed({"id": id_out, "v": f"__{id_out}_vec"})
+
+    c_a = assigned(corpus, 1, "neighbor_id")
+    q_a = assigned(queries, n_probe, "query_id")
+    cand = (
+        c_a.join(F.broadcast(q_a.drop("__query_id_vec")), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__neighbor_id_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = cand.join(F.broadcast(q_vecs), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine("__qv", "__neighbor_id_vec").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component in [-1, 1]:
     derived from md5 of (table, plane, i) — identical on every executor
@@ -177,6 +264,63 @@ def lsh_bucket(
     return bucket
 
 
+def _bucket_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_planes: int,
+    num_tables: int,
+    id_out: str,
+) -> DataFrame:
+    """(id, table, bucket, vec) rows: all tables' sign-bit buckets in
+    one numpy pass over a broadcast hyperplane tensor — one matrix
+    multiply per Arrow batch instead of tables×planes expression
+    projections per row (~4x faster at 2000x64)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            [_hyperplane(t, p, dim) for p in range(num_planes)]
+            for t in range(num_tables)
+        ]
+    )  # (T, P, dim)
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            frames = []
+            for t in range(pl.shape[0]):
+                proj = v @ pl[t].T  # (n, P)
+                buckets = ((proj > 0) @ weights).astype(np.int64)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id": ids,
+                            "table": t,
+                            "bucket": buckets,
+                            "v": pdf["v"].to_numpy(),
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    out = base.mapInPandas(
+        fn, schema="id long, table int, bucket long, v array<float>"
+    )
+    return out.withColumnsRenamed({"id": id_out, "v": f"__{id_out}_vec"})
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -190,48 +334,30 @@ def cosine_topk_lsh(
     """Approximate top-k: compare query/corpus vectors only when they
     share an LSH bucket in at least one table. Bucket join replaces the
     cross join — at scale, cost drops from |Q|×|C| to the sum of bucket
-    co-occupancies."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    co-occupancies. Bucketing is a numpy matmul per Arrow batch;
+    scoring of the (few) candidates stays expression-side so scores are
+    bit-identical to the exact operator."""
+    c_b = _bucket_table(
+        corpus, id_col, vec_col, dim, num_planes, num_tables, "neighbor_id"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    q_b = _bucket_table(
+        queries, id_col, vec_col, dim, num_planes, num_tables, "query_id"
     )
-    c_b = c.select(
-        "*",
-        F.array(
-            *[
-                lsh_bucket("__cvec", dim, num_planes, t)
-                for t in range(num_tables)
-            ]
-        ).alias("__buckets"),
-    ).select(
-        "neighbor_id",
-        "__cvec",
-        F.posexplode("__buckets"),
-    ).withColumnsRenamed({"pos": "table", "col": "bucket"})
-    q_b = q.select(
-        "*",
-        F.array(
-            *[
-                lsh_bucket("__qvec", dim, num_planes, t)
-                for t in range(num_tables)
-            ]
-        ).alias("__buckets"),
-    ).select(
-        "query_id",
-        "__qvec",
-        F.posexplode("__buckets"),
-    ).withColumnsRenamed({"pos": "table", "col": "bucket"})
-
+    # dedup candidate PAIRS (ids only — array-valued distinct is slow),
+    # then attach vectors back by id for scoring
     cand = (
-        c_b.join(F.broadcast(q_b), ["table", "bucket"])
+        c_b.join(F.broadcast(q_b.drop("__query_id_vec")), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__qvec", "__cvec")
-        .distinct()
+        .select("query_id", "neighbor_id", "__neighbor_id_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine("__qvec", "__cvec").alias("cos_sim")
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = cand.join(F.broadcast(q_vecs), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine("__qv", "__neighbor_id_vec").alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

@@ -79,6 +79,32 @@ def test_lsh_topk_contained_in_exact(spark, sf_dir):
             assert abs(exact[key] - r.cos_sim) < 1e-12
 
 
+def test_ivf_topk_contained_in_exact(spark, sf_dir):
+    """IVF results must be a subset of the exact ranking with identical
+    scores, and with n_probe=n_lists (probe everything) it must equal
+    the exact top-k."""
+    from etl_spark_spark.operators.similarity import cosine_topk_ivf
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(emb, q, "vec_id", "embedding", k=500).collect()
+    }
+    approx = cosine_topk_ivf(emb, q, "vec_id", "embedding", k=3).collect()
+    assert approx
+    for r in approx:
+        assert exact_all[(r.query_id, r.neighbor_id)] == r.cos_sim
+    # full probe == exact
+    full = cosine_topk_ivf(
+        emb, q, "vec_id", "embedding", k=3, n_lists=8, n_probe=8
+    ).collect()
+    exact3 = cosine_topk(emb, q, "vec_id", "embedding", k=3).collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in full} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in exact3
+    }
+
+
 def test_multimodal_feature_plumbing(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").limit(20)
     media = attach_media(docs, "doc_id", "text", "text/plain")

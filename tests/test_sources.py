@@ -1,0 +1,75 @@
+"""Source operators: multi-file scans, date-range enumeration and the
+pushdown-friendly range rewrite."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark_spark.sources import (
+    date_range_paths,
+    read_date_range,
+    source,
+    table,
+    year_range_filter,
+)
+
+
+def test_multi_file_scan(spark, sf_dir):
+    """S1: an explicit list of files scans as one DataFrame."""
+    p = f"{sf_dir}/region.parquet"
+    single = source(spark, p).count()
+    double = source(spark, [p, p]).count()
+    assert double == 2 * single > 0
+
+
+def test_explicit_schema_prunes(spark, sf_dir):
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_quantity", T.DoubleType()),
+        ]
+    )
+    df = table(spark, sf_dir, "lineitem", schema=schema)
+    assert df.columns == ["l_orderkey", "l_quantity"]
+    assert df.count() > 0
+
+
+def test_date_range_paths_enumeration():
+    paths = list(
+        date_range_paths(
+            "gs://b/feed/{d:%Y/%m/%d}.parquet",
+            dt.date(2024, 2, 27),
+            dt.date(2024, 3, 2),
+        )
+    )
+    assert paths == [
+        "gs://b/feed/2024/02/27.parquet",
+        "gs://b/feed/2024/02/28.parquet",
+        "gs://b/feed/2024/02/29.parquet",
+        "gs://b/feed/2024/03/01.parquet",
+        "gs://b/feed/2024/03/02.parquet",
+    ]
+
+
+def test_read_date_range_inclusive(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    got = read_date_range(
+        orders, "o_orderdate", dt.date(1995, 3, 1), dt.date(1995, 3, 31)
+    )
+    n_manual = orders.filter(
+        (F.col("o_orderdate") >= "1995-03-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    ).count()
+    assert got.count() == n_manual > 0
+
+
+def test_year_range_filter_equals_year_extract(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    assert (
+        year_range_filter(orders, "o_orderdate", 1997).count()
+        == orders.filter(F.year("o_orderdate") == 1997).count()
+        > 0
+    )
