@@ -52,6 +52,7 @@ from etl_spark_spark.operators.similarity import (
     cosine_topk_ivf,
     cosine_topk_lsh,
 )
+from etl_spark_spark.operators.reconcile import reconcile_full_outer
 from etl_spark_spark.operators.windows import top_k_per_group
 from etl_spark_spark.pipelines.ressarcimento import allocation_pipeline
 from etl_spark_spark.pipelines.superdesconto import best_sale_pipeline
@@ -302,6 +303,21 @@ def q_emb_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user OLS trend of event value
+    over time. Model-fit shape that windows/aggregates can't express —
+    Arrow ships each user's events to Python as one frame. Float
+    regression isn't bit-portable across engines -> rows-only check;
+    accuracy is pinned in tests against DuckDB's regr_slope."""
+    from etl_spark_spark.operators.grouped import fit_group_trend
+
+    events = read_events(spark, sf_dir)
+    ev = events.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("x"), F.col("value").alias("y")
+    )
+    return fit_group_trend(ev, ["user_id"], "x", "y")
+
+
 def q_emb_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-3 (coarse quantizer + probed lists).
     Approximate -> rows-only check; containment vs exact is pinned in
@@ -399,6 +415,44 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(money_sum(revenue).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q_nation_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation as a single join (J8's idiomatic form,
+    one shuffle): per-nation customer and supplier headcounts, nations
+    present on either side, missing sides zero-filled."""
+    customer = table(spark, sf_dir, "customer", columns=["c_nationkey"])
+    supplier = table(spark, sf_dir, "supplier", columns=["s_nationkey"])
+    c = customer.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
+        F.count("*").alias("n_customers")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nation_key")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    out = reconcile_full_outer(c, s, ["nation_key"], style="full_outer")
+    return out.select(
+        "nation_key",
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL surface: the engine accepts SQL text over registered
+    views (spark.sql), not just the DataFrame API — the same statement
+    runs on Spark and the oracle verbatim."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment,
+               o_orderstatus AS status,
+               count(*) AS n_orders,
+               sum(cast(round(o_totalprice * 100) as bigint)) / 100.0D AS total
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderstatus
+        """
     )
 
 
@@ -593,6 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "dedup_any_count": q_dedup_any_count,
+        "nation_reconcile": q_nation_reconcile,
+        "sql_frontend": q_sql_frontend,
+        "user_value_trend": q_user_value_trend,
     }
 
 
@@ -991,6 +1048,30 @@ WHERE c_nationkey = s_nationkey
 GROUP BY 1, 2
 """
 
+_NATION_RECONCILE_SQL = """
+WITH c AS (
+    SELECT c_nationkey AS nation_key, count(*) AS n_customers
+    FROM customer GROUP BY 1
+),
+s AS (
+    SELECT s_nationkey AS nation_key, count(*) AS n_suppliers
+    FROM supplier GROUP BY 1
+)
+SELECT coalesce(c.nation_key, s.nation_key) AS nation_key,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nation_key = s.nation_key
+"""
+
+_SQL_FRONTEND_SQL = """
+SELECT c_mktsegment AS segment,
+       o_orderstatus AS status,
+       count(*) AS n_orders,
+       sum(cast(round(o_totalprice * 100) as bigint)) / 100.0 AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderstatus
+"""
+
 _DEDUP_ANY_COUNT_SQL = """
 SELECT l_returnflag, count(*) AS n_distinct_parts FROM (
     SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
@@ -1115,6 +1196,8 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": _SHIPPING_PRIORITY_SQL,
         "local_supplier_volume": _LOCAL_SUPPLIER_SQL,
         "dedup_any_count": _DEDUP_ANY_COUNT_SQL,
+        "nation_reconcile": _NATION_RECONCILE_SQL,
+        "sql_frontend": _SQL_FRONTEND_SQL,
         # emb_cosine_topk_lsh and multimodal_features are intentionally
         # oracle-less (approximate / pandas-side) -> rows-only check.
     }

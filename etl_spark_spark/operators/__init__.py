@@ -1,7 +1,26 @@
 from .dedup import dedup_any, dedup_latest
 from .joins import broadcast_join, join_expr
+from .multimodal import (
+    attach_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
+from .neardup import (
+    exact_dedup,
+    near_dup_minhash,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from .reconcile import allocate_proportional, reconcile_full_outer
-from .setops import union_by_name, union_strict
+from .setops import except_all, intersect_all, union_by_name, union_strict
+from .similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
+from .skew import salted_sum, with_salt
 from .windows import partitioned_sum, top_k_per_group, top_one_per_group_agg
 
 __all__ = [
@@ -14,6 +33,22 @@ __all__ = [
     "join_expr",
     "union_strict",
     "union_by_name",
+    "intersect_all",
+    "except_all",
     "reconcile_full_outer",
     "allocate_proportional",
+    "exact_dedup",
+    "near_dup_minhash",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "cosine_near_dup_pairs",
+    "salted_sum",
+    "with_salt",
+    "attach_media",
+    "extract_features",
+    "resize_media",
+    "sample_frames",
 ]

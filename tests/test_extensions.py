@@ -120,6 +120,39 @@ def test_multimodal_feature_plumbing(spark, sf_dir):
     assert sorted(r.checksum for r in feats) == sorted(r.checksum for r in feats2)
 
 
+def test_group_trend_matches_duckdb_regr(spark, sf_dir):
+    """applyInPandas OLS agrees with DuckDB's regr_slope/intercept to
+    float tolerance (not bit-exact — different formulas)."""
+    import duckdb
+
+    from etl_spark_spark.operators.grouped import fit_group_trend
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("x"), F.col("value").alias("y")
+    )
+    got = {
+        r.user_id: (r.n, r.slope, r.intercept)
+        for r in fit_group_trend(ev, ["user_id"], "x", "y").collect()
+    }
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT user_id, count(*), regr_slope(value, epoch_us(ts)),
+               regr_intercept(value, epoch_us(ts))
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1
+        """
+    ).fetchall()
+    assert len(got) == len(want) > 0
+    for uid, n, slope, icept in want:
+        gn, gs, gi = got[uid]
+        assert gn == n
+        if slope is None:
+            assert gs is None
+        else:
+            assert abs(gs - slope) <= 1e-6 * max(1.0, abs(slope))
+            assert abs(gi - icept) <= 1e-6 * max(1.0, abs(icept))
+
+
 def test_streaming_matches_batch(spark, sf_dir):
     """availableNow drain of the streaming tumbling agg equals the
     batch tumbling agg on the same files (stream/batch parity)."""
