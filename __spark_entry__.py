@@ -157,7 +157,10 @@ def q_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             F.coalesce(F.col("c_name"), F.lit("UNKNOWN")).alias("cust_name"),
-            F.coalesce(F.col("c_mktsegment"), F.lit("NONE")).alias("segment"),
+            # ifnull ≡ coalesce/2 — both null-default forms the reference
+            # uses (F5 at utils_superdesconto.py:110-112, F7 at
+            # utils_ressarcimento.py:251) are part of the surface
+            F.ifnull(F.col("c_mktsegment"), F.lit("NONE")).alias("segment"),
             "o_totalprice",
         )
     )
