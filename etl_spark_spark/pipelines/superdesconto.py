@@ -24,7 +24,9 @@ from ..functions.normalize import etiqueta
 from ..operators.joins import broadcast_join
 from ..operators.setops import union_strict
 from ..operators.windows import top_one_per_group_agg
-from ..sources import table
+from ..sources import read_date_range, table
+
+import datetime as dt  # noqa: F401  (used in the signature annotation)
 
 CANONICAL = [
     "filial",
@@ -56,8 +58,20 @@ def _feed(lineitem: DataFrame, status: str) -> DataFrame:
     )
 
 
-def best_sale_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def best_sale_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    start: "dt.date | None" = None,
+    end: "dt.date | None" = None,
+) -> DataFrame:
+    """Optionally windowed to [start, end] on the sale date BEFORE the
+    ranking — the reference's incremental runs enumerate only the
+    window's daily files (utils_superdesconto.py:62-66), so 'best sale
+    per label' means best WITHIN the window; the range predicate here
+    pushes down to the scan the same way."""
     lineitem = table(spark, sf_dir, "lineitem")
+    if start is not None and end is not None:
+        lineitem = read_date_range(lineitem, "l_shipdate", start, end)
     part = table(
         spark, sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_retailprice"]
     )
