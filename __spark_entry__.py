@@ -421,6 +421,14 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven profiling (§1 reflection pattern as a user op):
+    per-column null/distinct counts of orders in one aggregate pass."""
+    from etl_spark_spark.functions.profile import profile_columns
+
+    return profile_columns(table(spark, sf_dir, "orders"))
+
+
 def q_nation_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer reconciliation as a single join (J8's idiomatic form,
     one shuffle): per-nation customer and supplier headcounts, nations
@@ -653,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_reconcile": q_nation_reconcile,
         "sql_frontend": q_sql_frontend,
         "user_value_trend": q_user_value_trend,
+        "orders_profile": q_orders_profile,
     }
 
 
@@ -1051,6 +1060,20 @@ WHERE c_nationkey = s_nationkey
 GROUP BY 1, 2
 """
 
+_ORDERS_PROFILE_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, "
+    f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+    f"count(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+)
+
 _NATION_RECONCILE_SQL = """
 WITH c AS (
     SELECT c_nationkey AS nation_key, count(*) AS n_customers
@@ -1201,6 +1224,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_any_count": _DEDUP_ANY_COUNT_SQL,
         "nation_reconcile": _NATION_RECONCILE_SQL,
         "sql_frontend": _SQL_FRONTEND_SQL,
+        "orders_profile": _ORDERS_PROFILE_SQL,
         # emb_cosine_topk_lsh and multimodal_features are intentionally
         # oracle-less (approximate / pandas-side) -> rows-only check.
     }

@@ -17,7 +17,6 @@ from collections.abc import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def fit_group_trend(
