@@ -1,0 +1,72 @@
+"""API-completeness tests for library surfaces not exercised by the
+oracle queries: parameterized widths/scales, set-op bag semantics,
+salting bounds, plan helpers, decimal/timestamp policies."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark_spark.functions.money import money_sum
+from etl_spark_spark.functions.normalize import cnpj_normalize, etiqueta
+from etl_spark_spark.functions.nulls import cast_decimals
+from etl_spark_spark.operators.setops import except_all, intersect_all
+from etl_spark_spark.operators.skew import with_salt
+from etl_spark_spark.plans import explain_str, pushed_filters
+from etl_spark_spark.sources import table
+
+
+def test_etiqueta_custom_width(spark):
+    row = (
+        spark.range(1)
+        .select(etiqueta(F.lit("7"), width=5).alias("e"))
+        .collect()[0]
+    )
+    assert row.e == "00007"
+
+
+def test_cnpj_width_and_truncation(spark):
+    out = (
+        spark.createDataFrame([("12.345/6789-0123456",)], ["c"])
+        .select(cnpj_normalize("c", width=10).alias("n"))
+        .collect()[0]
+        .n
+    )
+    # lpad truncates overlong input to the target width (left-most chars)
+    assert len(out) == 10
+
+
+def test_money_sum_custom_scale(spark):
+    df = spark.createDataFrame([(1.2345,), (2.1111,)], ["v"])
+    got = df.agg(money_sum("v", scale=4).alias("s")).collect()[0].s
+    assert got == 3.3456
+
+
+def test_intersect_except_bag_semantics(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], ["x"])
+    b = spark.createDataFrame([(1,), (3,)], ["x"])
+    assert sorted(r.x for r in intersect_all(a, b).collect()) == [1]
+    assert sorted(r.x for r in except_all(a, b).collect()) == [1, 2]
+
+
+def test_with_salt_bounds(spark):
+    df = with_salt(spark.range(1000), buckets=8)
+    salts = {r["__salt"] for r in df.select("__salt").distinct().collect()}
+    assert salts <= set(range(8)) and len(salts) > 1
+
+
+def test_cast_decimals_timestamp_ntz(spark):
+    df = spark.createDataFrame([("2024-01-01 10:00:00",)], ["s"]).select(
+        F.col("s").cast("timestamp").alias("ts"),
+        F.lit("9.99").cast(T.DecimalType(5, 2)).alias("d"),
+    )
+    out = cast_decimals(df, timestamp_ntz=True)
+    types = dict(out.dtypes)
+    assert types["d"] == "double" and types["ts"] == "timestamp_ntz"
+
+
+def test_plan_helpers_roundtrip(spark, sf_dir):
+    df = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 7)
+    assert "o_orderkey" in " ".join(pushed_filters(df))
+    text = explain_str(df, mode="simple")
+    assert "Scan parquet" in text
