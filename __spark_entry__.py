@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -54,6 +54,7 @@ from etl_spark_spark.operators.similarity import (
 )
 from etl_spark_spark.operators.reconcile import reconcile_full_outer
 from etl_spark_spark.operators.windows import top_k_per_group
+from etl_spark_spark.functions.vectors import norm
 from etl_spark_spark.pipelines.ressarcimento import allocation_pipeline
 from etl_spark_spark.pipelines.superdesconto import best_sale_pipeline
 from etl_spark_spark.sources import read_events, table, year_range_filter
@@ -421,6 +422,34 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated correlated-subquery shape: orders above their
+    customer's average order value. The per-customer average is a
+    window over the fact (one shuffle) rather than a self-join; the
+    average is cents-exact so the > comparison is engine-portable."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    avg = F.sum(cents).over(w) / 100.0 / F.count("*").over(w)
+    return (
+        orders.withColumn("cust_avg", avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as user surface: per-vector dim,
+    positive-component count (F.filter) and L2 norm (fold)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        norm("embedding").alias("l2_norm"),
+    )
+
+
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-driven profiling (§1 reflection pattern as a user op):
     per-column null/distinct counts of orders in one aggregate pass."""
@@ -662,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_frontend": q_sql_frontend,
         "user_value_trend": q_user_value_trend,
         "orders_profile": q_orders_profile,
+        "above_avg_orders": q_above_avg_orders,
+        "emb_stats": q_emb_stats,
     }
 
 
@@ -1060,6 +1091,24 @@ WHERE c_nationkey = s_nationkey
 GROUP BY 1, 2
 """
 
+_ABOVE_AVG_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           sum(cast(round(o_totalprice * 100) as bigint))
+               OVER (PARTITION BY o_custkey) / 100.0
+               / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+    FROM orders
+) t WHERE o_totalprice > cust_avg
+"""
+
+_EMB_STATS_SQL = f"""
+SELECT vec_id,
+       len(embedding) AS dim,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+       sqrt({_DOT.format(a="embedding", b="embedding")}) AS l2_norm
+FROM embeddings
+"""
+
 _ORDERS_PROFILE_SQL = " UNION ALL ".join(
     f"SELECT '{c}' AS column_name, "
     f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
@@ -1225,6 +1274,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_reconcile": _NATION_RECONCILE_SQL,
         "sql_frontend": _SQL_FRONTEND_SQL,
         "orders_profile": _ORDERS_PROFILE_SQL,
+        "above_avg_orders": _ABOVE_AVG_ORDERS_SQL,
+        "emb_stats": _EMB_STATS_SQL,
         # emb_cosine_topk_lsh and multimodal_features are intentionally
         # oracle-less (approximate / pandas-side) -> rows-only check.
     }
