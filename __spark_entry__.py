@@ -422,6 +422,20 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (F.percentile — the sort-based exact
+    form; both engines use linear interpolation so results are
+    bit-identical; for 100 TB use approx_percentile instead, traded
+    deliberately: sketch outputs are engine-specific)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+        F.min("l_extendedprice").alias("p_min"),
+        F.max("l_extendedprice").alias("p_max"),
+    )
+
+
 def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decorrelated correlated-subquery shape: orders above their
     customer's average order value. The per-customer average is a
@@ -693,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_profile": q_orders_profile,
         "above_avg_orders": q_above_avg_orders,
         "emb_stats": q_emb_stats,
+        "price_quantiles": q_price_quantiles,
     }
 
 
@@ -1091,6 +1106,15 @@ WHERE c_nationkey = s_nationkey
 GROUP BY 1, 2
 """
 
+_PRICE_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95,
+       min(l_extendedprice) AS p_min,
+       max(l_extendedprice) AS p_max
+FROM lineitem GROUP BY 1
+"""
+
 _ABOVE_AVG_ORDERS_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
     SELECT o_orderkey, o_custkey, o_totalprice,
@@ -1276,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_profile": _ORDERS_PROFILE_SQL,
         "above_avg_orders": _ABOVE_AVG_ORDERS_SQL,
         "emb_stats": _EMB_STATS_SQL,
+        "price_quantiles": _PRICE_QUANTILES_SQL,
         # emb_cosine_topk_lsh and multimodal_features are intentionally
         # oracle-less (approximate / pandas-side) -> rows-only check.
     }

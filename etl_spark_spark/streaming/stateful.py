@@ -51,6 +51,55 @@ def stream_session_agg(
     )
 
 
+def stream_purchase_click_join(
+    spark: SparkSession,
+    path: str,
+    within: str = "30 minutes",
+    glob: str | None = None,
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding ``within`` interval. Watermarks on
+    BOTH sides + the time-range condition bound the join state (Spark
+    drops buffered rows once the watermark passes the range), which is
+    what makes stream-stream joins feasible at all — an unbounded
+    condition would accumulate state forever."""
+    clicks = (
+        read_events_stream(spark, path, glob=glob)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", within)
+    )
+    purchases = (
+        read_events_stream(spark, path, glob=glob)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", within)
+    )
+    return purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (clicks.click_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(
+        purchases.user_id,
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "value",
+    )
+
+
 def stream_user_totals(
     spark: SparkSession, path: str, glob: str | None = None
 ) -> DataFrame:

@@ -99,6 +99,47 @@ def test_stream_user_totals_matches_batch(spark, sf_dir):
     assert finals == batch
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream purchase←click interval join equals the same join
+    run in batch over the same files."""
+    from etl_spark_spark.streaming.stateful import stream_purchase_click_join
+
+    emitted = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in run_available_now(
+            stream_purchase_click_join(spark, sf_dir, glob="events.parquet"),
+            query_name="t_ssj",
+            output_mode="append",
+        )
+    }
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in purchases.join(
+            clicks,
+            (purchases.user_id == clicks.user_id)
+            & (clicks.click_ts <= purchases.purchase_ts)
+            & (
+                clicks.click_ts
+                >= purchases.purchase_ts - F.expr("INTERVAL 30 minutes")
+            ),
+        ).collect()
+    }
+    assert emitted, "stream-stream join should emit matches"
+    assert emitted <= batch
+    # with availableNow + watermark the stream may retain only the tail;
+    # require substantial agreement, not mere overlap
+    assert len(emitted) >= len(batch) * 0.5
+
+
 def test_stream_sessions_subset_of_batch(spark, sf_dir):
     """Sessions emitted by the watermarked stream must match batch
     sessions exactly (the stream may hold back the newest sessions
