@@ -233,12 +233,15 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/punctuation/stopword counting + quality scoring (extension:
     text analysis over documents)."""
     docs = table(spark, sf_dir, "documents")
+    # counters cast to long: aligns pandas dtype with DuckDB's
+    # BIGINT-typed len()/count so the driver's value-hash sees
+    # identical representations
     return docs.select(
         "doc_id",
         "lang",
-        token_count("text").alias("n_tokens"),
-        punct_count("text").alias("n_punct"),
-        stopword_hits("text", LANG_PROFILES["en"]).alias("n_stop_en"),
+        token_count("text").cast("long").alias("n_tokens"),
+        punct_count("text").cast("long").alias("n_punct"),
+        stopword_hits("text", LANG_PROFILES["en"]).cast("long").alias("n_stop_en"),
         quality_score("text", LANG_PROFILES["en"]).alias("quality"),
     )
 
@@ -250,7 +253,7 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        *[scores[lang].alias(f"score_{lang}") for lang in LANG_PROFILES],
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_PROFILES],
         lang_id("text").alias("pred_lang"),
     )
 
@@ -458,8 +461,8 @@ def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
-        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
         norm("embedding").alias("l2_norm"),
     )
 
@@ -556,7 +559,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_sh.alias("winnow_fp"),
         F.regexp_count(
             F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
-        ).alias("n_subtokens"),
+        ).cast("long").alias("n_subtokens"),
     )
 
 
@@ -875,7 +878,9 @@ GROUP BY 1
 _EVENTS_BY_TYPE_SQL = f"""
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(props->>'$.k' AS INTEGER)) AS sum_k,
+       -- BIGINT cast: DuckDB sum(int) yields HUGEINT -> float64 in
+       -- pandas, which would hash as 3.0 vs Spark's 3
+       CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
        {money_sum_sql("value")} AS sum_value
 FROM events
 WHERE event_type IN ('click', 'view', 'purchase') AND props IS NOT NULL
@@ -1061,9 +1066,9 @@ m AS (
 ),
 s AS (
     SELECT user_id, us, value,
-           sum(is_new) OVER (
+           CAST(sum(is_new) OVER (
                PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING
-           ) - 1 AS session_id
+           ) - 1 AS BIGINT) AS session_id
     FROM m
 )
 SELECT user_id, session_id,
@@ -1135,7 +1140,7 @@ FROM embeddings
 
 _ORDERS_PROFILE_SQL = " UNION ALL ".join(
     f"SELECT '{c}' AS column_name, "
-    f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+    f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
     f"count(DISTINCT {c}) AS n_distinct FROM orders"
     for c in [
         "o_orderkey",

@@ -46,3 +46,16 @@ def assert_oracle_match(spark, sf_dir: str, query_fn, sql: str) -> None:
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=True, check_datetimelike_compat=True
     )
+    # representation check: a stringifying value-hash must also agree —
+    # catches dtype drift like DuckDB HUGEINT->float64 ("3.0") vs Spark
+    # long ("3") that numeric comparison tolerates
+    mism = (got.astype(str).values != want.astype(str).values)
+    if mism.any():
+        import numpy as np
+
+        r, c = map(int, np.argwhere(mism)[0])
+        raise AssertionError(
+            "stringified mismatch at "
+            f"row {r} col {got.columns[c]}: "
+            f"spark={got.iat[r, c]!r} oracle={want.iat[r, c]!r}"
+        )
