@@ -65,6 +65,17 @@ def test_cast_decimals_timestamp_ntz(spark):
     assert types["d"] == "double" and types["ts"] == "timestamp_ntz"
 
 
+def test_load_config_layering(tmp_path, monkeypatch):
+    from etl_spark_spark.config import load_config
+
+    f = tmp_path / "env"
+    f.write_text('A=1\n# comment\nB="two"\nBAD LINE\n')
+    monkeypatch.setenv("APP_B", "env-wins")
+    monkeypatch.setenv("OTHER_C", "ignored")
+    cfg = load_config(f, prefix="APP_", overrides={"D": "4"})
+    assert cfg == {"A": "1", "B": "env-wins", "D": "4"}
+
+
 def test_plan_helpers_roundtrip(spark, sf_dir):
     df = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 7)
     assert "o_orderkey" in " ".join(pushed_filters(df))
