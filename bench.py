@@ -36,10 +36,16 @@ def main() -> None:
     _force(queries["normalize_keys"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, fn in queries.items():
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # second run: plan/codegen compiled — the steady-state number a
+        # long-lived cluster sees
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -49,6 +55,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "total_warm_sec": round(sum(warm.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

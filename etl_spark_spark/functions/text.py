@@ -40,8 +40,14 @@ def punct_count(c: Column | str) -> Column:
 
 
 def stopword_hits(c: Column | str, words: list[str]) -> Column:
-    """Count of occurrences of any of ``words`` as whole tokens."""
-    pat = r"\b(" + "|".join(words) + r")\b"
+    """Count of occurrences of any of ``words`` as whole tokens.
+    Words are regex-escaped; an empty list counts 0 (the naive
+    ``\\b()\\b`` pattern would match every word boundary)."""
+    import re as _re
+
+    if not words:
+        return F.lit(0)
+    pat = r"\b(" + "|".join(_re.escape(w) for w in words) + r")\b"
     return F.regexp_count(normalize_text(c), F.lit(pat))
 
 

@@ -179,6 +179,9 @@ def cosine_topk_ivf(
     )
     cents = _unit_rows(np.vstack(seed["v"].to_numpy()))
     bc = spark.sparkContext.broadcast(cents)
+    # can't probe more lists than exist (tiny corpora, or explicit
+    # probe-everything calls with n_probe > n_lists)
+    n_probe = min(n_probe, cents.shape[0])
 
     def assigned(df: DataFrame, probe: int, id_out: str) -> DataFrame:
         def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -211,8 +214,22 @@ def cosine_topk_ivf(
         c_a.join(F.broadcast(q_a.drop("__query_id_vec")), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "__neighbor_id_vec")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    return _score_and_rank(cand, queries, id_col, vec_col, k)
+
+
+def _score_and_rank(
+    cand: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared tail of the approximate searchers: dedup candidate PAIRS
+    by id (array-valued distinct is slow), re-attach query vectors,
+    score expression-side (bit-identical to the exact operator), rank
+    top-k with id tiebreak."""
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     q_vecs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -343,26 +360,9 @@ def cosine_topk_lsh(
     q_b = _bucket_table(
         queries, id_col, vec_col, dim, num_planes, num_tables, "query_id"
     )
-    # dedup candidate PAIRS (ids only — array-valued distinct is slow),
-    # then attach vectors back by id for scoring
     cand = (
         c_b.join(F.broadcast(q_b.drop("__query_id_vec")), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "__neighbor_id_vec")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    q_vecs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    scored = cand.join(F.broadcast(q_vecs), "query_id").select(
-        "query_id",
-        "neighbor_id",
-        cosine("__qv", "__neighbor_id_vec").alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _score_and_rank(cand, queries, id_col, vec_col, k)

@@ -39,9 +39,15 @@ def run_superdesconto_job(
     today = today or dt.date.today()
     start, end = date_window(today)
     view = best_sale_pipeline(spark, sf_dir, start=start, end=end)
-    n = view.count()
-    if n:
-        upsert(spark, view, target_path, keys=["etiqueta"])
+    # cache: the guard count plus upsert's anti-join and union branches
+    # would otherwise each re-execute the full pipeline (3 scans)
+    view = view.persist()
+    try:
+        n = view.count()
+        if n:
+            upsert(spark, view, target_path, keys=["etiqueta"])
+    finally:
+        view.unpersist()
     return n
 
 

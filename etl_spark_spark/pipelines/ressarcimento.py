@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from ..functions.nulls import fill_nulls_by_type
 from ..operators.joins import broadcast_join
-from ..operators.setops import union_by_name, union_strict
+from ..operators.reconcile import allocate_proportional, reconcile_full_outer
+from ..operators.setops import union_strict
 from ..operators.windows import partitioned_sum
 from ..sources import table
 
@@ -88,23 +89,23 @@ def allocation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     credits = _credits(spark, sf_dir)
 
-    matched = losses.join(credits, "nation_key", "inner")
-    loss_only = losses.join(credits, "nation_key", "left_anti")
-    credit_only = credits.join(losses, "nation_key", "left_anti")
-    combined = union_by_name(matched, loss_only, credit_only)
-
-    credito = F.col("credito_cents") / 100.0
-    share = (
-        F.col("perdas_cents")
-        / F.nullif(F.col("grupo_perda_cents"), F.lit(0))
-        * credito
+    combined = reconcile_full_outer(
+        losses, credits, ["nation_key"], style="anti_union"
     )
-    out = combined.select(
+    combined = combined.withColumn("credito", F.col("credito_cents") / 100.0)
+    allocated = allocate_proportional(
+        combined,
+        weight="perdas_cents",
+        total="grupo_perda_cents",
+        amount="credito",
+        alias="rateio",
+    )
+    out = allocated.select(
         "nation_key",
         "supp_key",
         (F.col("perdas_cents") / 100.0).alias("perdas"),
         (F.col("grupo_perda_cents") / 100.0).alias("grupo_perda"),
-        credito.alias("credito"),
-        F.coalesce(share, credito, F.lit(0.0)).alias("rateio"),
+        "credito",
+        "rateio",
     )
     return fill_nulls_by_type(out)

@@ -19,13 +19,33 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested in ()/[] — filter reprs like
+    ``In(col, [a,b])`` contain commas of their own."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All PushedFilters entries across scans in the physical plan."""
     text = explain_str(df)
     out: list[str] = []
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
         if m.group(1).strip():
-            out.extend(s.strip() for s in m.group(1).split(","))
+            out.extend(_split_top_level(m.group(1)))
     return out
 
 

@@ -32,14 +32,20 @@ def get_spark(
     ``cpus`` only applies when no master is configured (local runs);
     on a real cluster the deploy sets the master and executor topology.
     """
+    from pyspark import SparkConf
+
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+    builder = SparkSession.builder.appName(app_name)
+    # only default to local[] when no master was configured (spark-submit
+    # sets spark.master as a system property; overriding it here would
+    # silently collapse a cluster deploy onto the driver)
+    if not SparkConf().contains("spark.master"):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
-        .config("spark.sql.session.timeZone", "UTC")
+        builder.config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -96,12 +96,18 @@ def upsert(
     kept = existing.join(source_df.select(*keys).distinct(), keys, "left_anti")
     merged = kept.unionByName(source_df, allowMissingColumns=True)
     tmp = tempfile.mkdtemp(prefix="upsert_", dir=str(target.parent))
+    swap = str(target) + ".old"
+    if Path(swap).exists():  # stale backup from an earlier crash —
+        shutil.rmtree(swap)  # remove it or move() would nest into it
+    moved = False
     try:
         write(merged, tmp, mode="overwrite", fmt=fmt)
-        swap = str(target) + ".old"
         shutil.move(str(target), swap)
+        moved = True
         shutil.move(tmp, str(target))
         shutil.rmtree(swap)
     except BaseException:
+        if moved and not target.exists():
+            shutil.move(swap, str(target))  # restore the backup
         shutil.rmtree(tmp, ignore_errors=True)
         raise

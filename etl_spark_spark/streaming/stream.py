@@ -83,8 +83,14 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    spark = stream_df.sparkSession
-    rows = spark.table(query_name).collect()
-    q.stop()
-    return rows
+    try:
+        finished = q.awaitTermination(120)
+        if not finished:
+            raise TimeoutError(
+                f"stream '{query_name}' did not drain within 120s — "
+                "refusing to return a partial snapshot"
+            )
+        spark = stream_df.sparkSession
+        return spark.table(query_name).collect()
+    finally:
+        q.stop()
