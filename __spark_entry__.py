@@ -425,6 +425,81 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each purchase matched to the same user's
+    most recent click at or before it. Spark lacks a native as-of join;
+    ours is the union+window formulation (one shuffle) — the oracle is
+    DuckDB's native ASOF LEFT JOIN, so the operator's semantics are
+    pinned against a reference implementation."""
+    from etl_spark_spark.operators.asof import asof_join
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("purchase_us"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("click_us"),
+        F.col("event_id").alias("click_id"),
+    )
+    return asof_join(
+        purchases.withColumn("__ts", F.col("purchase_us")),
+        clicks.withColumn("__ts2", F.col("click_us")),
+        by=["user_id"],
+        left_ts="__ts",
+        right_ts="__ts2",
+        payload=["click_id", "click_us"],
+    ).select("user_id", "purchase_id", "purchase_us", "click_id", "click_us")
+
+
+def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair detection: band the 60-bit simhash into
+    4x15-bit keys, join docs sharing any band, verify hamming distance
+    <= 10 with bit_count(xor). Banded detection guarantees recall only
+    for distance <= 3 (pigeonhole); the oracle implements the identical
+    banded algorithm so results match by construction."""
+    docs = table(spark, sf_dir, "documents")
+    sh = simhash(docs, "doc_id", tokens("text"))
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), 15 * b)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 10)
+
+
 def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (F.percentile — the sort-based exact
     form; both engines use linear interpolation so results are
@@ -711,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_avg_orders": q_above_avg_orders,
         "emb_stats": q_emb_stats,
         "price_quantiles": q_price_quantiles,
+        "purchase_last_click": q_purchase_last_click,
+        "neardup_simhash": q_neardup_simhash,
     }
 
 
@@ -1111,6 +1188,40 @@ WHERE c_nationkey = s_nationkey
 GROUP BY 1, 2
 """
 
+_PURCHASE_LAST_CLICK_SQL = """
+WITH p AS (
+    SELECT user_id, epoch_us(ts) AS purchase_us, event_id AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, epoch_us(ts) AS click_us, event_id AS click_id
+    FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_id, p.purchase_us, c.click_id, c.click_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us
+"""
+
+_NEARDUP_SIMHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM tok),
+s AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM s),
+bands AS (
+    SELECT doc_id, simhash, b AS band,
+           (simhash >> (15 * b)) & 32767 AS key
+    FROM sh, unnest([0, 1, 2, 3]) AS u(b)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 10
+"""
+
 _PRICE_QUANTILES_SQL = """
 SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.5) AS p50,
@@ -1306,6 +1417,8 @@ def oracle_sql() -> dict[str, str]:
         "above_avg_orders": _ABOVE_AVG_ORDERS_SQL,
         "emb_stats": _EMB_STATS_SQL,
         "price_quantiles": _PRICE_QUANTILES_SQL,
+        "purchase_last_click": _PURCHASE_LAST_CLICK_SQL,
+        "neardup_simhash": _NEARDUP_SIMHASH_SQL,
         # emb_cosine_topk_lsh and multimodal_features are intentionally
         # oracle-less (approximate / pandas-side) -> rows-only check.
     }

@@ -1,0 +1,66 @@
+"""As-of join — match each left row to the most recent right row at or
+before its timestamp, per key.
+
+Spark has no native as-of join; the classic scalable formulation is
+union + ordered window with ``last(ignorenulls)``: tag both sides,
+union by name (each side's payload NULL on the other), sort within the
+key by (ts, side) so a right row at the same instant precedes the left
+row that should see it, and carry the latest non-null right payload
+forward. ONE shuffle on the key — no range/theta join, no per-row probe
+— the shape that survives a 100 TB fact on both sides (contrast: a
+naive ``right.ts <= left.ts`` range join is quadratic per key).
+
+Semantics (direction='backward', the common case): right match with the
+largest ``right_ts <= left_ts``; NULL payload when no prior right row.
+Ties on (key, ts) between right rows are broken by ``tiebreak`` if
+given. Equivalent to DuckDB/QuestDB ``ASOF JOIN`` with ``>=``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    tiebreak: Column | str | None = None,
+) -> DataFrame:
+    """Backward as-of join. ``payload`` are the right-side columns to
+    attach; all left columns pass through. Column names must not
+    collide (rename first)."""
+    by = list(by)
+    payload = list(payload)
+
+    l_tagged = left.withColumn("__ats", F.col(left_ts)).withColumn(
+        "__src", F.lit(1)
+    )
+    r_cols = [*by, F.col(right_ts).alias("__ats"), F.lit(0).alias("__src")]
+    r_cols += [F.col(c) for c in payload]
+    if tiebreak is not None:
+        tb = F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+        r_tagged = right.select(*r_cols, tb.alias("__tb"))
+    else:
+        r_tagged = right.select(*r_cols)
+
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    order = [F.col("__ats"), F.col("__src")]
+    if tiebreak is not None:
+        order.append(F.col("__tb"))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumns(
+        {c: F.last(F.col(c), ignorenulls=True).over(w) for c in payload}
+    )
+    out_cols = [c for c in left.columns] + payload
+    return filled.filter(F.col("__src") == 1).select(*out_cols)

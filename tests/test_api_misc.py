@@ -65,6 +65,27 @@ def test_cast_decimals_timestamp_ntz(spark):
     assert types["d"] == "double" and types["ts"] == "timestamp_ntz"
 
 
+def test_asof_join_semantics(spark):
+    from etl_spark_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")], ["k", "lts", "pid"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "c_at_10"), (1, 15, "c_at_15"), (3, 1, "other_key")],
+        ["k", "rts", "cid"],
+    )
+    out = {
+        r.pid: r.cid
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["cid"], tiebreak="cid"
+        ).collect()
+    }
+    # equal timestamp matches (>=); later left sees latest right; no
+    # prior right -> NULL
+    assert out == {"p1": "c_at_10", "p2": "c_at_15", "p3": None}
+
+
 def test_load_config_layering(tmp_path, monkeypatch):
     from etl_spark_spark.config import load_config
 
