@@ -45,6 +45,7 @@ from etl_spark_spark.operators.neardup import (
     near_dup_minhash,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dup,
 )
 from etl_spark_spark.operators.similarity import (
     cosine_near_dup_pairs,
@@ -461,43 +462,7 @@ def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for distance <= 3 (pigeonhole); the oracle implements the identical
     banded algorithm so results match by construction."""
     docs = table(spark, sf_dir, "documents")
-    sh = simhash(docs, "doc_id", tokens("text"))
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), 15 * b)
-                        .bitwiseAND(F.lit(0x7FFF))
-                        .alias("key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
-    )
-    return pairs.filter(F.col("hamming") <= 10)
+    return simhash_near_dup(docs, "doc_id", tokens("text"), threshold=10)
 
 
 def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -174,31 +174,104 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    num_bands: int = 4,
+    band_bits: int = 15,
+    threshold: int = 10,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band the simhash, bucket docs by
+    band value, generate candidate pairs INSIDE each bucket from a
+    sorted collect_list (higher-order pair expansion), verify hamming.
+
+    One simhash computation and one shuffle (the bucket groupBy) — a
+    band self-join would re-execute the simhash DAG for both sides.
+    Bucket sizes are bounded in practice (random 15-bit band values);
+    a pathological hot bucket would need salting like any hot key.
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    sh = simhash(df, id_col, tokens_col)
+    mask = (1 << band_bits) - 1
+    bands = sh.select(
+        F.col(id_col).alias("__id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), band_bits * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "simhash", "bk.band", "bk.key")
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.struct("__id", "simhash"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), y -> "
+                "struct(x.__id AS id_a, y.__id AS id_b, "
+                "x.simhash AS sh_a, y.simhash AS sh_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= threshold)
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, tokens_col: Column, bits: int = SIMHASH_BITS
 ) -> DataFrame:
     """Per-document SimHash over the token multiset.
 
     Token hash = first 15 md5 hex chars as int64 (60 usable bits). For
-    each bit j the aggregate sums ±1 across tokens; bit j of the
-    simhash is set iff the sum is positive. One hash aggregate with
-    ``bits`` sum columns — map-side combinable, no row explosion.
+    each bit j, ±1 is summed across the document's tokens; bit j of the
+    simhash is set iff the sum is positive.
+
+    Computed entirely per-row with higher-order functions: the hashed
+    token array is materialized once (one md5 per token), then ``bits``
+    folds run over it. NO explode, NO groupBy, NO shuffle — each
+    document is independent, so this scales embarrassingly across
+    executors (the earlier explode+60-sum-aggregate formulation
+    shuffled |tokens| rows; measured ~2x slower at sf0.1).
     Returns (id, simhash int64).
     """
-    tok = df.select(F.col(id_col), F.explode(tokens_col).alias("tok"))
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    tok = tok.select(F.col(id_col), h.alias("h"))
-    sums = [
-        F.sum(
-            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"b{j}")
-        for j in range(bits)
-    ]
-    agg = tok.groupBy(id_col).agg(*sums)
-    value = None
+    hashed = F.transform(
+        tokens_col,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    base = df.select(F.col(id_col), hashed.alias("__hs"))
+
+    def bit_sum(j: int) -> Column:
+        return F.aggregate(
+            F.col("__hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
+        )
+
+    value: Column | None = None
     for j in range(bits):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+        term = F.when(bit_sum(j) > 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         value = term if value is None else value + term
-    return agg.select(F.col(id_col), value.alias("simhash"))
+    return base.select(F.col(id_col), value.alias("simhash"))
