@@ -18,12 +18,23 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Latin accent fold map (equal-length src/dst, lower+upper).
+# Accent fold map (equal-length src/dst, lower+upper): Latin-1 accents
+# plus the Slavic/German diacritics the reference's 50-char map folds
+# (utils_ressarcimento.py:9-10 covers č ď ě ĺ ľ ň ŕ š ť ů ž ẞ …) — this
+# map is a strict superset, so every string the reference normalizes
+# folds identically here.
 _ACCENTS_SRC = (
     "áàâãäåéèêëíìîïóòôõöúùûüçñý"
+    "čďěĺľňŕšťůžß"
     "ÁÀÂÃÄÅÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑÝ"
+    "ČĎĚĹĽŇŔŠŤŮŽẞ"
 )
-_ACCENTS_DST = "aaaaaaeeeeiiiiooooouuuucny" "AAAAAAEEEEIIIIOOOOOUUUUCNY"
+_ACCENTS_DST = (
+    "aaaaaaeeeeiiiiooooouuuucny"
+    "cdellnrstuzs"
+    "AAAAAAEEEEIIIIOOOOOUUUUCNY"
+    "CDELLNRSTUZS"
+)
 assert len(_ACCENTS_SRC) == len(_ACCENTS_DST)
 
 

@@ -111,3 +111,13 @@ def test_normalize_golden_strings(spark):
     assert row.n == "ACAI DO PARA"
     assert row.c == "012345678000195"
     assert row.e == "0" * 28 + "42"
+
+
+def test_strip_normalize_covers_reference_charset(spark):
+    """The reference's translate map folds Slavic/German diacritics
+    (š->s, ž->z, ď->d, ẞ->s, ...); ours must fold every char it folds."""
+    df = spark.createDataFrame([("Škoda Plzeň Groß ďábel ůž",)], ["s"])
+    row = df.select(strip_normalize("s").alias("n")).collect()[0]
+    # translate is 1:1 per char, so ß folds to a single 's' — the same
+    # choice the reference's map makes (ẞ->s), not the linguistic 'ss'
+    assert row.n == "SKODA PLZEN GROS DABEL UZ"
