@@ -61,3 +61,10 @@ def cnpj_normalize(c: Column | str, width: int = 15) -> Column:
 
 def upper_trim(c: Column | str) -> Column:
     return F.upper(F.trim(_col(c)))
+
+
+def strip_normalize_or_default(c: Column | str, default: str) -> Column:
+    """Normalize with a named default for NULLs — the reference's
+    dimension-cleanup idiom (``strip_normalize(coalesce(col,
+    lit('SEM NOME PROD')))``, utils_ressarcimento.py:192-210)."""
+    return strip_normalize(F.coalesce(_col(c), F.lit(default)))

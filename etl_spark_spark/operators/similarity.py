@@ -171,13 +171,15 @@ def cosine_topk_ivf(
     import pandas as pd
 
     spark = corpus.sparkSession
-    seed = (
+    sample = (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id")
-        .limit(n_lists)
+        .limit(max(n_lists * 64, 512))
         .toPandas()
     )
-    cents = _unit_rows(np.vstack(seed["v"].to_numpy()))
+    cents = _kmeans_centroids(
+        _unit_rows(np.vstack(sample["v"].to_numpy())), n_lists
+    )
     bc = spark.sparkContext.broadcast(cents)
     # can't probe more lists than exist (tiny corpora, or explicit
     # probe-everything calls with n_probe > n_lists)
@@ -216,6 +218,28 @@ def cosine_topk_ivf(
         .select("query_id", "neighbor_id", "__neighbor_id_vec")
     )
     return _score_and_rank(cand, queries, id_col, vec_col, k)
+
+
+def _kmeans_centroids(sample, k: int, iters: int = 5):
+    """Deterministic spherical k-means on a (unit-row) sample: seeds
+    are the first k rows (id-ordered upstream — reproducible), then a
+    few Lloyd iterations with cosine assignment. Empty clusters keep
+    their previous centroid. Trains on a bounded driver-side sample;
+    at 100 TB take a fixed-size sample the same way."""
+    import numpy as np
+
+    k = min(k, sample.shape[0])
+    cents = sample[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.sqrt((m * m).sum())
+                if n > 0:
+                    cents[j] = m / n
+    return cents
 
 
 def _score_and_rank(

@@ -113,6 +113,16 @@ def test_normalize_golden_strings(spark):
     assert row.e == "0" * 28 + "42"
 
 
+def test_strip_normalize_or_default(spark):
+    from etl_spark_spark.functions.normalize import strip_normalize_or_default
+
+    df = spark.createDataFrame([("  açaí ",), (None,)], ["s"])
+    rows = df.select(
+        strip_normalize_or_default("s", "sem nome prod").alias("n")
+    ).collect()
+    assert [r.n for r in rows] == ["ACAI", "SEM NOME PROD"]
+
+
 def test_strip_normalize_covers_reference_charset(spark):
     """The reference's translate map folds Slavic/German diacritics
     (š->s, ž->z, ď->d, ẞ->s, ...); ours must fold every char it folds."""
