@@ -352,6 +352,21 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("window_start", "event_type", "n_events", "sum_value")
 
 
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: hour grain aggregated
+    from raw, day grain derived from the hourly aggregate (single raw
+    scan; exact via integer cents)."""
+    from etl_spark_spark.streaming.windows import time_rollup_counts
+
+    events = read_events(spark, sf_dir)
+    return time_rollup_counts(
+        events,
+        "ts",
+        ["event_type"],
+        F.round(F.col("value") * 100).cast("long"),
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (5-min gap) per user: session summary."""
     events = read_events(spark, sf_dir)
@@ -730,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk_lsh": q_emb_cosine_topk_lsh,
         "emb_cosine_topk_ivf": q_emb_cosine_topk_ivf,
         "events_tumbling": q_events_tumbling,
+        "events_time_rollup": q_events_time_rollup,
         "events_sessionize": q_events_sessionize,
         "multimodal_features": q_multimodal_features,
         "custkeys_both_years": q_custkeys_both_years,
@@ -1097,6 +1113,21 @@ FROM events
 GROUP BY 1, 2
 """
 
+_TIME_ROLLUP_GRAIN = """
+SELECT '{g}' AS grain,
+       strftime(time_bucket(INTERVAL {iv}, ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+_EVENTS_TIME_ROLLUP_SQL = (
+    _TIME_ROLLUP_GRAIN.format(g="hour", iv="1 HOUR")
+    + " UNION ALL "
+    + _TIME_ROLLUP_GRAIN.format(g="day", iv="1 DAY")
+)
+
 _EVENTS_SESSIONIZE_SQL = f"""
 WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
 m AS (
@@ -1363,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": _DOC_SIMHASH_SQL,
         "emb_cosine_topk": _EMB_COSINE_SQL,
         "events_tumbling": _EVENTS_TUMBLING_SQL,
+        "events_time_rollup": _EVENTS_TIME_ROLLUP_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "custkeys_both_years": _CUSTKEYS_BOTH_SQL,
         "custkeys_only_1995": _CUSTKEYS_ONLY_1995_SQL,

@@ -63,6 +63,51 @@ def sliding_agg(
     )
 
 
+def time_rollup_counts(
+    df: DataFrame,
+    ts_col: str,
+    group_by: Sequence[str],
+    value_cents: Column,
+) -> DataFrame:
+    """Hypertable-style hierarchical rollup: hourly buckets aggregated
+    once from raw rows, daily buckets derived FROM the hourly aggregate
+    (not from raw) — the continuous-aggregate pattern: at 100 TB the
+    raw table is scanned once and each coarser grain reuses the finer
+    one (|hours| rows, not |events|).
+
+    Emits one row per (grain, bucket_start, *group_by) with n_events
+    and sum_cents. Sums are integer cents so the hierarchy is exact.
+    """
+    hour = (
+        df.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("__bucket"), *group_by
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_cents).alias("sum_cents"),
+        )
+    )
+    day = (
+        hour.groupBy(
+            F.date_trunc("day", F.col("__bucket")).alias("__bucket"), *group_by
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+    out_cols = lambda grain: [  # noqa: E731
+        F.lit(grain).alias("grain"),
+        F.date_format("__bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        *group_by,
+        "n_events",
+        (F.col("sum_cents") / 100.0).alias("sum_value"),
+    ]
+    return hour.select(*out_cols("hour")).unionByName(
+        day.select(*out_cols("day"))
+    )
+
+
 def sessionize_batch(
     df: DataFrame,
     ts_col: str,
