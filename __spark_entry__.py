@@ -441,6 +441,20 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the constant-memory scale path for distinct
+    counts and quantiles (HLL++ and GK-quantile; both partial-merge
+    aggregates, deterministic for a given dataset). Sketch outputs are
+    engine-specific -> rows-only check; relative error vs the exact
+    operators is pinned in tests."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_percentile("l_extendedprice", 0.5).alias("approx_p50"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def q_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward): each purchase matched to the same user's
     most recent click at or before it. Spark lacks a native as-of join;
@@ -769,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles": q_price_quantiles,
         "purchase_last_click": q_purchase_last_click,
         "neardup_simhash": q_neardup_simhash,
+        "sketch_stats": q_sketch_stats,
     }
 
 

@@ -120,6 +120,29 @@ def test_multimodal_feature_plumbing(spark, sf_dir):
     assert sorted(r.checksum for r in feats) == sorted(r.checksum for r in feats2)
 
 
+def test_sketch_stats_error_bounds(spark, sf_dir):
+    """Sketch aggregates must land within documented error of exact:
+    HLL++ default rsd=5%; GK percentile within the value spread."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F2
+
+    sk = {r.l_returnflag: r for r in entrymod.q_sketch_stats(spark, sf_dir).collect()}
+    li = table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F2.count_distinct("l_partkey").alias("parts"),
+            F2.percentile("l_extendedprice", 0.5).alias("p50"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        s = sk[flag]
+        assert abs(s.approx_parts - e.parts) <= 0.15 * e.parts
+        assert abs(s.approx_p50 - e.p50) <= 0.10 * e.p50
+
+
 def test_group_trend_matches_duckdb_regr(spark, sf_dir):
     """applyInPandas OLS agrees with DuckDB's regr_slope/intercept to
     float tolerance (not bit-exact — different formulas)."""
