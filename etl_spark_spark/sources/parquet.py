@@ -102,7 +102,10 @@ def read_events(
     df = source(spark, f"{sf_dir}/events.parquet")
     if with_ts:
         # integer DIV, not floor(x/1000): a long/1000 double division
-        # rounds in the 2^53+ range and lands 1 µs off
+        # rounds in the 2^53+ range and lands 1 µs off. DIV truncates
+        # toward zero, so pre-1970 (negative-nanos) timestamps would be
+        # off by 1 µs vs a flooring engine — fine for event data, use
+        # F.floor-on-decimal if ancient timestamps ever appear.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 

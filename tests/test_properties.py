@@ -56,6 +56,41 @@ def test_dedup_latest_picks_true_max(spark, rows):
     assert got == want
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(0, 100)),
+            st.one_of(st.none(), st.floats(0, 100)),
+            st.one_of(st.none(), st.floats(0, 100)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_allocation_cascade_property(spark, rows):
+    """For arbitrary (weight, total, amount) incl. NULLs and zeros, the
+    allocation operator equals the reference cascade computed in
+    Python: share if computable, else whole amount, else 0."""
+    from etl_spark_spark.operators.reconcile import allocate_proportional
+
+    df = spark.createDataFrame(rows, "w double, t double, a double")
+    got = [
+        r.alloc
+        for r in allocate_proportional(df, "w", "t", "a", "alloc").collect()
+    ]
+    want = []
+    for w, t, a in rows:
+        if w is not None and t not in (None, 0.0) and a is not None:
+            want.append(w / t * a)
+        elif a is not None:
+            want.append(a)
+        else:
+            want.append(0.0)
+    # row order is preserved for a single-partition local relation
+    assert got == want
+
+
 def test_resize_media_shape(spark):
     from etl_spark_spark.operators.multimodal import resize_media
 

@@ -38,6 +38,48 @@ def test_upsert_merge_semantics(spark, tmp_path):
     assert got == {1: "old1", 2: "NEW2", 3: "old3", 9: "NEW9"}
 
 
+def test_upsert_recovers_from_stale_backup(spark, tmp_path):
+    """A leftover '<target>.old' from a crashed run must not corrupt
+    the next upsert (shutil.move would otherwise nest the live table
+    inside it and the cleanup would delete live data)."""
+    import os
+
+    path = str(tmp_path / "t")
+    write(spark.createDataFrame([(1, "a")], ["k", "v"]), path)
+    os.makedirs(path + ".old")
+    upsert(spark, spark.createDataFrame([(2, "b")], ["k", "v"]), path, ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert not os.path.exists(path + ".old")
+
+
+def test_upsert_restores_backup_on_failure(spark, tmp_path, monkeypatch):
+    """If the swap fails midway, the original table is restored."""
+    import shutil as _shutil
+
+    path = str(tmp_path / "t")
+    write(spark.createDataFrame([(1, "a")], ["k", "v"]), path)
+
+    real_move = _shutil.move
+    calls = {"n": 0}
+
+    def flaky_move(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # fail on tmp -> target
+            raise OSError("disk full")
+        return real_move(src, dst)
+
+    # upsert imports shutil function-locally; patching the module
+    # attribute reaches it
+    monkeypatch.setattr("shutil.move", flaky_move)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        upsert(spark, spark.createDataFrame([(2, "b")], ["k", "v"]), path, ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a")}, "original table must survive a failed swap"
+
+
 def test_upsert_creates_missing_target(spark, tmp_path):
     path = str(tmp_path / "fresh")
     src = spark.createDataFrame([(1, "a")], ["k", "v"])
