@@ -441,6 +441,33 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_error_context_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join (the scalable range-join pattern: coarse
+    time-bin equi-join + exact refine, not an inequality nested loop):
+    each error event matched to the same user's views within ±10 min."""
+    from etl_spark_spark.operators.ranges import point_in_interval_join
+
+    ev = read_events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        (F.unix_micros(F.col("ts")) - 600_000_000).alias("w_start"),
+        (F.unix_micros(F.col("ts")) + 600_000_000).alias("w_end"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_micros(F.col("ts")).alias("view_us"),
+    )
+    pairs = point_in_interval_join(
+        errors, views, ["user_id"], "w_start", "w_end", "view_us"
+    )
+    return pairs.groupBy("user_id", "error_id").agg(
+        F.count("*").alias("n_context_views"),
+        F.min("view_id").alias("first_view_id"),
+    )
+
+
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the constant-memory scale path for distinct
     counts and quantiles (HLL++ and GK-quantile; both partial-merge
@@ -784,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_last_click": q_purchase_last_click,
         "neardup_simhash": q_neardup_simhash,
         "sketch_stats": q_sketch_stats,
+        "error_context_views": q_error_context_views,
     }
 
 
@@ -1199,6 +1227,26 @@ WHERE c_nationkey = s_nationkey
 GROUP BY 1, 2
 """
 
+_ERROR_CONTEXT_SQL = """
+WITH e AS (
+    SELECT user_id, event_id AS error_id,
+           epoch_us(ts) - 600000000 AS w_start,
+           epoch_us(ts) + 600000000 AS w_end
+    FROM events WHERE event_type = 'error'
+),
+v AS (
+    SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+    FROM events WHERE event_type = 'view'
+)
+SELECT e.user_id, e.error_id,
+       count(*) AS n_context_views,
+       min(v.view_id) AS first_view_id
+FROM e JOIN v
+  ON e.user_id = v.user_id
+ AND v.view_us >= e.w_start AND v.view_us <= e.w_end
+GROUP BY 1, 2
+"""
+
 _PURCHASE_LAST_CLICK_SQL = """
 WITH p AS (
     SELECT user_id, epoch_us(ts) AS purchase_us, event_id AS purchase_id
@@ -1431,6 +1479,7 @@ def oracle_sql() -> dict[str, str]:
         "price_quantiles": _PRICE_QUANTILES_SQL,
         "purchase_last_click": _PURCHASE_LAST_CLICK_SQL,
         "neardup_simhash": _NEARDUP_SIMHASH_SQL,
+        "error_context_views": _ERROR_CONTEXT_SQL,
         # emb_cosine_topk_lsh and multimodal_features are intentionally
         # oracle-less (approximate / pandas-side) -> rows-only check.
     }
