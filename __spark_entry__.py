@@ -382,10 +382,36 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media plumbing: text bytes as payload, Arrow-batched
     mapInPandas feature extraction (deterministic fake decoder — real
     codecs are stubbed; the Spark-side schema/batching is the point).
-    No SQL oracle (pandas-side) -> rows-only check."""
+    The feature vector is scalarized (feat_0..feat_7) so the comparator
+    only sees hashable scalar columns; the oracle replays the fake
+    decoder's byte-stride sums in SQL (documents are pure ASCII, so
+    ascii(char) == byte value and char position == byte position)."""
     docs = table(spark, sf_dir, "documents")
     media = attach_media(docs, "doc_id", "text", "text/plain")
-    return extract_features(media, fake=True)
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        *[
+            F.element_at(F.col("feat"), i + 1).alias(f"feat_{i}")
+            for i in range(8)
+        ],
+    )
+
+
+_MULTIMODAL_FEATURES_SQL = (
+    "SELECT doc_id AS id, 'text/plain' AS media_type, "
+    "strlen(text)::BIGINT AS n_bytes, md5(text) AS checksum, "
+    + ", ".join(
+        f"((coalesce(list_sum(list_transform(range({1 + i}, "
+        "strlen(text)+1, 8), p -> ascii(text[p]))), 0) % 997)::DOUBLE "
+        f"/ 997.0) AS feat_{i}"
+        for i in range(8)
+    )
+    + " FROM documents"
+)
 
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1480,6 +1506,7 @@ def oracle_sql() -> dict[str, str]:
         "purchase_last_click": _PURCHASE_LAST_CLICK_SQL,
         "neardup_simhash": _NEARDUP_SIMHASH_SQL,
         "error_context_views": _ERROR_CONTEXT_SQL,
-        # emb_cosine_topk_lsh and multimodal_features are intentionally
-        # oracle-less (approximate / pandas-side) -> rows-only check.
+        "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+        # emb_cosine_topk_lsh / emb_cosine_topk_ivf are intentionally
+        # oracle-less (approximate) -> rows-only check.
     }
