@@ -88,58 +88,84 @@ def cosine_near_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim >=
     threshold) by exact all-pairs comparison over unit-normalized
-    vectors.
+    vectors — fully distributed, nothing ever materializes on the
+    driver.
 
-    Executed as an Arrow-batched ``mapInPandas`` block product: the
-    corpus matrix is broadcast once (it is the "small dim" here), each
-    task multiplies its row block against it with numpy, accumulating
-    dimension-sequentially so every cosine is bit-identical to the
-    per-row expression fold (and to an ANSI-SQL list_reduce oracle) —
-    ~100x faster than per-pair zip_with, which allocates an
-    intermediate array per pair.
+    Blocked all-pairs join (the classic distributed theta-join layout):
+    every row hashes to one of ``n_blocks`` blocks; each row is then
+    shuffled to the ``n_blocks`` block-PAIR groups it participates in
+    (pair (i, j), i <= j, receives exactly blocks i and j). Each group
+    runs one Arrow-batched numpy block product via ``applyInPandas``:
+    the (i, i) group scores its block's upper triangle, an (i, j) group
+    scores only cross-block pairs — so every unordered pair is scored
+    exactly once, in exactly one task.
 
-    All-pairs is O(N²) — the verification/baseline method for bounded
-    corpora. At 100 TB route candidate generation through
-    ``lsh_bucket`` and verify only bucket co-occupants (same shape as
-    MinHash-LSH for text).
+    Scale model: exact all-pairs is inherently O(N²) compute, but here
+    it is spread over B(B+1)/2 independent tasks with per-task memory
+    O(2N/B) rows and shuffle volume B·N rows — raise ``n_blocks`` as N
+    grows and no single node ever holds the corpus. (The previous
+    implementation broadcast a driver-collected corpus matrix: exact
+    and fast at bench scale but a driver-OOM at real scale.) For
+    sub-quadratic *approximate* candidate generation use the
+    ``lsh_bucket`` / ``cosine_topk_lsh`` machinery instead.
+
+    Cosines accumulate dimension-sequentially over unit rows, so every
+    value is bit-identical to the per-row expression fold (and to an
+    ANSI-SQL list_reduce oracle), independent of blocking.
     """
-    from collections.abc import Iterator
-
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    corpus = base.toPandas()
-    ids_b = corpus["id"].to_numpy(dtype=np.int64)
-    u_b = _unit_rows(np.vstack(corpus["v"].to_numpy()))
-    bc = spark.sparkContext.broadcast((ids_b, u_b))
+    exploded = (
+        base.withColumn(
+            "b", F.pmod(F.hash(F.col("id")), F.lit(n_blocks)).cast("int")
+        )
+        .withColumn("x", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .withColumn("pi", F.least("b", "x"))
+        .withColumn("pj", F.greatest("b", "x"))
+        .drop("x")
+    )
 
-    def block(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_bb, u_bb = bc.value
-        for pdf in it:
-            if not len(pdf):
-                continue
-            ids_a = pdf["id"].to_numpy(dtype=np.int64)
-            u_a = _unit_rows(np.vstack(pdf["v"].to_numpy()))
-            acc = np.zeros((u_a.shape[0], u_bb.shape[0]))
-            for i in range(u_a.shape[1]):
-                acc = acc + u_a[:, i][:, None] * u_bb[:, i][None, :]
-            mask = (acc >= threshold) & (ids_a[:, None] < ids_bb[None, :])
-            ai, bi = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "id_a": ids_a[ai],
-                    "id_b": ids_bb[bi],
-                    "cos_sim": acc[ai, bi],
-                }
-            )
+    def score_group(key, pdf):
+        pi, pj = int(key[0]), int(key[1])
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        if pi == pj:
+            left = right = pdf
+        else:
+            left = pdf[pdf["b"] == pi]
+            right = pdf[pdf["b"] == pj]
+        if not len(left) or not len(right):
+            return empty
+        ids_l = left["id"].to_numpy(dtype=np.int64)
+        ids_r = right["id"].to_numpy(dtype=np.int64)
+        u_l = _unit_rows(np.vstack(left["v"].to_numpy()))
+        u_r = u_l if pi == pj else _unit_rows(np.vstack(right["v"].to_numpy()))
+        acc = np.zeros((u_l.shape[0], u_r.shape[0]))
+        for i in range(u_l.shape[1]):
+            acc = acc + u_l[:, i][:, None] * u_r[:, i][None, :]
+        # score each unordered pair once: within a block -> upper
+        # triangle by id; across blocks -> all (l, r) combos, emitted
+        # as (min_id, max_id)
+        mask = (acc >= threshold) & (ids_l[:, None] != ids_r[None, :])
+        if pi == pj:
+            mask &= ids_l[:, None] < ids_r[None, :]
+        li, ri = np.nonzero(mask)
+        a, b = ids_l[li], ids_r[ri]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cos_sim": acc[li, ri],
+            }
+        )
 
-    return base.mapInPandas(
-        block, schema="id_a long, id_b long, cos_sim double"
+    return exploded.groupBy("pi", "pj").applyInPandas(
+        score_group, schema="id_a long, id_b long, cos_sim double"
     )
 
 

@@ -38,3 +38,23 @@ def test_equality_filter_pushed(spark, sf_dir):
     df = entrymod.q_events_props_map(spark, sf_dir)
     pushed = " ".join(pushed_filters(df))
     assert "event_type" in pushed
+
+
+def test_emb_near_dup_no_driver_materialization(spark, sf_dir, monkeypatch):
+    """cosine_near_dup_pairs must be fully distributed: constructing the
+    operator may not collect the corpus to the driver (the round-1
+    implementation broadcast a driver-side toPandas() — a driver OOM at
+    real scale), and the executed plan must be a grouped Arrow task, not
+    a broadcast of driver data."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side materialization in operator build")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    df = entrymod.q_emb_near_dup(spark, sf_dir)  # must stay lazy
+    monkeypatch.undo()
+    plan = explain_str(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Broadcast" not in plan
