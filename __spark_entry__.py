@@ -314,16 +314,52 @@ def q_emb_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-user OLS trend of event value
     over time. Model-fit shape that windows/aggregates can't express —
-    Arrow ships each user's events to Python as one frame. Float
-    regression isn't bit-portable across engines -> rows-only check;
-    accuracy is pinned in tests against DuckDB's regr_slope."""
-    from etl_spark_spark.operators.grouped import fit_group_trend
+    Arrow ships each user's events to Python as one frame. Uses the
+    exact-sufficient-statistics variant (integer sums + fixed IEEE op
+    sequence), so the result is bit-identical to the HUGEINT SQL
+    formulation in the oracle, independent of partitioning/row order;
+    float-tolerance agreement with DuckDB's native regr_slope is
+    separately pinned in tests."""
+    from etl_spark_spark.operators.grouped import fit_group_trend_exact
 
     events = read_events(spark, sf_dir)
     ev = events.select(
         "user_id", F.unix_micros(F.col("ts")).alias("x"), F.col("value").alias("y")
     )
-    return fit_group_trend(ev, ["user_id"], "x", "y")
+    return fit_group_trend_exact(ev, ["user_id"], "x", "y")
+
+
+_USER_VALUE_TREND_SQL = """
+WITH e AS (
+  SELECT user_id,
+         epoch_us(ts)::HUGEINT AS x,
+         CAST(round(value * 100) AS HUGEINT) AS yc
+  FROM events
+), s AS (
+  SELECT user_id, count(*)::HUGEINT AS n,
+         sum(x) AS sx, sum(yc) AS sy,
+         sum(x * x) AS sxx, sum(x * yc) AS sxy
+  FROM e GROUP BY user_id
+), d AS (
+  -- int -> double via VARCHAR: DuckDB's direct HUGEINT->DOUBLE cast
+  -- rounds the two 64-bit halves separately (not correctly rounded);
+  -- strtod IS correctly rounded, matching Python's float(int)
+  SELECT user_id, n::BIGINT AS n,
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS numd,
+         CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS dend,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+         n * sxx - sx * sx = 0 AS degen
+  FROM s
+)
+SELECT user_id, n,
+  CASE WHEN degen THEN NULL
+       ELSE numd / dend / 100.0 END AS slope,
+  CASE WHEN degen THEN NULL
+       ELSE syd / 100.0 / n::DOUBLE
+            - (numd / dend / 100.0) * (sxd / n::DOUBLE) END AS intercept
+FROM d
+"""
 
 
 def q_emb_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1507,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_simhash": _NEARDUP_SIMHASH_SQL,
         "error_context_views": _ERROR_CONTEXT_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+        "user_value_trend": _USER_VALUE_TREND_SQL,
         # emb_cosine_topk_lsh / emb_cosine_topk_ivf are intentionally
         # oracle-less (approximate) -> rows-only check.
     }

@@ -17,6 +17,7 @@ from collections.abc import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def fit_group_trend(
@@ -60,3 +61,75 @@ def fit_group_trend(
     return df.select(*keys, x_col, y_col).groupBy(*keys).applyInPandas(
         fit, schema=out_schema
     )
+
+
+def fit_group_trend_exact(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    y_scale: int = 2,
+) -> DataFrame:
+    """Per-key OLS with EXACT sufficient statistics: bit-reproducible
+    across engines, partitionings, and row orders.
+
+    Floating-point regression is order-dependent (and DuckDB's
+    regr_slope uses a different accumulation than numpy — they agree
+    only to ~1e-6). Here x must be integral (e.g. epoch µs) and y
+    money-like; each group's five sufficient statistics (n, Σx, Σy,
+    Σx², Σxy) are summed in arbitrary-precision Python integers — exact
+    and associative, so any shuffle/merge order yields the same bits —
+    and slope/intercept come from a FIXED IEEE op sequence over
+    correctly-rounded int→double casts. An ANSI-SQL mirror with HUGEINT
+    sums produces bit-identical doubles, which is what the oracle
+    check pins.
+
+    Same applyInPandas shape as ``fit_group_trend`` (one Arrow frame
+    per group, one shuffle on the keys); the exact path trades numpy
+    vectorization for arbitrary precision — still a single O(n) pass
+    per group. Degenerate groups (zero x-variance, incl. n=1) yield
+    NULL slope/intercept. Returns (keys..., n, slope, intercept).
+    """
+    factor = 10**y_scale
+
+    keys = list(keys)
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    out_schema = f"{key_schema}, n long, slope double, intercept double"
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = [int(v) for v in pdf["__x"]]
+        ys = [int(v) for v in pdf["__yc"]]
+        n = len(xs)
+        sx = sum(xs)
+        sy = sum(ys)
+        sxx = sum(v * v for v in xs)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row["n"] = [n]
+        if den == 0:
+            row["slope"] = [None]
+            row["intercept"] = [None]
+        else:
+            slope = float(num) / float(den) / float(factor)
+            row["slope"] = [slope]
+            row["intercept"] = [
+                float(sy) / float(factor) / float(n)
+                - slope * (float(sx) / float(n))
+            ]
+        return pd.DataFrame(row)
+
+    base = df.select(
+        *keys,
+        F.col(x_col).cast("long").alias("__x"),
+        F.round(
+            (F.col(y_col) if isinstance(y_col, str) else y_col) * factor
+        )
+        .cast("long")
+        .alias("__yc"),
+    )
+    return base.groupBy(*keys).applyInPandas(fit, schema=out_schema)

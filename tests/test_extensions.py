@@ -176,6 +176,49 @@ def test_group_trend_matches_duckdb_regr(spark, sf_dir):
             assert abs(gi - icept) <= 1e-6 * max(1.0, abs(icept))
 
 
+def test_group_trend_exact_accuracy_and_order_invariance(spark, sf_dir):
+    """fit_group_trend_exact agrees with DuckDB regr_slope to float
+    tolerance AND is bit-identical under arbitrary repartitioning
+    (exact integer sufficient statistics are associative)."""
+    import duckdb
+
+    from etl_spark_spark.operators.grouped import fit_group_trend_exact
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("x"), F.col("value").alias("y")
+    )
+    got = {
+        r.user_id: (r.n, r.slope, r.intercept)
+        for r in fit_group_trend_exact(ev, ["user_id"], "x", "y").collect()
+    }
+    # bit-identity under a different partitioning / row order
+    shuffled = {
+        r.user_id: (r.n, r.slope, r.intercept)
+        for r in fit_group_trend_exact(
+            ev.repartition(7, "x"), ["user_id"], "x", "y"
+        ).collect()
+    }
+    assert got == shuffled
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT user_id, count(*), regr_slope(value, epoch_us(ts)),
+               regr_intercept(value, epoch_us(ts))
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1
+        """
+    ).fetchall()
+    assert len(got) == len(want) > 0
+    for uid, n, slope, icept in want:
+        gn, gs, gi = got[uid]
+        assert gn == n
+        if slope is None:
+            assert gs is None
+        else:
+            # y is rounded to cents in the exact path -> looser tolerance
+            assert abs(gs - slope) <= 1e-2 * max(1.0, abs(slope))
+            assert abs(gi - icept) <= 1e-2 * max(1.0, abs(icept))
+
+
 def test_streaming_matches_batch(spark, sf_dir):
     """availableNow drain of the streaming tumbling agg equals the
     batch tumbling agg on the same files (stream/batch parity)."""
