@@ -42,8 +42,18 @@ def asof_join(
     l_tagged = left.withColumn("__ats", F.col(left_ts)).withColumn(
         "__src", F.lit(1)
     )
-    r_cols = [*by, F.col(right_ts).alias("__ats"), F.lit(0).alias("__src")]
-    r_cols += [F.col(c) for c in payload]
+    # Payload travels as ONE struct: last(ignorenulls) then matches whole
+    # right ROWS, not each column independently — a matched row whose
+    # payload value is legitimately NULL yields NULL (not a stale value
+    # carried from an older row), and every payload field comes from the
+    # same matched row. The struct itself is non-null on right rows even
+    # when all its fields are NULL, which is exactly the marker needed.
+    r_cols = [
+        *by,
+        F.col(right_ts).alias("__ats"),
+        F.lit(0).alias("__src"),
+        F.struct(*[F.col(c) for c in payload]).alias("__pay"),
+    ]
     if tiebreak is not None:
         tb = F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
         r_tagged = right.select(*r_cols, tb.alias("__tb"))
@@ -59,8 +69,10 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumns(
-        {c: F.last(F.col(c), ignorenulls=True).over(w) for c in payload}
+    filled = unioned.withColumn(
+        "__pay", F.last(F.col("__pay"), ignorenulls=True).over(w)
     )
-    out_cols = [c for c in left.columns] + payload
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col("__pay").getField(c).alias(c) for c in payload
+    ]
     return filled.filter(F.col("__src") == 1).select(*out_cols)

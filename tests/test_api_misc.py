@@ -86,6 +86,59 @@ def test_asof_join_semantics(spark):
     assert out == {"p1": "c_at_10", "p2": "c_at_15", "p3": None}
 
 
+def test_asof_join_nullable_payload_row_coherence(spark):
+    """A matched right row whose payload value is NULL must yield NULL
+    (not a stale value from an older row), and multi-column payloads
+    must all come from the SAME matched row — DuckDB ASOF semantics."""
+    from pyspark.sql import types as T2
+
+    from etl_spark_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 20, "p1"), (1, 12, "p0")], ["k", "lts", "pid"])
+    right = spark.createDataFrame(
+        [(1, 10, "old_a", "old_b"), (1, 15, None, "new_b")],
+        T2.StructType(
+            [
+                T2.StructField("k", T2.LongType()),
+                T2.StructField("rts", T2.LongType()),
+                T2.StructField("a", T2.StringType()),
+                T2.StructField("b", T2.StringType()),
+            ]
+        ),
+    )
+    out = {
+        r.pid: (r.a, r.b)
+        for r in asof_join(left, right, ["k"], "lts", "rts", ["a", "b"]).collect()
+    }
+    # p1 matches rts=15: a is legitimately NULL there, b comes from the
+    # same row; p0 matches rts=10
+    assert out == {"p1": (None, "new_b"), "p0": ("old_a", "old_b")}
+
+
+def test_point_in_interval_join_left_outer(spark):
+    """how='left' keeps unmatched intervals (right cols NULL) and emits
+    one row per matched point; unsupported modes raise."""
+    import pytest
+
+    from etl_spark_spark.operators.ranges import point_in_interval_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 200, "i1"), (1, 900, 950, "i2"), (2, 100, 200, "i3")],
+        ["k", "s", "e", "iid"],
+    )
+    right = spark.createDataFrame(
+        [(1, 150, "a"), (1, 160, "b"), (1, 940, "c"), (2, 999, "d")],
+        ["k", "p", "pid"],
+    )
+    rows = point_in_interval_join(
+        left, right, ["k"], "s", "e", "p", bin_us=50, how="left"
+    ).collect()
+    got = sorted((r.iid, r.pid) for r in rows)
+    assert got == [("i1", "a"), ("i1", "b"), ("i2", "c"), ("i3", None)]
+    with pytest.raises(ValueError):
+        point_in_interval_join(left, right, ["k"], "s", "e", "p", how="full")
+
+
 def test_load_config_layering(tmp_path, monkeypatch):
     from etl_spark_spark.config import load_config
 
