@@ -30,8 +30,33 @@ def point_in_interval_join(
     """Join left intervals [start_us, end_us] (microsecond longs) to
     right points: match when ``start <= point <= end`` and keys equal.
     ``bin_us`` should be >= the typical interval span (default 10 min).
+
+    ``how``: 'inner' or 'left'. The bin explosion duplicates each left
+    interval across the buckets it spans, so a naive outer flag on the
+    equi-join would emit one null-extended row PER BIN and the exact
+    refine would then drop them — 'left' is instead built as the inner
+    matches unioned with the anti-joined unmatched left rows (right
+    columns NULL), which is the correct left-outer semantics.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"point_in_interval_join supports how='inner'|'left', got {how!r}"
+        )
     keys = list(keys)
+    if how == "left":
+        # Stable left-row identity for the anti-join. Recomputation is
+        # deterministic for deterministic sources (id = partition index
+        # + row offset), which every supported source here is.
+        tagged = left.withColumn("__lid", F.monotonically_increasing_id())
+        matched = point_in_interval_join(
+            tagged, right, keys, start_us, end_us, point_us, bin_us, "inner"
+        )
+        unmatched = tagged.join(
+            matched.select("__lid").distinct(), "__lid", "left_anti"
+        )
+        return matched.unionByName(unmatched, allowMissingColumns=True).drop(
+            "__lid"
+        )
     l_binned = left.withColumn(
         "__bin",
         F.explode(
@@ -42,7 +67,7 @@ def point_in_interval_join(
         ),
     )
     r_binned = right.withColumn("__bin", F.expr(f"{point_us} DIV {bin_us}"))
-    joined = l_binned.join(r_binned, [*keys, "__bin"], how)
+    joined = l_binned.join(r_binned, [*keys, "__bin"], "inner")
     exact = joined.filter(
         (F.col(point_us) >= F.col(start_us)) & (F.col(point_us) <= F.col(end_us))
     )
