@@ -80,6 +80,50 @@ def test_upsert_restores_backup_on_failure(spark, tmp_path, monkeypatch):
     assert got == {(1, "a")}, "original table must survive a failed swap"
 
 
+def test_upsert_partition_scoped_rewrites_only_touched(spark, tmp_path):
+    """With partition_by, an upsert must rewrite ONLY the partitions the
+    source touches: untouched partition directories keep their exact
+    files (same paths, bytes, and mtimes), while touched partitions get
+    merged rows and brand-new partitions appear."""
+    import os
+    from pathlib import Path
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("a", 1, "a1"), ("a", 2, "a2"), ("b", 3, "b3"), ("c", 4, "c4")],
+        ["p", "k", "v"],
+    )
+    write(base, path, mode="overwrite", partition_by=["p"])
+
+    def snapshot(part):
+        d = Path(path) / f"p={part}"
+        return {
+            f.name: (f.stat().st_mtime_ns, f.read_bytes())
+            for f in d.rglob("*")
+            if f.is_file()
+        }
+
+    before_b, before_c = snapshot("b"), snapshot("c")
+    src = spark.createDataFrame(
+        [("a", 2, "A2_NEW"), ("a", 9, "A9"), ("d", 7, "d7")], ["p", "k", "v"]
+    )
+    upsert(spark, src, path, keys=["k"], partition_by=["p"])
+
+    got = {r.k: (r.p, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("a", "a1"),
+        2: ("a", "A2_NEW"),
+        3: ("b", "b3"),
+        4: ("c", "c4"),
+        7: ("d", "d7"),
+        9: ("a", "A9"),
+    }
+    # untouched partitions: identical files, bytes, and mtimes
+    assert snapshot("b") == before_b
+    assert snapshot("c") == before_c
+    assert not os.path.exists(path + "/p=a.old")
+
+
 def test_upsert_creates_missing_target(spark, tmp_path):
     path = str(tmp_path / "fresh")
     src = spark.createDataFrame([(1, "a")], ["k", "v"])
