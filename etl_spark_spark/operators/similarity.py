@@ -190,6 +190,18 @@ def cosine_topk_ivf(
     n_probe. Scoring stays expression-side (bit-identical to the exact
     operator). Approximate -> no SQL oracle; containment-tested against
     ``cosine_topk``.
+
+    Centroid training is DISTRIBUTED sampling + bounded driver fit:
+    every partition contributes at most ``sample_budget/n_partitions``
+    rows (a mapInPandas head — no corpus sort, no corpus collect, no
+    full-partition read), and k-means runs on that fixed-size pooled
+    sample. Training cost is O(sample) regardless of corpus size.
+
+    Recall honesty note: on data WITH cluster structure the centroids
+    adapt to it and recall at n_probe≪n_lists is high (pinned by the
+    clustered-data test). On uniformly random vectors no quantizer can
+    beat ~n_probe/n_lists recall — the fixture embeddings are random,
+    so tune n_probe accordingly there.
     """
     from collections.abc import Iterator
 
@@ -197,15 +209,10 @@ def cosine_topk_ivf(
     import pandas as pd
 
     spark = corpus.sparkSession
-    sample = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .limit(max(n_lists * 64, 512))
-        .toPandas()
+    base_ids = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
-    cents = _kmeans_centroids(
-        _unit_rows(np.vstack(sample["v"].to_numpy())), n_lists
-    )
+    cents = _train_centroids_distributed(base_ids, n_lists)
     bc = spark.sparkContext.broadcast(cents)
     # can't probe more lists than exist (tiny corpora, or explicit
     # probe-everything calls with n_probe > n_lists)
@@ -246,12 +253,62 @@ def cosine_topk_ivf(
     return _score_and_rank(cand, queries, id_col, vec_col, k)
 
 
+def _train_centroids_distributed(
+    base: DataFrame, n_lists: int, sample_budget: int = 4096
+):
+    """Train coarse-quantizer centroids from a bounded distributed
+    sample, never collecting or sorting the corpus:
+
+    - map side: each partition yields its FIRST ``sample_budget /
+      n_partitions`` rows (with a small floor) — a streaming head over
+      the Arrow batches; large partitions are never fully read.
+    - driver: the pooled sample (≈ sample_budget rows however big the
+      corpus) is put into a canonical pseudo-random order — sorted by
+      md5 of each row's bytes, which is deterministic regardless of
+      Spark's collect order yet spreads the first-k k-means seeds
+      across the data (a lexicographic sort would cluster the seeds in
+      one corner and wreck quantizer quality) — then fit with
+      deterministic spherical k-means.
+
+    Executor cost O(per-partition sample), driver cost O(sample_budget
+    × dim): both flat as the corpus grows to 100 TB.
+    """
+    import hashlib
+
+    import numpy as np
+
+    n_parts = base.rdd.getNumPartitions()
+    per_part = max(32, sample_budget // max(1, n_parts))
+
+    def sample_head(it):
+        budget = per_part
+        for pdf in it:
+            if budget <= 0:
+                break
+            take = pdf.head(budget)
+            budget -= len(take)
+            yield take[["v"]]
+
+    rows = (
+        base.select("v")
+        .mapInPandas(sample_head, schema="v array<float>")
+        .collect()
+    )
+    sample = _unit_rows(
+        np.vstack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    )
+    order = sorted(
+        range(sample.shape[0]),
+        key=lambda i: hashlib.md5(sample[i].tobytes()).hexdigest(),
+    )
+    return _kmeans_centroids(sample[order], min(n_lists, sample.shape[0]))
+
+
 def _kmeans_centroids(sample, k: int, iters: int = 5):
     """Deterministic spherical k-means on a (unit-row) sample: seeds
-    are the first k rows (id-ordered upstream — reproducible), then a
-    few Lloyd iterations with cosine assignment. Empty clusters keep
-    their previous centroid. Trains on a bounded driver-side sample;
-    at 100 TB take a fixed-size sample the same way."""
+    are the first k rows (callers pass a canonically shuffled sample),
+    then a few Lloyd iterations with cosine assignment. Empty clusters
+    keep their previous centroid."""
     import numpy as np
 
     k = min(k, sample.shape[0])

@@ -105,6 +105,41 @@ def test_ivf_topk_contained_in_exact(spark, sf_dir):
     }
 
 
+def test_ivf_recall_on_clustered_data(spark):
+    """On data WITH cluster structure the trained quantizer must earn
+    high recall at n_probe << n_lists (on uniformly random vectors no
+    quantizer beats ~n_probe/n_lists — the fixture embeddings are
+    random, so quality is pinned here on planted clusters instead).
+    Also exercises multi-partition distributed training."""
+    import numpy as np
+
+    from etl_spark_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 32, 8, 60
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = []
+    for ci in range(n_clusters):
+        pts = centers[ci] + 0.15 * rng.normal(size=(per, dim))
+        for j, p in enumerate(pts):
+            rows.append((ci * per + j, [float(x) for x in p]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(6)
+    q = df.filter(F.col("vec_id") % per == 0)  # one query per cluster
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(df, q, "vec_id", "embedding", k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf(
+            df, q, "vec_id", "embedding", k=3, n_lists=16, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"clustered-data recall@3 {recall:.2f} < 0.85"
+
+
 def test_multimodal_feature_plumbing(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").limit(20)
     media = attach_media(docs, "doc_id", "text", "text/plain")
