@@ -30,6 +30,38 @@ def with_salt(df: DataFrame, buckets: int, salt_col: str = "__salt") -> DataFram
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof shuffle join: salt the fact side uniformly and
+    REPLICATE every dimension row once per salt value, then equi-join
+    on (keys..., salt). A fact key holding 30% of all rows lands on
+    ``buckets`` reducers instead of one — the classic salted-join
+    layout for when the dimension is too big to broadcast outright but
+    small enough to replicate ``buckets``× through the shuffle.
+
+    Exact for how='inner' and how='left' (each fact row carries exactly
+    one salt, so it meets each matching dim row exactly once; unmatched
+    fact rows survive a left join unchanged). Right/full outer would
+    emit unmatched DIM rows once per salt — rejected. Prefer plain
+    ``broadcast()`` when the dim fits in memory, and AQE skew-join for
+    sort-merge plans; this operator covers the gap between the two.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
+    keys = list(keys)
+    f = with_salt(fact, buckets)
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))),
+    )
+    return f.join(d, [*keys, "__salt"], how).drop("__salt")
+
+
 def salted_sum(
     df: DataFrame,
     keys: Sequence[str],

@@ -1,5 +1,5 @@
 from .stateful import stream_session_agg, stream_user_totals
-from .stream import stream_events_tumbling
+from .stream import stream_events_tumbling, write_stream_files
 from .windows import sessionize_batch, sliding_agg, tumbling_agg
 
 __all__ = [
@@ -9,4 +9,5 @@ __all__ = [
     "stream_events_tumbling",
     "stream_session_agg",
     "stream_user_totals",
+    "write_stream_files",
 ]

@@ -27,15 +27,20 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, glob: str | None = None
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_files_per_trigger: int = 16,
 ) -> DataFrame:
     """Streaming read of the events feed (explicit schema — required by
     file streams — with the nanosecond ts rebuilt as a timestamp).
     ``path`` must be a directory (file-source contract); use ``glob``
-    to select one table out of a multi-table directory."""
+    to select one table out of a multi-table directory.
+    ``max_files_per_trigger`` bounds micro-batch size (and is how tests
+    force multi-batch runs to exercise watermark advancement)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_SCHEMA).option(
-        "maxFilesPerTrigger", "16"
+        "maxFilesPerTrigger", str(max_files_per_trigger)
     )
     if glob:
         reader = reader.option("pathGlobFilter", glob)
@@ -65,6 +70,53 @@ def stream_events_tumbling(
             "sum_value",
         )
     )
+
+
+def write_stream_files(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str | None = None,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    query_name: str = "file_sink",
+    timeout_sec: int = 120,
+) -> None:
+    """Production file sink with managed checkpointing: exactly-once
+    parquet/orc output under ``path``.
+
+    The checkpoint (source offsets + commit log) defaults to
+    ``<path>/_checkpoint`` — underscore-prefixed, so batch readers of
+    ``path`` ignore it and the sink is fully self-contained; pass
+    ``checkpoint_dir`` to relocate it (e.g. onto faster storage).
+    Restarting with the same checkpoint RESUMES after the last
+    committed batch: input processed by a previous run is never
+    re-emitted, and the sink's ``_spark_metadata`` commit log hides
+    files from uncommitted batches, so readers can't observe a torn
+    write. File sinks are append-only (Spark contract): aggregations
+    must be watermarked so closed windows append.
+
+    availableNow trigger — drain everything currently available and
+    stop — which makes this the incremental-batch writer: schedule the
+    call (cron/Airflow), and each run picks up exactly the new files.
+    """
+    writer = (
+        stream_df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir or f"{path}/_checkpoint")
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"stream '{query_name}' did not drain within {timeout_sec}s"
+            )
+    finally:
+        q.stop()
 
 
 def run_available_now(

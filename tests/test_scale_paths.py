@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_spark_spark.functions.money import money_sum
-from etl_spark_spark.operators.skew import salted_sum
+from etl_spark_spark.operators.skew import salted_join, salted_sum
 from etl_spark_spark.plans import explain_str
 from etl_spark_spark.sinks import write, write_bucketed
 from etl_spark_spark.sources import read_events, table
@@ -40,6 +40,48 @@ def test_salted_sum_exact(spark, sf_dir):
     assert got == plain
 
 
+def test_salted_join_exact_and_spreads_hot_key(spark, sf_dir):
+    """salted_join must equal the plain join bit-for-bit (inner and
+    left) on a skewed fact, and its shuffle must partition on
+    (keys..., salt) so a hot key spreads over `buckets` reducers."""
+    import pytest
+
+    # skewed fact: one hot key (~50% of rows) + long tail
+    fact = spark.range(0, 4000).select(
+        F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id") % 40).alias("k"),
+        (F.col("id") * 3).alias("val"),
+    )
+    dim = spark.range(0, 40).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    dim_missing = dim.filter(F.col("k") < 30)  # some fact keys unmatched
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r.k, r.val, r.name)
+            for r in fact.join(dim_missing, ["k"], how).collect()
+        )
+        salted = sorted(
+            (r.k, r.val, r.name)
+            for r in salted_join(fact, dim_missing, ["k"], buckets=8, how=how).collect()
+        )
+        assert salted == plain, f"salted_join({how}) diverges from plain join"
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], how="full")
+    # plan shape: with broadcast off, the exchange must hash on the salt
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # simple mode keeps "Exchange hashpartitioning(...)" on one line
+        plan = explain_str(salted_join(fact, dim, ["k"], buckets=8), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges and all("__salt" in ln for ln in exchanges), (
+        "salted_join shuffle must partition on (keys..., __salt):\n" + plan
+    )
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     path = str(tmp_path / "events_part")
     events = read_events(spark, "/root/testdata/sf0.001").withColumn(
@@ -66,7 +108,10 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            plan = explain_str(j)
+            # simple mode keeps "Exchange hashpartitioning(...)" on one
+            # line (formatted mode splits node name from arguments, which
+            # made this a vacuous assertion before)
+            plan = explain_str(j, mode="simple")
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         assert "SortMergeJoin" in plan
@@ -77,6 +122,78 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_stream_file_sink_checkpoint_and_watermark_drop(spark, tmp_path):
+    """write_stream_files end-to-end: (a) a late row beyond the
+    watermark is dropped from an already-closed window, (b) re-running
+    with the same checkpoint and no new input appends nothing, (c) a
+    new file resumes from the checkpoint — old windows are not
+    re-emitted."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_spark_spark.streaming.stream import (
+        read_events_stream,
+        write_stream_files,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    MIN_NS = 60 * 1_000_000_000
+
+    def wfile(name, rows, mtime):
+        cols = {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * MIN_NS for r in rows], pa.int64()),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["a"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+        p = src / name
+        pq.write_table(pa.table(cols), p)
+        os.utime(p, (mtime, mtime))  # file-source batch order is mtime
+
+    # minutes since epoch: window hour H covers [60H, 60H+60). The
+    # watermark advances at END of each batch and takes effect (for
+    # both eviction and late-drop) from the NEXT batch — so the late
+    # row must arrive two batches after the row that advanced the
+    # watermark past its window.
+    wfile("f1.parquet", [(1, 9 * 60 + 30), (2, 12 * 60)], 1_000)
+    wfile("f2.parquet", [(3, 13 * 60)], 2_000)
+    wfile("f3.parquet", [(4, 9 * 60 + 40), (5, 16 * 60)], 3_000)
+
+    def agg():
+        events = read_events_stream(spark, str(src), max_files_per_trigger=1)
+        return (
+            events.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.unix_timestamp("w.start").alias("ws"), "n")
+        )
+
+    write_stream_files(agg(), out, query_name="t_fsink1")
+    first = {r.ws: r.n for r in spark.read.parquet(out).collect()}
+    # [9,10) was evicted at watermark 11:00 with only the 9:30 row;
+    # f3's 9:40 row arrived behind the watermark -> dropped
+    assert first[9 * 3600] == 1, f"late row must be dropped, got {first}"
+    assert first[12 * 3600] == 1 and first[13 * 3600] == 1
+
+    write_stream_files(agg(), out, query_name="t_fsink2")
+    again = {r.ws: r.n for r in spark.read.parquet(out).collect()}
+    assert again == first, "re-run with same checkpoint must append nothing"
+
+    wfile("f4.parquet", [(6, 19 * 60)], 4_000)
+    write_stream_files(agg(), out, query_name="t_fsink3")
+    rows = spark.read.parquet(out).collect()
+    final = {r.ws: r.n for r in rows}
+    # f4 pushed the watermark to 18:00 -> [16,17) closed; only new rows
+    assert final[16 * 3600] == 1 and final[9 * 3600] == 1
+    assert len(rows) == len(final), "windows must not be re-emitted on resume"
 
 
 def test_stream_user_totals_matches_batch(spark, sf_dir):
