@@ -818,6 +818,161 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic approximate near-dup: LSH co-bucket candidates,
+    exact (bit-identical) cosine verify — the scale path past the
+    blocked all-pairs operator. Approximate (recall < 1, containment
+    pinned in tests) -> rows-only check, no SQL oracle."""
+    from etl_spark_spark.operators.similarity import cosine_near_dup_pairs_lsh
+
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", dim=64, threshold=0.4
+    )
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS rewritten as a LEFT SEMI join (the only
+    join type Spark offers for decorrelated EXISTS — new shape vs the
+    anti-join in customers_without_orders). The semi join keeps the
+    orders side unduplicated however many lineitems match, and the
+    lineitem side is reduced to the join key before shuffling."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    return (
+        window.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part argmin over a computed measure (unit
+    price), then join back to dimensions. Window row_number with a
+    full deterministic tiebreak (unit, suppkey) — identical ORDER BY in
+    the oracle — so ties cannot flap. Division happens before the
+    window (same IEEE op in both engines)."""
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+    part = table(spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    sup = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit"), F.col("l_suppkey")
+    )
+    # dimension filter BEFORE the window: per-part windows are
+    # independent, so pre-joining the (broadcast) filtered part dim
+    # shrinks the window's shuffle input ~10x with identical results
+    best = (
+        li.select("l_partkey", "l_suppkey", unit)
+        .join(
+            F.broadcast(part.filter(F.col("p_size") <= 5)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            F.col("p_brand").alias("brand"),
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("s_name").alias("supp_name"),
+            F.col("unit").alias("best_unit_price"),
+        )
+    )
+
+
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping levels in
+    one pass (rollup_losses covers ROLLUP; this pins the full lattice).
+    Money sums in integer cents -> bit-stable at any parallelism."""
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+    return li.cube(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+    ).agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_priority_return_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide) — TPC-H Q12 flavor: per order priority, count
+    lineitems by return flag as columns. Spark's groupBy().pivot() with
+    an EXPLICIT value list (no extra distinct job, stable columns),
+    mirrored in SQL as conditional aggregation. Absent combinations are
+    coalesced to 0 so both sides agree."""
+    orders = table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    pivoted = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "priority",
+        F.coalesce(F.col("A"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("N"), F.lit(0)).alias("n_n"),
+        F.coalesce(F.col("R"), F.lit(0)).alias("n_r"),
+    )
+
+
+def q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT Pearson correlation (quantity vs price) per
+    return flag: both measures fixed-pointed to integer cents, the five
+    sufficient statistics summed exactly (long / decimal(38,0) — both
+    associative, so any shuffle order gives the same bits), and the
+    final double math a fixed IEEE sequence mirrored by the oracle
+    (DuckDB HUGEINT sums; int->double via VARCHAR for correct
+    rounding). The built-in corr() is a float accumulation — order-
+    dependent and not portable; this shape is, at any scale."""
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    d = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    s = d.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("n") * F.col("sxy") - dec("sx") * dec("sy")).cast("double")
+    denx = (dec("n") * F.col("sxx") - dec("sx") * dec("sx")).cast("double")
+    deny = (dec("n") * F.col("syy") - dec("sy") * dec("sy")).cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (num / F.nullif(F.sqrt(denx * deny), F.lit(0.0))).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -858,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_map": q_events_props_map,
         "events_sliding": q_events_sliding,
         "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "global_top_orders": q_global_top_orders,
         "doc_fingerprints": q_doc_fingerprints,
         "shipping_priority": q_shipping_priority,
@@ -874,6 +1030,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_simhash": q_neardup_simhash,
         "sketch_stats": q_sketch_stats,
         "error_context_views": q_error_context_views,
+        "order_priority_counts": q_order_priority_counts,
+        "min_cost_supplier": q_min_cost_supplier,
+        "revenue_cube": q_revenue_cube,
+        "priority_return_pivot": q_priority_return_pivot,
+        "corr_exact": q_corr_exact,
     }
 
 
@@ -1499,6 +1660,78 @@ WHERE {_DOT.format(a="a.uv", b="b.uv")} >= 0.4
 """
 
 
+_ORDER_PRIORITY_COUNTS_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o_orderdate <  TIMESTAMP '1995-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+_MIN_COST_SUPPLIER_SQL = """
+WITH r AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice / l_quantity, l_suppkey
+                           ) AS rn
+  FROM lineitem
+)
+SELECT p_partkey AS part_key, p_brand AS brand,
+       s_suppkey AS supp_key, s_name AS supp_name,
+       unit AS best_unit_price
+FROM r
+JOIN part ON l_partkey = p_partkey AND p_size <= 5
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+"""
+
+_REVENUE_CUBE_SQL = f"""
+SELECT l_returnflag AS flag, l_linestatus AS status,
+       {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (flag, status)
+"""
+
+_PRIORITY_RETURN_PIVOT_SQL = """
+SELECT o_orderpriority AS priority,
+       -- BIGINT cast: DuckDB integer sums widen to HUGEINT, which pandas
+       -- renders as float and would break the stringified value hash
+       CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY priority
+"""
+
+_CORR_EXACT_SQL = """
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+         CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, count(*)::HUGEINT AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM d GROUP BY l_returnflag
+), c AS (
+  -- int -> double via VARCHAR: strtod is correctly rounded, matching
+  -- Spark's decimal->double cast; DuckDB's direct HUGEINT->DOUBLE is not
+  SELECT l_returnflag, n::BIGINT AS n,
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS numd,
+         CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS denxd,
+         CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS denyd
+  FROM s
+)
+SELECT l_returnflag, n,
+       numd / nullif(sqrt(denxd * denyd), 0.0) AS corr_qty_price
+FROM c
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -1544,6 +1777,11 @@ def oracle_sql() -> dict[str, str]:
         "error_context_views": _ERROR_CONTEXT_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "user_value_trend": _USER_VALUE_TREND_SQL,
-        # emb_cosine_topk_lsh / emb_cosine_topk_ivf are intentionally
-        # oracle-less (approximate) -> rows-only check.
+        "order_priority_counts": _ORDER_PRIORITY_COUNTS_SQL,
+        "min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
+        "revenue_cube": _REVENUE_CUBE_SQL,
+        "priority_return_pivot": _PRIORITY_RETURN_PIVOT_SQL,
+        "corr_exact": _CORR_EXACT_SQL,
+        # emb_cosine_topk_lsh / emb_cosine_topk_ivf / emb_near_dup_lsh are
+        # intentionally oracle-less (approximate) -> rows-only check.
     }

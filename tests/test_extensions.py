@@ -105,6 +105,34 @@ def test_ivf_topk_contained_in_exact(spark, sf_dir):
     }
 
 
+def test_lsh_near_dup_contained_bit_exact(spark, sf_dir):
+    """Every pair the LSH near-dup emits must appear in the exact
+    blocked all-pairs result with a BIT-identical score (same unit-row
+    op order), with substantial recall even at the fixture's low pair
+    similarities (~0.4-0.5 cosine — near-identical pairs at production
+    thresholds collide almost surely)."""
+    from etl_spark_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_lsh,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.35).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_near_dup_pairs_lsh(
+            emb, "vec_id", "embedding", 64, 0.35
+        ).collect()
+    }
+    assert approx, "LSH near-dup should find pairs"
+    for k, v in approx.items():
+        assert k in exact and exact[k] == v, f"pair {k} not bit-contained"
+    assert len(approx) >= 0.5 * len(exact)
+
+
 def test_ivf_recall_on_clustered_data(spark):
     """On data WITH cluster structure the trained quantizer must earn
     high recall at n_probe << n_lists (on uniformly random vectors no
