@@ -313,26 +313,31 @@ def q_emb_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-user OLS trend of event value
-    over time. Model-fit shape that windows/aggregates can't express —
-    Arrow ships each user's events to Python as one frame. Uses the
-    exact-sufficient-statistics variant (integer sums + fixed IEEE op
-    sequence), so the result is bit-identical to the HUGEINT SQL
-    formulation in the oracle, independent of partitioning/row order;
-    float-tolerance agreement with DuckDB's native regr_slope is
-    separately pinned in tests."""
-    from etl_spark_spark.operators.grouped import fit_group_trend_exact
+    over time, via EXACT integer sufficient statistics (decimal sums +
+    fixed IEEE op sequence), bit-identical to the HUGEINT SQL
+    formulation in the oracle independent of partitioning/row order.
+    Runs the expression-only variant — one hash aggregate, zero Python
+    workers (the applyInPandas twin ``fit_group_trend_exact`` computes
+    the same bits and covers unbounded group sizes; float-tolerance
+    agreement with DuckDB's native regr_slope is pinned in tests).
+    x is epoch-millis to respect the decimal(38) range contract."""
+    from etl_spark_spark.operators.grouped import fit_group_trend_exact_sql
 
     events = read_events(spark, sf_dir)
     ev = events.select(
-        "user_id", F.unix_micros(F.col("ts")).alias("x"), F.col("value").alias("y")
+        "user_id",
+        # integer DIV, not /1000.0: double division then cast is lossy
+        # in the 2^50 range
+        F.expr("unix_micros(ts) DIV 1000").alias("x"),
+        F.col("value").alias("y"),
     )
-    return fit_group_trend_exact(ev, ["user_id"], "x", "y")
+    return fit_group_trend_exact_sql(ev, ["user_id"], "x", "y")
 
 
 _USER_VALUE_TREND_SQL = """
 WITH e AS (
   SELECT user_id,
-         epoch_us(ts)::HUGEINT AS x,
+         epoch_ms(ts)::HUGEINT AS x,
          CAST(round(value * 100) AS HUGEINT) AS yc
   FROM events
 ), s AS (
@@ -973,6 +978,67 @@ def q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth: lag (days since the customer's previous
+    order), ntile quartile and percent_rank of order value per
+    customer. Every window has a full deterministic tiebreak, so
+    rank-family outputs can't flap; dates leave as ISO strings."""
+    orders = table(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    wd = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey")
+    )
+    wv = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(wd)
+        ).alias("gap_days"),
+        F.ntile(4).over(wv).alias("value_quartile"),
+        F.percent_rank().over(wv).alias("value_prank"),
+    )
+
+
+def q_customer_year_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order breadth: per customer, the sorted distinct
+    order years as a CSV string (arrays never leave as array columns —
+    the driver canonicalizer can't sort list cells), the year count,
+    and a filter() over the array (years >= 1996). collect_set order is
+    nondeterministic; sort_array canonicalizes before any use."""
+    orders = table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    years = orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set(F.year("o_orderdate"))).alias("ys")
+    )
+    return years.select(
+        "o_custkey",
+        F.array_join(
+            F.transform(F.col("ys"), lambda y: y.cast("string")), ","
+        ).alias("years_csv"),
+        F.size("ys").alias("n_years"),
+        F.size(F.filter(F.col("ys"), lambda y: y >= 1996)).alias(
+            "n_years_since_1996"
+        ),
+    )
+
+
+def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation composite: quality gate ->
+    exact dedup (keep min id per fingerprint) -> near-dup removal
+    (drop the higher id of each >=0.8 3-gram-Jaccard pair among
+    survivors). The whole multi-stage pipeline is oracle-checked as one
+    unit — the SQL mirror recomputes every stage on the same rules."""
+    from etl_spark_spark.pipelines.curation import curate_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return curate_documents(docs)
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -1030,6 +1096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_simhash": q_neardup_simhash,
         "sketch_stats": q_sketch_stats,
         "error_context_views": q_error_context_views,
+        "doc_curation": q_doc_curation,
+        "customer_order_gaps": q_customer_order_gaps,
+        "customer_year_arrays": q_customer_year_arrays,
         "order_priority_counts": q_order_priority_counts,
         "min_cost_supplier": q_min_cost_supplier,
         "revenue_cube": q_revenue_cube,
@@ -1660,6 +1729,83 @@ WHERE {_DOT.format(a="a.uv", b="b.uv")} >= 0.4
 """
 
 
+_CUSTOMER_ORDER_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       date_diff('day',
+                 CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS DATE),
+                 CAST(o_orderdate AS DATE)) AS gap_days,
+       ntile(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey) AS value_quartile,
+       percent_rank() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice, o_orderkey) AS value_prank
+FROM orders
+"""
+
+_CUSTOMER_YEAR_ARRAYS_SQL = """
+WITH ys AS (
+  SELECT o_custkey,
+         list_sort(list(DISTINCT year(o_orderdate))) AS ys
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       array_to_string(ys, ',') AS years_csv,
+       CAST(len(ys) AS INT) AS n_years,
+       CAST(len(list_filter(ys, y -> y >= 1996)) AS INT) AS n_years_since_1996
+FROM ys
+"""
+
+_DOC_CURATION_SQL = rf"""
+WITH stats AS (
+    SELECT doc_id, lang, text,
+           len({_TOKS}) AS n_tokens,
+           round(
+             least(1.0, (CAST(len(regexp_extract_all(lower(trim(text)), '{_EN_PAT}')) AS DOUBLE)
+                         / CAST(len({_TOKS}) AS DOUBLE)) * 5.0)
+             * (1.0 - least(1.0, (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                                  / CAST(length(text) AS DOUBLE)) * 10.0)),
+           6) AS quality
+    FROM documents
+),
+kept AS (
+    SELECT * FROM stats
+    WHERE quality >= 0.15 AND n_tokens BETWEEN 20 AND 10000
+),
+canon AS (
+    SELECT k.* FROM kept k
+    JOIN (
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keep_id
+        FROM kept GROUP BY 1
+    ) m ON k.doc_id = m.keep_id
+),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM canon),
+sh0 AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE []::VARCHAR[] END) AS s
+    FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+neardup AS (
+    SELECT DISTINCT i.id_b FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.8
+)
+SELECT doc_id, lang, n_tokens, quality FROM canon
+WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+"""
+
 _ORDER_PRIORITY_COUNTS_SQL = """
 SELECT o_orderpriority, count(*) AS n_orders
 FROM orders
@@ -1777,6 +1923,9 @@ def oracle_sql() -> dict[str, str]:
         "error_context_views": _ERROR_CONTEXT_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "user_value_trend": _USER_VALUE_TREND_SQL,
+        "doc_curation": _DOC_CURATION_SQL,
+        "customer_order_gaps": _CUSTOMER_ORDER_GAPS_SQL,
+        "customer_year_arrays": _CUSTOMER_YEAR_ARRAYS_SQL,
         "order_priority_counts": _ORDER_PRIORITY_COUNTS_SQL,
         "min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
         "revenue_cube": _REVENUE_CUBE_SQL,

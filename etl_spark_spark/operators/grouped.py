@@ -63,6 +63,57 @@ def fit_group_trend(
     )
 
 
+def fit_group_trend_exact_sql(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    y_scale: int = 2,
+) -> DataFrame:
+    """Expression-only variant of ``fit_group_trend_exact``: the same
+    exact sufficient statistics, but summed as Spark decimals
+    (decimal(38,0) holds Σx² for epoch-µs x: ~3e30 ≪ 1e38) inside one
+    hash aggregate — no Python worker at all, which removes the ~2-3 s
+    Arrow/worker startup the applyInPandas form pays and keeps the
+    whole plan in codegen. Bit-identical to the applyInPandas form and
+    to the HUGEINT SQL oracle: integer sums are exact in any order, and
+    the final slope/intercept use the same fixed IEEE op sequence
+    (decimal->double casts are correctly rounded in both engines).
+    Returns (keys..., n, slope, intercept) with NULLs for degenerate
+    (zero x-variance) groups.
+
+    Range contract: needs n²·x² < 1e38 per group (ANSI mode fails loud,
+    not silently, beyond it). With epoch-MILLIS x that allows ~5.8M
+    rows per group; pass epoch-µs only for small groups. The
+    applyInPandas form (Python bigints) has no such bound — use it for
+    pathological group sizes."""
+    factor = 10**y_scale
+    keys = list(keys)
+    x = F.col(x_col).cast("decimal(38,0)")
+    yc = F.round(
+        (F.col(y_col) if isinstance(y_col, str) else y_col) * factor
+    ).cast("decimal(38,0)")
+    s = df.select(*keys, x.alias("__x"), yc.alias("__yc")).groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__yc").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__yc")).alias("__sxy"),
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    num = (nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    den = (nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    fac = F.lit(float(factor))
+    nd = F.col("n").cast("double")
+    slope = num / F.nullif(den, F.lit(0.0)) / fac
+    sxd = F.col("__sx").cast("double")
+    syd = F.col("__sy").cast("double")
+    intercept = syd / fac / nd - slope * (sxd / nd)
+    return s.select(
+        *keys, "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
 def fit_group_trend_exact(
     df: DataFrame,
     keys: Sequence[str],

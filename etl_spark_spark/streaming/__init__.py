@@ -1,5 +1,10 @@
 from .stateful import stream_session_agg, stream_user_totals
-from .stream import stream_events_tumbling, write_stream_files
+from .stream import (
+    run_foreach_batch_upsert,
+    stream_dedup_events,
+    stream_events_tumbling,
+    write_stream_files,
+)
 from .windows import sessionize_batch, sliding_agg, tumbling_agg
 
 __all__ = [
@@ -10,4 +15,6 @@ __all__ = [
     "stream_session_agg",
     "stream_user_totals",
     "write_stream_files",
+    "stream_dedup_events",
+    "run_foreach_batch_upsert",
 ]

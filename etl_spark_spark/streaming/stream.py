@@ -72,6 +72,76 @@ def stream_events_tumbling(
     )
 
 
+def stream_dedup_events(
+    spark: SparkSession,
+    path: str,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    glob: str | None = None,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Streaming deduplication on ``keys`` (default: event_id) with a
+    watermark-bounded state: `dropDuplicatesWithinWatermark` keeps each
+    key's state only until the watermark passes it, so state is O(keys
+    within the watermark horizon), not O(all keys ever) — the at-least-
+    once-source -> exactly-once-pipeline building block. Duplicates
+    arriving within the horizon are suppressed; a duplicate arriving
+    later than the horizon is by contract not (that's the knob)."""
+    events = read_events_stream(
+        spark, path, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_foreach_batch_upsert(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    query_name: str = "merge_sink",
+    timeout_sec: int = 120,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Streaming MERGE: drain the stream with availableNow, upserting
+    each micro-batch into a parquet target via ``sinks.upsert`` inside
+    ``foreachBatch`` — the standard Structured Streaming pattern for
+    sinks Spark has no native exactly-once writer for. The checkpoint
+    records the last COMMITTED batch; on restart after a crash the same
+    batch may re-run, and the keyed upsert makes that replay idempotent
+    (at-least-once delivery x idempotent merge = effectively-once
+    state). With a Hive-partitioned target pass ``partition_by`` so
+    each batch rewrites only the partitions it touches."""
+    from ..sinks.write import upsert
+
+    def do_merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert(
+            batch_df.sparkSession,
+            batch_df,
+            target_path,
+            keys,
+            partition_by=partition_by,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(do_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"stream '{query_name}' did not drain within {timeout_sec}s"
+            )
+    finally:
+        q.stop()
+
+
 def write_stream_files(
     stream_df: DataFrame,
     path: str,

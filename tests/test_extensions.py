@@ -168,6 +168,31 @@ def test_ivf_recall_on_clustered_data(spark):
     assert recall >= 0.85, f"clustered-data recall@3 {recall:.2f} < 0.85"
 
 
+def test_doc_curation_invariants(spark, sf_dir):
+    """The curated corpus must satisfy every stage's contract: quality
+    and token bounds hold, no surviving near-dup pair, and for each
+    removed near-dup pair the LOWER id survived (when it passed the
+    earlier gates)."""
+    from etl_spark_spark.operators.neardup import ngram_jaccard_pairs
+    from etl_spark_spark.pipelines.curation import curate_documents
+
+    docs = table(spark, sf_dir, "documents")
+    out = curate_documents(docs, min_quality=0.05, min_tokens=5).collect()
+    assert out, "curation should keep something"
+    ids = {r.doc_id for r in out}
+    for r in out:
+        assert r.quality >= 0.05 and r.n_tokens >= 5
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    pairs = ngram_jaccard_pairs(
+        toks, "doc_id", word_shingles("t", 3), threshold=0.8
+    ).collect()
+    assert pairs, "fixture has seeded near-dup pairs"
+    for p in pairs:
+        assert not (p.id_a in ids and p.id_b in ids), (
+            f"near-dup pair ({p.id_a},{p.id_b}) both survived"
+        )
+
+
 def test_multimodal_feature_plumbing(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").limit(20)
     media = attach_media(docs, "doc_id", "text", "text/plain")
@@ -245,7 +270,10 @@ def test_group_trend_exact_accuracy_and_order_invariance(spark, sf_dir):
     (exact integer sufficient statistics are associative)."""
     import duckdb
 
-    from etl_spark_spark.operators.grouped import fit_group_trend_exact
+    from etl_spark_spark.operators.grouped import (
+        fit_group_trend_exact,
+        fit_group_trend_exact_sql,
+    )
 
     ev = read_events(spark, sf_dir).select(
         "user_id", F.unix_micros(F.col("ts")).alias("x"), F.col("value").alias("y")
@@ -262,6 +290,12 @@ def test_group_trend_exact_accuracy_and_order_invariance(spark, sf_dir):
         ).collect()
     }
     assert got == shuffled
+    # the expression-only (zero-Python) variant computes the same bits
+    sql_form = {
+        r.user_id: (r.n, r.slope, r.intercept)
+        for r in fit_group_trend_exact_sql(ev, ["user_id"], "x", "y").collect()
+    }
+    assert got == sql_form
     con = duckdb.connect()
     want = con.execute(
         f"""

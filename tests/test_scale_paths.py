@@ -196,6 +196,77 @@ def test_stream_file_sink_checkpoint_and_watermark_drop(spark, tmp_path):
     assert len(rows) == len(final), "windows must not be re-emitted on resume"
 
 
+def _write_event_file(src, name, rows, mtime):
+    """rows: (event_id, minute, value). Writes one events-schema parquet
+    file with a controlled mtime (file-source batch order)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    MIN_NS = 60 * 1_000_000_000
+    cols = {
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * MIN_NS for r in rows], pa.int64()),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array(["a"] * len(rows), pa.string()),
+        "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }
+    p = src / name
+    pq.write_table(pa.table(cols), p)
+    os.utime(p, (mtime, mtime))
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """A duplicate event_id arriving within the watermark horizon is
+    suppressed; each unique id is emitted exactly once."""
+    from etl_spark_spark.streaming.stream import stream_dedup_events
+    from etl_spark_spark.streaming.stream import run_available_now
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_event_file(src, "f1.parquet", [(1, 600, 1.0), (2, 605, 2.0)], 1000)
+    _write_event_file(src, "f2.parquet", [(1, 600, 1.0), (3, 610, 3.0)], 2000)
+    rows = run_available_now(
+        stream_dedup_events(spark, str(src), max_files_per_trigger=1),
+        query_name="t_dedup_stream",
+        output_mode="append",
+    )
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3], f"duplicate not suppressed: {ids}"
+
+
+def test_stream_foreach_batch_upsert(spark, tmp_path):
+    """foreachBatch + keyed upsert = streaming MERGE: a restarted drain
+    picks up only new files (checkpoint) and replayed/overlapping keys
+    update in place instead of duplicating."""
+    from etl_spark_spark.streaming.stream import (
+        read_events_stream,
+        run_foreach_batch_upsert,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    _write_event_file(src, "f1.parquet", [(1, 600, 1.0), (2, 605, 2.0)], 1000)
+    stream = read_events_stream(spark, str(src)).select(
+        "event_id", "user_id", "value"
+    )
+    run_foreach_batch_upsert(stream, target, ["event_id"], ckpt, "t_fbu1")
+    got = {r.event_id: r.value for r in spark.read.parquet(target).collect()}
+    assert got == {1: 1.0, 2: 2.0}
+    # key 2 updated + key 3 new; key 1 untouched by the new batch
+    _write_event_file(src, "f2.parquet", [(2, 700, 20.0), (3, 705, 3.0)], 2000)
+    stream2 = read_events_stream(spark, str(src)).select(
+        "event_id", "user_id", "value"
+    )
+    run_foreach_batch_upsert(stream2, target, ["event_id"], ckpt, "t_fbu2")
+    got = {r.event_id: r.value for r in spark.read.parquet(target).collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
 def test_stream_user_totals_matches_batch(spark, sf_dir):
     rows = run_available_now(
         stream_user_totals(spark, sf_dir, glob="events.parquet"),
