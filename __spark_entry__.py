@@ -237,10 +237,13 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counters cast to long: aligns pandas dtype with DuckDB's
     # BIGINT-typed len()/count so the driver's value-hash sees
     # identical representations
+    from etl_spark_spark.functions.text import bpe_token_count
+
     return docs.select(
         "doc_id",
         "lang",
         token_count("text").cast("long").alias("n_tokens"),
+        bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
         punct_count("text").cast("long").alias("n_punct"),
         stopword_hits("text", LANG_PROFILES["en"]).cast("long").alias("n_stop_en"),
         quality_score("text", LANG_PROFILES["en"]).alias("quality"),
@@ -1290,11 +1293,13 @@ _DOC_TEXT_STATS_SQL = rf"""
 WITH base AS (
     SELECT doc_id, lang, text,
            len({_TOKS}) AS n_tokens,
+           len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+               AS n_bpe_tokens,
            len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
            len(regexp_extract_all(lower(trim(text)), '{_EN_PAT}')) AS n_stop_en
     FROM documents
 )
-SELECT doc_id, lang, n_tokens, n_punct, n_stop_en,
+SELECT doc_id, lang, n_tokens, n_bpe_tokens, n_punct, n_stop_en,
        round(
            least(1.0, (CAST(n_stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0)
            * (1.0 - least(1.0, (CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 10.0)),

@@ -25,6 +25,26 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# the round-1 query set, frozen: summing warm times over exactly these
+# names gives a number comparable across rounds even as the query set
+# grows (BASELINE.md round-1 closing total was measured over these 46)
+R1_QUERIES = frozenset(
+    """superdesconto allocation pricing_summary dedup_latest_part
+    top_orders_per_customer customers_without_orders orders_enriched
+    normalize_keys monthly_orders_1995 events_by_type doc_text_stats
+    doc_lang_id doc_exact_dedup neardup_minhash neardup_ngram_jaccard
+    doc_simhash emb_cosine_topk emb_cosine_topk_lsh emb_cosine_topk_ivf
+    events_tumbling events_time_rollup events_sessionize
+    multimodal_features custkeys_both_years custkeys_only_1995
+    rollup_losses supplier_share_expr events_props_map events_sliding
+    emb_near_dup global_top_orders doc_fingerprints shipping_priority
+    local_supplier_volume dedup_any_count nation_reconcile sql_frontend
+    user_value_trend orders_profile above_avg_orders emb_stats
+    price_quantiles purchase_last_click neardup_simhash sketch_stats
+    error_context_views""".split()
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -57,6 +77,10 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "total_warm_sec": round(sum(warm.values()), 3),
+                "r1_subset_warm_sec": round(
+                    sum(v for k, v in warm.items() if k in R1_QUERIES), 3
+                ),
+                "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

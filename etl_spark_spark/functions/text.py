@@ -39,6 +39,26 @@ def punct_count(c: Column | str) -> Column:
     return F.regexp_count(_col(c), F.lit(r"[^A-Za-z0-9\s]"))
 
 
+# GPT-2-style pre-tokenizer classes, lookahead-free so the SAME pattern
+# runs identically under Java regex (Spark) and RE2 (DuckDB): a token is
+# an optionally space-prefixed letter run, digit run, or symbol run.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    """Pre-tokenizer token count — the BPE-ish estimate an LLM pipeline
+    budgets with (~1.3x the eventual BPE count on English): counts
+    space-glued letter/digit/symbol runs instead of whitespace words,
+    so punctuation and numbers cost tokens the way real tokenizers
+    charge them."""
+    return F.regexp_count(_col(c), F.lit(BPE_TOKEN_PATTERN))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    """DuckDB mirror of ``bpe_token_count`` (same pattern, RE2)."""
+    return f"len(regexp_extract_all({expr}, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))"
+
+
 def stopword_hits(c: Column | str, words: list[str]) -> Column:
     """Count of occurrences of any of ``words`` as whole tokens.
     Words are regex-escaped; an empty list counts 0 (the naive

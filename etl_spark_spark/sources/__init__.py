@@ -6,6 +6,7 @@ from .parquet import (
     table,
     year_range_filter,
 )
+from .text_formats import read_csv, read_jsonl
 
 __all__ = [
     "source",
@@ -14,4 +15,6 @@ __all__ = [
     "read_date_range",
     "read_events",
     "year_range_filter",
+    "read_csv",
+    "read_jsonl",
 ]

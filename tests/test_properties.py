@@ -87,8 +87,17 @@ def test_allocation_cascade_property(spark, rows):
             want.append(a)
         else:
             want.append(0.0)
-    # row order is preserved for a single-partition local relation
-    assert got == want
+    # row order is preserved for a single-partition local relation.
+    # NaN-aware equality: w/t can overflow to inf (t denormal), and
+    # inf*0 = nan on BOTH sides — but nan != nan under ==
+    import math
+
+    assert len(got) == len(want)
+    for g, w_ in zip(got, want):
+        if isinstance(w_, float) and math.isnan(w_):
+            assert isinstance(g, float) and math.isnan(g)
+        else:
+            assert g == w_
 
 
 def test_resize_media_shape(spark):

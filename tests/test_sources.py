@@ -73,3 +73,40 @@ def test_year_range_filter_equals_year_extract(spark, sf_dir):
         == orders.filter(F.year("o_orderdate") == 1997).count()
         > 0
     )
+
+
+def test_read_csv_schema_and_corrupt_policy(spark, tmp_path):
+    from etl_spark_spark.sources import read_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("k,v\n1,a\n2,b\nnot_an_int,c\n")
+    df = read_csv(
+        spark,
+        str(p),
+        "k long, v string, _bad string",
+        corrupt_col="_bad",
+    )
+    rows = {r.k: (r.v, r._bad) for r in df.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("b", None)
+    # malformed row: typed cols NULL, original line quarantined
+    assert rows[None][1] == "not_an_int,c"
+    import pytest
+
+    with pytest.raises(Exception):
+        read_csv(spark, str(p), "k long, v string", mode="FAILFAST").collect()
+
+
+def test_read_jsonl_schema_projection(spark, tmp_path):
+    from etl_spark_spark.sources import read_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"k": 1, "v": "a", "extra": true}\n'
+        '{"k": 2}\n'
+        "this is not json\n"
+    )
+    df = read_jsonl(spark, str(p), "k long, v string, _bad string", corrupt_col="_bad")
+    rows = {r.k: (r.v, r._bad) for r in df.collect()}
+    assert rows[1] == ("a", None)     # unknown field ignored
+    assert rows[2] == (None, None)    # missing field -> NULL
+    assert rows[None][1].startswith("this is not")
