@@ -175,8 +175,9 @@ def cosine_near_dup_pairs_lsh(
     vec_col: str,
     dim: int,
     threshold: float,
-    num_planes: int = 4,
+    num_planes: int | None = None,
     num_tables: int = 8,
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Sub-quadratic approximate embedding near-dup: candidate pairs are
     generated ONLY where two vectors share a sign-bit LSH bucket in at
@@ -187,11 +188,16 @@ def cosine_near_dup_pairs_lsh(
     pair's similarity: near-identical vectors collide almost surely).
 
     This is the scale path past exact all-pairs' O(N²): cost is the sum
-    of per-bucket co-occupancies. Defaults favor recall at moderate
-    thresholds (fewer planes -> coarser buckets, more tables); raise
-    num_planes as the threshold rises (which also shrinks buckets —
-    the hot-bucket cap at extreme corpus sizes). The exact blocked
-    all-pairs operator remains the verification baseline.
+    of per-bucket co-occupancies. Within-bucket work is quadratic in
+    bucket size, so ``num_planes`` (bucket count = 2^planes) must GROW
+    with the corpus: left as None it auto-sizes from a cheap count so
+    the average bucket holds ~``target_bucket_rows`` rows, keeping
+    per-group cost flat as N scales (10x data ≈ 10x groups of the same
+    size, not the same groups 10x hotter). Fixing num_planes low favors
+    recall on small corpora; raising it trades recall for speed —
+    recall also rises with num_tables and with pair similarity
+    (near-identical vectors collide in SOME table almost surely). The
+    exact blocked all-pairs operator remains the verification baseline.
 
     Scoring is ONE numpy block product per (table, bucket) group
     (applyInPandas) with the exact operator's unit-row dimension-
@@ -199,8 +205,14 @@ def cosine_near_dup_pairs_lsh(
     per-pair array allocation an expression-side fold would pay on
     millions of candidates (measured 20x faster at sf0.1).
     """
+    import math
+
     import numpy as np
     import pandas as pd
+
+    if num_planes is None:
+        n = df.count()
+        num_planes = max(4, math.ceil(math.log2(max(1, n / target_bucket_rows))))
 
     b = _bucket_table(df, id_col, vec_col, dim, num_planes, num_tables, "id")
 
