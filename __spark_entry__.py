@@ -39,7 +39,11 @@ from etl_spark_spark.functions.text import (
     word_shingles,
 )
 from etl_spark_spark.operators.dedup import dedup_any, dedup_latest
-from etl_spark_spark.operators.multimodal import attach_media, extract_features
+from etl_spark_spark.operators.multimodal import (
+    attach_media,
+    extract_features,
+    sample_frames,
+)
 from etl_spark_spark.operators.neardup import (
     exact_dedup,
     near_dup_minhash,
@@ -1030,6 +1034,23 @@ def q_customer_year_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over opaque media payloads — the 1-to-N
+    mapInPandas row shape, hard-checked: the fake 'codec' strides the
+    payload deterministically, and (documents being ASCII) the oracle
+    reproduces the exact byte slices with VARCHAR substring + md5, so
+    every frame hash must match bit-for-bit."""
+    docs = table(spark, sf_dir, "documents")
+    media = attach_media(docs, "doc_id", "text", "text/plain")
+    frames = sample_frames(media, n_frames=4, frame_bytes=16)
+    return frames.select(
+        "id",
+        "frame_no",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("long").alias("frame_len"),
+    )
+
+
 def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation composite: quality gate ->
     exact dedup (keep min id per fingerprint) -> near-dup removal
@@ -1099,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_simhash": q_neardup_simhash,
         "sketch_stats": q_sketch_stats,
         "error_context_views": q_error_context_views,
+        "multimodal_frames": q_multimodal_frames,
         "doc_curation": q_doc_curation,
         "customer_order_gaps": q_customer_order_gaps,
         "customer_year_arrays": q_customer_year_arrays,
@@ -1761,6 +1783,18 @@ SELECT o_custkey,
 FROM ys
 """
 
+_MULTIMODAL_FRAMES_SQL = """
+WITH f AS (
+  SELECT doc_id AS id, CAST(fn AS INT) AS frame_no,
+         substring(text, CAST(fn AS INT) * greatest(length(text) // 4, 1) + 1, 16)
+             AS frame
+  FROM documents, range(4) r(fn)
+)
+SELECT id, frame_no, md5(frame) AS frame_md5,
+       CAST(length(frame) AS BIGINT) AS frame_len
+FROM f
+"""
+
 _DOC_CURATION_SQL = rf"""
 WITH stats AS (
     SELECT doc_id, lang, text,
@@ -1928,6 +1962,7 @@ def oracle_sql() -> dict[str, str]:
         "error_context_views": _ERROR_CONTEXT_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "user_value_trend": _USER_VALUE_TREND_SQL,
+        "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
         "doc_curation": _DOC_CURATION_SQL,
         "customer_order_gaps": _CUSTOMER_ORDER_GAPS_SQL,
         "customer_year_arrays": _CUSTOMER_YEAR_ARRAYS_SQL,

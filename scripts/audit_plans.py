@@ -30,6 +30,15 @@ DEFAULT = [
     "emb_cosine_topk",
     "events_tumbling",
     "monthly_orders_1995",
+    # round-2 additions
+    "order_priority_counts",
+    "min_cost_supplier",
+    "revenue_cube",
+    "priority_return_pivot",
+    "corr_exact",
+    "emb_near_dup_lsh",
+    "doc_curation",
+    "user_value_trend",
 ]
 
 

@@ -58,3 +58,49 @@ def test_emb_near_dup_no_driver_materialization(spark, sf_dir, monkeypatch):
     plan = explain_str(df)
     assert "FlatMapGroupsInPandas" in plan
     assert "Broadcast" not in plan
+
+
+def test_min_cost_supplier_prunes_before_window(spark, sf_dir):
+    """The part filter must sit BELOW the window (broadcast join feeds
+    the window ~10% of lineitem) and the window must partial-prune
+    (WindowGroupLimit) before its exchange; no SortMergeJoin."""
+    plan = explain_str(entrymod.q_min_cost_supplier(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    pushed = " ".join(pushed_filters(entrymod.q_min_cost_supplier(spark, sf_dir)))
+    assert "p_size" in pushed
+
+
+def test_order_priority_counts_filters_pushed(spark, sf_dir):
+    """Both scans filtered at the source: the timestamp range on orders
+    and the returnflag equality on lineitem."""
+    pushed = " ".join(pushed_filters(entrymod.q_order_priority_counts(spark, sf_dir)))
+    assert "o_orderdate" in pushed and "l_returnflag" in pushed
+    plan = explain_str(entrymod.q_order_priority_counts(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_corr_exact_single_exchange(spark, sf_dir):
+    """All five sufficient statistics ride ONE shuffle (partial+final
+    hash aggregate); nothing else exchanges."""
+    plan = explain_str(entrymod.q_corr_exact(spark, sf_dir), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_revenue_cube_single_exchange(spark, sf_dir):
+    """CUBE = Expand over grouping sets + one partial/final aggregate
+    pair — one exchange total."""
+    plan = explain_str(entrymod.q_revenue_cube(spark, sf_dir), mode="simple")
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_user_value_trend_no_python(spark, sf_dir):
+    """The exact OLS trend is expression-only: no Python evaluation
+    nodes anywhere in the plan (the applyInPandas twin exists for
+    unbounded group sizes, but the query path stays in codegen)."""
+    plan = explain_str(entrymod.q_user_value_trend(spark, sf_dir))
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
