@@ -45,11 +45,18 @@ from etl_spark_spark.operators.multimodal import (
     sample_frames,
 )
 from etl_spark_spark.operators.neardup import (
+    contamination_scores,
     exact_dedup,
     near_dup_minhash,
     ngram_jaccard_pairs,
+    shingle_set,
     simhash,
     simhash_near_dup,
+)
+from etl_spark_spark.operators.sampling import (
+    hash_bucket,
+    hash_split,
+    stratified_hash_sample,
 )
 from etl_spark_spark.operators.similarity import (
     cosine_near_dup_pairs,
@@ -58,7 +65,7 @@ from etl_spark_spark.operators.similarity import (
     cosine_topk_lsh,
 )
 from etl_spark_spark.operators.reconcile import reconcile_full_outer
-from etl_spark_spark.operators.windows import top_k_per_group
+from etl_spark_spark.operators.windows import partial_topk, top_k_per_group
 from etl_spark_spark.functions.vectors import norm
 from etl_spark_spark.pipelines.ressarcimento import allocation_pipeline
 from etl_spark_spark.pipelines.superdesconto import best_sale_pipeline
@@ -1051,6 +1058,80 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split (md5 of the
+    doc id — reproducible across runs/engines/layouts, unlike
+    df.sample) rolled up per (split, lang). Assignment is one map-side
+    expression; the only shuffle is the final small aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, "doc_id", [("train", "d"), ("val", "f"), ("test", None)]
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling rates (domain rebalancing):
+    downsample dominant English hard, keep rare strata whole. Pure
+    map-side filter — zero shuffles, discarded rows never move."""
+    docs = table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": "40", "zh": "c0"},  # en ~25%, zh ~75%
+        default="ff",  # everything else ~99.6%
+    )
+    return kept.select("doc_id", "lang")
+
+
+def q_doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (cap docs per crawl domain) via the SKEW-SAFE
+    two-phase top-k aggregate: longest 5 docs per source, ties to the
+    smaller doc_id. No ranking window — a hot source never lands on one
+    task; phase 2 merges at most n_salts*k rows per source."""
+    docs = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    order = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+    return partial_topk(docs, ["source"], order, k=5, n_salts=8)
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 whitespace tokens by frequency (ties
+    to the lexicographically smaller token). Explode + map-side partial
+    count + TakeOrderedAndProject — the wordcount shape that scales."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: hold out the md5-bucket-'f' docs as
+    the eval set, score every remaining doc by the fraction of its
+    distinct 3-gram shingles that appear anywhere in the eval set.
+    The eval shingle set rides a broadcast-able equi-join (benchmarks
+    are MBs, corpora TBs) — the corpus is scanned once, no all-pairs."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    pairs = shingle_set(toks, "doc_id", word_shingles("t", 3))
+    is_eval = hash_bucket("doc_id", 1) == "f"
+    scored = contamination_scores(
+        pairs.filter(~is_eval), pairs.filter(is_eval), "doc_id"
+    )
+    return scored.select(
+        "doc_id", "n_shingles", "n_hits", "contamination"
+    )
+
+
 def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation composite: quality gate ->
     exact dedup (keep min id per fingerprint) -> near-dup removal
@@ -1121,6 +1202,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": q_sketch_stats,
         "error_context_views": q_error_context_views,
         "multimodal_frames": q_multimodal_frames,
+        "doc_split_counts": q_doc_split_counts,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_source_cap": q_doc_source_cap,
+        "vocab_topk": q_vocab_topk,
+        "doc_decontaminate": q_doc_decontaminate,
         "doc_curation": q_doc_curation,
         "customer_order_gaps": q_customer_order_gaps,
         "customer_year_arrays": q_customer_year_arrays,
@@ -1795,6 +1881,64 @@ SELECT id, frame_no, md5(frame) AS frame_md5,
 FROM f
 """
 
+_BUCKET1 = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+_BUCKET2 = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+_DOC_SPLIT_COUNTS_SQL = f"""
+SELECT CASE WHEN {_BUCKET1} < 'd' THEN 'train'
+            WHEN {_BUCKET1} < 'f' THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+_DOC_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CASE lang WHEN 'en' THEN {_BUCKET2} < '40'
+                WHEN 'zh' THEN {_BUCKET2} < 'c0'
+                ELSE {_BUCKET2} < 'ff' END
+"""
+
+_DOC_SOURCE_CAP_SQL = """
+SELECT source, doc_id, n_chars
+FROM (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= 5
+"""
+
+_VOCAB_TOPK_SQL = f"""
+SELECT t AS token, count(*) AS n
+FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+GROUP BY 1
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+_DOC_DECONTAMINATE_SQL = rf"""
+WITH {_SHINGLES},
+ev AS (SELECT DISTINCT s FROM sh WHERE {_BUCKET1} = 'f'),
+corpus AS (SELECT doc_id, s FROM sh WHERE {_BUCKET1} <> 'f'),
+sizes2 AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+hits AS (
+    SELECT c.doc_id, count(*) AS n_hits
+    FROM corpus c JOIN ev ON c.s = ev.s
+    GROUP BY 1
+)
+SELECT s2.doc_id,
+       s2.n_shingles,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) / s2.n_shingles AS contamination
+FROM sizes2 s2 LEFT JOIN hits h USING (doc_id)
+"""
+
 _DOC_CURATION_SQL = rf"""
 WITH stats AS (
     SELECT doc_id, lang, text,
@@ -1963,6 +2107,11 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "user_value_trend": _USER_VALUE_TREND_SQL,
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
+        "doc_split_counts": _DOC_SPLIT_COUNTS_SQL,
+        "doc_stratified_sample": _DOC_STRATIFIED_SAMPLE_SQL,
+        "doc_source_cap": _DOC_SOURCE_CAP_SQL,
+        "vocab_topk": _VOCAB_TOPK_SQL,
+        "doc_decontaminate": _DOC_DECONTAMINATE_SQL,
         "doc_curation": _DOC_CURATION_SQL,
         "customer_order_gaps": _CUSTOMER_ORDER_GAPS_SQL,
         "customer_year_arrays": _CUSTOMER_YEAR_ARRAYS_SQL,

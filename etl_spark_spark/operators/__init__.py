@@ -7,12 +7,19 @@ from .multimodal import (
     sample_frames,
 )
 from .neardup import (
+    contamination_scores,
     exact_dedup,
     near_dup_minhash,
     ngram_jaccard_pairs,
     simhash,
 )
 from .reconcile import allocate_proportional, reconcile_full_outer
+from .sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
 from .setops import except_all, intersect_all, union_by_name, union_strict
 from .similarity import (
     cosine_near_dup_pairs,
@@ -21,14 +28,25 @@ from .similarity import (
     cosine_topk_lsh,
 )
 from .skew import salted_sum, with_salt
-from .windows import partitioned_sum, top_k_per_group, top_one_per_group_agg
+from .windows import (
+    partial_topk,
+    partitioned_sum,
+    top_k_per_group,
+    top_one_per_group_agg,
+)
 
 __all__ = [
     "dedup_any",
     "dedup_latest",
     "top_k_per_group",
     "top_one_per_group_agg",
+    "partial_topk",
     "partitioned_sum",
+    "hash_bucket",
+    "hash_sample",
+    "hash_split",
+    "stratified_hash_sample",
+    "contamination_scores",
     "broadcast_join",
     "join_expr",
     "union_strict",

@@ -285,3 +285,39 @@ def simhash(
         lambda acc, x: acc + x,
     )
     return base.select(F.col(id_col), value.alias("simhash"))
+
+
+def contamination_scores(
+    corpus_shingles: DataFrame,
+    eval_shingles: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus doc, the fraction of
+    its distinct shingles that appear in ANY eval-set doc.
+
+    Inputs are (id, shingle) pair tables from ``shingle_set``. Returns
+    (id, n_shingles, n_hits, contamination) — one row per corpus doc
+    that has at least one shingle; train docs scoring above a threshold
+    get dropped by the caller before pretraining so the benchmark can't
+    leak into the training set.
+
+    Scale shape: the eval shingle set is deduped then joined to the
+    corpus pairs on the shingle hash — an equi-join that AQE broadcasts
+    whenever the benchmark side is small (it always is: benchmarks are
+    MBs, corpora are TBs), so the corpus is scanned once with no
+    all-pairs blowup; the per-doc ratio is then one hash aggregate.
+    """
+    eval_set = eval_shingles.select("shingle").distinct()
+    sizes = corpus_shingles.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles")
+    )
+    hits = (
+        corpus_shingles.join(eval_set, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .withColumn("contamination", F.col("n_hits") / F.col("n_shingles"))
+    )

@@ -1,0 +1,130 @@
+"""Deterministic sampling, splitting, and quota operators for
+training-data curation (LLM-data-pipeline extension; no reference
+counterpart — the reference engine has no sampling surface).
+
+Everything here is content-addressed: a row's fate is a pure function
+of md5 over its stringified id, never an RNG draw. That buys the three
+properties a 100 TB curation pipeline actually needs:
+
+- **Reproducible** across runs, engines, cluster sizes, and data
+  layout — re-running the pipeline (or re-checking it in another
+  engine) assigns every row the same split. ``df.sample``/``sampleBy``
+  cannot promise this (partition-order dependent).
+- **Join-stable** — two tables sampled on the same key keep referential
+  integrity (a sampled doc's rows in a side table survive with it).
+- **Cheap** — assignment is one md5 + substring per row, a plain
+  codegen-side map; filters add ZERO shuffles and stream through the
+  scan. At 100 TB the sample never materializes the discarded rows.
+
+Thresholds are hex-string prefixes compared lexicographically
+(``bucket < "28"`` keeps 0x00-0x27 of 0x100 ≈ 15.6%), which is
+portable bit-for-bit to any engine with md5 — the DuckDB oracles use
+the identical expression.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "hash_split",
+    "stratified_hash_sample",
+]
+
+
+def hash_bucket(id_col: Column | str, n_hex: int = 2) -> Column:
+    """The first ``n_hex`` hex chars of md5(string(id)) — a uniform
+    bucket label in [0x0, 16**n_hex) encoded as a lowercase hex string.
+
+    String (not int) on purpose: lexicographic compare on fixed-width
+    hex is order-isomorphic to the integer value and works identically
+    in every md5-bearing engine with no hex->int conversion.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(c.cast("string")), 1, n_hex)
+
+
+def hash_sample(
+    df: DataFrame, id_col: Column | str, keep_below: str
+) -> DataFrame:
+    """Deterministic ~(int(keep_below,16)/16**len) sample: keep rows
+    whose bucket sorts below ``keep_below``.
+
+    ``hash_sample(df, "doc_id", "28")`` keeps ≈ 0x28/0x100 = 15.6%.
+    """
+    n_hex = len(keep_below)
+    return df.filter(hash_bucket(id_col, n_hex) < keep_below)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: Column | str,
+    splits: Sequence[tuple[str, str | None]],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split.
+
+    ``splits`` is an ordered list of (name, upper_bound_hex_exclusive);
+    the LAST entry must have bound ``None`` (catch-all), so the splits
+    partition the id space with no gaps or overlap::
+
+        hash_split(df, "doc_id", [("train", "d"), ("val", "f"),
+                                  ("test", None)])
+        # train ≈ 13/16, val ≈ 2/16, test ≈ 1/16
+
+    All bounds must share one width (they index the same bucket).
+    """
+    bounded = list(splits[:-1])
+    last_name, last_bound = splits[-1]
+    if last_bound is not None:
+        raise ValueError("last split must be the catch-all (bound None)")
+    if not bounded:
+        return df.withColumn(split_col, F.lit(last_name))
+    widths = {len(b) for _, b in bounded}
+    if len(widths) != 1:
+        raise ValueError(f"split bounds must share one hex width: {widths}")
+    bucket = hash_bucket(id_col, widths.pop())
+    expr = F.when(bucket < bounded[0][1], F.lit(bounded[0][0]))
+    for name, bound in bounded[1:]:
+        expr = expr.when(bucket < bound, F.lit(name))
+    return df.withColumn(split_col, expr.otherwise(F.lit(last_name)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: Column | str,
+    stratum_col: Column | str,
+    keep_below: dict[str, str],
+    default: str | None = None,
+) -> DataFrame:
+    """Deterministic per-stratum sampling rates (the reproducible
+    counterpart of ``df.sampleBy``): keep a row iff its bucket sorts
+    below its stratum's threshold. Strata absent from ``keep_below``
+    use ``default`` (dropped entirely when ``default`` is None).
+
+    Use case: domain/language rebalancing — downsample the dominant
+    web-crawl stratum hard, keep the rare high-quality stratum whole
+    (threshold "ffff..." keeps everything).
+    """
+    if not keep_below:
+        raise ValueError("keep_below must name at least one stratum")
+    widths = {len(b) for b in keep_below.values()}
+    if default is not None:
+        widths.add(len(default))
+    if len(widths) != 1:
+        raise ValueError(f"thresholds must share one hex width: {widths}")
+    s = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    bucket = hash_bucket(id_col, widths.pop())
+    items = sorted(keep_below.items())
+    expr = F.when(s == items[0][0], bucket < items[0][1])
+    for value, bound in items[1:]:
+        expr = expr.when(s == value, bucket < bound)
+    expr = expr.otherwise(
+        F.lit(False) if default is None else bucket < default
+    )
+    return df.filter(expr)

@@ -68,6 +68,47 @@ def top_one_per_group_agg(
     return agg.select(*keys, "__best.*")
 
 
+def partial_topk(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_struct: Column,
+    k: int,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Skew-safe top-``k`` per key for k > 1 — the two-phase aggregate
+    form of ``top_k_per_group`` (which see for the k=1 ``max_by``
+    variant rationale).
+
+    ``order_struct`` follows the ``top_one_per_group_agg`` convention:
+    a struct where LARGER compares as better, including a unique
+    tiebreaker (negate components to flip direction).
+
+    Why not a window at scale: a ranking window shuffles EVERY row of a
+    hot key to ONE task and sorts them there — a single key holding 1%
+    of 100 TB puts 1 TB on one executor. Here phase 1 groups by
+    (key, salt) so a hot key's rows spread over ``n_salts`` reducers,
+    each emitting at most k rows (sort_array + slice on the collected
+    bounded group); phase 2 then merges at most ``n_salts * k`` rows
+    per key — bounded regardless of skew. Top-k is a semilattice merge,
+    so the result is identical for any salt assignment; the salt is a
+    row-content hash only to keep it deterministic.
+    """
+    keys = list(keys)
+    payload = F.struct(*[c for c in df.columns if c not in keys])
+    ranked = F.struct(order_struct.alias("o"), payload.alias("p"))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    topk = lambda c: F.slice(F.sort_array(c, asc=False), 1, k)  # noqa: E731
+    phase1 = df.groupBy(*keys, salt.alias("__salt")).agg(
+        topk(F.collect_list(ranked)).alias("__top")
+    )
+    phase2 = phase1.groupBy(*keys).agg(
+        topk(F.flatten(F.collect_list("__top"))).alias("__top")
+    )
+    return phase2.select(*keys, F.explode("__top").alias("__r")).select(
+        *keys, "__r.p.*"
+    )
+
+
 def partitioned_sum(
     df: DataFrame,
     partition_by: Sequence[Column | str],

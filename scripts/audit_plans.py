@@ -39,6 +39,11 @@ DEFAULT = [
     "emb_near_dup_lsh",
     "doc_curation",
     "user_value_trend",
+    "doc_stratified_sample",
+    "doc_source_cap",
+    "vocab_topk",
+    "doc_decontaminate",
+    "doc_split_counts",
 ]
 
 

@@ -104,3 +104,26 @@ def test_user_value_trend_no_python(spark, sf_dir):
     plan = explain_str(entrymod.q_user_value_trend(spark, sf_dir))
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_stratified_sample_is_pure_map(spark, sf_dir):
+    """Deterministic sampling adds ZERO shuffles — the filter streams
+    through the scan; discarded rows never move."""
+    plan = explain_str(entrymod.q_doc_stratified_sample(spark, sf_dir), mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_vocab_topk_no_global_sort(spark, sf_dir):
+    """Top-50 tokens must be TakeOrderedAndProject (per-partition heap
+    + driver merge), never a full global Sort of the vocabulary."""
+    plan = explain_str(entrymod.q_vocab_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_doc_source_cap_no_window(spark, sf_dir):
+    """The per-source quota rides the two-phase salted aggregate — no
+    ranking window anywhere, so no single-task hot key."""
+    plan = explain_str(entrymod.q_doc_source_cap(spark, sf_dir))
+    assert "Window" not in plan
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan

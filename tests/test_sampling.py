@@ -1,0 +1,133 @@
+"""Deterministic sampling/splitting/quota + skew-safe top-k +
+decontamination semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark_spark.functions.text import tokens, word_shingles
+from etl_spark_spark.operators.neardup import contamination_scores, shingle_set
+from etl_spark_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
+from etl_spark_spark.operators.windows import partial_topk, top_k_per_group
+from etl_spark_spark.sources import table
+
+SPLITS = [("train", "d"), ("val", "f"), ("test", None)]
+
+
+def test_hash_split_partitions_exactly(spark, sf_dir):
+    """Every row lands in exactly one split; totals are preserved."""
+    docs = table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", SPLITS)
+    by = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by.values()) == docs.count()
+    assert set(by) == {"train", "val", "test"}
+    # ~13/16, 2/16, 1/16 of 500 docs — loose sanity bands
+    assert by["train"] > by["val"] > by["test"] > 0
+
+
+def test_hash_split_is_stable_and_layout_independent(spark, sf_dir):
+    """Same ids -> same splits, even when the data arrives repartitioned
+    and reordered (the property df.sample cannot give)."""
+    docs = table(spark, sf_dir, "documents")
+    a = hash_split(docs, "doc_id", SPLITS).select("doc_id", "split")
+    shuffled = docs.repartition(13, "lang").sortWithinPartitions("n_chars")
+    b = hash_split(shuffled, "doc_id", SPLITS).select("doc_id", "split")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_hash_sample_rate_and_containment(spark, sf_dir):
+    """Rate tracks the hex threshold; a smaller sample is a strict
+    subset of a larger one (nested samples — threshold monotonicity)."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    small = {r[0] for r in hash_sample(docs, "doc_id", "20").select("doc_id").collect()}
+    big = {r[0] for r in hash_sample(docs, "doc_id", "80").select("doc_id").collect()}
+    assert small <= big
+    assert abs(len(big) / n - 0.5) < 0.15
+    assert abs(len(small) / n - 0.125) < 0.1
+
+
+def test_stratified_rates_differ_per_stratum(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": "40", "zh": "c0"}, default="ff"
+    )
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["en"] / base["en"] < 0.5 < got["zh"] / base["zh"]
+    # default=None drops unlisted strata entirely
+    only = stratified_hash_sample(docs, "doc_id", "lang", {"en": "40"})
+    assert only.select("lang").distinct().collect() == [("en",)]
+
+
+def test_stratified_agrees_with_manual_filter(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(docs, "doc_id", "lang", {"en": "40"})
+    manual = docs.filter(
+        (F.col("lang") == "en") & (hash_bucket("doc_id", 2) < "40")
+    )
+    assert sorted(r[0] for r in kept.select("doc_id").collect()) == sorted(
+        r[0] for r in manual.select("doc_id").collect()
+    )
+
+
+def test_partial_topk_matches_window(spark, sf_dir):
+    """The two-phase salted aggregate returns the EXACT rows of the
+    ranking-window formulation, for several k and salt counts."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    for k in (1, 3):
+        for n_salts in (1, 7):
+            got = partial_topk(
+                orders,
+                ["o_custkey"],
+                F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("n")),
+                k=k,
+                n_salts=n_salts,
+            )
+            want = top_k_per_group(
+                orders,
+                ["o_custkey"],
+                [F.desc("o_totalprice"), F.asc("o_orderkey")],
+                k=k,
+            )
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, want.select(*got.columns).collect())
+            ), (k, n_salts)
+
+
+def test_partial_topk_plan_has_no_window(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    df = partial_topk(
+        orders, ["o_custkey"], F.struct(F.col("o_orderkey")), k=2, n_salts=4
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_contamination_scores_synthetic(spark):
+    """Hand-built corpus: doc 1 fully contaminated, doc 2 half, doc 3
+    clean, doc 4 (<3 tokens) absent from output."""
+    rows = [
+        (1, "alpha beta gamma delta"),      # shingles: abg, bgd
+        (2, "alpha beta gamma zeta"),       # abg (hit via eval), bgz
+        (3, "one two three four"),          # ott, ttf
+        (4, "too short"),                   # no 3-gram shingles
+        (9, "alpha beta gamma delta"),      # the eval doc
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    pairs = shingle_set(toks, "doc_id", word_shingles("t", 3))
+    scored = contamination_scores(
+        pairs.filter(F.col("doc_id") != 9),
+        pairs.filter(F.col("doc_id") == 9),
+        "doc_id",
+    )
+    got = {r["doc_id"]: (r["n_shingles"], r["n_hits"], r["contamination"]) for r in scored.collect()}
+    assert got == {1: (2, 2, 1.0), 2: (2, 1, 0.5), 3: (2, 0, 0.0)}
