@@ -28,6 +28,8 @@ from etl_spark_spark.functions.normalize import (
 )
 from etl_spark_spark.functions.text import (
     LANG_PROFILES,
+    bpe_token_count,
+    bpe_token_count_sql,
     fingerprint,
     lang_id,
     lang_scores,
@@ -65,6 +67,7 @@ from etl_spark_spark.operators.similarity import (
     cosine_topk_lsh,
 )
 from etl_spark_spark.operators.reconcile import reconcile_full_outer
+from etl_spark_spark.operators.packing import pack_by_token_budget
 from etl_spark_spark.operators.windows import partial_topk, top_k_per_group
 from etl_spark_spark.functions.vectors import norm
 from etl_spark_spark.pipelines.ressarcimento import allocation_pipeline
@@ -248,8 +251,6 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counters cast to long: aligns pandas dtype with DuckDB's
     # BIGINT-typed len()/count so the driver's value-hash sees
     # identical representations
-    from etl_spark_spark.functions.text import bpe_token_count
-
     return docs.select(
         "doc_id",
         "lang",
@@ -1132,6 +1133,38 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: per-source deterministic doc layout, each doc
+    assigned to the 256-BPE-token training chunk its start offset falls
+    in. Window cumsum scoped to the shard — shards pack in parallel,
+    nothing globally ordered."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", bpe_token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_by_token_budget(
+        docs, ["source"], "doc_id", "n_tokens", budget=256
+    )
+
+
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 distinguishing terms by the rational tf/df score
+    (chosen over tf*ln(N/df) so the ordering is a single IEEE division
+    — bit-identical across engines; same ranking intent: frequent in
+    the doc, rare in the corpus). Two hash aggregates + a bounded
+    per-doc window."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    scored = tf.join(dfq, "token").withColumn(
+        "score", F.col("tf") / F.col("doc_freq")
+    )
+    top = top_k_per_group(
+        scored, ["doc_id"], [F.desc("score"), F.asc("token")], k=3
+    )
+    return top.select("doc_id", "token", "tf", "doc_freq", "score")
+
+
 def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation composite: quality gate ->
     exact dedup (keep min id per fingerprint) -> near-dup removal
@@ -1207,6 +1240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_cap": q_doc_source_cap,
         "vocab_topk": q_vocab_topk,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_pack": q_doc_pack,
+        "doc_top_terms": q_doc_top_terms,
         "doc_curation": q_doc_curation,
         "customer_order_gaps": q_customer_order_gaps,
         "customer_year_arrays": q_customer_year_arrays,
@@ -1939,6 +1974,40 @@ SELECT s2.doc_id,
 FROM sizes2 s2 LEFT JOIN hits h USING (doc_id)
 """
 
+_DOC_PACK_SQL = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST({bpe_token_count_sql('text')} AS BIGINT) AS n_tokens
+    FROM documents
+), o AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS pack_offset
+    FROM t
+)
+SELECT doc_id, source, n_tokens, pack_offset,
+       CAST(pack_offset // 256 AS BIGINT) AS pack_id
+FROM o
+"""
+
+_DOC_TOP_TERMS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+s AS (
+    SELECT t.doc_id, t.token, t.tf, d.doc_freq,
+           t.tf / d.doc_freq AS score,
+           row_number() OVER (PARTITION BY t.doc_id
+                              ORDER BY t.tf / d.doc_freq DESC, t.token) AS rn
+    FROM tf t JOIN dfq d USING (token)
+)
+SELECT doc_id, token, tf, doc_freq, score
+FROM s
+WHERE rn <= 3
+"""
+
 _DOC_CURATION_SQL = rf"""
 WITH stats AS (
     SELECT doc_id, lang, text,
@@ -2112,6 +2181,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_cap": _DOC_SOURCE_CAP_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
         "doc_decontaminate": _DOC_DECONTAMINATE_SQL,
+        "doc_pack": _DOC_PACK_SQL,
+        "doc_top_terms": _DOC_TOP_TERMS_SQL,
         "doc_curation": _DOC_CURATION_SQL,
         "customer_order_gaps": _CUSTOMER_ORDER_GAPS_SQL,
         "customer_year_arrays": _CUSTOMER_YEAR_ARRAYS_SQL,

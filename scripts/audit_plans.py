@@ -44,6 +44,8 @@ DEFAULT = [
     "vocab_topk",
     "doc_decontaminate",
     "doc_split_counts",
+    "doc_pack",
+    "doc_top_terms",
 ]
 
 

@@ -131,3 +131,55 @@ def test_contamination_scores_synthetic(spark):
     )
     got = {r["doc_id"]: (r["n_shingles"], r["n_hits"], r["contamination"]) for r in scored.collect()}
     assert got == {1: (2, 2, 1.0), 2: (2, 1, 0.5), 3: (2, 0, 0.0)}
+
+
+def test_pack_by_token_budget_semantics(spark, sf_dir):
+    """Offset packing invariants per shard: offsets are the doc_id-order
+    token cumsum, a doc's pack is its start offset // budget, and every
+    pack except the shard's last is filled to the boundary (its docs'
+    token span crosses or reaches (k+1)*budget)."""
+    from etl_spark_spark.functions.text import bpe_token_count
+    from etl_spark_spark.operators.packing import pack_by_token_budget
+    import pytest
+
+    budget = 64
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", bpe_token_count("text").cast("long").alias("n_tokens")
+    )
+    out = pack_by_token_budget(docs, ["source"], "doc_id", "n_tokens", budget=budget)
+    by_shard = {}
+    for r in out.collect():
+        by_shard.setdefault(r["source"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["pack_offset"] == cum
+            assert r["pack_id"] == cum // budget
+            cum += r["n_tokens"]
+        # the stream is contiguous: a skipped pack id can only come from
+        # a doc spanning whole chunks (its token run covers the skipped
+        # boundaries), never from an actual hole in the layout
+        for prev, nxt in zip(rows, rows[1:]):
+            assert nxt["pack_offset"] == prev["pack_offset"] + prev["n_tokens"]
+            if nxt["pack_id"] > prev["pack_id"] + 1:
+                assert (
+                    prev["pack_offset"] + prev["n_tokens"]
+                    >= nxt["pack_id"] * budget
+                )
+    with pytest.raises(ValueError):
+        pack_by_token_budget(docs, ["source"], "doc_id", "n_tokens", budget=0)
+
+
+def test_pack_layout_independent(spark, sf_dir):
+    from etl_spark_spark.operators.packing import pack_by_token_budget
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("n_tokens")
+    )
+    a = pack_by_token_budget(docs, ["source"], "doc_id", "n_tokens", budget=500)
+    b = pack_by_token_budget(
+        docs.repartition(11).sortWithinPartitions(F.desc("n_tokens")),
+        ["source"], "doc_id", "n_tokens", budget=500,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
