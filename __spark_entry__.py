@@ -64,6 +64,7 @@ from etl_spark_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
     cosine_topk_ivf,
+    cosine_topk_ivf_pq,
     cosine_topk_lsh,
 )
 from etl_spark_spark.operators.reconcile import reconcile_full_outer
@@ -389,6 +390,26 @@ def q_emb_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return cosine_topk_ivf(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=3
+    )
+
+
+def q_emb_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-3: probed lists + asymmetric-distance
+    scoring over int16 product-quantization codes, exact rerank of the
+    ADC shortlist (returned scores bit-identical to the exact
+    operator). Approximate -> rows-only check; containment/recall
+    pinned in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf_pq(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        dim=64,
+        k=3,
+        n_lists=8,
+        n_probe=4,
+        rerank=48,
     )
 
 
@@ -1206,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_cosine_topk_lsh": q_emb_cosine_topk_lsh,
         "emb_cosine_topk_ivf": q_emb_cosine_topk_ivf,
+        "emb_cosine_topk_ivfpq": q_emb_cosine_topk_ivfpq,
         "events_tumbling": q_events_tumbling,
         "events_time_rollup": q_events_time_rollup,
         "events_sessionize": q_events_sessionize,

@@ -25,6 +25,7 @@ from .similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
     cosine_topk_ivf,
+    cosine_topk_ivf_pq,
     cosine_topk_lsh,
 )
 from .skew import salted_sum, with_salt
@@ -62,6 +63,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
+    "cosine_topk_ivf_pq",
     "cosine_near_dup_pairs",
     "salted_sum",
     "with_salt",

@@ -342,6 +342,15 @@ def _train_centroids_distributed(
     Executor cost O(per-partition sample), driver cost O(sample_budget
     × dim): both flat as the corpus grows to 100 TB.
     """
+    sample = _bounded_unit_sample(base, sample_budget)
+    return _kmeans_centroids(sample, min(n_lists, sample.shape[0]))
+
+
+def _bounded_unit_sample(base: DataFrame, sample_budget: int = 4096):
+    """The bounded distributed sample described in
+    ``_train_centroids_distributed``, returned as canonically ordered
+    unit rows (shared by the IVF coarse quantizer and the PQ
+    sub-quantizers so both train from one corpus pass)."""
     import hashlib
 
     import numpy as np
@@ -370,7 +379,177 @@ def _train_centroids_distributed(
         range(sample.shape[0]),
         key=lambda i: hashlib.md5(sample[i].tobytes()).hexdigest(),
     )
-    return _kmeans_centroids(sample[order], min(n_lists, sample.shape[0]))
+    return sample[order]
+
+
+def cosine_topk_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    rerank: int = 32,
+) -> DataFrame:
+    """IVF + product quantization with asymmetric-distance scoring and
+    EXACT rerank — the memory-bound scale path for ANN over 100 TB of
+    embeddings.
+
+    Why PQ on top of IVF: IVF prunes WHICH vectors a query scores, but
+    every scored candidate still drags its full float vector through
+    the probe join (dim×4 bytes/row of shuffle). PQ replaces the vector
+    with ``m_subspaces`` small codes (here int16 for Arrow friendliness;
+    1 byte each at n_codes<=256 in a real deployment — 64-dim float32 =
+    256 B -> 8 B, 32x). Candidate scoring then never touches a float
+    vector: each query builds one ``m × n_codes`` lookup table of
+    query-subvector · codeword dot products, and a candidate's
+    approximate cosine is m table lookups — SIMD-friendly and tiny.
+
+    Pipeline: (1) coarse + PQ codebooks trained on the same bounded
+    distributed sample as IVF (driver cost flat in corpus size);
+    (2) one corpus pass encodes every row to (list_id, codes) — this
+    compact index is what a production deployment persists; (3) probe
+    ``n_probe`` lists, ADC-score candidates per query, keep the top
+    ``rerank`` ids; (4) fetch true vectors for ONLY those ids (a join
+    moving rerank×|Q| rows, not the corpus) and re-score with the
+    expression-side exact cosine, so every returned score is
+    bit-identical to ``cosine_topk``'s — ADC error can drop a true
+    neighbor (recall, tunable via rerank/n_probe) but can never corrupt
+    a returned score. Approximate -> no SQL oracle; containment- and
+    recall-tested like IVF/LSH.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    spark = corpus.sparkSession
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    sample = _bounded_unit_sample(base)
+    coarse = _kmeans_centroids(sample, min(n_lists, sample.shape[0]))
+    books = np.stack(
+        [
+            _kmeans_euclidean(
+                sample[:, s * sub : (s + 1) * sub],
+                min(n_codes, sample.shape[0]),
+            )
+            for s in range(m_subspaces)
+        ]
+    )  # (m, n_codes, sub)
+    bc_coarse = spark.sparkContext.broadcast(coarse)
+    bc_books = spark.sparkContext.broadcast(books)
+    n_probe = min(n_probe, coarse.shape[0])
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c, bk = bc_coarse.value, bc_books.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            u = _unit_rows(np.vstack(pdf["v"].to_numpy()))
+            lists = np.argmax(u @ c.T, axis=1).astype(np.int32)
+            codes = np.empty((len(u), bk.shape[0]), dtype=np.int16)
+            for s in range(bk.shape[0]):
+                us = u[:, s * sub : (s + 1) * sub]
+                # nearest codeword by Euclidean: argmin ||x-c||^2 =
+                # argmax (x·c - ||c||²/2)
+                scores = us @ bk[s].T - 0.5 * (bk[s] * bk[s]).sum(axis=1)
+                codes[:, s] = np.argmax(scores, axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["id"].to_numpy(dtype=np.int64),
+                    "list_id": lists,
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = base.mapInPandas(
+        encode, schema="neighbor_id long, list_id int, codes array<smallint>"
+    )
+
+    # queries: tiny by contract — collect unit vectors + probe lists,
+    # broadcast both (same small-side assumption as the exact operator's
+    # broadcast cross join)
+    q_rows = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).collect()
+    q_ids = np.array([r["id"] for r in q_rows], dtype=np.int64)
+    q_unit = _unit_rows(
+        np.vstack([np.asarray(r["v"], dtype=np.float64) for r in q_rows])
+    )
+    probes = np.argsort(-(q_unit @ coarse.T), axis=1, kind="stable")[:, :n_probe]
+    probe_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(q_ids[i]), int(probes[i, j]))
+                for i in range(len(q_ids))
+                for j in range(n_probe)
+            ],
+            "query_id long, list_id int",
+        )
+    )
+    # per-query ADC lookup tables: lut[q, s, code] = q_sub · codeword
+    lut = np.stack(
+        [
+            q_unit[:, s * sub : (s + 1) * sub] @ books[s].T
+            for s in range(m_subspaces)
+        ],
+        axis=1,
+    )  # (Q, m, n_codes)
+    bc_lut = spark.sparkContext.broadcast(
+        {int(q_ids[i]): lut[i] for i in range(len(q_ids))}
+    )
+
+    def adc_topr(key, pdf):
+        qid = int(key[0])
+        t = bc_lut.value[qid]  # (m, n_codes)
+        codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        keep = ids != qid
+        codes, ids = codes[keep], ids[keep]
+        if not len(ids):
+            return pd.DataFrame({"query_id": [], "neighbor_id": []})
+        adc = t[np.arange(t.shape[0])[None, :], codes].sum(axis=1)
+        order = np.lexsort((ids, -adc))[:rerank]
+        return pd.DataFrame(
+            {"query_id": qid, "neighbor_id": ids[order]}
+        )
+
+    cand = (
+        encoded.join(probe_df, "list_id")
+        .groupBy("query_id")
+        .applyInPandas(adc_topr, schema="query_id long, neighbor_id long")
+    )
+    with_vecs = cand.join(
+        base.withColumnsRenamed({"id": "neighbor_id", "v": "__neighbor_id_vec"}),
+        "neighbor_id",
+    )
+    return _score_and_rank(with_vecs, queries, id_col, vec_col, k)
+
+
+def _kmeans_euclidean(sample, k: int, iters: int = 8):
+    """Deterministic Euclidean k-means (Lloyd) for PQ sub-quantizers:
+    seeds are the first k rows of the canonically ordered sample; empty
+    clusters keep their previous codeword."""
+    import numpy as np
+
+    k = min(k, sample.shape[0])
+    cents = sample[:k].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
 
 
 def _kmeans_centroids(sample, k: int, iters: int = 5):

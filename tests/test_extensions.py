@@ -335,3 +335,81 @@ def test_streaming_matches_batch(spark, sf_dir):
     ).collect()
     batch_rows = {(r.window_start, r.event_type, r.n_events) for r in batch}
     assert stream_rows == batch_rows
+
+
+def test_ivfpq_contained_bit_exact(spark, sf_dir):
+    """IVF-PQ results are a subset of the exact ranking with BIT-exact
+    scores (the rerank re-scores expression-side), and with full probe
+    + a rerank window larger than the corpus it must equal the exact
+    top-k (ADC can then only reorder the shortlist, which rerank
+    re-sorts exactly)."""
+    from etl_spark_spark.operators.similarity import cosine_topk_ivf_pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(emb, q, "vec_id", "embedding", k=500).collect()
+    }
+    approx = cosine_topk_ivf_pq(
+        emb, q, "vec_id", "embedding", dim=64, k=3, n_lists=8, n_probe=2
+    ).collect()
+    assert approx
+    for r in approx:
+        assert exact_all[(r.query_id, r.neighbor_id)] == r.cos_sim
+    full = cosine_topk_ivf_pq(
+        emb, q, "vec_id", "embedding", dim=64, k=3,
+        n_lists=8, n_probe=8, rerank=10_000,
+    ).collect()
+    exact3 = cosine_topk(emb, q, "vec_id", "embedding", k=3).collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in full} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in exact3
+    }
+
+
+def test_ivfpq_recall_on_clustered_data(spark):
+    """Same planted-cluster bar as IVF: the PQ shortlist + exact rerank
+    must keep recall despite scoring candidates from int16 codes only."""
+    import numpy as np
+
+    from etl_spark_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf_pq,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per = 32, 8, 60
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = []
+    for ci in range(n_clusters):
+        pts = centers[ci] + 0.15 * rng.normal(size=(per, dim))
+        for j, p in enumerate(pts):
+            rows.append((ci * per + j, [float(x) for x in p]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(6)
+    q = df.filter(F.col("vec_id") % per == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(df, q, "vec_id", "embedding", k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf_pq(
+            df, q, "vec_id", "embedding", dim=dim, k=3,
+            n_lists=16, n_probe=4, m_subspaces=8, n_codes=16, rerank=32,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"IVF-PQ clustered-data recall@3 {recall:.2f} < 0.85"
+
+
+def test_ivfpq_rejects_indivisible_dim(spark, sf_dir):
+    import pytest
+
+    from etl_spark_spark.operators.similarity import cosine_topk_ivf_pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError):
+        cosine_topk_ivf_pq(
+            emb, emb.limit(1), "vec_id", "embedding", dim=64, m_subspaces=7
+        )
