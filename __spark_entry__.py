@@ -1186,6 +1186,36 @@ def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "token", "tf", "doc_freq", "score")
 
 
+def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking windows (ntile quartiles, percent_rank,
+    cume_dist) over per-customer spend, PARTITIONED BY NATION — the
+    scale-correct shape: a global ntile would serialize the whole
+    ranking onto one task; per-nation windows rank in parallel and the
+    shape survives 100x data. Spend is the order-independent
+    integer-cents sum; ties break on custkey."""
+    cust = table(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = table(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    orders = table(spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(money_sum("o_totalprice").alias("total_spend"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("o_custkey", "n_name", "total_spend")
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("total_spend"), F.asc("o_custkey")
+    )
+    return spend.select(
+        "o_custkey",
+        "n_name",
+        "total_spend",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation composite: quality gate ->
     exact dedup (keep min id per fingerprint) -> near-dup removal
@@ -1264,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_pack": q_doc_pack,
         "doc_top_terms": q_doc_top_terms,
+        "customer_spend_deciles": q_customer_spend_deciles,
         "doc_curation": q_doc_curation,
         "customer_order_gaps": q_customer_order_gaps,
         "customer_year_arrays": q_customer_year_arrays,
@@ -2030,6 +2061,23 @@ FROM s
 WHERE rn <= 3
 """
 
+_CUSTOMER_SPEND_DECILES_SQL = f"""
+WITH spend AS (
+    SELECT o_custkey, n_name,
+           {money_sum_sql('o_totalprice')} AS total_spend
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+)
+SELECT o_custkey, n_name, total_spend,
+       ntile(4) OVER w AS spend_quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM spend
+WINDOW w AS (PARTITION BY n_name ORDER BY total_spend DESC, o_custkey)
+"""
+
 _DOC_CURATION_SQL = rf"""
 WITH stats AS (
     SELECT doc_id, lang, text,
@@ -2205,6 +2253,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": _DOC_DECONTAMINATE_SQL,
         "doc_pack": _DOC_PACK_SQL,
         "doc_top_terms": _DOC_TOP_TERMS_SQL,
+        "customer_spend_deciles": _CUSTOMER_SPEND_DECILES_SQL,
         "doc_curation": _DOC_CURATION_SQL,
         "customer_order_gaps": _CUSTOMER_ORDER_GAPS_SQL,
         "customer_year_arrays": _CUSTOMER_YEAR_ARRAYS_SQL,
