@@ -68,6 +68,7 @@ from etl_spark_spark.operators.similarity import (
     cosine_topk_lsh,
 )
 from etl_spark_spark.operators.reconcile import reconcile_full_outer
+from etl_spark_spark.operators.graph import connected_components
 from etl_spark_spark.operators.packing import pack_by_token_budget
 from etl_spark_spark.operators.windows import partial_topk, top_k_per_group
 from etl_spark_spark.functions.vectors import norm
@@ -1186,6 +1187,20 @@ def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "token", "tf", "doc_freq", "score")
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: exact n-gram-Jaccard pairs (>=0.8)
+    -> connected components via distributed min-label propagation ->
+    (doc_id, cluster_id = component min id). The iterative step every
+    dedup pipeline needs between "pairs found" and "canonicals kept";
+    oracle is a DuckDB recursive CTE over the same pair set, so even
+    the ITERATIVE operator is hash-checked, not rows-only."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    pairs = ngram_jaccard_pairs(toks, "doc_id", word_shingles("t", 3), threshold=0.8)
+    comps = connected_components(pairs, "id_a", "id_b")
+    return comps.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-ranking windows (ntile quartiles, percent_rank,
     cume_dist) over per-customer spend, PARTITIONED BY NATION — the
@@ -1295,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack": q_doc_pack,
         "doc_top_terms": q_doc_top_terms,
         "customer_spend_deciles": q_customer_spend_deciles,
+        "neardup_clusters": q_neardup_clusters,
         "doc_curation": q_doc_curation,
         "customer_order_gaps": q_customer_order_gaps,
         "customer_year_arrays": q_customer_year_arrays,
@@ -2061,6 +2077,35 @@ FROM s
 WHERE rn <= 3
 """
 
+_NEARDUP_CLUSTERS_SQL = rf"""
+WITH RECURSIVE {_SHINGLES},
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.8
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach
+GROUP BY a
+"""
+
 _CUSTOMER_SPEND_DECILES_SQL = f"""
 WITH spend AS (
     SELECT o_custkey, n_name,
@@ -2254,6 +2299,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack": _DOC_PACK_SQL,
         "doc_top_terms": _DOC_TOP_TERMS_SQL,
         "customer_spend_deciles": _CUSTOMER_SPEND_DECILES_SQL,
+        "neardup_clusters": _NEARDUP_CLUSTERS_SQL,
         "doc_curation": _DOC_CURATION_SQL,
         "customer_order_gaps": _CUSTOMER_ORDER_GAPS_SQL,
         "customer_year_arrays": _CUSTOMER_YEAR_ARRAYS_SQL,

@@ -1,4 +1,5 @@
 from .dedup import dedup_any, dedup_latest
+from .graph import connected_components
 from .joins import broadcast_join, join_expr
 from .multimodal import (
     attach_media,
@@ -48,6 +49,7 @@ __all__ = [
     "hash_split",
     "stratified_hash_sample",
     "contamination_scores",
+    "connected_components",
     "broadcast_join",
     "join_expr",
     "union_strict",

@@ -1,0 +1,94 @@
+"""Connected components over pair tables (LLM-data-pipeline extension).
+
+Near-dup detection emits PAIRS; curation needs CLUSTERS — duplicate
+groups under transitive closure (a~b, b~c => {a,b,c}), from which one
+canonical doc per group survives. This module turns a pair table into
+(node, cluster_id) with cluster_id = the component's minimum node id.
+
+Algorithm: distributed min-label propagation. Every node starts
+labeled with its own id; each round, a node's label drops to the
+minimum label in its closed neighborhood (one join + one hash
+aggregate — all DataFrame ops, fully distributed); stop when a round
+changes nothing. Converges in O(graph diameter) rounds — near-dup
+graphs are dense clusters of mutually-similar docs, so diameter (and
+the round count) is tiny in practice.
+
+Scale notes:
+- Each round is one shuffle join labels⋈edges + one min-aggregate; the
+  edge table never grows (contrast with transitive-closure joins).
+- Lineage is truncated every round (``localCheckpoint``) — iterative
+  plans otherwise nest one join layer per round and overwhelm the
+  optimizer; on a real cluster prefer ``spark.sparkContext.
+  setCheckpointDir`` + reliable ``checkpoint`` for fault tolerance.
+- For adversarial high-diameter graphs (long chains — NOT the near-dup
+  shape) the alternating large-star/small-star algorithm (Kiveris et
+  al., "Connected Components in MapReduce", SOCC'14) converges in
+  O(log n) rounds with the same per-round join primitive; this
+  propagation loop is the simple-and-sufficient form for dedup graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Resolve a pair table to (``node``, ``cluster_id``) — every node
+    appearing in any pair, labeled by its component's minimum id.
+
+    Deterministic: labels are ids and min() is order-independent, so
+    the result does not depend on partitioning or round scheduling.
+    Raises if the label propagation has not converged after
+    ``max_rounds`` (diameter > max_rounds — not a near-dup-shaped
+    graph; raise the limit or switch to large-star/small-star).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+
+    def checksum(df: DataFrame):
+        # labels only ever DECREASE, so the label sum strictly decreases
+        # until the fixpoint — equality means converged. One small
+        # aggregate per round instead of a labels⋈labels change join;
+        # decimal(38,0) so the sum cannot overflow at any corpus size.
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    cur = checksum(labels)
+    for _ in range(max_rounds):
+        # min label over the closed neighborhood: neighbors' labels...
+        neighbor = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "label")
+        )
+        # ...plus the node's own current label
+        labels = (
+            neighbor.union(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        new = checksum(labels)
+        if new == cur:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+        cur = new
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_rounds} rounds"
+    )

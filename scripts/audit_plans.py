@@ -46,6 +46,7 @@ DEFAULT = [
     "doc_split_counts",
     "doc_pack",
     "doc_top_terms",
+    "customer_spend_deciles",
 ]
 
 

@@ -183,3 +183,31 @@ def test_pack_layout_independent(spark, sf_dir):
         ["source"], "doc_id", "n_tokens", budget=500,
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (diameter 4 — forces multiple propagation rounds),
+    a triangle, and a 2-node island all resolve to min-id labels."""
+    from etl_spark_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (20, 21)],                            # island
+        ["id_a", "id_b"],
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_raises_on_round_limit(spark):
+    import pytest
+
+    from etl_spark_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError):
+        connected_components(pairs, max_rounds=1)
