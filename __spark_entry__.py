@@ -1243,6 +1243,19 @@ def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_documents(docs)
 
 
+def q_doc_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end pipeline: curation (quality gate, exact dedup,
+    near-dup removal) -> benchmark decontamination (bucket-'0' holdout)
+    -> content-addressed train/val/test split -> per-(split, source)
+    sequence packing into 256-BPE-token chunks. One oracle checks the
+    whole composite bit-for-bit, so a regression in ANY stage surfaces
+    here even if the stage's own query still passes."""
+    from etl_spark_spark.pipelines.curation import curate_for_training
+
+    docs = table(spark, sf_dir, "documents")
+    return curate_for_training(docs)
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -1312,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_spend_deciles": q_customer_spend_deciles,
         "neardup_clusters": q_neardup_clusters,
         "doc_curation": q_doc_curation,
+        "doc_training_prep": q_doc_training_prep,
         "customer_order_gaps": q_customer_order_gaps,
         "customer_year_arrays": q_customer_year_arrays,
         "order_priority_counts": q_order_priority_counts,
@@ -2123,8 +2137,7 @@ FROM spend
 WINDOW w AS (PARTITION BY n_name ORDER BY total_spend DESC, o_custkey)
 """
 
-_DOC_CURATION_SQL = rf"""
-WITH stats AS (
+_CURATION_CTES = rf"""stats AS (
     SELECT doc_id, lang, text,
            len({_TOKS}) AS n_tokens,
            round(
@@ -2168,9 +2181,58 @@ neardup AS (
     JOIN sizes sa ON sa.doc_id = i.id_a
     JOIN sizes sb ON sb.doc_id = i.id_b
     WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.8
-)
+)"""
+
+_DOC_CURATION_SQL = f"""
+WITH {_CURATION_CTES}
 SELECT doc_id, lang, n_tokens, quality FROM canon
 WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+"""
+
+_DOC_TRAINING_PREP_SQL = f"""
+WITH {_CURATION_CTES},
+cur AS (
+    SELECT doc_id FROM canon
+    WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+),
+sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN cur USING (doc_id)),
+ev AS (SELECT DISTINCT s FROM sh2 WHERE {_BUCKET1} = '0'),
+corpus AS (SELECT doc_id, s FROM sh2 WHERE {_BUCKET1} <> '0'),
+csizes AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY 1),
+hits AS (
+    SELECT c.doc_id, count(*) AS h
+    FROM corpus c JOIN ev ON c.s = ev.s
+    GROUP BY 1
+),
+contaminated AS (
+    SELECT cs.doc_id FROM csizes cs JOIN hits h USING (doc_id)
+    WHERE h.h / cs.n >= 0.2
+),
+clean AS (
+    SELECT d.doc_id, d.source, d.text
+    FROM documents d JOIN cur USING (doc_id)
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> '0'
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+splitd AS (
+    SELECT doc_id, source,
+           CASE WHEN {_BUCKET1} < 'd' THEN 'train'
+                WHEN {_BUCKET1} < 'f' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST({bpe_token_count_sql('text')} AS BIGINT) AS n_tokens
+    FROM clean
+),
+packed AS (
+    SELECT doc_id, source, split, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY split, source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS pack_offset
+    FROM splitd
+)
+SELECT doc_id, source, split, n_tokens, pack_offset,
+       CAST(pack_offset // 256 AS BIGINT) AS pack_id
+FROM packed
 """
 
 _ORDER_PRIORITY_COUNTS_SQL = """
@@ -2301,6 +2363,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_spend_deciles": _CUSTOMER_SPEND_DECILES_SQL,
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,
         "doc_curation": _DOC_CURATION_SQL,
+        "doc_training_prep": _DOC_TRAINING_PREP_SQL,
         "customer_order_gaps": _CUSTOMER_ORDER_GAPS_SQL,
         "customer_year_arrays": _CUSTOMER_YEAR_ARRAYS_SQL,
         "order_priority_counts": _ORDER_PRIORITY_COUNTS_SQL,

@@ -24,13 +24,20 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     LANG_PROFILES,
+    bpe_token_count,
     fingerprint,
     quality_score,
     token_count,
     tokens,
     word_shingles,
 )
-from ..operators.neardup import ngram_jaccard_pairs
+from ..operators.neardup import (
+    contamination_scores,
+    ngram_jaccard_pairs,
+    shingle_set,
+)
+from ..operators.packing import pack_by_token_budget
+from ..operators.sampling import hash_bucket, hash_split
 
 
 def curate_documents(
@@ -75,4 +82,67 @@ def curate_documents(
     return (
         canon.join(drop, id_col, "left_anti")
         .select(id_col, "lang", "n_tokens", "quality")
+    )
+
+
+def curate_for_training(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+    contamination_max: float = 0.2,
+    eval_bucket: str = "0",
+) -> DataFrame:
+    """The complete corpus-to-training-chunks pass, every stage from
+    this engine's primitives:
+
+    1. ``curate_documents``   — quality gate + exact dedup + near-dup
+                                removal
+    2. decontamination        — hold out the md5-bucket-``eval_bucket``
+                                docs as the benchmark set; drop
+                                survivors whose shingle-contamination
+                                vs that set reaches ``contamination_max``
+                                (the benchmark docs themselves never
+                                enter the output)
+    3. ``hash_split``         — content-addressed train/val/test
+    4. ``pack_by_token_budget`` — per (split, source) shard layout into
+                                ``budget``-BPE-token chunks
+
+    Returns (id, source, split, n_tokens, pack_offset, pack_id) —
+    deterministic contents whatever the cluster layout, so a re-run
+    reproduces the exact same training chunks.
+
+    Note ``eval_bucket`` must not collide semantically with the split
+    bounds: the default holds out bucket '0' as the benchmark while
+    splits partition the remaining id space, so every split stays
+    populated. Beyond ``curate_documents``'s passes this adds one
+    shingle pass over survivors, the contamination equi-join, and the
+    per-shard pack window.
+    """
+    curated = curate_documents(docs, id_col=id_col, text_col=text_col)
+    base = docs.select(id_col, text_col, "source").join(
+        curated.select(id_col), id_col
+    )
+    toks = base.select(F.col(id_col), tokens(text_col).alias("__t"))
+    pairs = shingle_set(toks, id_col, word_shingles("__t", 3))
+    is_eval = hash_bucket(id_col, len(eval_bucket)) == eval_bucket
+    contaminated = (
+        contamination_scores(
+            pairs.filter(~is_eval), pairs.filter(is_eval), id_col
+        )
+        .filter(F.col("contamination") >= contamination_max)
+        .select(id_col)
+    )
+    clean = base.filter(~is_eval).join(contaminated, id_col, "left_anti")
+    split = hash_split(
+        clean, id_col, [("train", "d"), ("val", "f"), ("test", None)]
+    )
+    with_toks = split.withColumn(
+        "n_tokens", bpe_token_count(text_col).cast("long")
+    )
+    packed = pack_by_token_budget(
+        with_toks, ["split", "source"], id_col, "n_tokens", budget=budget
+    )
+    return packed.select(
+        id_col, "source", "split", "n_tokens", "pack_offset", "pack_id"
     )

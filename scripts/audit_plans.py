@@ -47,6 +47,8 @@ DEFAULT = [
     "doc_pack",
     "doc_top_terms",
     "customer_spend_deciles",
+    "neardup_clusters",
+    "doc_training_prep",
 ]
 
 
