@@ -2195,7 +2195,18 @@ cur AS (
     SELECT doc_id FROM canon
     WHERE doc_id NOT IN (SELECT id_b FROM neardup)
 ),
-sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN cur USING (doc_id)),
+toks5 AS (SELECT doc_id, {_TOKS} AS t FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM cur)),
+shd0 AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 5
+                  THEN list_transform(range(1, len(t) - 3),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            || ' ' || t[i+3] || ' ' || t[i+4])
+                  ELSE []::VARCHAR[] END) AS s
+    FROM toks5
+),
+sh2 AS (SELECT DISTINCT doc_id, s FROM shd0),
 ev AS (SELECT DISTINCT s FROM sh2 WHERE {_BUCKET1} = '0'),
 corpus AS (SELECT doc_id, s FROM sh2 WHERE {_BUCKET1} <> '0'),
 csizes AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY 1),

@@ -92,6 +92,7 @@ def curate_for_training(
     budget: int = 256,
     contamination_max: float = 0.2,
     eval_bucket: str = "0",
+    decontam_shingle_n: int = 5,
 ) -> DataFrame:
     """The complete corpus-to-training-chunks pass, every stage from
     this engine's primitives:
@@ -118,13 +119,22 @@ def curate_for_training(
     populated. Beyond ``curate_documents``'s passes this adds one
     shingle pass over survivors, the contamination equi-join, and the
     per-shard pack window.
+
+    Decontamination uses LONGER shingles (``decontam_shingle_n``, default
+    5) than the 3-gram near-dup stage on purpose: overlap-FRACTION
+    thresholds need shingles rare enough that background collision is
+    ~0, where a contiguous copied span still lights up — the same reason
+    production decontamination uses 8-13-gram checks while MinHash dedup
+    uses short shingles. (On a tiny-vocabulary corpus, 3-gram background
+    overlap alone can exceed any sane threshold and silently empty the
+    training set.)
     """
     curated = curate_documents(docs, id_col=id_col, text_col=text_col)
     base = docs.select(id_col, text_col, "source").join(
         curated.select(id_col), id_col
     )
     toks = base.select(F.col(id_col), tokens(text_col).alias("__t"))
-    pairs = shingle_set(toks, id_col, word_shingles("__t", 3))
+    pairs = shingle_set(toks, id_col, word_shingles("__t", decontam_shingle_n))
     is_eval = hash_bucket(id_col, len(eval_bucket)) == eval_bucket
     contaminated = (
         contamination_scores(

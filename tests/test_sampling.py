@@ -211,3 +211,17 @@ def test_connected_components_raises_on_round_limit(spark):
     )
     with pytest.raises(RuntimeError):
         connected_components(pairs, max_rounds=1)
+
+
+def test_training_prep_funnel_not_degenerate(spark, sf_dir):
+    """The composite keeps the bulk of the curated corpus: the
+    decontamination stage must drop only genuine eval-overlap docs, not
+    background-shingle noise (the 3-gram-vs-5-gram trap), and every
+    split must be populated."""
+    import __spark_entry__ as entrymod
+
+    curated = entrymod.q_doc_curation(spark, sf_dir).count()
+    prep = entrymod.q_doc_training_prep(spark, sf_dir).toPandas()
+    assert len(prep) > 0.7 * curated
+    assert set(prep["split"]) == {"train", "val", "test"}
+    assert (prep.groupby(["split", "source"])["pack_offset"].min() == 0).all()
