@@ -421,6 +421,15 @@ def cosine_topk_ivf_pq(
     neighbor (recall, tunable via rerank/n_probe) but can never corrupt
     a returned score. Approximate -> no SQL oracle; containment- and
     recall-tested like IVF/LSH.
+
+    Codes are RESIDUAL-encoded (the standard IVF-PQ refinement): each
+    vector stores PQ codes of ``u - coarse_centroid[list]``, not of
+    ``u`` itself. Residuals are much smaller than raw vectors once the
+    coarse quantizer has absorbed the cluster structure, so the same
+    code budget quantizes far finer. The ADC score decomposes exactly:
+    ``q·x ≈ q·c_list + Σ_s lut[s, code_s]`` where the lookup table is
+    built on the residual codebooks — one extra per-(query, list)
+    scalar, no extra per-candidate cost.
     """
     from collections.abc import Iterator
 
@@ -435,11 +444,12 @@ def cosine_topk_ivf_pq(
 
     sample = _bounded_unit_sample(base)
     coarse = _kmeans_centroids(sample, min(n_lists, sample.shape[0]))
+    resid = sample - coarse[np.argmax(sample @ coarse.T, axis=1)]
     books = np.stack(
         [
             _kmeans_euclidean(
-                sample[:, s * sub : (s + 1) * sub],
-                min(n_codes, sample.shape[0]),
+                resid[:, s * sub : (s + 1) * sub],
+                min(n_codes, resid.shape[0]),
             )
             for s in range(m_subspaces)
         ]
@@ -455,12 +465,13 @@ def cosine_topk_ivf_pq(
                 continue
             u = _unit_rows(np.vstack(pdf["v"].to_numpy()))
             lists = np.argmax(u @ c.T, axis=1).astype(np.int32)
+            r = u - c[lists]
             codes = np.empty((len(u), bk.shape[0]), dtype=np.int16)
             for s in range(bk.shape[0]):
-                us = u[:, s * sub : (s + 1) * sub]
+                rs = r[:, s * sub : (s + 1) * sub]
                 # nearest codeword by Euclidean: argmin ||x-c||^2 =
                 # argmax (x·c - ||c||²/2)
-                scores = us @ bk[s].T - 0.5 * (bk[s] * bk[s]).sum(axis=1)
+                scores = rs @ bk[s].T - 0.5 * (bk[s] * bk[s]).sum(axis=1)
                 codes[:, s] = np.argmax(scores, axis=1)
             yield pd.DataFrame(
                 {
@@ -503,20 +514,22 @@ def cosine_topk_ivf_pq(
         ],
         axis=1,
     )  # (Q, m, n_codes)
+    q_coarse = q_unit @ coarse.T  # (Q, L): the q·c_list term
     bc_lut = spark.sparkContext.broadcast(
-        {int(q_ids[i]): lut[i] for i in range(len(q_ids))}
+        {int(q_ids[i]): (lut[i], q_coarse[i]) for i in range(len(q_ids))}
     )
 
     def adc_topr(key, pdf):
         qid = int(key[0])
-        t = bc_lut.value[qid]  # (m, n_codes)
+        t, qc = bc_lut.value[qid]  # (m, n_codes), (L,)
         codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
         ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        lists = pdf["list_id"].to_numpy(dtype=np.int64)
         keep = ids != qid
-        codes, ids = codes[keep], ids[keep]
+        codes, ids, lists = codes[keep], ids[keep], lists[keep]
         if not len(ids):
             return pd.DataFrame({"query_id": [], "neighbor_id": []})
-        adc = t[np.arange(t.shape[0])[None, :], codes].sum(axis=1)
+        adc = qc[lists] + t[np.arange(t.shape[0])[None, :], codes].sum(axis=1)
         order = np.lexsort((ids, -adc))[:rerank]
         return pd.DataFrame(
             {"query_id": qid, "neighbor_id": ids[order]}
