@@ -2,6 +2,7 @@ from .stateful import stream_session_agg, stream_user_totals
 from .stream import (
     run_foreach_batch_upsert,
     stream_dedup_events,
+    stream_enrich_static,
     stream_events_tumbling,
     write_stream_files,
 )
@@ -16,5 +17,6 @@ __all__ = [
     "stream_user_totals",
     "write_stream_files",
     "stream_dedup_events",
+    "stream_enrich_static",
     "run_foreach_batch_upsert",
 ]

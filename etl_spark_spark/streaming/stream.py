@@ -95,6 +95,26 @@ def stream_dedup_events(
     )
 
 
+def stream_enrich_static(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — attach dimension attributes to a
+    stream (the lookup-table pattern: event_type -> category, user ->
+    account tier). The static side is re-planned per micro-batch, so a
+    refreshed dimension table is picked up without restarting the query.
+
+    Scale shape: Spark broadcasts the (small) static side into every
+    micro-batch task — the stream is never shuffled and no streaming
+    state is kept (contrast with stream-stream joins, which buffer both
+    sides in state against the watermark). Works in append mode with no
+    watermark requirement.
+    """
+    return events.join(F.broadcast(dim), on, how)
+
+
 def run_foreach_batch_upsert(
     stream_df: DataFrame,
     target_path: str,

@@ -350,3 +350,37 @@ def test_stream_sessions_subset_of_batch(spark, sf_dir):
     assert emitted, "watermark should have closed at least one session"
     for r in emitted:
         assert (r.user_id, r.session_start_us, r.n_events) in batch_set
+
+
+def test_stream_enrich_static_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment: every micro-batch row picks
+    up its dimension attributes; left semantics keep unmatched stream
+    rows (NULL category) instead of dropping events."""
+    from etl_spark_spark.streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        stream_enrich_static,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_event_file(
+        src, "f1.parquet", [(1, 600, 1.0), (2, 605, 2.0), (3, 610, 3.0)], 1000
+    )
+    dim = spark.createDataFrame([("a", "alpha")], ["event_type", "category"])
+    stream = read_events_stream(spark, str(src))
+    rows = run_available_now(
+        stream_enrich_static(stream, dim, "event_type"),
+        "t_enrich1",
+        output_mode="append",
+    )
+    assert {(r.event_id, r.category) for r in rows} == {
+        (1, "alpha"), (2, "alpha"), (3, "alpha")
+    }
+    miss = spark.createDataFrame([("zzz", "none")], ["event_type", "category"])
+    rows2 = run_available_now(
+        stream_enrich_static(stream, miss, "event_type"),
+        "t_enrich2",
+        output_mode="append",
+    )
+    assert len(rows2) == 3 and {r.category for r in rows2} == {None}
