@@ -1111,6 +1111,19 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
+def q_doc_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-stable (leakage-safe) split: hash the SOURCE, not the doc
+    id, so every doc of a crawl domain lands in the same split — near
+    dups cluster within domains, and splitting by doc id would leak
+    them across train/test. Same zero-shuffle map expression, coarser
+    key."""
+    docs = table(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, "source", [("train", "d"), ("val", "f"), ("test", None)]
+    )
+    return split.groupBy("source", "split").agg(F.count("*").alias("n_docs"))
+
+
 def q_doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota (cap docs per crawl domain) via the SKEW-SAFE
     two-phase top-k aggregate: longest 5 docs per source, ties to the
@@ -1317,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "doc_split_counts": q_doc_split_counts,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_group_split": q_doc_group_split,
         "doc_source_cap": q_doc_source_cap,
         "vocab_topk": q_vocab_topk,
         "doc_decontaminate": q_doc_decontaminate,
@@ -2021,6 +2035,16 @@ WHERE CASE lang WHEN 'en' THEN {_BUCKET2} < '40'
                 ELSE {_BUCKET2} < 'ff' END
 """
 
+_DOC_GROUP_SPLIT_SQL = """
+SELECT source,
+       CASE WHEN substring(md5(source), 1, 1) < 'd' THEN 'train'
+            WHEN substring(md5(source), 1, 1) < 'f' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
 _DOC_SOURCE_CAP_SQL = """
 SELECT source, doc_id, n_chars
 FROM (
@@ -2366,6 +2390,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
         "doc_split_counts": _DOC_SPLIT_COUNTS_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SAMPLE_SQL,
+        "doc_group_split": _DOC_GROUP_SPLIT_SQL,
         "doc_source_cap": _DOC_SOURCE_CAP_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
         "doc_decontaminate": _DOC_DECONTAMINATE_SQL,

@@ -127,3 +127,13 @@ def test_doc_source_cap_no_window(spark, sf_dir):
     plan = explain_str(entrymod.q_doc_source_cap(spark, sf_dir))
     assert "Window" not in plan
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_no_row_python_udfs_in_any_query(spark, sf_dir):
+    """Engine-wide hygiene gate: NO query's plan may contain a
+    row-at-a-time Python UDF (BatchEvalPython) — Python is allowed only
+    through Arrow-batched nodes (MapInPandas / FlatMapGroupsInPandas /
+    ArrowEvalPython), and only where expressions can't express the op."""
+    for name, fn in entrymod.queries().items():
+        plan = explain_str(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"

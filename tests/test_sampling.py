@@ -225,3 +225,13 @@ def test_training_prep_funnel_not_degenerate(spark, sf_dir):
     assert len(prep) > 0.7 * curated
     assert set(prep["split"]) == {"train", "val", "test"}
     assert (prep.groupby(["split", "source"])["pack_offset"].min() == 0).all()
+
+
+def test_group_split_is_leakage_safe(spark, sf_dir):
+    """Splitting on the group key assigns every doc of a source to ONE
+    split (no near-dup leakage across train/test via shared domains)."""
+    import __spark_entry__ as entrymod
+
+    pdf = entrymod.q_doc_group_split(spark, sf_dir).toPandas()
+    assert (pdf.groupby("source")["split"].nunique() == 1).all()
+    assert pdf["n_docs"].sum() == table(spark, sf_dir, "documents").count()
