@@ -226,14 +226,17 @@ def simhash_near_dup(
             )
         ).alias("p")
     ).select("p.*")
+    # Filter BEFORE distinct: hamming is a function of the pair, so the
+    # result is identical, but far-apart candidate pairs are dropped
+    # map-side instead of shuffling into the dedup exchange.
     return (
         pairs.select(
             "id_a",
             "id_b",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= threshold)
+        .distinct()
     )
 
 
