@@ -30,6 +30,7 @@ from etl_spark_spark.functions.text import (
     LANG_PROFILES,
     bpe_token_count,
     bpe_token_count_sql,
+    dup_fraction,
     fingerprint,
     lang_id,
     lang_scores,
@@ -40,6 +41,7 @@ from etl_spark_spark.functions.text import (
     tokens,
     word_shingles,
 )
+from etl_spark_spark.functions.scrub import scrub_pii, scrub_pii_sql_stages
 from etl_spark_spark.operators.dedup import dedup_any, dedup_latest
 from etl_spark_spark.operators.multimodal import (
     attach_media,
@@ -1124,6 +1126,85 @@ def q_doc_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.groupBy("source", "split").agg(F.count("*").alias("n_docs"))
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style quality rule):
+    duplicate-word and duplicate-3-gram fractions. Map-only — the token
+    and shingle arrays are materialized once per row (projection
+    barriers keep the split() from being re-inlined per element_at),
+    then counted; zero shuffles at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("__t"))
+    sh = t.select("doc_id", "__t", word_shingles("__t", 3).alias("__s"))
+    return sh.select(
+        "doc_id",
+        F.size("__t").cast("long").alias("n_words"),
+        F.size(F.array_distinct("__t")).cast("long").alias("n_uniq_words"),
+        F.size("__s").cast("long").alias("n_3grams"),
+        F.size(F.array_distinct("__s")).cast("long").alias("n_uniq_3grams"),
+        dup_fraction("__t").alias("dup_word_frac"),
+        dup_fraction("__s").alias("dup_3gram_frac"),
+    )
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents. The fixture corpus is synthetic
+    word salad with no PII, so the query first injects deterministic
+    PII (email/phone/card/IP, keyed off doc_id residues — the SQL
+    oracle injects the identical strings), then runs the staged
+    count-and-redact scrubber. Map-only at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    d.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 1,
+                F.concat(
+                    F.lit(" call +55 "),
+                    (d % 7000 + 3000).cast("string"),
+                    F.lit("-"),
+                    (d % 9000 + 1000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 2,
+                F.concat(
+                    F.lit(" card 4012-8888-8888-"),
+                    (d % 9000 + 1000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 3,
+                F.concat(
+                    F.lit(" from 10."),
+                    (d % 256).cast("string"),
+                    F.lit(".0."),
+                    (d % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("pii_text"),
+    )
+    scrubbed = scrub_pii(injected, "pii_text")
+    return scrubbed.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_cc",
+        "n_phone",
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
+        F.md5("clean_text").alias("clean_checksum"),
+    )
+
+
 def q_doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota (cap docs per crawl domain) via the SKEW-SAFE
     two-phase top-k aggregate: longest 5 docs per source, ties to the
@@ -1331,6 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_counts": q_doc_split_counts,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_group_split": q_doc_group_split,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii_scrub": q_doc_pii_scrub,
         "doc_source_cap": q_doc_source_cap,
         "vocab_topk": q_vocab_topk,
         "doc_decontaminate": q_doc_decontaminate,
@@ -2045,6 +2128,57 @@ FROM documents
 GROUP BY 1, 2
 """
 
+_DOC_REPETITION_SQL = rf"""
+WITH base AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+    SELECT doc_id, t,
+           CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END AS s
+    FROM base
+)
+SELECT doc_id,
+       len(t)::BIGINT AS n_words,
+       len(list_distinct(t))::BIGINT AS n_uniq_words,
+       len(s)::BIGINT AS n_3grams,
+       len(list_distinct(s))::BIGINT AS n_uniq_3grams,
+       round(CASE WHEN len(t) > 0
+                  THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                             / CAST(len(t) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_word_frac,
+       round(CASE WHEN len(s) > 0
+                  THEN 1.0 - CAST(len(list_distinct(s)) AS DOUBLE)
+                             / CAST(len(s) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_3gram_frac
+FROM sh
+"""
+
+_DOC_PII_SCRUB_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR
+                      || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 1 THEN ' call +55 '
+                      || (doc_id % 7000 + 3000)::VARCHAR || '-'
+                      || (doc_id % 9000 + 1000)::VARCHAR ELSE '' END
+         || CASE WHEN doc_id % 5 = 2 THEN ' card 4012-8888-8888-'
+                      || (doc_id % 9000 + 1000)::VARCHAR ELSE '' END
+         || CASE WHEN doc_id % 7 = 3 THEN ' from 10.'
+                      || (doc_id % 256)::VARCHAR || '.0.'
+                      || (doc_id % 100)::VARCHAR ELSE '' END
+         AS pii_text
+  FROM documents
+),
+{scrub_pii_sql_stages("pii_text", "injected")}
+SELECT doc_id, n_email, n_ipv4, n_cc, n_phone,
+       length(clean_text)::BIGINT AS n_chars_clean,
+       md5(clean_text) AS clean_checksum
+FROM pii_s4
+"""
+
 _DOC_SOURCE_CAP_SQL = """
 SELECT source, doc_id, n_chars
 FROM (
@@ -2391,6 +2525,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_counts": _DOC_SPLIT_COUNTS_SQL,
         "doc_stratified_sample": _DOC_STRATIFIED_SAMPLE_SQL,
         "doc_group_split": _DOC_GROUP_SPLIT_SQL,
+        "doc_repetition": _DOC_REPETITION_SQL,
+        "doc_pii_scrub": _DOC_PII_SCRUB_SQL,
         "doc_source_cap": _DOC_SOURCE_CAP_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
         "doc_decontaminate": _DOC_DECONTAMINATE_SQL,

@@ -81,6 +81,24 @@ def quality_score(c: Column | str, stopwords: list[str]) -> Column:
     return F.round(score, 6)
 
 
+def dup_fraction(arr: Column | str) -> Column:
+    """Fraction of array elements that repeat an earlier element:
+    ``1 - n_distinct/n`` (0.0 for empty arrays), rounded to 6 places.
+
+    The Gopher-style within-document repetition signal: applied to the
+    token array it flags word-loop spam; applied to a ``word_shingles``
+    array it flags duplicated passages. Pure per-row expression — no
+    shuffle, embarrassingly parallel at any scale.
+    """
+    a = _col(arr)
+    n = F.size(a)
+    u = F.size(F.array_distinct(a))
+    return F.round(
+        F.when(n > 0, 1.0 - u.cast("double") / n.cast("double")).otherwise(0.0),
+        6,
+    )
+
+
 def fingerprint(c: Column | str) -> Column:
     """Exact-duplicate fingerprint: md5 of whitespace-collapsed
     normalized text."""

@@ -452,3 +452,36 @@ def test_ivfpq_residual_adc_quality(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"tight-rerank ADC recall@5 {recall:.3f} < 0.6"
+
+
+def test_pii_scrub_staged_order(spark):
+    """A credit card contains phone-shaped digit runs; the staged
+    scrubber must count it once as cc and zero times as phone, and the
+    final text must carry only the tags."""
+    from etl_spark_spark.functions.scrub import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io from 10.0.0.1 card 4012-8888-8888-1881 ok"),
+            (2, "call +55 9999-1234 twice +55 9999-1234"),
+            (3, "nothing to redact here"),
+        ],
+        "id long, txt string",
+    )
+    out = {r["id"]: r for r in scrub_pii(df, "txt").collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_cc"], out[1]["n_phone"]) == (1, 1, 1, 0)
+    assert out[1]["clean_text"] == "mail <EMAIL> from <IP> card <CC> ok"
+    assert out[2]["n_phone"] == 2 and "<PHONE>" in out[2]["clean_text"]
+    assert out[3]["clean_text"] == "nothing to redact here"
+
+
+def test_dup_fraction_edges(spark):
+    """Empty array -> 0.0 (not null/NaN); all-same -> (n-1)/n."""
+    from etl_spark_spark.functions.text import dup_fraction
+
+    df = spark.createDataFrame(
+        [(1, []), (2, ["a", "a", "a", "a"]), (3, ["a", "b"])],
+        "id long, arr array<string>",
+    )
+    got = {r["id"]: r["f"] for r in df.select("id", dup_fraction("arr").alias("f")).collect()}
+    assert got == {1: 0.0, 2: 0.75, 3: 0.0}
