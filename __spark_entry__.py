@@ -57,9 +57,14 @@ from etl_spark_spark.operators.neardup import (
     simhash,
     simhash_near_dup,
 )
+from etl_spark_spark.operators.quality import (
+    expectation_metrics,
+    fk_violation_count,
+)
 from etl_spark_spark.operators.sampling import (
     hash_bucket,
     hash_split,
+    temperature_sample,
     stratified_hash_sample,
 )
 from etl_spark_spark.operators.similarity import (
@@ -1205,6 +1210,51 @@ def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (alpha=0.5) source rebalancing to a fixed
+    doc budget: rare crawl domains are upweighted vs proportional
+    sampling. Keep decision is integer cross-multiplied md5 selection
+    — bit-reproducible; see operators.sampling.temperature_sample."""
+    docs = table(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, "doc_id", "source", budget=150)
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    kcounts = kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept")
+    )
+    return counts.join(kcounts, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over lineitem: range +
+    domain rules folded into ONE aggregate pass (map-side partial
+    sums — 50 rules cost the same scan as 1), plus a referential rule
+    (orphan l_orderkey) as a left-anti join. Fail-closed on NULL."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    rules = {
+        "qty_range": (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "discount_range": (F.col("l_discount") >= 0)
+        & (F.col("l_discount") <= 0.1),
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        "linestatus_domain": F.col("l_linestatus").isin("O", "F"),
+    }
+    metrics = expectation_metrics(li, rules)
+    n_li = li.agg(F.count("*").cast("long").alias("n_rows"))
+    fk = (
+        fk_violation_count(li, "l_orderkey", orders, "o_orderkey")
+        .crossJoin(n_li)
+        .select(
+            F.lit("orderkey_fk").alias("rule"), "n_rows", "n_violations"
+        )
+    )
+    return metrics.unionByName(fk)
+
+
 def q_doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota (cap docs per crawl domain) via the SKEW-SAFE
     two-phase top-k aggregate: longest 5 docs per source, ties to the
@@ -1414,6 +1464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_group_split": q_doc_group_split,
         "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,
+        "data_quality": q_data_quality,
+        "source_mix_sample": q_source_mix_sample,
         "doc_source_cap": q_doc_source_cap,
         "vocab_topk": q_vocab_topk,
         "doc_decontaminate": q_doc_decontaminate,
@@ -2179,6 +2231,49 @@ SELECT doc_id, n_email, n_ipv4, n_cc, n_phone,
 FROM pii_s4
 """
 
+_SOURCE_MIX_SAMPLE_SQL = """
+WITH counts AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS w
+  FROM counts
+), t AS (
+  SELECT source, n_docs, w, CAST(sum(w) OVER () AS BIGINT) AS tot FROM w
+), kept AS (
+  SELECT d.source
+  FROM documents d JOIN t ON d.source = t.source
+  WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT)::HUGEINT
+          * t.tot::HUGEINT * t.n_docs::HUGEINT
+        < 150::HUGEINT * t.w::HUGEINT * 16777216::HUGEINT
+), kc AS (
+  SELECT source, count(*)::BIGINT AS n_kept FROM kept GROUP BY source
+)
+SELECT t.source, t.n_docs, coalesce(kc.n_kept, 0)::BIGINT AS n_kept
+FROM t LEFT JOIN kc USING (source)
+"""
+
+_DATA_QUALITY_SQL = """
+WITH one_pass AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END)::BIGINT AS v_qty,
+         sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)::BIGINT AS v_price,
+         sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 0 ELSE 1 END)::BIGINT AS v_disc,
+         sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)::BIGINT AS v_rf,
+         sum(CASE WHEN l_linestatus IN ('O','F') THEN 0 ELSE 1 END)::BIGINT AS v_ls
+  FROM lineitem
+)
+SELECT 'qty_range' AS rule, n_rows, v_qty AS n_violations FROM one_pass
+UNION ALL SELECT 'price_positive', n_rows, v_price FROM one_pass
+UNION ALL SELECT 'discount_range', n_rows, v_disc FROM one_pass
+UNION ALL SELECT 'returnflag_domain', n_rows, v_rf FROM one_pass
+UNION ALL SELECT 'linestatus_domain', n_rows, v_ls FROM one_pass
+UNION ALL SELECT 'orderkey_fk',
+       (SELECT count(*)::BIGINT FROM lineitem),
+       (SELECT count(*)::BIGINT FROM lineitem l LEFT JOIN orders o
+          ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+"""
+
 _DOC_SOURCE_CAP_SQL = """
 SELECT source, doc_id, n_chars
 FROM (
@@ -2527,6 +2622,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_group_split": _DOC_GROUP_SPLIT_SQL,
         "doc_repetition": _DOC_REPETITION_SQL,
         "doc_pii_scrub": _DOC_PII_SCRUB_SQL,
+        "data_quality": _DATA_QUALITY_SQL,
+        "source_mix_sample": _SOURCE_MIX_SAMPLE_SQL,
         "doc_source_cap": _DOC_SOURCE_CAP_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
         "doc_decontaminate": _DOC_DECONTAMINATE_SQL,

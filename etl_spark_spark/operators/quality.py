@@ -1,0 +1,100 @@
+"""Data-quality expectations: declarative row-level rules, evaluated
+in one pass, with quarantine routing (engine extension; the reference
+has no validation surface — its pipelines trust their inputs, see
+SURVEY.md §0).
+
+A rule is a named boolean Column expression that should hold for every
+row. Semantics are FAIL-CLOSED: a rule that evaluates to NULL (e.g. a
+comparison against a NULL value) counts as a violation — data-quality
+checks exist precisely to catch the rows where expressions stop
+evaluating cleanly.
+
+Scale shape: ``expectation_metrics`` folds every rule into a SINGLE
+hash aggregate over one scan (map-side partial sums of 0/1 casts) —
+checking 50 rules on 100 TB costs one pass, not 50. ``quarantine``
+splits pass/fail rows with pure per-row expressions (no shuffle);
+referential checks (``fk_violation_count``) are the one shuffling
+rule, a left-anti join on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "expectation_metrics",
+    "fk_violation_count",
+    "quarantine",
+]
+
+
+def _violation(rule: Column) -> Column:
+    """1 if the rule fails OR cannot be evaluated (NULL), else 0."""
+    return F.when(rule, F.lit(0)).otherwise(F.lit(1))
+
+
+def expectation_metrics(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Evaluate all rules in one aggregate pass.
+
+    Returns one row per rule: (rule string, n_rows long, n_violations
+    long). Rule order in the output follows dict order.
+    """
+    if not rules:
+        raise ValueError("at least one rule required")
+    aliased = {name: f"__v{i}" for i, name in enumerate(rules)}
+    agg = df.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(_violation(rule)).cast("long").alias(aliased[name])
+            for name, rule in rules.items()
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', {aliased[name]}" for name in rules
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"
+        ),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    ).select("rule", "n_rows", "n_violations")
+
+
+def quarantine(
+    df: DataFrame, rules: dict[str, Column], failed_col: str = "failed_rules"
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (good, bad). ``bad`` carries ``failed_col``, the
+    sorted array of names of the rules the row fails (fail-closed on
+    NULL, matching ``expectation_metrics``). Pure map — no shuffle."""
+    if not rules:
+        raise ValueError("at least one rule required")
+    failed = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(_violation(rule) == 1, F.lit(name))
+                    for name, rule in rules.items()
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    tagged = df.withColumn(failed_col, failed)
+    good = tagged.filter(F.size(failed_col) == 0).drop(failed_col)
+    bad = tagged.filter(F.size(failed_col) > 0)
+    return good, bad
+
+
+def fk_violation_count(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    """Referential-integrity rule: count child rows whose key has no
+    parent (orphans). NULL child keys are orphans (fail-closed).
+    Left-anti join — shuffles on the key; at scale AQE broadcasts the
+    parent's deduped key column when it is small."""
+    parents = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    orphans = child.join(
+        parents, child[child_key].eqNullSafe(F.col("__pk")), "left_anti"
+    )
+    return orphans.agg(F.count("*").cast("long").alias("n_violations"))

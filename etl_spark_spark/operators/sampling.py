@@ -34,6 +34,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "stratified_hash_sample",
+    "temperature_sample",
 ]
 
 
@@ -93,6 +94,73 @@ def hash_split(
     for name, bound in bounded[1:]:
         expr = expr.when(bucket < bound, F.lit(name))
     return df.withColumn(split_col, expr.otherwise(F.lit(last_name)))
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted source rebalancing: deterministically keep
+    ≈ ``budget * n_s**alpha / Σ_t n_t**alpha`` rows from each stratum
+    (the multilingual/domain mixing rule — alpha < 1 upweights rare
+    strata relative to proportional sampling; alpha=0 is uniform per
+    stratum, alpha=1 is proportional).
+
+    Selection is content-addressed (md5 of the row id) and the keep
+    test is evaluated in INTEGER cross-multiplied form::
+
+        hash6(id) * T * n_s  <  budget * W_s * 16^6
+
+    where ``W_s = round(n_s**alpha * 1e6)`` and ``T = Σ W_s`` — no
+    float division anywhere, so the decision is bit-reproducible
+    across engines (for alpha=0.5 the weight itself is also exact:
+    IEEE sqrt is correctly rounded; other alphas go through pow()
+    whose last-ulp may differ across libm implementations, which the
+    1e-6 weight rounding absorbs except on exact-tie boundaries).
+    Products are decimal(38,0) so 100 TB-scale counts (n_s up to
+    ~1e12) cannot overflow. Strata whose quota exceeds their size
+    keep every row (the inequality caps itself: rate ≥ 1 means the
+    RHS exceeds any possible LHS).
+
+    Plan shape: one count aggregate over the strata (tiny), an
+    unpartitioned window sum over that strata table (fine — strata
+    cardinality is small by definition), a broadcast join back, and a
+    per-row filter. The big table is scanned once and never shuffled.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("__n"))
+    weight = (
+        F.sqrt(F.col("__n").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    )
+    w = counts.withColumn(
+        "__w", F.round(weight * F.lit(1000000.0), 0).cast("long")
+    )
+    from pyspark.sql import Window
+
+    t = w.withColumn(
+        "__t", F.sum("__w").over(Window.partitionBy())
+    )
+    dec = "decimal(38,0)"
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    keep = (
+        h.cast(dec) * F.col("__t").cast(dec) * F.col("__n").cast(dec)
+        < F.lit(int(budget)).cast(dec)
+        * F.col("__w").cast(dec)
+        * F.lit(16**6).cast(dec)
+    )
+    return (
+        df.join(F.broadcast(t), stratum_col)
+        .filter(keep)
+        .drop("__n", "__w", "__t")
+    )
 
 
 def stratified_hash_sample(
