@@ -1228,6 +1228,27 @@ def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: every doc gets a seeded
+    content-addressed shuffle key (md5(seed#id)) — reshuffling is a
+    seed change, re-runs are reproducible, and the order is
+    layout-independent. The full-corpus materialization path is
+    sinks.write_range_sorted on the key (range exchange + local sort,
+    no global sort); this query form takes the first 20 docs, which
+    plans as TakeOrderedAndProject (no full sort either)."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("seed42#"), F.col("doc_id").cast("string")))
+    first = (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(20)
+    )
+    w = Window.orderBy("shuffle_key")
+    return first.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+
+
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations over lineitem: range +
     domain rules folded into ONE aggregate pass (map-side partial
@@ -1466,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_doc_pii_scrub,
         "data_quality": q_data_quality,
         "source_mix_sample": q_source_mix_sample,
+        "doc_shuffle_order": q_doc_shuffle_order,
         "doc_source_cap": q_doc_source_cap,
         "vocab_topk": q_vocab_topk,
         "doc_decontaminate": q_doc_decontaminate,
@@ -2253,6 +2275,16 @@ SELECT t.source, t.n_docs, coalesce(kc.n_kept, 0)::BIGINT AS n_kept
 FROM t LEFT JOIN kc USING (source)
 """
 
+_DOC_SHUFFLE_ORDER_SQL = """
+WITH first20 AS (
+  SELECT doc_id, md5('seed42#' || doc_id::VARCHAR) AS shuffle_key
+  FROM documents ORDER BY shuffle_key LIMIT 20
+)
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key) AS BIGINT) AS rank
+FROM first20
+"""
+
 _DATA_QUALITY_SQL = """
 WITH one_pass AS (
   SELECT count(*)::BIGINT AS n_rows,
@@ -2624,6 +2656,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": _DOC_PII_SCRUB_SQL,
         "data_quality": _DATA_QUALITY_SQL,
         "source_mix_sample": _SOURCE_MIX_SAMPLE_SQL,
+        "doc_shuffle_order": _DOC_SHUFFLE_ORDER_SQL,
         "doc_source_cap": _DOC_SOURCE_CAP_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
         "doc_decontaminate": _DOC_DECONTAMINATE_SQL,

@@ -1,3 +1,3 @@
-from .write import upsert, write, write_bucketed
+from .write import upsert, write, write_bucketed, write_range_sorted
 
-__all__ = ["write", "upsert", "write_bucketed"]
+__all__ = ["write", "upsert", "write_bucketed", "write_range_sorted"]

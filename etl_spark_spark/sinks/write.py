@@ -69,6 +69,44 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    order_by: Sequence[str],
+    num_files: int = 32,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write with a RANGE-CLUSTERED layout: rows are range-partitioned
+    on ``order_by`` (sampled split points -> balanced files) and sorted
+    within each partition, so every output file covers a narrow,
+    (near-)disjoint slice of the key space and its parquet footer
+    min/max statistics actually discriminate.
+
+    Why this matters at 100 TB: engines skip parquet row groups (and
+    catalog-backed readers skip whole files) by footer min/max. After a
+    hash-partitioned write every file spans the full key range and no
+    filter can skip anything; after this write a time- or key-range
+    query touches only the files that cover it. This is the
+    single-column z-order degenerate case — for one predicate column,
+    plain range clustering IS the optimal layout (true multi-column
+    z-order needs bit-interleaving; compose ``order_by`` with the
+    leading column first for the common prefix-filter case).
+
+    One shuffle (the range exchange, driven by a sample pass), then a
+    partition-local sort that spills gracefully — no global sort, no
+    driver involvement.
+    """
+    clustered = df.repartitionByRange(num_files, *order_by).sortWithinPartitions(
+        *order_by
+    )
+    writer = clustered.write.format(fmt).mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.save(path)
+
+
 def upsert(
     spark: SparkSession,
     source_df: DataFrame,

@@ -2,6 +2,7 @@ from .parquet import (
     date_range_paths,
     read_date_range,
     read_events,
+    read_evolved,
     source,
     table,
     year_range_filter,
@@ -14,6 +15,7 @@ __all__ = [
     "date_range_paths",
     "read_date_range",
     "read_events",
+    "read_evolved",
     "year_range_filter",
     "read_csv",
     "read_jsonl",

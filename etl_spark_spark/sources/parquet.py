@@ -110,6 +110,38 @@ def read_events(
     return df
 
 
+def read_evolved(
+    spark: SparkSession,
+    paths: Sequence[str],
+    target_schema: StructType | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Schema-evolution read: union parquet directories written at
+    different schema versions into one DataFrame.
+
+    ``mergeSchema`` makes the footer union (old files surface added
+    columns as NULL); ``target_schema``, when given, is the output
+    contract — missing columns are added as typed NULLs, extra columns
+    dropped, and every column cast to the contract type, in contract
+    order. A decade-old 100 TB table always has schema drift across
+    its files; this read makes drift a non-event instead of a failed
+    scan. (mergeSchema's footer reconciliation is a distributed
+    metadata job over file footers — data is still read once, scan
+    pushdown/pruning unaffected.)
+    """
+    df = spark.read.format(fmt).option("mergeSchema", "true").load(list(paths))
+    if target_schema is None:
+        return df
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    for field in target_schema.fields:
+        if field.name in have:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
 def year_range_filter(df: DataFrame, col: str, year: int) -> DataFrame:
     """Pushdown-friendly rewrite of ``F.year(c) == year``
     (reference utils_ressarcimento.py:115,156,170): a closed-open range

@@ -137,3 +137,10 @@ def test_no_row_python_udfs_in_any_query(spark, sf_dir):
     for name, fn in entrymod.queries().items():
         plan = explain_str(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
+
+
+def test_shuffle_order_no_global_sort(spark, sf_dir):
+    """The top-N of the seeded shuffle order must plan as
+    TakeOrderedAndProject, never a full global Sort over the corpus."""
+    plan = explain_str(entrymod.q_doc_shuffle_order(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

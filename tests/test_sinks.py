@@ -155,3 +155,36 @@ def test_run_guarded_skips_empty(spark, tmp_path):
     empty = df.filter("x > 99")
     assert not run_guarded(empty, lambda d: written.append(d.count()))
     assert written == [1]
+
+
+def test_range_sorted_layout_is_file_skippable(spark, sf_dir, tmp_path):
+    """After write_range_sorted on l_shipdate, each output file's
+    parquet footer min/max covers a narrow, non-overlapping slice of
+    the key space — the property min/max file skipping needs. (A plain
+    hash-partitioned write fails this: every file spans the full
+    range.)"""
+    import pyarrow.parquet as pq
+
+    from etl_spark_spark.sinks import write_range_sorted
+    from etl_spark_spark.sources import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    out = str(tmp_path / "li_sorted")
+    write_range_sorted(li, out, ["l_shipdate"], num_files=8)
+
+    ranges = []
+    for f in sorted((tmp_path / "li_sorted").glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)  # l_shipdate
+            assert col.statistics is not None
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # range partitioner actually split
+    ranges.sort()
+    # consecutive files must not interleave: file i's max <= file i+1's
+    # min (ties allowed on the boundary value itself)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"

@@ -110,3 +110,39 @@ def test_read_jsonl_schema_projection(spark, tmp_path):
     assert rows[1] == ("a", None)     # unknown field ignored
     assert rows[2] == (None, None)    # missing field -> NULL
     assert rows[None][1].startswith("this is not")
+
+
+def test_read_evolved_merges_schema_versions(spark, tmp_path):
+    """Two directories written at different schema versions read back
+    as one table: old files surface the added column as NULL, and the
+    target-schema contract fixes order, types, and drops strays."""
+    from pyspark.sql import types as T
+
+    from etl_spark_spark.sources import read_evolved
+
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v2 = spark.createDataFrame(
+        [(3, "c", 1.5, "x")], "id long, name string, score double, extra string"
+    )
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    v1.write.parquet(p1)
+    v2.write.parquet(p2)
+
+    merged = read_evolved(spark, [p1, p2])
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 1.5
+
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("added_later", T.IntegerType()),
+        ]
+    )
+    shaped = read_evolved(spark, [p1, p2], target_schema=contract)
+    assert shaped.columns == ["id", "name", "score", "added_later"]
+    assert shaped.schema["added_later"].dataType.simpleString() == "int"
+    assert all(r["added_later"] is None for r in shaped.collect())
+    assert "extra" not in shaped.columns
