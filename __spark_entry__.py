@@ -57,6 +57,7 @@ from etl_spark_spark.operators.neardup import (
     simhash,
     simhash_near_dup,
 )
+from etl_spark_spark.operators.fuzzy import fuzzy_join
 from etl_spark_spark.operators.quality import (
     expectation_metrics,
     fk_violation_count,
@@ -1249,6 +1250,68 @@ def q_doc_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_code_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: dirty record codes (one char deleted at a
+    doc_id-keyed position) matched back to the clean directory with a
+    prefix/suffix-blocked Levenshtein join — never all-pairs. The
+    DuckDB oracle IS the unblocked all-pairs ground truth, so a green
+    row also proves the blocking lost no distance-1 match (the
+    operator's completeness guarantee, operators/fuzzy.py)."""
+    docs = table(spark, sf_dir, "documents")
+    clean = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12).alias("code"),
+    )
+    dirty = clean.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("dirty_id"),
+        F.expr(
+            "concat(substring(code, 1, CAST(doc_id % 8 + 2 AS INT)), "
+            "substring(code, CAST(doc_id % 8 + 4 AS INT), 12))"
+        ).alias("dirty_code"),
+    )
+    pairs = fuzzy_join(
+        dirty, clean, "dirty_id", "dirty_code", "doc_id", "code", max_dist=1
+    )
+    enc = F.col("distance") * 10000000 + F.col("doc_id")
+    return (
+        pairs.groupBy("dirty_id", "dirty_code")
+        .agg(
+            F.count("*").cast("long").alias("n_matches"),
+            F.min(enc).alias("__best"),
+        )
+        .select(
+            "dirty_id",
+            "dirty_code",
+            "n_matches",
+            F.expr("__best DIV 10000000").cast("long").alias("best_distance"),
+            (F.col("__best") % 10000000).cast("long").alias("best_match_id"),
+        )
+    )
+
+
+def q_returns_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the generalization cube/rollup are
+    sugar for): per-(flag,status), per-flag, and per-status revenue in
+    ONE pass — Spark expands the sets map-side and aggregates once
+    instead of scanning per grouping. grouping() indicators
+    disambiguate aggregated-away NULLs."""
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count("*").alias("n_items"),
+            money_sum(revenue).alias("revenue"),
+        )
+    )
+
+
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations over lineitem: range +
     domain rules folded into ONE aggregate pass (map-side partial
@@ -1488,6 +1551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality": q_data_quality,
         "source_mix_sample": q_source_mix_sample,
         "doc_shuffle_order": q_doc_shuffle_order,
+        "fuzzy_code_match": q_fuzzy_code_match,
+        "returns_grouping_sets": q_returns_grouping_sets,
         "doc_source_cap": q_doc_source_cap,
         "vocab_topk": q_vocab_topk,
         "doc_decontaminate": q_doc_decontaminate,
@@ -2285,6 +2350,36 @@ SELECT doc_id, shuffle_key,
 FROM first20
 """
 
+_FUZZY_CODE_MATCH_SQL = """
+WITH clean AS (
+  SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 12) AS code FROM documents
+), dirty AS (
+  SELECT doc_id AS dirty_id,
+         substr(code, 1, (doc_id % 8 + 2)::INT)
+           || substr(code, (doc_id % 8 + 4)::INT, 12) AS dirty_code
+  FROM clean WHERE doc_id % 5 = 0
+), pairs AS (
+  SELECT d.dirty_id, d.dirty_code, c.doc_id,
+         levenshtein(d.dirty_code, c.code) AS dist
+  FROM dirty d CROSS JOIN clean c
+  WHERE levenshtein(d.dirty_code, c.code) <= 1
+)
+SELECT dirty_id, dirty_code, count(*)::BIGINT AS n_matches,
+       (min(dist * 10000000 + doc_id) // 10000000)::BIGINT AS best_distance,
+       (min(dist * 10000000 + doc_id) % 10000000)::BIGINT AS best_match_id
+FROM pairs GROUP BY dirty_id, dirty_code
+"""
+
+_RETURNS_GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       count(*)::BIGINT AS n_items,
+       {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+"""
+
 _DATA_QUALITY_SQL = """
 WITH one_pass AS (
   SELECT count(*)::BIGINT AS n_rows,
@@ -2657,6 +2752,8 @@ def oracle_sql() -> dict[str, str]:
         "data_quality": _DATA_QUALITY_SQL,
         "source_mix_sample": _SOURCE_MIX_SAMPLE_SQL,
         "doc_shuffle_order": _DOC_SHUFFLE_ORDER_SQL,
+        "fuzzy_code_match": _FUZZY_CODE_MATCH_SQL,
+        "returns_grouping_sets": _RETURNS_GROUPING_SETS_SQL,
         "doc_source_cap": _DOC_SOURCE_CAP_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
         "doc_decontaminate": _DOC_DECONTAMINATE_SQL,

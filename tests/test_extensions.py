@@ -485,3 +485,26 @@ def test_dup_fraction_edges(spark):
     )
     got = {r["id"]: r["f"] for r in df.select("id", dup_fraction("arr").alias("f")).collect()}
     assert got == {1: 0.0, 2: 0.75, 3: 0.0}
+
+
+def test_fuzzy_join_blocking_complete_for_dist1(spark):
+    """Edits in the prefix region are caught by the suffix block and
+    vice versa; far pairs never match; distance is exact."""
+    from etl_spark_spark.operators.fuzzy import fuzzy_join
+
+    clean = spark.createDataFrame(
+        [(1, "abcdef1234"), (2, "zzzzzz9999")], "id long, code string"
+    )
+    dirty = spark.createDataFrame(
+        [
+            (10, "Xbcdef1234"),  # substitution at pos 1 (prefix block broken)
+            (11, "abcdef123X"),  # substitution at pos 10 (suffix block broken)
+            (12, "abcdef124"),   # deletion mid-suffix region
+            (13, "qqqqqqqqqq"),  # no match
+        ],
+        "id long, code string",
+    )
+    clean2 = clean.withColumnsRenamed({"id": "cid", "code": "ccode"})
+    pairs = fuzzy_join(dirty, clean2, "id", "code", "cid", "ccode", max_dist=1)
+    got = {(r["id"], r["cid"], r["distance"]) for r in pairs.collect()}
+    assert got == {(10, 1, 1), (11, 1, 1), (12, 1, 1)}
