@@ -1,3 +1,4 @@
+from .quality import run_stream_quality_gate
 from .stateful import stream_session_agg, stream_user_totals
 from .stream import (
     run_foreach_batch_upsert,
@@ -19,4 +20,5 @@ __all__ = [
     "stream_dedup_events",
     "stream_enrich_static",
     "run_foreach_batch_upsert",
+    "run_stream_quality_gate",
 ]

@@ -384,3 +384,49 @@ def test_stream_enrich_static_matches_batch(spark, tmp_path):
         output_mode="append",
     )
     assert len(rows2) == 3 and {r.category for r in rows2} == {None}
+
+
+def test_stream_quality_gate_routes_and_audits(spark, tmp_path):
+    """The streaming quality gate splits each micro-batch into
+    good/quarantine sinks and appends per-rule audit metrics; totals
+    must equal the batch-mode quarantine over the same files."""
+    from etl_spark_spark.operators.quality import quarantine
+    from etl_spark_spark.sources import read_events
+    from etl_spark_spark.streaming.quality import run_stream_quality_gate
+    from etl_spark_spark.streaming.stream import read_events_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_event_file(src, "a.parquet", [(1, 10, 5.0), (2, 20, -1.0)], 1_000)
+    _write_event_file(src, "b.parquet", [(3, 30, 2.0), (4, 40, -9.0)], 2_000)
+
+    def rules():
+        return {"value_nonneg": F.col("value") >= 0}
+
+    good_p, bad_p, met_p = (
+        str(tmp_path / "good"), str(tmp_path / "bad"), str(tmp_path / "metrics"),
+    )
+    run_stream_quality_gate(
+        read_events_stream(spark, str(src), max_files_per_trigger=1),
+        rules(), good_p, bad_p, met_p,
+        checkpoint_dir=str(tmp_path / "ckpt"), query_name="t_qgate",
+    )
+    good_ids = {r.event_id for r in spark.read.parquet(good_p).collect()}
+    bad = {r.event_id: list(r.failed_rules) for r in spark.read.parquet(bad_p).collect()}
+    assert good_ids == {1, 3}
+    assert bad == {2: ["value_nonneg"], 4: ["value_nonneg"]}
+
+    metrics = spark.read.parquet(met_p).collect()
+    # one metrics row per rule per batch (2 batches, 1 rule)
+    assert len(metrics) == 2
+    assert sum(r.n_violations for r in metrics) == 2
+    assert sum(r.n_rows for r in metrics) == 4
+
+    # idempotent re-run: same checkpoint, no new input -> no appends
+    run_stream_quality_gate(
+        read_events_stream(spark, str(src), max_files_per_trigger=1),
+        rules(), good_p, bad_p, met_p,
+        checkpoint_dir=str(tmp_path / "ckpt"), query_name="t_qgate2",
+    )
+    assert {r.event_id for r in spark.read.parquet(good_p).collect()} == {1, 3}
+    assert len(spark.read.parquet(met_p).collect()) == 2

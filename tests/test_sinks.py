@@ -188,3 +188,62 @@ def test_range_sorted_layout_is_file_skippable(spark, sf_dir, tmp_path):
     # min (ties allowed on the boundary value itself)
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"
+
+
+def test_zorder_layout_bounds_both_dims(spark, sf_dir, tmp_path):
+    """After write_zordered on (l_partkey, l_suppkey), each file's
+    footer bounding box must be small on BOTH columns — the property a
+    single-column sort cannot give: sorting by partkey alone leaves
+    every file spanning the full suppkey range."""
+    import pyarrow.parquet as pq
+
+    from etl_spark_spark.sinks import write_zordered
+    from etl_spark_spark.sources import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    out = str(tmp_path / "li_z")
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], num_files=16)
+
+    gmin = {c: None for c in ("l_partkey", "l_suppkey")}
+    gmax = dict(gmin)
+    boxes = []
+    for f in sorted((tmp_path / "li_z").glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        lo, hi = {}, {}
+        for rg in range(md.num_row_groups):
+            for c in ("l_partkey", "l_suppkey"):
+                st = md.row_group(rg).column(names.index(c)).statistics
+                lo[c] = min(lo.get(c, st.min), st.min)
+                hi[c] = max(hi.get(c, st.max), st.max)
+        boxes.append((lo, hi))
+        for c in ("l_partkey", "l_suppkey"):
+            gmin[c] = lo[c] if gmin[c] is None else min(gmin[c], lo[c])
+            gmax[c] = hi[c] if gmax[c] is None else max(gmax[c], hi[c])
+
+    assert len(boxes) >= 8
+    g_area = (gmax["l_partkey"] - gmin["l_partkey"]) * (
+        gmax["l_suppkey"] - gmin["l_suppkey"]
+    )
+    areas = [
+        (hi["l_partkey"] - lo["l_partkey"]) * (hi["l_suppkey"] - lo["l_suppkey"])
+        for lo, hi in boxes
+    ]
+    # each file's box must cover a small fraction of the key plane
+    # (perfect 16-file z-order -> 1/16 each; allow generous slack)
+    assert max(areas) < g_area / 3, (max(areas), g_area)
+    # the property single-column sorting CANNOT give: most files are
+    # bounded to < half the global range in BOTH dimensions (a
+    # partkey-sorted layout leaves every file spanning the full
+    # suppkey range)
+    bounded_both = sum(
+        1
+        for lo, hi in boxes
+        if all(
+            hi[c] - lo[c] < (gmax[c] - gmin[c]) / 2
+            for c in ("l_partkey", "l_suppkey")
+        )
+    )
+    assert bounded_both >= 0.75 * len(boxes), (bounded_both, len(boxes))
