@@ -1312,6 +1312,68 @@ def q_returns_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: 7-table join with the
+    nation dimension in TWO roles (customer nation -> region scope,
+    supplier nation -> share numerator). The deepest join tree in the
+    suite — every dimension broadcast, the fact never shuffled until
+    the final per-year aggregate; volumes summed in integer cents so
+    the share ratio is bit-reproducible at any parallelism."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    part = table(spark, sf_dir, "part")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    scoped = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            F.col("n1.n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+    )
+    return (
+        scoped.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn("__c", cents)
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("n2.n_name") == "NATION_7", F.col("__c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("__num"),
+            F.sum("__c").alias("__den"),
+        )
+        .select(
+            "o_year",
+            (F.col("__den") / 100.0).alias("total_vol"),
+            (F.col("__num") / 100.0).alias("share_vol"),
+            F.round(F.col("__num") / F.col("__den"), 6).alias("mkt_share"),
+        )
+    )
+
+
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations over lineitem: range +
     domain rules folded into ONE aggregate pass (map-side partial
@@ -1553,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shuffle_order": q_doc_shuffle_order,
         "fuzzy_code_match": q_fuzzy_code_match,
         "returns_grouping_sets": q_returns_grouping_sets,
+        "market_share": q_market_share,
         "doc_source_cap": q_doc_source_cap,
         "vocab_topk": q_vocab_topk,
         "doc_decontaminate": q_doc_decontaminate,
@@ -2380,6 +2443,30 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
 """
 
+_MARKET_SHARE_SQL = """
+WITH scoped AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+   AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       sum(c)::BIGINT / 100.0 AS total_vol,
+       sum(CASE WHEN supp_nation = 'NATION_7' THEN c ELSE 0 END)::BIGINT / 100.0
+           AS share_vol,
+       round(sum(CASE WHEN supp_nation = 'NATION_7' THEN c ELSE 0 END)::BIGINT
+             / CAST(sum(c)::BIGINT AS DOUBLE), 6) AS mkt_share
+FROM scoped GROUP BY o_year
+"""
+
 _DATA_QUALITY_SQL = """
 WITH one_pass AS (
   SELECT count(*)::BIGINT AS n_rows,
@@ -2754,6 +2841,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_shuffle_order": _DOC_SHUFFLE_ORDER_SQL,
         "fuzzy_code_match": _FUZZY_CODE_MATCH_SQL,
         "returns_grouping_sets": _RETURNS_GROUPING_SETS_SQL,
+        "market_share": _MARKET_SHARE_SQL,
         "doc_source_cap": _DOC_SOURCE_CAP_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
         "doc_decontaminate": _DOC_DECONTAMINATE_SQL,

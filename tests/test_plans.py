@@ -144,3 +144,15 @@ def test_shuffle_order_no_global_sort(spark, sf_dir):
     TakeOrderedAndProject, never a full global Sort over the corpus."""
     plan = explain_str(entrymod.q_doc_shuffle_order(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_market_share_all_broadcast_and_pushed(spark, sf_dir):
+    """Q8-shaped 7-table join: every dimension joins as broadcast (no
+    SortMergeJoin at fixture scale), the order-date range reaches the
+    orders scan, and the part type filter reaches the part scan."""
+    df = entrymod.q_market_share(spark, sf_dir)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed and "p_type" in pushed
