@@ -382,6 +382,31 @@ def _bounded_unit_sample(base: DataFrame, sample_budget: int = 4096):
     return sample[order]
 
 
+def _train_opq_rotation(resid, m: int, n_codes: int, iters: int):
+    """OPQ-NP (Ge et al., CVPR 2013, public method): alternate
+    (a) train PQ codebooks in the rotated space, (b) solve the
+    orthogonal Procrustes problem min_R ||X R - X̂||_F via SVD of
+    X^T X̂ — the rotation that best aligns residual mass with the
+    subspace grid, cutting quantization error on correlated dims.
+    Driver-side numpy on the bounded training sample (flat cost)."""
+    import numpy as np
+
+    dim = resid.shape[1]
+    sub = dim // m
+    R = np.eye(dim)
+    for _ in range(iters):
+        y = resid @ R
+        yhat = np.empty_like(y)
+        for s in range(m):
+            ys = y[:, s * sub : (s + 1) * sub]
+            bk = _kmeans_euclidean(ys, min(n_codes, len(y)))
+            codes = np.argmax(ys @ bk.T - 0.5 * (bk * bk).sum(axis=1), axis=1)
+            yhat[:, s * sub : (s + 1) * sub] = bk[codes]
+        u, _, vt = np.linalg.svd(resid.T @ yhat)
+        R = u @ vt
+    return R
+
+
 def cosine_topk_ivf_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -394,6 +419,7 @@ def cosine_topk_ivf_pq(
     m_subspaces: int = 8,
     n_codes: int = 16,
     rerank: int = 32,
+    opq_iters: int = 0,
 ) -> DataFrame:
     """IVF + product quantization with asymmetric-distance scoring and
     EXACT rerank — the memory-bound scale path for ANN over 100 TB of
@@ -445,27 +471,39 @@ def cosine_topk_ivf_pq(
     sample = _bounded_unit_sample(base)
     coarse = _kmeans_centroids(sample, min(n_lists, sample.shape[0]))
     resid = sample - coarse[np.argmax(sample @ coarse.T, axis=1)]
+    # Optional OPQ rotation: codes live in the rotated space y = r @ R.
+    # R is orthonormal, so q·r = (qR)·(rR) and the ADC decomposition
+    # q·x ≈ q·c_list + Σ_s lut[s, code_s] carries over unchanged with
+    # the LUT built from the ROTATED query residual-space subvectors.
+    rot = (
+        _train_opq_rotation(resid, m_subspaces, n_codes, opq_iters)
+        if opq_iters > 0
+        else np.eye(dim)
+    )
+    resid_r = resid @ rot
     books = np.stack(
         [
             _kmeans_euclidean(
-                resid[:, s * sub : (s + 1) * sub],
-                min(n_codes, resid.shape[0]),
+                resid_r[:, s * sub : (s + 1) * sub],
+                min(n_codes, resid_r.shape[0]),
             )
             for s in range(m_subspaces)
         ]
     )  # (m, n_codes, sub)
     bc_coarse = spark.sparkContext.broadcast(coarse)
     bc_books = spark.sparkContext.broadcast(books)
+    bc_rot = spark.sparkContext.broadcast(rot)
     n_probe = min(n_probe, coarse.shape[0])
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c, bk = bc_coarse.value, bc_books.value
+        rt = bc_rot.value
         for pdf in it:
             if not len(pdf):
                 continue
             u = _unit_rows(np.vstack(pdf["v"].to_numpy()))
             lists = np.argmax(u @ c.T, axis=1).astype(np.int32)
-            r = u - c[lists]
+            r = (u - c[lists]) @ rt
             codes = np.empty((len(u), bk.shape[0]), dtype=np.int16)
             for s in range(bk.shape[0]):
                 rs = r[:, s * sub : (s + 1) * sub]
@@ -507,9 +545,12 @@ def cosine_topk_ivf_pq(
         )
     )
     # per-query ADC lookup tables: lut[q, s, code] = q_sub · codeword
+    # (q rotated into the codes' space; R orthonormal keeps dot
+    # products — see the OPQ note above)
+    q_rot = q_unit @ rot
     lut = np.stack(
         [
-            q_unit[:, s * sub : (s + 1) * sub] @ books[s].T
+            q_rot[:, s * sub : (s + 1) * sub] @ books[s].T
             for s in range(m_subspaces)
         ],
         axis=1,
