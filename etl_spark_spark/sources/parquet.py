@@ -91,22 +91,42 @@ def read_date_range(
     return df.filter((c >= lo) & (c < hi))
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-TZ TIMESTAMP,
+    whatever physical encoding the feed was written with:
+
+    - INT64 TIMESTAMP(NANOS) read as long (``nanosAsLong``): rebuild a
+      microsecond timestamp. Integer DIV, not floor(x/1000): a long/1000
+      double division rounds in the 2^53+ range and lands 1 µs off. DIV
+      truncates toward zero, so pre-1970 (negative-nanos) timestamps
+      would be off by 1 µs vs a flooring engine — fine for event data.
+    - TIMESTAMP_NTZ (plain ``timestamp[us]`` parquet): cast to TIMESTAMP.
+      Sessions run with ``spark.sql.session.timeZone=UTC`` (session.py),
+      so the cast preserves the wall clock and matches what a naive
+      engine (the DuckDB oracle) reads from the same file.
+    - already TIMESTAMP: pass through.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def read_events(
     spark: SparkSession, sf_dir: str, with_ts: bool = True
 ) -> DataFrame:
-    """Read the events feed, whose ``ts`` is a nanosecond parquet
-    timestamp (INT64 TIMESTAMP(NANOS)) that Spark's reader rejects by
-    default. We read nanos as long and rebuild a microsecond timestamp —
-    a runtime conf, safe to set on any session."""
+    """Read the events feed. Generated data has carried ``ts`` as either
+    INT64 TIMESTAMP(NANOS) (rejected by Spark's reader unless nanos are
+    read as long) or plain ``timestamp[us]``; ``normalize_event_ts``
+    adapts on the actual scan schema so both layouts work."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = source(spark, f"{sf_dir}/events.parquet")
     if with_ts:
-        # integer DIV, not floor(x/1000): a long/1000 double division
-        # rounds in the 2^53+ range and lands 1 µs off. DIV truncates
-        # toward zero, so pre-1970 (negative-nanos) timestamps would be
-        # off by 1 µs vs a flooring engine — fine for event data, use
-        # F.floor-on-decimal if ancient timestamps ever appear.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

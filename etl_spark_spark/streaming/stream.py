@@ -14,16 +14,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    """Events file-stream schema. ``ts``'s physical type depends on how
+    the feed was written (nanos-as-long vs timestamp[us]) — file streams
+    require an explicit schema, so the caller peeks at the existing files
+    with the batch reader and passes the real type in."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# nanos-as-long default, kept for callers that construct fixtures directly
+EVENTS_SCHEMA = _events_schema(T.LongType())
 
 
 def read_events_stream(
@@ -38,14 +47,23 @@ def read_events_stream(
     to select one table out of a multi-table directory.
     ``max_files_per_trigger`` bounds micro-batch size (and is how tests
     force multi-batch runs to exercise watermark advancement)."""
+    from etl_spark_spark.sources.parquet import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+    # file streams need an explicit schema; peek at the files already in
+    # place with the batch reader to learn ts's physical type (footer
+    # read only — no data scan).
+    peek_reader = spark.read
+    if glob:
+        peek_reader = peek_reader.option("pathGlobFilter", glob)
+    ts_type = peek_reader.parquet(path).schema["ts"].dataType
+    reader = spark.readStream.schema(_events_schema(ts_type)).option(
         "maxFilesPerTrigger", str(max_files_per_trigger)
     )
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(df)
 
 
 def stream_events_tumbling(
