@@ -868,6 +868,27 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication of the embedding corpus:
+    coarse-cluster the embedding space, drop the higher id of every
+    within-cluster pair with cosine >= 0.35, return (vec_id, cluster)
+    survivors. Uses the deterministic argmax-component clusterer so the
+    whole pass (clustering included) is oracle-checkable; the trained
+    spherical-k-means assignment is the production quality path, pinned
+    by planted-cluster tests."""
+    from etl_spark_spark.operators.similarity import (
+        cluster_argmax,
+        semantic_dedup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "cluster", cluster_argmax("embedding")
+    )
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, cluster_col="cluster"
+    )
+
+
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic approximate near-dup: LSH co-bucket candidates,
     exact (bit-identical) cosine verify — the scale path past the
@@ -1587,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_map": q_events_props_map,
         "events_sliding": q_events_sliding,
         "emb_near_dup": q_emb_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "global_top_orders": q_global_top_orders,
         "doc_fingerprints": q_doc_fingerprints,
@@ -2259,6 +2281,21 @@ WHERE {_DOT.format(a="a.uv", b="b.uv")} >= 0.4
 """
 
 
+_SEMANTIC_DEDUP_SQL = f"""
+WITH u AS (
+    SELECT vec_id, {_UNIT.format(v="embedding")} AS uv,
+           CAST(list_indexof(embedding, list_max(embedding)) AS BIGINT) AS cluster
+    FROM embeddings
+),
+p AS (
+    SELECT DISTINCT b.vec_id AS id_b
+    FROM u a JOIN u b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {_DOT.format(a="a.uv", b="b.uv")} >= 0.35
+)
+SELECT vec_id, cluster FROM u WHERE vec_id NOT IN (SELECT id_b FROM p)
+"""
+
+
 _CUSTOMER_ORDER_GAPS_SQL = """
 SELECT o_custkey, o_orderkey,
        CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
@@ -2814,6 +2851,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_map": _EVENTS_PROPS_MAP_SQL,
         "events_sliding": _EVENTS_SLIDING_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
+        "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "global_top_orders": _GLOBAL_TOP_ORDERS_SQL,
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "shipping_priority": _SHIPPING_PRIORITY_SQL,

@@ -23,11 +23,15 @@ from .sampling import (
 )
 from .setops import except_all, intersect_all, union_by_name, union_strict
 from .similarity import (
+    assign_kmeans_clusters,
+    cluster_argmax,
     cosine_near_dup_pairs,
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_ivf_pq,
     cosine_topk_lsh,
+    semantic_dedup,
+    semantic_dedup_pairs,
 )
 from .skew import salted_sum, with_salt
 from .windows import (
@@ -66,7 +70,11 @@ __all__ = [
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "cosine_topk_ivf_pq",
+    "assign_kmeans_clusters",
+    "cluster_argmax",
     "cosine_near_dup_pairs",
+    "semantic_dedup",
+    "semantic_dedup_pairs",
     "salted_sum",
     "with_salt",
     "attach_media",

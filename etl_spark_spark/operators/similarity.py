@@ -18,6 +18,8 @@
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -117,10 +119,26 @@ def cosine_near_dup_pairs(
     value is bit-identical to the per-row expression fold (and to an
     ANSI-SQL list_reduce oracle), independent of blocking.
     """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return _blocked_cosine_pairs(base, threshold, n_blocks, group_cols=())
+
+
+def _blocked_cosine_pairs(
+    base: DataFrame,
+    threshold: float,
+    n_blocks: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Shared blocked all-pairs cosine scorer over ``(id, v [, *group_
+    cols])`` rows. With ``group_cols`` empty this is the corpus-wide
+    theta-join layout of ``cosine_near_dup_pairs``; with group columns
+    (e.g. a cluster assignment) only same-group pairs are scored, and
+    the blocking still bounds per-task memory even when one group is
+    huge. Group columns pass through to the output."""
     import numpy as np
     import pandas as pd
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    gcols = list(group_cols)
     exploded = (
         base.withColumn(
             "b", F.pmod(F.hash(F.col("id")), F.lit(n_blocks)).cast("int")
@@ -130,10 +148,17 @@ def cosine_near_dup_pairs(
         .withColumn("pj", F.greatest("b", "x"))
         .drop("x")
     )
+    n_group = len(gcols)
 
     def score_group(key, pdf):
-        pi, pj = int(key[0]), int(key[1])
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        pi, pj = int(key[n_group]), int(key[n_group + 1])
+        cols = {
+            **{g: [] for g in gcols},
+            "id_a": [],
+            "id_b": [],
+            "cos_sim": [],
+        }
+        empty = pd.DataFrame(cols)
         if pi == pj:
             left = right = pdf
         else:
@@ -156,16 +181,140 @@ def cosine_near_dup_pairs(
             mask &= ids_l[:, None] < ids_r[None, :]
         li, ri = np.nonzero(mask)
         a, b = ids_l[li], ids_r[ri]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "id_a": np.minimum(a, b),
                 "id_b": np.maximum(a, b),
                 "cos_sim": acc[li, ri],
             }
         )
+        for g, kv in zip(gcols, key[:n_group]):
+            out.insert(0, g, kv)
+        return out[list(cols)]
 
-    return exploded.groupBy("pi", "pj").applyInPandas(
-        score_group, schema="id_a long, id_b long, cos_sim double"
+    gschema = "".join(
+        f"{name} {base.schema[name].dataType.simpleString()}, " for name in gcols
+    )
+    return exploded.groupBy(*gcols, "pi", "pj").applyInPandas(
+        score_group, schema=gschema + "id_a long, id_b long, cos_sim double"
+    )
+
+
+def cluster_argmax(vec_col: Column | str) -> Column:
+    """Deterministic coarse clusterer: the 1-based index of a vector's
+    largest component. No training, no RNG, SQL-expressible (DuckDB
+    ``list_indexof(v, list_max(v))``) — the oracle-checkable stand-in
+    for a trained quantizer in ``semantic_dedup``. Ties resolve to the
+    first occurrence in both engines."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.array_position(v, F.array_max(v)).cast("long")
+
+
+def assign_kmeans_clusters(
+    df: DataFrame, id_col: str, vec_col: str, n_clusters: int
+) -> DataFrame:
+    """Assign every row to its nearest spherical-k-means centroid
+    (trained on the bounded distributed sample — driver cost flat in
+    corpus size, see ``_train_centroids_distributed``). Assignment is
+    one numpy matmul per Arrow batch against the broadcast centroid
+    matrix: map-only, embarrassingly parallel. Returns the input plus a
+    ``cluster`` long column."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = _train_centroids_distributed(base, n_clusters)
+    bc = df.sparkSession.sparkContext.broadcast(cents)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            u = _unit_rows(np.vstack(pdf["v"].to_numpy()))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "cluster": np.argmax(u @ c.T, axis=1).astype(np.int64),
+                }
+            )
+
+    assigned = base.mapInPandas(fn, schema="id long, cluster long")
+    return df.join(
+        assigned.withColumnRenamed("id", id_col), id_col
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    cluster_col: str | None = None,
+    n_clusters: int = 16,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Within-cluster embedding near-duplicate pairs — the candidate
+    stage of SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public method): cluster the embedding space
+    coarsely, then compare pairs only inside a cluster, turning O(N²)
+    corpus-wide comparison into k independent O((N/k)²) problems.
+
+    ``cluster_col`` names a precomputed assignment (e.g.
+    ``cluster_argmax`` for the deterministic oracle-checkable form);
+    when None, a spherical k-means quantizer is trained on a bounded
+    distributed sample and every row is assigned map-side
+    (``assign_kmeans_clusters``) — the quality path, since trained
+    centroids follow the data's actual cluster structure.
+
+    Scale model: pick ``n_clusters`` ∝ corpus size so expected cluster
+    size stays flat; the blocked scorer underneath additionally caps
+    per-task memory at O(cluster/n_blocks) rows even for skewed hot
+    clusters. Scoring accumulates dimension-sequentially over unit
+    rows, bit-identical to the expression/list_reduce form whatever the
+    clustering. Returns (cluster, id_a, id_b, cos_sim), id_a < id_b.
+    """
+    if cluster_col is None:
+        df = assign_kmeans_clusters(df, id_col, vec_col, n_clusters)
+        cluster_col = "cluster"
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(cluster_col).alias("cluster"),
+    )
+    return _blocked_cosine_pairs(
+        base, threshold, n_blocks, group_cols=("cluster",)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    cluster_col: str | None = None,
+    n_clusters: int = 16,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop the higher id of
+    every within-cluster pair with cosine >= ``threshold`` (greedy
+    keep-min-id, same convention as the text curation pipeline), keep
+    everything else. Returns (id, cluster) survivors.
+
+    The pair stage plus one distinct and one broadcast-able left-anti
+    join — nothing corpus-sized ever leaves the executors."""
+    if cluster_col is None:
+        df = assign_kmeans_clusters(df, id_col, vec_col, n_clusters)
+        cluster_col = "cluster"
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, threshold, cluster_col, n_clusters, n_blocks
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        df.join(drop, id_col, "left_anti")
+        .select(F.col(id_col), F.col(cluster_col).cast("long").alias("cluster"))
     )
 
 

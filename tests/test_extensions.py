@@ -556,3 +556,84 @@ def test_ivfpq_opq_rotation_improves_tight_shortlist(spark):
     # so these are exact repeatable numbers, not flaky thresholds
     assert opq > base, f"OPQ must improve the tight shortlist: {opq} vs {base}"
     assert opq >= 0.6, f"OPQ tight-rerank recall@5 {opq:.2f} < 0.6"
+
+
+def test_semantic_dedup_kmeans_path_on_planted_clusters(spark):
+    """The trained-quantizer path of SemDeDup-style dedup: on planted
+    clusters, within-cluster scoring with k-means assignment must (a)
+    emit only pairs that exact all-pairs also emits, with bit-identical
+    cosines, and (b) recover most of the true near-dup pairs — the
+    clusters are tight, so same-cluster neighbors land in the same
+    k-means cell."""
+    import numpy as np
+
+    from etl_spark_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 32, 6, 40
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = []
+    for ci in range(n_clusters):
+        pts = centers[ci] + 0.10 * rng.normal(size=(per, dim))
+        for j, p in enumerate(pts):
+            rows.append((ci * per + j, [float(x) for x in p]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(6)
+
+    thr = 0.9
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=thr
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in semantic_dedup_pairs(
+            df, "vec_id", "embedding", threshold=thr, n_clusters=n_clusters
+        ).collect()
+    }
+    assert exact, "fixture must produce true near-dup pairs"
+    for pair, sim in got.items():
+        assert pair in exact, f"pair {pair} not in exact all-pairs"
+        assert sim == exact[pair], f"cosine drifted for {pair}"
+    recall = len(got) / len(exact)
+    assert recall >= 0.8, f"within-cluster recall {recall:.2f} < 0.8"
+
+    # survivors = corpus minus the higher id of each found pair
+    kept = {r.id for r in semantic_dedup(
+        df, "vec_id", "embedding", threshold=thr, n_clusters=n_clusters
+    ).select(F.col("vec_id").alias("id"), "cluster").collect()}
+    dropped = {b for (_, b) in got}
+    assert kept == {i for i, _ in rows} - dropped
+
+
+def test_semantic_dedup_blocking_invariance(spark, sf_dir):
+    """n_blocks is a physical layout knob: pair sets and cosines from
+    the blocked within-cluster scorer must be identical at any block
+    count (including blocks >> cluster sizes)."""
+    from etl_spark_spark.operators.similarity import (
+        cluster_argmax,
+        semantic_dedup_pairs,
+    )
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .withColumn("cluster", cluster_argmax("embedding"))
+    )
+    runs = [
+        {
+            (r.cluster, r.id_a, r.id_b): r.cos_sim
+            for r in semantic_dedup_pairs(
+                emb, "vec_id", "embedding", 0.3,
+                cluster_col="cluster", n_blocks=nb,
+            ).collect()
+        }
+        for nb in (1, 3, 8)
+    ]
+    assert runs[0], "threshold must yield pairs at fixture scale"
+    assert runs[0] == runs[1] == runs[2]
