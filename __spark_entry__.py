@@ -1542,6 +1542,32 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (fastText-style hashed-n-gram
+    logistic classifier, pyspark.ml): weak-label every document with
+    the deterministic heuristic, train distributed L-BFGS, re-score
+    the corpus with the model. Output is one row per document —
+    count and schema are stable; the float score itself is a trained
+    model output (treeAggregate sum order), so no SQL oracle: an
+    iterative-optimizer result is not SQL-expressible. Quality is
+    pinned by the held-out generalization test instead."""
+    from etl_spark_spark.functions.text import LANG_PROFILES
+    from etl_spark_spark.operators.classify import (
+        score_quality,
+        train_quality_model,
+        weak_quality_label,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "weak_label", weak_quality_label("text", LANG_PROFILES["en"])
+    )
+    model = train_quality_model(labeled, "text", "weak_label")
+    return score_quality(model, labeled, "text").select(
+        "doc_id", "weak_label", "quality_pred", "quality_prob"
+    )
+
+
 def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation composite: quality gate ->
     exact dedup (keep min id per fingerprint) -> near-dup removal
@@ -1645,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": q_doc_top_terms,
         "customer_spend_deciles": q_customer_spend_deciles,
         "neardup_clusters": q_neardup_clusters,
+        "doc_quality_model": q_doc_quality_model,
         "doc_curation": q_doc_curation,
         "doc_training_prep": q_doc_training_prep,
         "customer_order_gaps": q_customer_order_gaps,

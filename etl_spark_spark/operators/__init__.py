@@ -22,6 +22,12 @@ from .sampling import (
     stratified_hash_sample,
 )
 from .setops import except_all, intersect_all, union_by_name, union_strict
+from .classify import (
+    model_quality_filter,
+    score_quality,
+    train_quality_model,
+    weak_quality_label,
+)
 from .similarity import (
     assign_kmeans_clusters,
     cluster_argmax,
@@ -71,6 +77,10 @@ __all__ = [
     "cosine_topk_ivf",
     "cosine_topk_ivf_pq",
     "assign_kmeans_clusters",
+    "model_quality_filter",
+    "score_quality",
+    "train_quality_model",
+    "weak_quality_label",
     "cluster_argmax",
     "cosine_near_dup_pairs",
     "semantic_dedup",

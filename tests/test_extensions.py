@@ -637,3 +637,52 @@ def test_semantic_dedup_blocking_invariance(spark, sf_dir):
     ]
     assert runs[0], "threshold must yield pairs at fixture scale"
     assert runs[0] == runs[1] == runs[2]
+
+
+def test_quality_model_generalizes_to_heldout_half(spark):
+    """The hashed-n-gram logistic model must learn the quality signal
+    from one half of a separable corpus and score the OTHER half
+    correctly — i.e. it generalizes beyond memorized ids, which is the
+    point of replacing the heuristic with a model."""
+    from etl_spark_spark.operators.classify import (
+        score_quality,
+        train_quality_model,
+    )
+
+    good = [
+        f"the quick brown fox number {i} jumps over the lazy dog and "
+        f"runs through the green field toward the river bank today"
+        for i in range(60)
+    ]
+    bad = [" ".join(["zqx"] * 3 + [f"k{i}"] + ["zqx"] * 3) for i in range(60)]
+    rows = [(i, t, 1.0) for i, t in enumerate(good)] + [
+        (1000 + i, t, 0.0) for i, t in enumerate(bad)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, y double").repartition(4)
+    train = df.filter(F.col("id") % 2 == 0)
+    test = df.filter(F.col("id") % 2 == 1)
+    model = train_quality_model(train, "text", "y", n_features=1024)
+    scored = score_quality(model, test, "text")
+    agree = scored.filter(
+        (F.col("quality_pred") == F.col("y"))
+    ).count()
+    total = test.count()
+    assert total > 0
+    acc = agree / total
+    assert acc >= 0.9, f"held-out accuracy {acc:.2f} < 0.9"
+
+
+def test_model_quality_filter_smoke(spark, sf_dir):
+    """End-to-end weak-label bootstrap on the documents fixture: output
+    schema is input + quality_prob/quality_pred, the filter keeps a
+    non-trivial middle ground (neither everything nor nothing), and
+    kept rows all meet the probability gate."""
+    from etl_spark_spark.functions.text import LANG_PROFILES
+    from etl_spark_spark.operators.classify import model_quality_filter
+
+    docs = table(spark, sf_dir, "documents")
+    kept = model_quality_filter(docs, "text", LANG_PROFILES["en"])
+    n, total = kept.count(), docs.count()
+    assert 0 < n < total
+    assert kept.filter(F.col("quality_prob") < 0.5).count() == 0
+    assert set(docs.columns) < set(kept.columns)

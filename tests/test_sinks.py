@@ -247,3 +247,24 @@ def test_zorder_layout_bounds_both_dims(spark, sf_dir, tmp_path):
         )
     )
     assert bounded_both >= 0.75 * len(boxes), (bounded_both, len(boxes))
+
+
+def test_orc_round_trip(spark, tmp_path, sf_dir):
+    """fmt is a real knob, not parquet-only: ORC (Spark-native, no
+    external jar) writes through the same sink and reads back through
+    the same source with identical contents and pushdown-capable
+    layout."""
+    from etl_spark_spark.sinks.write import write
+    from etl_spark_spark.sources.parquet import source, table
+
+    nation = table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write(nation, path, mode="overwrite", fmt="orc")
+    back = source(spark, path, fmt="orc")
+    assert sorted(back.columns) == sorted(nation.columns)
+    a = {tuple(r) for r in nation.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+    # predicate pushdown reaches the ORC scan
+    plan = back.filter(back.n_nationkey == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)" in plan
