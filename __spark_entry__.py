@@ -1568,6 +1568,35 @@ def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingestion: the corpus arrives as three
+    id-ordered batches, each filtered against the signature index of
+    everything seen so far (the ongoing-crawl pattern — historical text
+    is never rescanned, only its compact minhash index). Because the
+    batch fold provably equals the one-shot estimator pass, the oracle
+    is the one-shot SQL over the whole corpus."""
+    from etl_spark_spark.functions.text import tokens, word_shingles
+    from etl_spark_spark.operators.neardup import incremental_near_dup
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    bounds = [(0, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi + 1)]
+    index = None
+    kept_parts = []
+    for lo, up in bounds:
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+        ).withColumn("t", tokens("text"))
+        kept, index = incremental_near_dup(
+            batch, index, "doc_id", word_shingles("t", 3)
+        )
+        kept_parts.append(kept.select("doc_id", "source"))
+    out = kept_parts[0]
+    for part in kept_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation composite: quality gate ->
     exact dedup (keep min id per fingerprint) -> near-dup removal
@@ -1672,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_spend_deciles": q_customer_spend_deciles,
         "neardup_clusters": q_neardup_clusters,
         "doc_quality_model": q_doc_quality_model,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_curation": q_doc_curation,
         "doc_training_prep": q_doc_training_prep,
         "customer_order_gaps": q_customer_order_gaps,
@@ -1964,6 +1994,28 @@ JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
 """
+
+_DOC_INCREMENTAL_DEDUP_SQL = f"""
+WITH {_SHINGLES},
+sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.id_a, c.id_b,
+           ((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END)) / 8.0 AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+),
+dropped AS (SELECT DISTINCT id_b FROM est WHERE est_jaccard >= 0.5)
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+"""
+
 
 _NEARDUP_NGRAM_SQL = f"""
 WITH {_SHINGLES},
@@ -2865,6 +2917,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _DOC_LANG_ID_SQL,
         "doc_exact_dedup": _DOC_EXACT_DEDUP_SQL,
         "neardup_minhash": _NEARDUP_MINHASH_SQL,
+        "doc_incremental_dedup": _DOC_INCREMENTAL_DEDUP_SQL,
         "neardup_ngram_jaccard": _NEARDUP_NGRAM_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,
         "emb_cosine_topk": _EMB_COSINE_SQL,

@@ -9,9 +9,13 @@ from .multimodal import (
 )
 from .neardup import (
     contamination_scores,
+    est_jaccard_for_pairs,
     exact_dedup,
+    incremental_near_dup,
+    near_dup_drop_ids,
     near_dup_minhash,
     ngram_jaccard_pairs,
+    signature_bands,
     simhash,
 )
 from .reconcile import allocate_proportional, reconcile_full_outer
@@ -59,6 +63,10 @@ __all__ = [
     "hash_split",
     "stratified_hash_sample",
     "contamination_scores",
+    "est_jaccard_for_pairs",
+    "incremental_near_dup",
+    "near_dup_drop_ids",
+    "signature_bands",
     "connected_components",
     "broadcast_join",
     "join_expr",

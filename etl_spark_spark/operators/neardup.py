@@ -140,6 +140,159 @@ def near_dup_minhash(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def signature_bands(
+    signatures: DataFrame,
+    id_col: str,
+    num_perms: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Explode minhash signatures to their LSH band table
+    (id, band, key). This is the persistable dedup-index layout: write
+    it bucketed by ``key`` and batch-vs-index candidate joins become
+    shuffle-free on the index side."""
+    bands = []
+    for b in range(num_perms // rows_per_band):
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("#", *cols).alias("key"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def est_jaccard_for_pairs(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    id_col: str,
+    num_perms: int = 8,
+) -> DataFrame:
+    """MinHash-ESTIMATED Jaccard for candidate pairs: the fraction of
+    agreeing signature components (the standard unbiased estimator).
+    Unlike ``jaccard_for_pairs`` this needs only the k-component
+    signatures, not the shingle sets — which is what makes a compact
+    persistent dedup index possible. Returns (id_a, id_b, est_jaccard)."""
+    sig_a = signatures.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{p}").alias(f"a{p}") for p in range(num_perms)],
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{p}").alias(f"b{p}") for p in range(num_perms)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        for p in range(num_perms)
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / num_perms).alias("est_jaccard"),
+        )
+    )
+
+
+def incremental_near_dup(
+    batch: DataFrame,
+    index_signatures: DataFrame | None,
+    id_col: str,
+    shingles_col: Column,
+    num_perms: int = 8,
+    rows_per_band: int = 2,
+    min_est: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-duplicate filtering of a new batch against the
+    corpus already ingested — the ongoing-crawl pattern, where one-shot
+    corpus-wide dedup would reprocess 100 TB for every day's arrivals.
+
+    The persistent state is just the minhash signature table of every
+    document EVER SEEN (kept or dropped — a batch doc that matches an
+    already-dropped earlier doc must still be dropped, exactly like the
+    one-shot pass would have). A batch doc is dropped when any band of
+    its signature collides with (a) an index doc or (b) a lower-id doc
+    of the same batch, and the signature-agreement estimate reaches
+    ``min_est``.
+
+    Determinism contract: signatures are md5-derived pure functions, so
+    folding batches through this operator drops EXACTLY the ids the
+    one-shot estimator pass (``near_dup_drop_ids``) drops on the full
+    corpus, whatever the batch boundaries — pinned by a property test.
+    Precondition for that equivalence: ids are assigned in ingestion
+    order (every batch's ids exceed all index ids), which makes
+    "earlier doc wins" mean the same thing in both formulations; with
+    out-of-order ids the incremental pass still drops the batch-side
+    doc (the index is immutable history), which is the operationally
+    correct choice even though the one-shot pass would have kept it.
+    Returns (kept_batch, updated_index_signatures).
+
+    Scale model per batch: signature build is one hash-aggregate over
+    the batch only; the candidate join touches index rows only in
+    colliding band buckets (persist the index bucketed by band key to
+    make that side shuffle-free); verification joins move only
+    candidate pairs. Nothing ever rescans the historical corpus text.
+    """
+    sh = shingle_set(batch, id_col, shingles_col)
+    batch_sig = minhash_signature(sh, id_col, num_perms)
+    batch_bands = signature_bands(batch_sig, id_col, num_perms, rows_per_band)
+
+    within = lsh_candidate_pairs(batch_sig, id_col, num_perms, rows_per_band)
+    if index_signatures is not None:
+        idx_bands = signature_bands(
+            index_signatures, id_col, num_perms, rows_per_band
+        )
+        cross = (
+            idx_bands.withColumnRenamed(id_col, "id_a")
+            .join(
+                batch_bands.withColumnRenamed(id_col, "id_b"),
+                ["band", "key"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cand = within.unionByName(cross)
+        all_sig = index_signatures.unionByName(batch_sig)
+    else:
+        cand = within
+        all_sig = batch_sig
+    est = est_jaccard_for_pairs(cand, all_sig, id_col, num_perms)
+    drop = (
+        est.filter(F.col("est_jaccard") >= min_est)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    kept = batch.join(drop, id_col, "left_anti")
+    return kept, all_sig
+
+
+def near_dup_drop_ids(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: Column,
+    num_perms: int = 8,
+    rows_per_band: int = 2,
+    min_est: float = 0.5,
+) -> DataFrame:
+    """One-shot reference form of the estimator-based dedup decision:
+    the ids that would be dropped (every pair's higher id) running
+    MinHash-LSH + signature-agreement over the whole corpus at once.
+    ``incremental_near_dup`` folded over any batching of the same
+    corpus must drop exactly this set."""
+    sh = shingle_set(df, id_col, shingles_col)
+    sig = minhash_signature(sh, id_col, num_perms)
+    cand = lsh_candidate_pairs(sig, id_col, num_perms, rows_per_band)
+    est = est_jaccard_for_pairs(cand, sig, id_col, num_perms)
+    return (
+        est.filter(F.col("est_jaccard") >= min_est)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

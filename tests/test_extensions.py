@@ -686,3 +686,44 @@ def test_model_quality_filter_smoke(spark, sf_dir):
     assert 0 < n < total
     assert kept.filter(F.col("quality_prob") < 0.5).count() == 0
     assert set(docs.columns) < set(kept.columns)
+
+
+def test_incremental_near_dup_equals_one_shot(spark, sf_dir):
+    """Folding id-ordered batches through incremental_near_dup must
+    drop exactly the ids the one-shot estimator pass drops on the full
+    corpus — the batch boundaries are physical, not semantic. Index
+    must accumulate every seen signature (kept AND dropped)."""
+    from etl_spark_spark.functions.text import tokens, word_shingles
+    from etl_spark_spark.operators.neardup import (
+        incremental_near_dup,
+        near_dup_drop_ids,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    one_shot_drop = {
+        r.doc_id
+        for r in near_dup_drop_ids(
+            docs.select("doc_id", tokens("text").alias("t")),
+            "doc_id",
+            word_shingles("t", 3),
+        ).collect()
+    }
+    assert one_shot_drop, "fixture must contain near-dups"
+
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    bounds = [(0, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi + 1)]
+    index = None
+    kept_ids: set = set()
+    for lo, up in bounds:
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
+        batch = batch.select("doc_id", "text", tokens("text").alias("t"))
+        kept, index = incremental_near_dup(
+            batch, index, "doc_id", word_shingles("t", 3)
+        )
+        kept_ids |= {r.doc_id for r in kept.select("doc_id").collect()}
+        # the folded index must stay reusable across iterations
+        index = index.localCheckpoint()
+
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert all_ids - kept_ids == one_shot_drop
+    assert {r.doc_id for r in index.select("doc_id").collect()} == all_ids
