@@ -1597,6 +1597,34 @@ def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for RAG / long-context training: 32-token
+    windows advancing by 24 (8-token overlap). Expression-only
+    (sequence + posexplode + slice), map-side row multiplication, no
+    shuffle."""
+    from etl_spark_spark.functions.text import tokens
+    from etl_spark_spark.operators.packing import chunk_by_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    return chunk_by_tokens(toks, "doc_id", "t", chunk_tokens=32, overlap=8)
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    draw 50 documents with probability proportional to length
+    (n_chars), content-addressed so the draw is engine-reproducible.
+    Plan is map-only + TakeOrderedAndProject — no global sort."""
+    from etl_spark_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return weighted_sample_without_replacement(docs, "doc_id", "n_chars", k=50)
+
+
 def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation composite: quality gate ->
     exact dedup (keep min id per fingerprint) -> near-dup removal
@@ -1702,6 +1730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "doc_quality_model": q_doc_quality_model,
         "doc_incremental_dedup": q_doc_incremental_dedup,
+        "doc_chunks": q_doc_chunks,
+        "doc_weighted_sample": q_doc_weighted_sample,
         "doc_curation": q_doc_curation,
         "doc_training_prep": q_doc_training_prep,
         "customer_order_gaps": q_customer_order_gaps,
@@ -2519,6 +2549,32 @@ SELECT t.source, t.n_docs, coalesce(kc.n_kept, 0)::BIGINT AS n_kept
 FROM t LEFT JOIN kc USING (source)
 """
 
+_DOC_CHUNKS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+st AS (
+  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(s // 24 AS BIGINT) AS chunk_no,
+       array_to_string(list_slice(t, s + 1, least(s + 32, len(t))), ' ')
+           AS chunk_text,
+       CAST(least(s + 32, len(t)) - s AS BIGINT) AS n_chunk_tokens
+FROM st
+"""
+
+_DOC_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, source, n_chars::BIGINT AS n_chars
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+ORDER BY pow(
+    ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE) + 1.0)
+        / 1152921504606846977.0,
+    1.0 / n_chars::DOUBLE) DESC
+LIMIT 50
+"""
+
+
 _DOC_SHUFFLE_ORDER_SQL = """
 WITH first20 AS (
   SELECT doc_id, md5('seed42#' || doc_id::VARCHAR) AS shuffle_key
@@ -2918,6 +2974,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": _DOC_EXACT_DEDUP_SQL,
         "neardup_minhash": _NEARDUP_MINHASH_SQL,
         "doc_incremental_dedup": _DOC_INCREMENTAL_DEDUP_SQL,
+        "doc_chunks": _DOC_CHUNKS_SQL,
+        "doc_weighted_sample": _DOC_WEIGHTED_SAMPLE_SQL,
         "neardup_ngram_jaccard": _NEARDUP_NGRAM_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,
         "emb_cosine_topk": _EMB_COSINE_SQL,

@@ -19,11 +19,13 @@ from .neardup import (
     simhash,
 )
 from .reconcile import allocate_proportional, reconcile_full_outer
+from .packing import chunk_by_tokens, pack_by_token_budget
 from .sampling import (
     hash_bucket,
     hash_sample,
     hash_split,
     stratified_hash_sample,
+    weighted_sample_without_replacement,
 )
 from .setops import except_all, intersect_all, union_by_name, union_strict
 from .classify import (
@@ -90,10 +92,13 @@ __all__ = [
     "train_quality_model",
     "weak_quality_label",
     "cluster_argmax",
+    "chunk_by_tokens",
     "cosine_near_dup_pairs",
     "semantic_dedup",
     "semantic_dedup_pairs",
+    "pack_by_token_budget",
     "salted_sum",
+    "weighted_sample_without_replacement",
     "with_salt",
     "attach_media",
     "extract_features",

@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_by_token_budget"]
+__all__ = ["chunk_by_tokens", "pack_by_token_budget"]
 
 
 def pack_by_token_budget(
@@ -56,4 +56,45 @@ def pack_by_token_budget(
     start = F.coalesce(F.sum(toks).over(w), F.lit(0))
     return df.withColumn(offset_col, start).withColumn(
         pack_col, F.floor(F.col(offset_col) / budget)
+    )
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column | str,
+    chunk_tokens: int,
+    overlap: int = 0,
+    joiner: str = " ",
+) -> DataFrame:
+    """Split each document's token array into sliding windows of
+    ``chunk_tokens`` tokens advancing by ``chunk_tokens - overlap`` —
+    the RAG / long-context-training chunking pass. Pure expression
+    work (sequence + explode + slice), map-only except the explode's
+    row multiplication: no shuffle, no Python, scales linearly.
+
+    Emits (id, chunk_no, chunk_text, n_chunk_tokens); a document with
+    an empty token array emits nothing; the final window may be short
+    (it is never empty — start offsets stop before the array ends).
+    Deterministic, so fully oracle-checkable.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap {overlap} must be < chunk_tokens {chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    n = F.size(t)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col), t.alias("__t"), F.posexplode(starts).alias("chunk_no", "__s")
+    )
+    piece = F.slice(F.col("__t"), F.col("__s") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.array_join(piece, joiner).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
     )

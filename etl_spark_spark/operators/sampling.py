@@ -35,6 +35,7 @@ __all__ = [
     "hash_split",
     "stratified_hash_sample",
     "temperature_sample",
+    "weighted_sample_without_replacement",
 ]
 
 
@@ -196,3 +197,43 @@ def stratified_hash_sample(
         F.lit(False) if default is None else bucket < default
     )
     return df.filter(expr)
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006, public method): each row gets the key
+    ``u**(1/w)`` where ``u`` is a content-addressed uniform in (0, 1]
+    (md5 of the id — no RNG state, bit-reproducible anywhere md5
+    exists), and the sample is the k largest keys. Inclusion
+    probability is proportional to weight, the draw is fixed by
+    content, and a re-run — or another engine — selects the exact
+    same rows.
+
+    Rows with weight <= 0 or NULL are never selected (standard E-S
+    domain). Ties are impossible in practice (60 hash bits through a
+    strictly monotone map), so the top-k is total.
+
+    Plan shape: one map-only key computation + a global top-k, which
+    Spark executes as TakeOrderedAndProject (per-partition heaps, then
+    a k-row merge) — no global sort, no shuffle of the corpus; exactly
+    the pattern that survives 100 TB.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # u in (0, 1]: (h + 1) / (16^15 + 1) with h the first 60 md5 bits
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(16**15 + 1))
+    key = F.pow(u, F.lit(1.0) / w.cast("double"))
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").desc())
+        .limit(k)
+        .drop("__es_key")
+    )

@@ -1,3 +1,4 @@
+from .dedup import run_stream_near_dup
 from .quality import run_stream_quality_gate
 from .stateful import stream_session_agg, stream_user_totals
 from .stream import (
@@ -21,4 +22,5 @@ __all__ = [
     "stream_enrich_static",
     "run_foreach_batch_upsert",
     "run_stream_quality_gate",
+    "run_stream_near_dup",
 ]

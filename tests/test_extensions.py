@@ -727,3 +727,70 @@ def test_incremental_near_dup_equals_one_shot(spark, sf_dir):
     all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert all_ids - kept_ids == one_shot_drop
     assert {r.doc_id for r in index.select("doc_id").collect()} == all_ids
+
+
+def test_chunk_by_tokens_edges_and_overlap(spark):
+    """Empty docs emit nothing; short docs emit one short chunk;
+    consecutive chunks of a long doc overlap by exactly `overlap`
+    tokens and reconstruct the original stream; bad overlap raises."""
+    import pytest
+
+    from etl_spark_spark.operators.packing import chunk_by_tokens
+
+    rows = [
+        (1, [f"w{i}" for i in range(10)]),
+        (2, ["a", "b"]),
+        (3, []),
+    ]
+    df = spark.createDataFrame(rows, "id long, t array<string>")
+    out = chunk_by_tokens(df, "id", "t", chunk_tokens=4, overlap=1)
+    got = {
+        (r.id, r.chunk_no): (r.chunk_text, r.n_chunk_tokens)
+        for r in out.collect()
+    }
+    assert {i for i, _ in got} == {1, 2}
+    assert got[(2, 0)] == ("a b", 2)
+    # starts at 0,3,6,9 -> last chunk is the single trailing token
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert got[(1, 3)] == ("w9", 1)
+    # adjacent chunks share exactly `overlap` tokens
+    assert got[(1, 0)][0].split()[-1] == got[(1, 1)][0].split()[0]
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "id", "t", chunk_tokens=4, overlap=4)
+
+
+def test_weighted_sample_domain_and_determinism(spark):
+    """Zero/NULL weights never selected; k >= n keeps every positive
+    row; a dominant weight is effectively always drawn; two runs return
+    identical rows (content-addressed, no RNG)."""
+    from etl_spark_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, 1.0) for i in range(40)] + [(100, 1e7), (101, 0.0), (102, None)]
+    df = spark.createDataFrame(rows, "id long, w double").repartition(5)
+    got1 = {r.id for r in weighted_sample_without_replacement(df, "id", "w", 5).collect()}
+    got2 = {r.id for r in weighted_sample_without_replacement(df, "id", "w", 5).collect()}
+    assert got1 == got2
+    assert 100 in got1          # weight 1e7 vs 1: inclusion ~certain
+    assert 101 not in got1 and 102 not in got1
+    everything = {
+        r.id for r in weighted_sample_without_replacement(df, "id", "w", 1000).collect()
+    }
+    assert everything == {i for i in range(40)} | {100}
+
+
+def test_weighted_sample_plan_is_topk_not_global_sort(spark, sf_dir):
+    """The E-S draw must compile to TakeOrderedAndProject (bounded
+    per-partition heaps), not a global Sort + Limit."""
+    from etl_spark_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    plan = (
+        weighted_sample_without_replacement(docs, "doc_id", "n_chars", 50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

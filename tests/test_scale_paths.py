@@ -430,3 +430,63 @@ def test_stream_quality_gate_routes_and_audits(spark, tmp_path):
     )
     assert {r.event_id for r in spark.read.parquet(good_p).collect()} == {1, 3}
     assert len(spark.read.parquet(met_p).collect()) == 2
+
+
+def test_stream_near_dup_matches_one_shot(spark, sf_dir, tmp_path):
+    """availableNow streaming ingestion through run_stream_near_dup
+    (one file per micro-batch, mtime-ordered) must keep exactly the
+    docs the one-shot estimator pass keeps, and the persisted
+    signature index must cover every seen doc."""
+    import os
+
+    from etl_spark_spark.functions.text import tokens, word_shingles
+    from etl_spark_spark.operators.neardup import near_dup_drop_ids
+    from etl_spark_spark.streaming.dedup import run_stream_near_dup
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    src = tmp_path / "src"
+    src.mkdir()
+    bounds = [(0, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi + 1)]
+    for i, (lo, up) in enumerate(bounds):
+        p = str(src / f"b{i}.parquet")
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
+            .toPandas().to_parquet(p)
+        )
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("t", tokens("text"))
+    )
+    kept_path = str(tmp_path / "kept")
+    index_path = str(tmp_path / "index")
+    run_stream_near_dup(
+        stream,
+        "doc_id",
+        word_shingles("t", 3),
+        kept_path,
+        index_path,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+
+    one_shot_drop = {
+        r.doc_id
+        for r in near_dup_drop_ids(
+            docs.select("doc_id", tokens("text").alias("t")),
+            "doc_id",
+            word_shingles("t", 3),
+        ).collect()
+    }
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    kept_ids = {
+        r.doc_id for r in spark.read.parquet(kept_path).select("doc_id").collect()
+    }
+    assert kept_ids == all_ids - one_shot_drop
+    idx_ids = {
+        r.doc_id for r in spark.read.parquet(index_path).select("doc_id").collect()
+    }
+    assert idx_ids == all_ids
