@@ -1,3 +1,17 @@
 from .write import upsert, write, write_bucketed, write_range_sorted, write_zordered
 
-__all__ = ["write", "upsert", "write_bucketed", "write_range_sorted", "write_zordered"]
+from .versioned import (
+    current_version,
+    list_versions,
+    merge_into_versioned,
+    read_versioned,
+    vacuum_versions,
+    write_version,
+)
+
+__all__ = [
+    "write", "upsert", "write_bucketed", "write_range_sorted",
+    "write_zordered", "write_version", "read_versioned",
+    "merge_into_versioned", "vacuum_versions", "current_version",
+    "list_versions",
+]

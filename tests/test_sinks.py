@@ -268,3 +268,79 @@ def test_orc_round_trip(spark, tmp_path, sf_dir):
     # predicate pushdown reaches the ORC scan
     plan = back.filter(back.n_nationkey == 3)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)" in plan
+
+
+def test_versioned_merge_time_travel_and_clauses(spark, tmp_path):
+    """Copy-on-write MERGE semantics on the snapshot store: update /
+    delete / insert clauses, time travel to any committed version."""
+    from etl_spark_spark.sinks.versioned import (
+        current_version,
+        merge_into_versioned,
+        read_versioned,
+    )
+
+    t = tmp_path / "tbl"
+    v1 = merge_into_versioned(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        t, ["k"],
+    )
+    v2 = merge_into_versioned(
+        spark,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+        t, ["k"],
+    )
+    assert (v1, v2) == (1, 2) and current_version(t) == 2
+    assert {tuple(r) for r in read_versioned(spark, t).collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
+    # time travel: v1 still intact
+    assert {tuple(r) for r in read_versioned(spark, t, version=1).collect()} == {
+        (1, "a"), (2, "b")
+    }
+    # delete-matched clause, no inserts
+    merge_into_versioned(
+        spark,
+        spark.createDataFrame([(1, "x"), (9, "y")], "k long, v string"),
+        t, ["k"], when_matched="delete", insert_unmatched=False,
+    )
+    assert {r.k for r in read_versioned(spark, t).collect()} == {2, 3}
+    # update-only merge never inserts
+    merge_into_versioned(
+        spark,
+        spark.createDataFrame([(3, "C"), (9, "y")], "k long, v string"),
+        t, ["k"], insert_unmatched=False,
+    )
+    assert {tuple(r) for r in read_versioned(spark, t).collect()} == {
+        (2, "B"), (3, "C")
+    }
+
+
+def test_versioned_crash_isolation_and_vacuum(spark, tmp_path):
+    """An orphaned (never-published) version directory — the crash
+    residue — is invisible to readers, does not collide with the next
+    commit, and vacuum sweeps it while keeping the current version."""
+    from etl_spark_spark.sinks.versioned import (
+        current_version,
+        list_versions,
+        merge_into_versioned,
+        read_versioned,
+        vacuum_versions,
+        write_version,
+    )
+
+    t = tmp_path / "tbl"
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    write_version(spark, df1, t)
+    # simulate a crash: stage v2's data but never publish the manifest
+    df2 = spark.createDataFrame([(2, "b")], "k long, v string")
+    df2.write.parquet(str(t / "_v" / "v00000002"))
+    assert current_version(t) == 1
+    assert {r.k for r in read_versioned(spark, t).collect()} == {1}
+    # next commit skips the orphaned slot
+    v = merge_into_versioned(spark, df2, t, ["k"])
+    assert v == 3 and {r.k for r in read_versioned(spark, t).collect()} == {1, 2}
+    removed = vacuum_versions(t, keep=1)
+    assert removed == [1, 2]
+    assert list_versions(t) == [3]
+    assert {r.k for r in read_versioned(spark, t).collect()} == {1, 2}
