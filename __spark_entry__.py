@@ -1590,6 +1590,11 @@ def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept, index = incremental_near_dup(
             batch, index, "doc_id", word_shingles("t", 3)
         )
+        # materialize the index between folds, as a real ingestion
+        # pipeline does by persisting it (streaming/dedup.py writes it
+        # as parquet): without this each fold re-derives the whole
+        # index lineage and the plan re-scans every earlier batch
+        index = index.localCheckpoint()
         kept_parts.append(kept.select("doc_id", "source"))
     out = kept_parts[0]
     for part in kept_parts[1:]:
