@@ -1542,6 +1542,34 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of the part's average quantity, per brand. The correlated
+    scalar subquery (per-part avg) is DECORRELATED by hand into an
+    aggregate + join — on Spark that means one partial+final hash
+    aggregate over lineitem and a broadcast-able per-part threshold
+    table, instead of a re-executed subquery per row. The threshold
+    avg is exact in IEEE double (integral quantities, sum < 2^53), so
+    the boundary comparison is engine-portable; revenue is summed in
+    integer cents."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    thresholds = li.groupBy("l_partkey").agg(
+        ((F.sum("l_quantity") / F.count("*")) * 0.2).alias("qty_cap")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(cents) / 100.0).alias("small_qty_revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
 def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring (fastText-style hashed-n-gram
     logistic classifier, pyspark.ml): weak-label every document with
@@ -1733,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": q_doc_top_terms,
         "customer_spend_deciles": q_customer_spend_deciles,
         "neardup_clusters": q_neardup_clusters,
+        "small_qty_revenue": q_small_qty_revenue,
         "doc_quality_model": q_doc_quality_model,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_chunks": q_doc_chunks,
@@ -2580,6 +2609,23 @@ LIMIT 50
 """
 
 
+_SMALL_QTY_REVENUE_SQL = """
+WITH caps AS (
+  SELECT l_partkey, (sum(l_quantity) / count(*)) * 0.2 AS qty_cap
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+           AS small_qty_revenue,
+       count(*)::BIGINT AS n_lineitems
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN caps USING (l_partkey)
+WHERE l_quantity < qty_cap
+GROUP BY p_brand
+"""
+
+
 _DOC_SHUFFLE_ORDER_SQL = """
 WITH first20 AS (
   SELECT doc_id, md5('seed42#' || doc_id::VARCHAR) AS shuffle_key
@@ -2980,6 +3026,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_minhash": _NEARDUP_MINHASH_SQL,
         "doc_incremental_dedup": _DOC_INCREMENTAL_DEDUP_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
+        "small_qty_revenue": _SMALL_QTY_REVENUE_SQL,
         "doc_weighted_sample": _DOC_WEIGHTED_SAMPLE_SQL,
         "neardup_ngram_jaccard": _NEARDUP_NGRAM_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,

@@ -156,3 +156,21 @@ def test_market_share_all_broadcast_and_pushed(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 6
     pushed = " ".join(pushed_filters(df))
     assert "o_orderdate" in pushed and "p_type" in pushed
+
+
+def test_no_unbounded_nested_loop_joins_in_any_query(spark, sf_dir):
+    """Engine-wide hygiene gate: no query may plan a CartesianProduct,
+    and BroadcastNestedLoopJoin is allowed only where a bounded side is
+    deliberately broadcast (the exact top-k's <=10-row query set and
+    the doc-pair stats' tiny self-pairing) — an UNBOUNDED nested loop
+    is always a scale bug."""
+    # emb_cosine_topk: <=10-row broadcast query set (the exact-top-k
+    # design); data_quality: a 1-row x 1-row aggregate crossJoin
+    allowed_bnlj = {"emb_cosine_topk", "data_quality"}
+    for name, fn in entrymod.queries().items():
+        plan = explain_str(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name not in allowed_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} plans an unreviewed BroadcastNestedLoopJoin"
+            )
