@@ -236,33 +236,53 @@ def incremental_near_dup(
     make that side shuffle-free); verification joins move only
     candidate pairs. Nothing ever rescans the historical corpus text.
     """
+    if not 0.0 < min_est <= 1.0:
+        raise ValueError(f"min_est must be in (0, 1], got {min_est}")
     sh = shingle_set(batch, id_col, shingles_col)
     batch_sig = minhash_signature(sh, id_col, num_perms)
-    batch_bands = signature_bands(batch_sig, id_col, num_perms, rows_per_band)
+    sigcols = [f"mh{p}" for p in range(num_perms)]
 
-    within = lsh_candidate_pairs(batch_sig, id_col, num_perms, rows_per_band)
+    # Exact-signature pre-collapse: docs sharing a FULL signature
+    # estimate Jaccard 1.0 >= any valid threshold, so every non-minimal
+    # one is dropped unconditionally and only one representative per
+    # signature enters the banding stage. Decision-invariant (identical
+    # signatures produce identical bands and identical estimates), but
+    # it keeps band buckets sparse when ingestion is duplicate-heavy —
+    # the measured adversarial case (verbatim 10x replication) went
+    # quadratic in bucket density without it.
+    reps = batch_sig.groupBy(*sigcols).agg(F.min(id_col).alias(id_col))
+    dup_drop = batch_sig.join(reps, [*sigcols, id_col], "left_anti").select(
+        F.col(id_col)
+    )
+
+    within = lsh_candidate_pairs(reps, id_col, num_perms, rows_per_band)
     if index_signatures is not None:
-        idx_bands = signature_bands(
-            index_signatures, id_col, num_perms, rows_per_band
+        idx_reps = index_signatures.groupBy(*sigcols).agg(
+            F.min(id_col).alias(id_col)
         )
+        rep_bands = signature_bands(reps, id_col, num_perms, rows_per_band)
+        idx_bands = signature_bands(idx_reps, id_col, num_perms, rows_per_band)
         cross = (
             idx_bands.withColumnRenamed(id_col, "id_a")
             .join(
-                batch_bands.withColumnRenamed(id_col, "id_b"),
+                rep_bands.withColumnRenamed(id_col, "id_b"),
                 ["band", "key"],
             )
             .select("id_a", "id_b")
             .distinct()
         )
         cand = within.unionByName(cross)
+        est_sig = idx_reps.unionByName(reps)
         all_sig = index_signatures.unionByName(batch_sig)
     else:
         cand = within
+        est_sig = reps
         all_sig = batch_sig
-    est = est_jaccard_for_pairs(cand, all_sig, id_col, num_perms)
+    est = est_jaccard_for_pairs(cand, est_sig, id_col, num_perms)
     drop = (
         est.filter(F.col("est_jaccard") >= min_est)
         .select(F.col("id_b").alias(id_col))
+        .unionByName(dup_drop)
         .distinct()
     )
     kept = batch.join(drop, id_col, "left_anti")
