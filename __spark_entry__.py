@@ -1570,6 +1570,36 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (the class-prototype aggregation
+    every embedding pipeline needs: cluster summaries, nearest-class
+    classification, drift monitoring). Element-wise mean over
+    array<float> per group via posexplode → (label, dim) partial sums →
+    re-aggregate; two hash aggregates around one exchange, map-side
+    partials do the heavy lifting. Sums accumulate in deterministic
+    double order? No — but the compared output rounds to 6 decimals,
+    and each (label, dim) cell sums <= |group| doubles whose partial
+    order variation stays far below that rounding (pinned by the green
+    oracle row). Output is one row per (label, dim) — fully scalar."""
+    emb = table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return (
+        cells.groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid_val"),
+            F.count("*").cast("long").alias("n_vectors"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("dim").cast("long").alias("dim"),
+            "centroid_val",
+            "n_vectors",
+        )
+    )
+
+
 def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring (fastText-style hashed-n-gram
     logistic classifier, pyspark.ml): weak-label every document with
@@ -1762,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_spend_deciles": q_customer_spend_deciles,
         "neardup_clusters": q_neardup_clusters,
         "small_qty_revenue": q_small_qty_revenue,
+        "emb_label_centroids": q_emb_label_centroids,
         "doc_quality_model": q_doc_quality_model,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_chunks": q_doc_chunks,
@@ -2626,6 +2657,21 @@ GROUP BY p_brand
 """
 
 
+_EMB_LABEL_CENTROIDS_SQL = """
+WITH cells AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+       round(avg(CAST(x AS DOUBLE)), 6) AS centroid_val,
+       count(*)::BIGINT AS n_vectors
+FROM cells
+GROUP BY 1, 2
+"""
+
+
 _DOC_SHUFFLE_ORDER_SQL = """
 WITH first20 AS (
   SELECT doc_id, md5('seed42#' || doc_id::VARCHAR) AS shuffle_key
@@ -3027,6 +3073,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_incremental_dedup": _DOC_INCREMENTAL_DEDUP_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
         "small_qty_revenue": _SMALL_QTY_REVENUE_SQL,
+        "emb_label_centroids": _EMB_LABEL_CENTROIDS_SQL,
         "doc_weighted_sample": _DOC_WEIGHTED_SAMPLE_SQL,
         "neardup_ngram_jaccard": _NEARDUP_NGRAM_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,

@@ -18,3 +18,17 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return TEST_SF_DIR
+
+
+@pytest.fixture(scope="session")
+def all_query_plans(spark, sf_dir) -> dict[str, str]:
+    """One formatted physical plan per registered query, computed once
+    per session — the engine-wide plan gates all read from this instead
+    of re-explaining 80+ queries each."""
+    import __spark_entry__ as entrymod
+    from etl_spark_spark.plans import explain_str
+
+    return {
+        name: explain_str(fn(spark, sf_dir))
+        for name, fn in entrymod.queries().items()
+    }

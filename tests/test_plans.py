@@ -129,13 +129,12 @@ def test_doc_source_cap_no_window(spark, sf_dir):
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
 
 
-def test_no_row_python_udfs_in_any_query(spark, sf_dir):
+def test_no_row_python_udfs_in_any_query(all_query_plans):
     """Engine-wide hygiene gate: NO query's plan may contain a
     row-at-a-time Python UDF (BatchEvalPython) — Python is allowed only
     through Arrow-batched nodes (MapInPandas / FlatMapGroupsInPandas /
     ArrowEvalPython), and only where expressions can't express the op."""
-    for name, fn in entrymod.queries().items():
-        plan = explain_str(fn(spark, sf_dir))
+    for name, plan in all_query_plans.items():
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
 
 
@@ -158,19 +157,43 @@ def test_market_share_all_broadcast_and_pushed(spark, sf_dir):
     assert "o_orderdate" in pushed and "p_type" in pushed
 
 
-def test_no_unbounded_nested_loop_joins_in_any_query(spark, sf_dir):
+def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     """Engine-wide hygiene gate: no query may plan a CartesianProduct,
     and BroadcastNestedLoopJoin is allowed only where a bounded side is
-    deliberately broadcast (the exact top-k's <=10-row query set and
-    the doc-pair stats' tiny self-pairing) — an UNBOUNDED nested loop
-    is always a scale bug."""
+    deliberately broadcast — an UNBOUNDED nested loop is always a
+    scale bug."""
     # emb_cosine_topk: <=10-row broadcast query set (the exact-top-k
     # design); data_quality: a 1-row x 1-row aggregate crossJoin
     allowed_bnlj = {"emb_cosine_topk", "data_quality"}
-    for name, fn in entrymod.queries().items():
-        plan = explain_str(fn(spark, sf_dir))
+    for name, plan in all_query_plans.items():
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
         if name not in allowed_bnlj:
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name} plans an unreviewed BroadcastNestedLoopJoin"
             )
+
+
+def test_plan_shapes_match_snapshot(all_query_plans):
+    """Plan-shape regression gate: every query's scale-critical
+    operator counts (shuffles, join strategies, Python nodes) must
+    equal the pinned snapshot — a lost broadcast, a new SortMergeJoin,
+    or a surprise Exchange fails here before it costs anything at
+    scale. Deliberate plan changes: regenerate with
+    `python scripts/snapshot_plans.py` and review the JSON diff."""
+    import json
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "scripts"))
+    from snapshot_plans import tracked_counts
+
+    snap = json.loads(
+        (pathlib.Path(__file__).parent / "plan_snapshots.json").read_text()
+    )
+    missing = set(all_query_plans) - set(snap)
+    assert not missing, f"queries without a pinned snapshot: {sorted(missing)}"
+    for name, plan in all_query_plans.items():
+        got = tracked_counts(plan)
+        assert got == snap[name], (
+            f"{name} plan shape drifted: {got} != pinned {snap[name]}"
+        )
