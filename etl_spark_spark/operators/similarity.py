@@ -569,6 +569,7 @@ def cosine_topk_ivf_pq(
     n_codes: int = 16,
     rerank: int = 32,
     opq_iters: int = 0,
+    per_list_books: bool = False,
 ) -> DataFrame:
     """IVF + product quantization with asymmetric-distance scoring and
     EXACT rerank — the memory-bound scale path for ANN over 100 TB of
@@ -605,6 +606,14 @@ def cosine_topk_ivf_pq(
     ``q·x ≈ q·c_list + Σ_s lut[s, code_s]`` where the lookup table is
     built on the residual codebooks — one extra per-(query, list)
     scalar, no extra per-candidate cost.
+
+    ``per_list_books=True`` trains a SEPARATE codebook set per coarse
+    list (the classic refinement when residual distributions differ
+    across cells — anisotropic clusters, mixed modalities): codebook
+    storage grows to L×m×n_codes codewords (still tiny) and the
+    per-query LUT to (L, m, n_codes); per-candidate cost is unchanged
+    (same m lookups, now indexed by the candidate's list). Lists with
+    no training-sample residuals fall back to the shared codebooks.
     """
     from collections.abc import Iterator
 
@@ -630,22 +639,44 @@ def cosine_topk_ivf_pq(
         else np.eye(dim)
     )
     resid_r = resid @ rot
-    books = np.stack(
-        [
-            _kmeans_euclidean(
-                resid_r[:, s * sub : (s + 1) * sub],
-                min(n_codes, resid_r.shape[0]),
+
+    def _train_books(res):
+        """One codebook per subspace over the given residual rows,
+        padded to n_codes codewords (duplicate padding is harmless —
+        a duplicate codeword is simply never the unique argmax)."""
+        out = np.zeros((m_subspaces, n_codes, sub))
+        for s in range(m_subspaces):
+            bk = _kmeans_euclidean(
+                res[:, s * sub : (s + 1) * sub], min(n_codes, res.shape[0])
             )
-            for s in range(m_subspaces)
-        ]
-    )  # (m, n_codes, sub)
+            out[s, : bk.shape[0]] = bk
+            if bk.shape[0] < n_codes:
+                out[s, bk.shape[0] :] = bk[0]
+        return out
+
+    books = _train_books(resid_r)  # (m, n_codes, sub), shared
+    if per_list_books:
+        sample_lists = np.argmax(sample @ coarse.T, axis=1)
+        # (L, m, n_codes, sub); empty lists inherit the shared books
+        books_pl = np.stack(
+            [
+                _train_books(resid_r[sample_lists == li])
+                if (sample_lists == li).any()
+                else books
+                for li in range(coarse.shape[0])
+            ]
+        )
+    else:
+        books_pl = None
     bc_coarse = spark.sparkContext.broadcast(coarse)
-    bc_books = spark.sparkContext.broadcast(books)
+    bc_books = spark.sparkContext.broadcast(
+        books_pl if per_list_books else books
+    )
     bc_rot = spark.sparkContext.broadcast(rot)
     n_probe = min(n_probe, coarse.shape[0])
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c, bk = bc_coarse.value, bc_books.value
+        c, bk_all = bc_coarse.value, bc_books.value
         rt = bc_rot.value
         for pdf in it:
             if not len(pdf):
@@ -653,12 +684,21 @@ def cosine_topk_ivf_pq(
             u = _unit_rows(np.vstack(pdf["v"].to_numpy()))
             lists = np.argmax(u @ c.T, axis=1).astype(np.int32)
             r = (u - c[lists]) @ rt
-            codes = np.empty((len(u), bk.shape[0]), dtype=np.int16)
-            for s in range(bk.shape[0]):
+            codes = np.empty((len(u), m_subspaces), dtype=np.int16)
+            for s in range(m_subspaces):
                 rs = r[:, s * sub : (s + 1) * sub]
-                # nearest codeword by Euclidean: argmin ||x-c||^2 =
-                # argmax (x·c - ||c||²/2)
-                scores = rs @ bk[s].T - 0.5 * (bk[s] * bk[s]).sum(axis=1)
+                if per_list_books:
+                    # nearest codeword within the row's own list's book
+                    bks = bk_all[:, s]  # (L, n_codes, sub)
+                    row_books = bks[lists]  # (n, n_codes, sub)
+                    scores = np.einsum("nd,nkd->nk", rs, row_books)
+                    scores -= 0.5 * (row_books * row_books).sum(axis=2)
+                else:
+                    # nearest codeword by Euclidean: argmin ||x-c||^2 =
+                    # argmax (x·c - ||c||²/2)
+                    scores = rs @ bk_all[s].T - 0.5 * (
+                        bk_all[s] * bk_all[s]
+                    ).sum(axis=1)
                 codes[:, s] = np.argmax(scores, axis=1)
             yield pd.DataFrame(
                 {
@@ -697,13 +737,21 @@ def cosine_topk_ivf_pq(
     # (q rotated into the codes' space; R orthonormal keeps dot
     # products — see the OPQ note above)
     q_rot = q_unit @ rot
-    lut = np.stack(
-        [
-            q_rot[:, s * sub : (s + 1) * sub] @ books[s].T
-            for s in range(m_subspaces)
-        ],
-        axis=1,
-    )  # (Q, m, n_codes)
+    if per_list_books:
+        # lut[q, l, s, code] = q_sub · codeword_of_list_l
+        lut = np.einsum(
+            "qsd,lskd->qlsk",
+            q_rot.reshape(len(q_ids), m_subspaces, sub),
+            books_pl,
+        )  # (Q, L, m, n_codes)
+    else:
+        lut = np.stack(
+            [
+                q_rot[:, s * sub : (s + 1) * sub] @ books[s].T
+                for s in range(m_subspaces)
+            ],
+            axis=1,
+        )  # (Q, m, n_codes)
     q_coarse = q_unit @ coarse.T  # (Q, L): the q·c_list term
     bc_lut = spark.sparkContext.broadcast(
         {int(q_ids[i]): (lut[i], q_coarse[i]) for i in range(len(q_ids))}
@@ -711,7 +759,7 @@ def cosine_topk_ivf_pq(
 
     def adc_topr(key, pdf):
         qid = int(key[0])
-        t, qc = bc_lut.value[qid]  # (m, n_codes), (L,)
+        t, qc = bc_lut.value[qid]  # (m, n_codes) | (L, m, n_codes), (L,)
         codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
         ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
         lists = pdf["list_id"].to_numpy(dtype=np.int64)
@@ -719,7 +767,12 @@ def cosine_topk_ivf_pq(
         codes, ids, lists = codes[keep], ids[keep], lists[keep]
         if not len(ids):
             return pd.DataFrame({"query_id": [], "neighbor_id": []})
-        adc = qc[lists] + t[np.arange(t.shape[0])[None, :], codes].sum(axis=1)
+        if per_list_books:
+            # index each candidate's lookups through its own list's table
+            sub_idx = np.arange(codes.shape[1])[None, :]
+            adc = qc[lists] + t[lists[:, None], sub_idx, codes].sum(axis=1)
+        else:
+            adc = qc[lists] + t[np.arange(t.shape[0])[None, :], codes].sum(axis=1)
         order = np.lexsort((ids, -adc))[:rerank]
         return pd.DataFrame(
             {"query_id": qid, "neighbor_id": ids[order]}

@@ -794,3 +794,50 @@ def test_weighted_sample_plan_is_topk_not_global_sort(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_per_list_codebooks_beat_shared_on_anisotropic(spark):
+    """Per-list PQ codebooks must beat the shared codebook set when
+    residual distributions differ across coarse cells — each cluster
+    here is stretched along its own random low-dim subspace, so one
+    shared subspace grid wastes codewords. Tight rerank (8 for k=5)
+    makes the ADC shortlist itself carry the recall."""
+    import numpy as np
+
+    from etl_spark_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf_pq,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per = 32, 8, 60
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = []
+    for ci in range(n_clusters):
+        basis = rng.normal(size=(4, dim))
+        pts = centers[ci] + 0.25 * rng.normal(size=(per, 4)) @ basis / np.linalg.norm(basis)
+        for j, p in enumerate(pts):
+            rows.append((ci * per + j, [float(x) for x in p]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(6)
+    q = df.filter(df.vec_id % per == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(df, q, "vec_id", "embedding", k=5).collect()
+    }
+
+    def recall(per_list):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk_ivf_pq(
+                df, q, "vec_id", "embedding", dim=dim, k=5,
+                n_lists=16, n_probe=6, rerank=8, per_list_books=per_list,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    shared, per_list = recall(False), recall(True)
+    assert per_list > shared, (
+        f"per-list books must improve anisotropic recall: {per_list} vs {shared}"
+    )
+    assert per_list >= 0.6, f"per-list tight-rerank recall@5 {per_list:.2f} < 0.6"
