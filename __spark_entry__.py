@@ -1600,6 +1600,88 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals in 20 bins — the profiling
+    primitive. Bin edges come from one global min/max aggregate
+    (broadcast back as a 1-row literal join); binning is a pure map
+    expression, so the corpus is scanned once and shuffles only the
+    (bin -> count) partials. The bin formula uses one double multiply
+    +floor identical in both engines; the max value is clamped into the
+    last bin (the standard right-closed final interval)."""
+    orders = table(spark, sf_dir, "orders")
+    rng = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    n_bins = 20
+    binned = orders.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / n_bins)
+            ).cast("long"),
+            F.lit(n_bins - 1).cast("long"),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").cast("long").alias("n_orders"))
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion over the event stream: per user, the
+    earliest view, the earliest click AFTER that view, and the earliest
+    purchase AFTER that click — then one row counting how many users
+    reached each stage. One grouped pass collects each user's (ts,
+    type) pairs; the staged "earliest after previous stage" logic is
+    pure array expressions over that grouped row — no self-joins, no
+    window over the raw stream, one shuffle total."""
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("evs"),
+    )
+
+    def earliest(kind, after_col):
+        cond = lambda e: (e["event_type"] == F.lit(kind)) & (
+            e["ts"] > F.col(after_col)
+        )
+        return F.array_min(F.filter("evs", cond)["ts"])
+
+    staged = (
+        per_user.withColumn(
+            "t_view",
+            F.array_min(
+                F.filter("evs", lambda e: e["event_type"] == F.lit("view"))["ts"]
+            ),
+        )
+        .withColumn("t_click", earliest("click", "t_view"))
+        .withColumn("t_purchase", earliest("purchase", "t_click"))
+    )
+    return staged.agg(
+        F.count(F.col("t_view")).cast("long").alias("n_view"),
+        F.count(F.col("t_click")).cast("long").alias("n_view_click"),
+        F.count(F.col("t_purchase")).cast("long").alias("n_view_click_purchase"),
+    )
+
+
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted per week-offset of later activity — the standard cohort
+    triangle. First week is a per-user min (one aggregate), offsets are
+    integer date arithmetic, and the triangle is a second aggregate:
+    two shuffles total on (user) then (cohort, offset)."""
+    ev = read_events(spark, sf_dir).select("user_id", "ts")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("week")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
 def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring (fastText-style hashed-n-gram
     logistic classifier, pyspark.ml): weak-label every document with
@@ -1793,6 +1875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "small_qty_revenue": q_small_qty_revenue,
         "emb_label_centroids": q_emb_label_centroids,
+        "price_histogram": q_price_histogram,
+        "event_funnel": q_event_funnel,
+        "user_retention_cohorts": q_user_retention_cohorts,
         "doc_quality_model": q_doc_quality_model,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_chunks": q_doc_chunks,
@@ -2672,6 +2757,55 @@ GROUP BY 1, 2
 """
 
 
+_PRICE_HISTOGRAM_SQL = """
+WITH rng AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20)) AS BIGINT), 19)
+           AS bin,
+       count(*)::BIGINT AS n_orders
+FROM orders, rng
+GROUP BY 1
+"""
+
+_EVENT_FUNNEL_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN pu USING (user_id)
+  WHERE e.event_type = 'click' AND pu.t_view IS NOT NULL AND e.ts > pu.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT count(t_view)::BIGINT AS n_view,
+       (SELECT count(*) FROM c)::BIGINT AS n_view_click,
+       (SELECT count(*) FROM p)::BIGINT AS n_view_click_purchase
+FROM pu
+"""
+
+_USER_RETENTION_COHORTS_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('week', ts)::DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week FROM events
+)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+       ((week - cohort_week) // 7)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM active JOIN firsts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 _DOC_SHUFFLE_ORDER_SQL = """
 WITH first20 AS (
   SELECT doc_id, md5('seed42#' || doc_id::VARCHAR) AS shuffle_key
@@ -3074,6 +3208,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _DOC_CHUNKS_SQL,
         "small_qty_revenue": _SMALL_QTY_REVENUE_SQL,
         "emb_label_centroids": _EMB_LABEL_CENTROIDS_SQL,
+        "price_histogram": _PRICE_HISTOGRAM_SQL,
+        "event_funnel": _EVENT_FUNNEL_SQL,
+        "user_retention_cohorts": _USER_RETENTION_COHORTS_SQL,
         "doc_weighted_sample": _DOC_WEIGHTED_SAMPLE_SQL,
         "neardup_ngram_jaccard": _NEARDUP_NGRAM_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,

@@ -163,8 +163,9 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     deliberately broadcast — an UNBOUNDED nested loop is always a
     scale bug."""
     # emb_cosine_topk: <=10-row broadcast query set (the exact-top-k
-    # design); data_quality: a 1-row x 1-row aggregate crossJoin
-    allowed_bnlj = {"emb_cosine_topk", "data_quality"}
+    # design); data_quality / price_histogram: crossJoins of 1-row
+    # aggregate results (global totals / min-max bin edges)
+    allowed_bnlj = {"emb_cosine_topk", "data_quality", "price_histogram"}
     for name, plan in all_query_plans.items():
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
         if name not in allowed_bnlj:
