@@ -5,6 +5,7 @@ from .versioned import (
     list_versions,
     merge_into_versioned,
     read_versioned,
+    snapshot_diff,
     vacuum_versions,
     write_version,
 )
@@ -13,5 +14,6 @@ __all__ = [
     "write", "upsert", "write_bucketed", "write_range_sorted",
     "write_zordered", "write_version", "read_versioned",
     "merge_into_versioned", "vacuum_versions", "current_version",
+    "snapshot_diff",
     "list_versions",
 ]

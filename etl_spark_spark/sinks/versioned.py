@@ -179,3 +179,59 @@ def vacuum_versions(path: str | Path, keep: int = 1) -> list[int]:
     for v in drop:
         shutil.rmtree(_version_dir(path, v))
     return sorted(drop)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str | Path,
+    from_version: int,
+    to_version: int,
+    keys: Sequence[str],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Change-data-capture between two committed snapshots: one row per
+    changed key with ``change_type`` in {insert, update, delete} plus
+    the row's columns at ``to_version`` (NULLs for deletes — the key
+    columns always survive, taken from the old side).
+
+    The diff is a single full-outer join on the keys; unchanged rows
+    are filtered by comparing the non-key columns as one struct (NULL-
+    safe equality), so the shuffle carries both snapshots once and the
+    output is only the delta. This is how downstream consumers follow
+    a copy-on-write table without re-reading it: ship the delta, not
+    the snapshot."""
+    keys = list(keys)
+    old = read_versioned(spark, path, from_version, fmt)
+    new = read_versioned(spark, path, to_version, fmt)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"schema changed between versions: {sorted(old.columns)} vs "
+            f"{sorted(new.columns)} — diff the schemas, not the rows"
+        )
+    payload = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        F.struct(*payload).alias("__old_p") if payload else F.lit(None).alias("__old_p"),
+    )
+    n = new.select(
+        *keys,
+        F.struct(*payload).alias("__new_p") if payload else F.lit(None).alias("__new_p"),
+        F.lit(True).alias("__new_present"),
+    )
+    cond = [n[k].eqNullSafe(o[f"__ok_{k}"]) for k in keys]
+    joined = n.join(o, cond, "full_outer")
+    change = (
+        F.when(o["__ok_" + keys[0]].isNull(), F.lit("insert"))
+        .when(F.col("__new_present").isNull(), F.lit("delete"))
+        .when(F.col("__new_p").eqNullSafe(F.col("__old_p")), F.lit(None))
+        .otherwise(F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(n[k], o[f"__ok_{k}"]).alias(k) for k in keys
+    ]
+    out_payload = [F.col("__new_p")[c].alias(c) for c in payload]
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*out_keys, *out_payload, "change_type")
+    )

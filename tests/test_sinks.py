@@ -344,3 +344,42 @@ def test_versioned_crash_isolation_and_vacuum(spark, tmp_path):
     assert removed == [1, 2]
     assert list_versions(t) == [3]
     assert {r.k for r in read_versioned(spark, t).collect()} == {1, 2}
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    """CDC between versions: inserts/updates/deletes classified, with
+    to-version payloads (NULL payloads for deletes); unchanged rows —
+    including NULL-payload ones — never appear in the delta."""
+    from etl_spark_spark.sinks.versioned import (
+        merge_into_versioned,
+        snapshot_diff,
+    )
+
+    t = tmp_path / "tbl"
+    merge_into_versioned(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, v string"
+        ),
+        t, ["k"],
+    )
+    merge_into_versioned(
+        spark,
+        spark.createDataFrame([(2, "B"), (5, "e"), (3, None)], "k long, v string"),
+        t, ["k"],
+    )
+    merge_into_versioned(
+        spark,
+        spark.createDataFrame([(4, "gone")], "k long, v string"),
+        t, ["k"], when_matched="delete", insert_unmatched=False,
+    )
+    got = {
+        r.k: (r.v, r.change_type)
+        for r in snapshot_diff(spark, t, 1, 3, ["k"]).collect()
+    }
+    # 1 unchanged, 3 unchanged (NULL==NULL), 2 updated, 4 deleted, 5 inserted
+    assert got == {
+        2: ("B", "update"),
+        4: (None, "delete"),
+        5: ("e", "insert"),
+    }
