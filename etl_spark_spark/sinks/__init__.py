@@ -1,4 +1,11 @@
-from .write import upsert, write, write_bucketed, write_range_sorted, write_zordered
+from .write import (
+    upsert,
+    write,
+    write_bucketed,
+    write_range_sorted,
+    write_sized,
+    write_zordered,
+)
 
 from .versioned import (
     current_version,
@@ -11,7 +18,7 @@ from .versioned import (
 )
 
 __all__ = [
-    "write", "upsert", "write_bucketed", "write_range_sorted",
+    "write", "upsert", "write_bucketed", "write_range_sorted", "write_sized",
     "write_zordered", "write_version", "read_versioned",
     "merge_into_versioned", "vacuum_versions", "current_version",
     "snapshot_diff",

@@ -314,3 +314,60 @@ def _upsert_partitions(
                 raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_sized(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 128,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    sample_rows: int = 2000,
+) -> int:
+    """Write with files sized toward ``target_file_mb`` — the fix for
+    both halves of the classic operational failure: thousands of tiny
+    files (every downstream scan pays per-file open/listing cost) and
+    multi-GB monsters (no read parallelism, OOM-prone row groups).
+
+    In-memory row size is a poor proxy for parquet-on-disk size
+    (encoding + compression vary per column), so calibration is
+    empirical: stage a bounded ``sample_rows`` single file next to the
+    target, measure its actual bytes-per-row at this exact schema/
+    codec, then repartition to ``ceil(n_rows / rows_per_file)`` and
+    write. Costs one bounded sample write + one count + one shuffle —
+    the shuffle also heals upstream partition skew, which is usually
+    wanted at write time anyway. Returns the partition count written.
+
+    At 100 TB this is the difference between a 800k-file table and an
+    800-file-per-partition layout; combine with ``partition_by``-style
+    layouts by calling per partition batch (the dynamic-overwrite
+    upsert path already scopes writes that way)."""
+    import math
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    n = df.count()
+    if n == 0:
+        write(df.repartition(1), path, mode=mode, fmt=fmt)
+        return 1
+    stage = tempfile.mkdtemp(
+        prefix="sizing_", dir=str(Path(path).parent if Path(path).parent.exists() else ".")
+    )
+    try:
+        sample = df.limit(min(sample_rows, n)).repartition(1)
+        sample.write.format(fmt).mode("overwrite").save(stage)
+        sample_n = min(sample_rows, n)
+        sample_bytes = sum(
+            f.stat().st_size
+            for f in Path(stage).rglob("*")
+            if f.is_file() and not f.name.startswith(("_", "."))
+        )
+        bytes_per_row = max(sample_bytes / sample_n, 1e-6)
+        rows_per_file = max(int(target_file_mb * 1024 * 1024 / bytes_per_row), 1)
+        n_files = max(math.ceil(n / rows_per_file), 1)
+        write(df.repartition(n_files), path, mode=mode, fmt=fmt)
+        return n_files
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

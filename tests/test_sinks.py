@@ -383,3 +383,30 @@ def test_snapshot_diff_cdc(spark, tmp_path):
         4: (None, "delete"),
         5: ("e", "insert"),
     }
+
+
+def test_write_sized_hits_target_file_size(spark, tmp_path):
+    """Files land near the requested size: a ~6 MB dataset at a 1 MB
+    target must split into several files, each within a small factor of
+    the target (parquet framing overhead aside), and round-trip
+    contents exactly."""
+    from pathlib import Path
+
+    from etl_spark_spark.sinks.write import write_sized
+
+    df = spark.range(60_000).selectExpr(
+        "id", "repeat(uuid(), 4) AS payload"
+    ).cache()
+    df.count()
+    out = tmp_path / "sized"
+    n_files = write_sized(spark, df, str(out), target_file_mb=1)
+    files = [
+        f for f in Path(out).rglob("*.parquet") if not f.name.startswith("_")
+    ]
+    assert n_files > 1 and len(files) == n_files
+    sizes = sorted(f.stat().st_size for f in files)
+    target = 1024 * 1024
+    assert sizes[0] > 0.3 * target, f"file too small: {sizes[0]}"
+    assert sizes[-1] < 3 * target, f"file too big: {sizes[-1]}"
+    assert spark.read.parquet(str(out)).count() == 60_000
+    df.unpersist()
