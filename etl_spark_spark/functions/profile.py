@@ -33,3 +33,61 @@ def profile_columns(
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_expr}) AS (column_name, n_nulls, n_distinct)"
     )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Schema + statistics drift between two snapshots of a table
+    (e.g. two ``sinks.versioned`` versions): one row per column with
+    its status — ``added`` / ``removed`` / ``type_changed`` /
+    ``present`` — and, for columns present on both sides, the old/new
+    row, null, and distinct counts so monitoring can alert on
+    distribution shifts, not just schema breaks.
+
+    Cost: one profiling aggregate per side (each a single scan) and a
+    full-outer join of two |columns|-row frames — nothing scales with
+    the data beyond the two scans."""
+    old_types = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_types = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    shared = [
+        c
+        for c in new_types
+        if c in old_types and (columns is None or c in columns)
+    ]
+    spark = old.sparkSession
+    o = (
+        profile_columns(old, shared)
+        .withColumnsRenamed({"n_nulls": "old_n_nulls", "n_distinct": "old_n_distinct"})
+        .crossJoin(old.agg(F.count("*").alias("old_n_rows")))
+    )
+    n = (
+        profile_columns(new, shared)
+        .withColumnsRenamed({"n_nulls": "new_n_nulls", "n_distinct": "new_n_distinct"})
+        .crossJoin(new.agg(F.count("*").alias("new_n_rows")))
+    )
+    status_rows = [
+        (
+            c,
+            "added"
+            if c not in old_types
+            else "removed"
+            if c not in new_types
+            else "type_changed"
+            if old_types[c] != new_types[c]
+            else "present",
+            old_types.get(c),
+            new_types.get(c),
+        )
+        for c in dict.fromkeys([*old_types, *new_types])
+        if columns is None or c in columns
+    ]
+    status = spark.createDataFrame(
+        status_rows, "column_name string, status string, old_type string, new_type string"
+    )
+    return (
+        status.join(o, "column_name", "left")
+        .join(n, "column_name", "left")
+    )

@@ -71,3 +71,30 @@ def test_expectations_single_scan(spark, sf_dir):
         li, {"a": F.col("l_quantity") > 0, "b": F.col("l_discount") >= 0}
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_profile_drift_statuses_and_stats(spark):
+    """Added/removed/type-changed columns classified from the schemas;
+    shared columns carry both sides' null/distinct/row counts."""
+    from etl_spark_spark.functions.profile import profile_drift
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "c", 2.0)],
+        "k long, v string, gone double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (4, "d", None), (5, None, "z")],
+        "k long, v string, fresh string",
+    )
+    got = {r.column_name: r for r in profile_drift(old, new).collect()}
+    assert got["gone"].status == "removed" and got["fresh"].status == "added"
+    assert got["k"].status == "present" and got["v"].status == "present"
+    r = got["v"]
+    assert (r.old_n_nulls, r.new_n_nulls) == (1, 1)
+    assert (r.old_n_distinct, r.new_n_distinct) == (2, 3)
+    assert (r.old_n_rows, r.new_n_rows) == (3, 4)
+    # type change detected even though the name is shared
+    old2 = old.withColumn("v", F.lit(7))
+    got2 = {r.column_name: r for r in profile_drift(old2, new).collect()}
+    assert got2["v"].status == "type_changed"
+    assert (got2["v"].old_type, got2["v"].new_type) == ("int", "string")
