@@ -268,6 +268,11 @@ def incremental_near_dup(
                 rep_bands.withColumnRenamed(id_col, "id_b"),
                 ["band", "key"],
             )
+            # self-pair guard: ids are global, so an index row carrying
+            # a batch doc's own id IS that doc (e.g. a replayed batch
+            # whose crashed attempt already wrote signatures) — it must
+            # not evict itself
+            .filter(F.col("id_a") != F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
         )

@@ -490,3 +490,57 @@ def test_stream_near_dup_matches_one_shot(spark, sf_dir, tmp_path):
         r.doc_id for r in spark.read.parquet(index_path).select("doc_id").collect()
     }
     assert idx_ids == all_ids
+
+
+def test_stream_near_dup_crash_replay_keeps_rows(spark, sf_dir, tmp_path):
+    """Crash-replay idempotency of the streaming dedup batch function:
+    after a batch's index write lands but before (or after) the upsert,
+    Structured Streaming replays the SAME batch id. The replay must
+    keep exactly the same rows — historically the index read included
+    the crashed attempt's own signatures and the entire batch matched
+    its stale self/siblings and was dropped (ADVICE r2 high)."""
+    from etl_spark_spark.functions.text import tokens, word_shingles
+    from etl_spark_spark.operators.neardup import near_dup_drop_ids
+    from etl_spark_spark.streaming.dedup import dedup_batch_once
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("t", tokens("text"))
+    )
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    b0 = docs.filter(F.col("doc_id") < hi // 2)
+    b1 = docs.filter(F.col("doc_id") >= hi // 2)
+    kept_path = str(tmp_path / "kept")
+    index_path = str(tmp_path / "index")
+
+    def run(batch, bid):
+        dedup_batch_once(
+            batch, bid, "doc_id", word_shingles("t", 3), kept_path, index_path
+        )
+
+    run(b0, 0)
+    run(b1, 1)
+    first_kept = {
+        r.doc_id for r in spark.read.parquet(kept_path).select("doc_id").collect()
+    }
+    assert first_kept, "sanity: some rows kept on first pass"
+
+    # replay batch 1 (simulates crash between index write and commit)
+    run(b1, 1)
+    replay_kept = {
+        r.doc_id for r in spark.read.parquet(kept_path).select("doc_id").collect()
+    }
+    assert replay_kept == first_kept
+
+    # and the fold still equals the one-shot decision
+    one_shot_drop = {
+        r.doc_id
+        for r in near_dup_drop_ids(docs, "doc_id", word_shingles("t", 3)).collect()
+    }
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert replay_kept == all_ids - one_shot_drop
+    # index state after replay: every seen doc exactly once
+    idx = spark.read.parquet(index_path).select("doc_id").collect()
+    assert {r.doc_id for r in idx} == all_ids
+    assert len(idx) == len(all_ids)
