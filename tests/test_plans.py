@@ -164,8 +164,19 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     scale bug."""
     # emb_cosine_topk: <=10-row broadcast query set (the exact-top-k
     # design); data_quality / price_histogram: crossJoins of 1-row
-    # aggregate results (global totals / min-max bin edges)
-    allowed_bnlj = {"emb_cosine_topk", "data_quality", "price_histogram"}
+    # aggregate results (global totals / min-max bin edges); the four
+    # ANN derived-check queries crossJoin 1-row aggregate results
+    # (n_results/recall booleans) and inherit emb_cosine_topk's
+    # bounded broadcast query set
+    allowed_bnlj = {
+        "emb_cosine_topk",
+        "data_quality",
+        "price_histogram",
+        "emb_cosine_topk_lsh",
+        "emb_cosine_topk_ivf",
+        "emb_cosine_topk_ivfpq",
+        "emb_near_dup_lsh",
+    }
     for name, plan in all_query_plans.items():
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
         if name not in allowed_bnlj:
