@@ -703,6 +703,9 @@ def q_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="__ts",
         right_ts="__ts2",
         payload=["click_id", "click_us"],
+        # click_id/click_us derive from never-NULL event columns ->
+        # the cheaper per-column carry is exactly equivalent here
+        payload_non_null=True,
     ).select("user_id", "purchase_id", "purchase_us", "click_id", "click_us")
 
 

@@ -1,31 +1,39 @@
 """Snapshot-versioned table store: copy-on-write MERGE with time
-travel, built from plain parquet + an atomically-swapped manifest.
+travel and optimistic-concurrency commits, built from plain parquet +
+atomic filesystem primitives.
 
 This is the engine's answer to the reference's Iceberg ``MERGE INTO``
 (reference etl_job.py:78-85) in an environment without catalog jars:
 the same reader/writer isolation guarantees a table format provides,
 expressed with filesystem primitives —
 
-- every write creates a NEW immutable version directory
-  (``_v/v{N:08d}/``); existing files are never mutated;
-- readers resolve the current version through a single manifest file
-  (``_current``) whose content is replaced via write-temp + atomic
-  ``os.replace`` — a reader sees the old version or the new one, never
-  a half-written table;
-- a crash mid-write leaves an orphan version directory that no
-  manifest references (invisible to readers; ``vacuum_versions``
-  sweeps it), exactly the snapshot-isolation failure mode of a real
-  table format;
+- a writer stages data fully into a UNIQUE staging directory
+  (``_v/.staging-{uuid}/``) that no reader ever resolves;
+- commit is ONE atomic put-if-absent: creating the version entry
+  ``_v/v{N:08d}`` as a symlink to the staging directory. Symlink
+  creation fails with EEXIST if the slot is taken, so two writers
+  racing for the same version number get exactly one winner — the
+  same compare-and-swap a real catalog performs on its commit log.
+  Because data is complete before the symlink exists, a version entry
+  either IS a full snapshot or does not exist; there is no
+  half-committed state to misread;
+- a crash before the symlink leaves an unreferenced staging directory
+  (invisible to readers; ``vacuum_versions`` sweeps it);
+- committed = "the version entry exists as a symlink". The ``_current``
+  manifest is kept as a monotonically-advancing hint (and for
+  compatibility with tables written by the pre-CAS layout, whose
+  version entries are real directories: those count as committed only
+  up to the manifest — an orphaned real directory is never readable as
+  a snapshot, even after later commits publish past it);
 - old versions stay readable (``read_versioned(path, version=...)``)
   until vacuumed — time travel for debugging/reproducibility, the
   property training pipelines need most from a table format.
 
-What this does NOT give (documented, not hidden): cross-table
-transactions and concurrent WRITER coordination (two simultaneous
-writers could both stage version N+1; a catalog's atomic
-compare-and-swap is the real fix — os.replace makes the last one win
-atomically, it does not serialize them). Single-writer many-reader,
-the dominant ETL topology, is fully safe.
+Concurrent writers: ``merge_into_versioned`` is a full optimistic-
+concurrency loop — read current version, compute the merge, commit
+with ``expected_current`` CAS; on conflict it re-reads and re-merges,
+so two interleaved merges both land and neither update is lost (pinned
+by test). Cross-table transactions still need a real catalog.
 
 At 100 TB: copy-on-write rewrites the whole table per merge. That is
 the honest cost of plain-parquet MERGE; the partition-scoped
@@ -36,6 +44,8 @@ enough, and a real catalog covers row-level deletes.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 from collections.abc import Sequence
 from pathlib import Path
 
@@ -44,22 +54,60 @@ from pyspark.sql import functions as F
 
 _VDIR = "_v"
 _MANIFEST = "_current"
+_ANY = "any"  # sentinel: no CAS, blind snapshot write
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's read and its
+    commit attempt (the optimistic-concurrency conflict signal)."""
 
 
 def _version_dir(path: str | Path, version: int) -> Path:
     return Path(path) / _VDIR / f"v{version:08d}"
 
 
-def current_version(path: str | Path) -> int | None:
-    """The committed version number, or None for an empty table."""
+def _manifest_version(path: str | Path) -> int | None:
     m = Path(path) / _MANIFEST
     if not m.exists():
         return None
     return int(m.read_text().strip())
 
 
+def _advance_manifest(root: Path, version: int) -> None:
+    """Move the hint manifest forward (never backward — a slow racing
+    writer must not regress it past a newer commit)."""
+    cur = _manifest_version(root)
+    if cur is not None and cur >= version:
+        return
+    tmp = root / f"{_MANIFEST}.tmp{uuid.uuid4().hex[:8]}"
+    tmp.write_text(f"{version}\n")
+    os.replace(tmp, root / _MANIFEST)
+
+
+def _is_committed(path: str | Path, version: int) -> bool:
+    p = _version_dir(path, version)
+    if p.is_symlink():
+        return True  # CAS protocol: entry existence == committed
+    if p.is_dir():
+        # pre-CAS layout: real directory, committed only up to the
+        # manifest — and never at/after the first symlink commit
+        # (legacy commits all predate the CAS protocol), so a
+        # crash-orphaned directory stays orphaned even after later
+        # commits advance the manifest past its number
+        m = _manifest_version(path)
+        if m is None or version > m:
+            return False
+        links = [
+            v
+            for v in list_versions(path)
+            if _version_dir(path, v).is_symlink()
+        ]
+        return not links or version < links[0]
+    return False
+
+
 def list_versions(path: str | Path) -> list[int]:
-    """All version numbers with a data directory on disk (committed or
+    """All version numbers with an entry on disk (committed or
     orphaned), ascending."""
     vroot = Path(path) / _VDIR
     if not vroot.exists():
@@ -69,29 +117,85 @@ def list_versions(path: str | Path) -> list[int]:
     )
 
 
+def committed_versions(path: str | Path) -> list[int]:
+    """Version numbers readers may resolve, ascending."""
+    return [v for v in list_versions(path) if _is_committed(path, v)]
+
+
+def current_version(path: str | Path) -> int | None:
+    """The newest committed version number, or None for an empty
+    table."""
+    vs = committed_versions(path)
+    return vs[-1] if vs else None
+
+
 def write_version(
     spark: SparkSession,
     df: DataFrame,
     path: str | Path,
     fmt: str = "parquet",
+    expected_current: int | None | str = _ANY,
 ) -> int:
     """Commit ``df`` as the table's next version. Data lands fully in a
-    fresh version directory BEFORE the manifest swap publishes it; a
-    crash before the swap leaves readers on the old version."""
+    unique staging directory BEFORE the atomic symlink commit publishes
+    it; a crash before the commit leaves readers untouched.
+
+    ``expected_current`` selects the write mode:
+
+    - ``"any"`` (default): blind snapshot write — claims the lowest
+      free slot, retrying past slots other writers take;
+    - an int (or None for expect-empty): compare-and-swap — commits
+      ONLY IF the table's newest committed version is still exactly
+      that value, else raises :class:`ConcurrentWriteError` (and
+      removes its staging data). This is the primitive a
+      read-merge-commit cycle needs to detect a concurrent commit.
+    """
     root = Path(path)
-    root.mkdir(parents=True, exist_ok=True)
-    cur = current_version(root)
-    nxt = 1 if cur is None else cur + 1
-    # skip over orphaned (crashed) staging dirs
-    taken = set(list_versions(root))
-    while nxt in taken:
-        nxt += 1
-    vdir = _version_dir(root, nxt)
-    df.write.format(fmt).mode("errorifexists").save(str(vdir))
-    tmp = root / f"{_MANIFEST}.tmp"
-    tmp.write_text(f"{nxt}\n")
-    os.replace(tmp, root / _MANIFEST)  # atomic publish
-    return nxt
+    (root / _VDIR).mkdir(parents=True, exist_ok=True)
+    staging = root / _VDIR / f".staging-{uuid.uuid4().hex}"
+    df.write.format(fmt).mode("errorifexists").save(str(staging))
+
+    cas = expected_current != _ANY
+    for _ in range(1000):  # blind mode may race past many taken slots
+        cur = current_version(root)
+        if cas and cur != expected_current:
+            shutil.rmtree(staging)
+            raise ConcurrentWriteError(
+                f"expected current version {expected_current}, found {cur}"
+            )
+        base = 0 if cur is None else cur
+        taken = set(list_versions(root))
+        target = base + 1
+        while target in taken:
+            target += 1
+        try:
+            # atomic put-if-absent: relative link keeps the table
+            # relocatable
+            os.symlink(staging.name, _version_dir(root, target))
+        except FileExistsError:
+            if cas:
+                shutil.rmtree(staging)
+                raise ConcurrentWriteError(
+                    f"lost the commit race for version {target}"
+                )
+            continue  # blind mode: rescan and take the next free slot
+        if cas:
+            # a writer may have committed a DIFFERENT slot between our
+            # read and our claim (it saw our claim and skipped ahead,
+            # or claimed a lower free slot) — validate nothing newer
+            # than expected committed besides us, else roll back
+            others = [v for v in committed_versions(root) if v != target]
+            newest = others[-1] if others else None
+            if newest != expected_current:
+                os.unlink(_version_dir(root, target))
+                shutil.rmtree(staging)
+                raise ConcurrentWriteError(
+                    f"concurrent commit detected (saw {newest}, "
+                    f"expected {expected_current})"
+                )
+        _advance_manifest(root, target)
+        return target
+    raise ConcurrentWriteError("could not claim a version slot")
 
 
 def read_versioned(
@@ -101,14 +205,18 @@ def read_versioned(
     fmt: str = "parquet",
 ) -> DataFrame:
     """Read the committed snapshot (or a pinned historical ``version``).
-    Raises FileNotFoundError on an empty table."""
+    Raises FileNotFoundError on an empty table or when ``version``
+    names an uncommitted/orphaned directory — crash residue is never
+    readable as a snapshot."""
     v = current_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"versioned table {path} has no commits")
-    vdir = _version_dir(path, v)
-    if not vdir.exists():
-        raise FileNotFoundError(f"version {v} not present under {path}")
-    return spark.read.format(fmt).load(str(vdir))
+    if not _is_committed(path, v):
+        raise FileNotFoundError(
+            f"version {v} under {path} is not a committed snapshot "
+            "(orphaned or never written)"
+        )
+    return spark.read.format(fmt).load(str(_version_dir(path, v)))
 
 
 def merge_into_versioned(
@@ -119,6 +227,7 @@ def merge_into_versioned(
     when_matched: str = "update",
     insert_unmatched: bool = True,
     fmt: str = "parquet",
+    max_retries: int = 5,
 ) -> int:
     """MERGE with the standard clause semantics, committed as a new
     snapshot:
@@ -131,53 +240,90 @@ def merge_into_versioned(
 
     First merge into an empty table bootstraps it from ``source_df``
     (inserts only). Returns the committed version number.
-    """
+
+    Concurrency: full optimistic loop — the merge is computed against
+    the version observed at read time and committed with a CAS on that
+    version; on conflict the cycle re-reads and re-merges (up to
+    ``max_retries``), so interleaved merges serialize without lost
+    updates."""
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
     keys = list(keys)
-    cur = current_version(path)
-    if cur is None:
-        if not insert_unmatched:
-            raise ValueError("nothing to merge: empty table and insert_unmatched=False")
-        return write_version(spark, source_df, path, fmt)
-    target = read_versioned(spark, path, cur, fmt)
-    src_keys = source_df.select(*keys).distinct()
-    untouched = target.join(src_keys, keys, "left_anti")
-    if when_matched == "update":
-        replaced = source_df
-        if not insert_unmatched:
-            replaced = source_df.join(
-                target.select(*keys).distinct(), keys, "left_semi"
+    last_err: ConcurrentWriteError | None = None
+    for _ in range(max_retries):
+        cur = current_version(path)
+        if cur is None:
+            if not insert_unmatched:
+                raise ValueError(
+                    "nothing to merge: empty table and insert_unmatched=False"
+                )
+            merged = source_df
+        else:
+            target = read_versioned(spark, path, cur, fmt)
+            src_keys = source_df.select(*keys).distinct()
+            untouched = target.join(src_keys, keys, "left_anti")
+            if when_matched == "update":
+                replaced = source_df
+                if not insert_unmatched:
+                    replaced = source_df.join(
+                        target.select(*keys).distinct(), keys, "left_semi"
+                    )
+                merged = untouched.unionByName(
+                    replaced, allowMissingColumns=True
+                )
+            else:  # delete matched
+                merged = untouched
+                if insert_unmatched:
+                    inserts = source_df.join(
+                        target.select(*keys).distinct(), keys, "left_anti"
+                    )
+                    merged = merged.unionByName(
+                        inserts, allowMissingColumns=True
+                    )
+        try:
+            return write_version(
+                spark, merged, path, fmt, expected_current=cur
             )
-        merged = untouched.unionByName(replaced, allowMissingColumns=True)
-    else:  # delete matched
-        merged = untouched
-        if insert_unmatched:
-            inserts = source_df.join(
-                target.select(*keys).distinct(), keys, "left_anti"
-            )
-            merged = merged.unionByName(inserts, allowMissingColumns=True)
-    return write_version(spark, merged, path, fmt)
+        except ConcurrentWriteError as e:
+            last_err = e  # someone committed under us: re-read, re-merge
+    raise ConcurrentWriteError(
+        f"merge lost the commit race {max_retries} times"
+    ) from last_err
 
 
 def vacuum_versions(path: str | Path, keep: int = 1) -> list[int]:
-    """Delete version directories older than the newest ``keep``
-    committed ones, plus any orphaned (never-published) directories
-    newer than the current manifest. Never touches the current version.
-    Returns the versions removed."""
-    import shutil
-
+    """Delete version entries older than the newest ``keep`` committed
+    ones, plus any orphaned (never-committed) directories and
+    unreferenced staging directories. Never touches the current
+    version. Not safe to run concurrently with an in-flight writer
+    (it may sweep that writer's staging data). Returns the versions
+    removed."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
-    cur = current_version(path)
-    if cur is None:
+    root = Path(path)
+    committed = committed_versions(root)
+    if not committed:
         return []
-    committed = [v for v in list_versions(path) if v <= cur]
-    orphans = [v for v in list_versions(path) if v > cur]
-    drop = committed[:-keep] if len(committed) > keep else []
-    drop += orphans
+    uncommitted = [v for v in list_versions(root) if v not in committed]
+    drop = (committed[:-keep] if len(committed) > keep else []) + uncommitted
     for v in drop:
-        shutil.rmtree(_version_dir(path, v))
+        p = _version_dir(root, v)
+        if p.is_symlink():
+            tgt = (root / _VDIR / os.readlink(p)).resolve()
+            os.unlink(p)
+            shutil.rmtree(tgt, ignore_errors=True)
+        else:
+            shutil.rmtree(p)
+    # sweep staging dirs no surviving version references
+    referenced = {
+        os.readlink(_version_dir(root, v))
+        for v in committed_versions(root)
+        if _version_dir(root, v).is_symlink()
+    }
+    vroot = root / _VDIR
+    for d in vroot.iterdir():
+        if d.name.startswith(".staging-") and d.name not in referenced:
+            shutil.rmtree(d, ignore_errors=True)
     return sorted(drop)
 
 
@@ -197,21 +343,26 @@ def snapshot_diff(
     The diff is a single full-outer join on the keys; unchanged rows
     are filtered by comparing the non-key columns as one struct (NULL-
     safe equality), so the shuffle carries both snapshots once and the
-    output is only the delta. This is how downstream consumers follow
-    a copy-on-write table without re-reading it: ship the delta, not
-    the snapshot."""
+    output is only the delta. Presence on each side is detected by a
+    literal marker column (NOT key nullness — a legitimately-NULL key
+    column matched via eqNullSafe must not read as an insert). This is
+    how downstream consumers follow a copy-on-write table without
+    re-reading it: ship the delta, not the snapshot."""
     keys = list(keys)
     old = read_versioned(spark, path, from_version, fmt)
     new = read_versioned(spark, path, to_version, fmt)
-    if set(old.columns) != set(new.columns):
+    old_fields = {f.name: f.dataType for f in old.schema.fields}
+    new_fields = {f.name: f.dataType for f in new.schema.fields}
+    if old_fields != new_fields:
         raise ValueError(
-            f"schema changed between versions: {sorted(old.columns)} vs "
-            f"{sorted(new.columns)} — diff the schemas, not the rows"
+            f"schema changed between versions: {old_fields} vs "
+            f"{new_fields} — diff the schemas, not the rows"
         )
     payload = [c for c in new.columns if c not in keys]
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         F.struct(*payload).alias("__old_p") if payload else F.lit(None).alias("__old_p"),
+        F.lit(True).alias("__old_present"),
     )
     n = new.select(
         *keys,
@@ -221,7 +372,7 @@ def snapshot_diff(
     cond = [n[k].eqNullSafe(o[f"__ok_{k}"]) for k in keys]
     joined = n.join(o, cond, "full_outer")
     change = (
-        F.when(o["__ok_" + keys[0]].isNull(), F.lit("insert"))
+        F.when(F.col("__old_present").isNull(), F.lit("insert"))
         .when(F.col("__new_present").isNull(), F.lit("delete"))
         .when(F.col("__new_p").eqNullSafe(F.col("__old_p")), F.lit(None))
         .otherwise(F.lit("update"))

@@ -115,6 +115,30 @@ def test_asof_join_nullable_payload_row_coherence(spark):
     assert out == {"p1": (None, "new_b"), "p0": ("old_a", "old_b")}
 
 
+def test_asof_join_non_null_fast_path_equivalent(spark):
+    """With the payload_non_null promise, the per-column carry must
+    produce exactly the struct carry's result (on data honoring the
+    promise), including NULLs for left rows with no prior right row."""
+    from etl_spark_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3"), (1, 3, "p4")],
+        ["k", "lts", "pid"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a10", 100), (1, 15, "a15", 150), (3, 1, "ax", 1)],
+        ["k", "rts", "a", "b"],
+    )
+    args = (left, right, ["k"], "lts", "rts", ["a", "b"])
+    slow = {r.pid: (r.a, r.b) for r in asof_join(*args).collect()}
+    fast = {
+        r.pid: (r.a, r.b)
+        for r in asof_join(*args, payload_non_null=True).collect()
+    }
+    assert fast == slow
+    assert fast["p4"] == (None, None)
+
+
 def test_point_in_interval_join_left_outer(spark):
     """how='left' keeps unmatched intervals (right cols NULL) and emits
     one row per matched point; unsupported modes raise."""

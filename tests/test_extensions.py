@@ -43,6 +43,28 @@ def test_minhash_finds_seeded_near_dups(spark, sf_dir):
     assert not missed, f"LSH missed high-jaccard pairs: {missed}"
 
 
+def test_ngram_jaccard_guards_against_quadratic_blowup(spark, sf_dir):
+    """The all-pairs baseline is O(n^2) by design; it must refuse a
+    corpus above max_docs with an actionable error, and a raised limit
+    must be an explicit opt-in that leaves results unchanged."""
+    import pytest
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    with pytest.raises(ValueError, match="O\\(n\\^2\\).*max_docs"):
+        ngram_jaccard_pairs(
+            toks, "doc_id", word_shingles("t", 3), max_docs=10
+        )
+    small = ngram_jaccard_pairs(
+        toks, "doc_id", word_shingles("t", 3), threshold=0.9
+    ).count()
+    explicit = ngram_jaccard_pairs(
+        toks, "doc_id", word_shingles("t", 3), threshold=0.9,
+        max_docs=10_000_000,
+    ).count()
+    assert small == explicit and small > 0
+
+
 def test_simhash_close_for_near_dups(spark, sf_dir):
     """Near-duplicate docs should have near-identical simhashes
     (small hamming distance), unrelated docs mostly should not."""

@@ -346,6 +346,84 @@ def test_versioned_crash_isolation_and_vacuum(spark, tmp_path):
     assert {r.k for r in read_versioned(spark, t).collect()} == {1, 2}
 
 
+def test_versioned_cas_detects_concurrent_commit(spark, tmp_path):
+    """The CAS primitive: a writer whose expected version went stale
+    (someone committed under it) must get ConcurrentWriteError and
+    leave no new version behind; the orphaned crash directory is never
+    readable via time travel, even after later commits publish past
+    it."""
+    import pytest
+
+    from etl_spark_spark.sinks.versioned import (
+        ConcurrentWriteError,
+        committed_versions,
+        current_version,
+        read_versioned,
+        write_version,
+    )
+
+    t = tmp_path / "tbl"
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    v1 = write_version(spark, df, t, expected_current=None)
+    assert v1 == 1
+    # writer A reads cur=1; writer B commits 2; A's CAS must fail
+    write_version(spark, spark.createDataFrame([(2, "b")], "k long, v string"), t)
+    with pytest.raises(ConcurrentWriteError):
+        write_version(
+            spark,
+            spark.createDataFrame([(3, "c")], "k long, v string"),
+            t,
+            expected_current=1,
+        )
+    assert current_version(t) == 2 and committed_versions(t) == [1, 2]
+    # crash residue (a real directory, the pre-CAS layout) is orphaned
+    spark.createDataFrame([(9, "junk")], "k long, v string").write.parquet(
+        str(t / "_v" / "v00000005")
+    )
+    write_version(spark, spark.createDataFrame([(4, "d")], "k long, v string"), t)
+    assert committed_versions(t) == [1, 2, 3]
+    with pytest.raises(FileNotFoundError, match="not a committed snapshot"):
+        read_versioned(spark, t, version=5)
+
+
+def test_versioned_concurrent_merges_no_lost_update(spark, tmp_path):
+    """Two merge cycles interleaved (each computed against the same
+    base version) must BOTH land: the second's CAS fails, it re-reads
+    the first's commit and re-merges — the optimistic loop, no lost
+    update."""
+    import threading
+
+    from etl_spark_spark.sinks.versioned import (
+        merge_into_versioned,
+        read_versioned,
+    )
+
+    t = tmp_path / "tbl"
+    merge_into_versioned(
+        spark,
+        spark.createDataFrame([(1, "base"), (2, "base")], "k long, v string"),
+        t, ["k"],
+    )
+    errs = []
+
+    def do_merge(rows):
+        try:
+            merge_into_versioned(
+                spark,
+                spark.createDataFrame(rows, "k long, v string"),
+                t, ["k"],
+            )
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    t1 = threading.Thread(target=do_merge, args=([(1, "w1"), (10, "w1")],))
+    t2 = threading.Thread(target=do_merge, args=([(2, "w2"), (20, "w2")],))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    got = {r.k: r.v for r in read_versioned(spark, t).collect()}
+    assert got == {1: "w1", 2: "w2", 10: "w1", 20: "w2"}
+
+
 def test_snapshot_diff_cdc(spark, tmp_path):
     """CDC between versions: inserts/updates/deletes classified, with
     to-version payloads (NULL payloads for deletes); unchanged rows —
@@ -383,6 +461,41 @@ def test_snapshot_diff_cdc(spark, tmp_path):
         4: (None, "delete"),
         5: ("e", "insert"),
     }
+
+
+def test_snapshot_diff_null_key_and_type_guard(spark, tmp_path):
+    """A row whose KEY column is legitimately NULL and matches across
+    versions (eqNullSafe) must classify by presence markers — update,
+    never a phantom insert; and a column TYPE change between versions
+    must be rejected, not silently row-diffed."""
+    import pytest
+
+    from etl_spark_spark.sinks.versioned import snapshot_diff, write_version
+    from pyspark.sql import functions as F2
+
+    t = tmp_path / "tbl"
+    write_version(
+        spark,
+        spark.createDataFrame([(None, "x"), (1, "a")], "k long, v string"),
+        t,
+    )
+    write_version(
+        spark,
+        spark.createDataFrame([(None, "y"), (1, "a")], "k long, v string"),
+        t,
+    )
+    got = {
+        r.k: (r.v, r.change_type)
+        for r in snapshot_diff(spark, t, 1, 2, ["k"]).collect()
+    }
+    assert got == {None: ("y", "update")}
+
+    t2 = tmp_path / "tbl2"
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    write_version(spark, df, t2)
+    write_version(spark, df.withColumn("v", F2.col("v").cast("binary")), t2)
+    with pytest.raises(ValueError, match="schema changed"):
+        snapshot_diff(spark, t2, 1, 2, ["k"])
 
 
 def test_write_sized_hits_target_file_size(spark, tmp_path):
