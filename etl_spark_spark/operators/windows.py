@@ -83,15 +83,23 @@ def partial_topk(
     a struct where LARGER compares as better, including a unique
     tiebreaker (negate components to flip direction).
 
-    Why not a window at scale: a ranking window shuffles EVERY row of a
-    hot key to ONE task and sorts them there — a single key holding 1%
-    of 100 TB puts 1 TB on one executor. Here phase 1 groups by
-    (key, salt) so a hot key's rows spread over ``n_salts`` reducers,
-    each emitting at most k rows (sort_array + slice on the collected
-    bounded group); phase 2 then merges at most ``n_salts * k`` rows
-    per key — bounded regardless of skew. Top-k is a semilattice merge,
-    so the result is identical for any salt assignment; the salt is a
-    row-content hash only to keep it deterministic.
+    When to use (measured, scripts/bench_skew.py): for the plain
+    ``row_number + filter(rn <= k)`` shape, PREFER THE WINDOW — Spark
+    >= 3.5 plans it with WindowGroupLimit, which prunes every map
+    partition to its per-key top-k before the exchange, so even a key
+    holding 60%+ of the data ships only ~n_mappers x k rows; this
+    operator's collect_list object aggregation measured ~2.5x slower
+    on a zipf replica. partial_topk remains for ordering semantics
+    WindowGroupLimit cannot express — a top-k whose measure is derived
+    inside the same grouped pass, engines without the rule, or a k
+    large relative to per-mapper key cardinality (map-side pruning
+    then keeps ~every row and the hot-key sort returns). Phase 1
+    groups by (key, salt) so a hot key spreads over ``n_salts``
+    reducers, each emitting at most k rows; phase 2 merges at most
+    ``n_salts * k`` rows per key — bounded regardless of skew. Top-k
+    is a semilattice merge, so the result is identical for any salt
+    assignment; the salt is a row-content hash only to keep it
+    deterministic.
     """
     keys = list(keys)
     payload = F.struct(*[c for c in df.columns if c not in keys])

@@ -342,32 +342,50 @@ def write_sized(
     At 100 TB this is the difference between a 800k-file table and an
     800-file-per-partition layout; combine with ``partition_by``-style
     layouts by calling per partition batch (the dynamic-overwrite
-    upsert path already scopes writes that way)."""
+    upsert path already scopes writes that way).
+
+    The input is computed three times (count, calibration sample,
+    final write), so ``df`` is persisted for the duration — without
+    that, nondeterministic lineage (sampling, current-timestamp
+    columns) could make the calibration diverge from the written data.
+    Assumes the staging parent and the target live on the same
+    locally-reachable filesystem (the staging file is sized with
+    ``Path.stat``); for object stores, calibrate onto a local scratch
+    dir instead."""
     import math
     import shutil
     import tempfile
     from pathlib import Path
 
-    n = df.count()
-    if n == 0:
-        write(df.repartition(1), path, mode=mode, fmt=fmt)
-        return 1
-    stage = tempfile.mkdtemp(
-        prefix="sizing_", dir=str(Path(path).parent if Path(path).parent.exists() else ".")
-    )
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        sample = df.limit(min(sample_rows, n)).repartition(1)
-        sample.write.format(fmt).mode("overwrite").save(stage)
-        sample_n = min(sample_rows, n)
-        sample_bytes = sum(
-            f.stat().st_size
-            for f in Path(stage).rglob("*")
-            if f.is_file() and not f.name.startswith(("_", "."))
+        n = df.count()
+        if n == 0:
+            write(df.repartition(1), path, mode=mode, fmt=fmt)
+            return 1
+        stage = tempfile.mkdtemp(
+            prefix="sizing_",
+            dir=str(Path(path).parent if Path(path).parent.exists() else "."),
         )
-        bytes_per_row = max(sample_bytes / sample_n, 1e-6)
-        rows_per_file = max(int(target_file_mb * 1024 * 1024 / bytes_per_row), 1)
-        n_files = max(math.ceil(n / rows_per_file), 1)
-        write(df.repartition(n_files), path, mode=mode, fmt=fmt)
-        return n_files
+        try:
+            sample = df.limit(min(sample_rows, n)).repartition(1)
+            sample.write.format(fmt).mode("overwrite").save(stage)
+            sample_n = min(sample_rows, n)
+            sample_bytes = sum(
+                f.stat().st_size
+                for f in Path(stage).rglob("*")
+                if f.is_file() and not f.name.startswith(("_", "."))
+            )
+            bytes_per_row = max(sample_bytes / sample_n, 1e-6)
+            rows_per_file = max(
+                int(target_file_mb * 1024 * 1024 / bytes_per_row), 1
+            )
+            n_files = max(math.ceil(n / rows_per_file), 1)
+            write(df.repartition(n_files), path, mode=mode, fmt=fmt)
+            return n_files
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        df.unpersist()

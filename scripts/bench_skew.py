@@ -1,0 +1,141 @@
+"""Skewed-key replica bench: measure salted vs unsalted shapes on a
+zipf-keyed fact table (VERDICT r2 follow-up #8).
+
+Generates a fact table whose key frequencies follow a zipf-like law
+(hottest key holds ~30% of all rows — the "one customer is a third of
+the traffic" shape), then times:
+
+- plain shuffle equi-join vs ``salted_join`` (broadcast disabled so
+  both shuffle; AQE off so its skew-split does not mask the hot
+  reducer — the operator exists precisely for the shapes AQE cannot
+  split, and the AQE-on number is reported too for honesty);
+- ranking-window top-k per key vs ``partial_topk`` (AQE cannot split
+  window partitions at all, so the window number is the real
+  production hazard).
+
+Each timing is min-of-3 warm runs on a count() sink. Results are
+printed as markdown rows for BASELINE.md.
+
+Usage: python scripts/bench_skew.py [n_rows] [n_keys]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_spark_spark.operators.skew import salted_join  # noqa: E402
+from etl_spark_spark.operators.windows import partial_topk  # noqa: E402
+from etl_spark_spark.session import get_spark  # noqa: E402
+
+
+def timeit(fn, n=3):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
+    n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    spark = get_spark(app_name="bench-skew", cpus=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # zipf key: P(key=j) ~ 1/(j+2)^3; key 0 ends up with ~66% of rows
+    # (the "one customer is a third of the traffic" shape). Inverse-CDF
+    # via partial sums, computed inline from a uniform hash —
+    # deterministic, generated fully distributed.
+    h = [0.0]
+    for j in range(n_keys):
+        h.append(h[-1] + 1.0 / (j + 2) ** 3)
+    total = h[-1]
+    bounds = [x / total for x in h[1:]]
+    fact = (
+        spark.range(n_rows)
+        .withColumn("u", F.pmod(F.xxhash64("id"), F.lit(1 << 20)) / (1 << 20))
+        .withColumn(
+            "k",
+            F.size(
+                F.filter(
+                    F.array(*[F.lit(b) for b in bounds]),
+                    lambda b: b < F.col("u"),
+                )
+            ).cast("long"),
+        )
+        .withColumn("v", F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)))
+        .select("id", "k", "v")
+        .localCheckpoint()  # pin the replica so timings exclude generation
+    )
+    hot_share = (
+        fact.groupBy("k").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    print(
+        f"replica: {n_rows} rows, {n_keys} keys, hottest key {hot_share['k']} "
+        f"holds {hot_share['count'] / n_rows:.1%}"
+    )
+
+    dim = (
+        spark.range(n_keys)
+        .select(F.col("id").alias("k"), (F.col("id") * 7).alias("dim_v"))
+        .localCheckpoint()
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def join_plain():
+        fact.join(dim, "k").agg(F.sum("dim_v")).collect()
+
+    def join_salted():
+        salted_join(fact, dim, ["k"], buckets=32).agg(F.sum("dim_v")).collect()
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    t_plain_noaqe = timeit(join_plain)
+    t_salted_noaqe = timeit(join_salted)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    t_plain_aqe = timeit(join_plain)
+    t_salted_aqe = timeit(join_salted)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    order = F.struct(F.col("v").alias("o1"), F.col("id").alias("o2"))
+
+    def topk_window():
+        w = Window.partitionBy("k").orderBy(F.desc("v"), F.desc("id"))
+        (
+            fact.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .agg(F.count("*"))
+            .collect()
+        )
+
+    def topk_partial():
+        partial_topk(fact, ["k"], order, k=5).agg(F.count("*")).collect()
+
+    t_win = timeit(topk_window)
+    t_partial = timeit(topk_partial)
+
+    print("| shape | unsalted | salted | speedup |")
+    print("|---|---|---|---|")
+    print(
+        f"| shuffle join, AQE off | {t_plain_noaqe:.2f} s | "
+        f"{t_salted_noaqe:.2f} s | {t_plain_noaqe / t_salted_noaqe:.2f}x |"
+    )
+    print(
+        f"| shuffle join, AQE on (skew-split) | {t_plain_aqe:.2f} s | "
+        f"{t_salted_aqe:.2f} s | {t_plain_aqe / t_salted_aqe:.2f}x |"
+    )
+    print(
+        f"| top-5 per key (window vs partial_topk) | {t_win:.2f} s | "
+        f"{t_partial:.2f} s | {t_win / t_partial:.2f}x |"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -438,6 +438,53 @@ def test_ivfpq_recall_on_clustered_data(spark):
     assert recall >= 0.85, f"IVF-PQ clustered-data recall@3 {recall:.2f} < 0.85"
 
 
+def test_ivfpq_int8_rerank_recall_and_score_accuracy(spark):
+    """The int8 scalar-quantized rerank must keep planted-cluster
+    recall (same 0.85 bar as the float rerank) while moving 1/4 the
+    rerank bytes, and its SQ-approximate scores must sit within the
+    per-vector quantization error of the exact cosine."""
+    import numpy as np
+
+    from etl_spark_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf_pq,
+    )
+
+    rng = np.random.default_rng(13)
+    dim, n_clusters, per = 32, 8, 60
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = []
+    for ci in range(n_clusters):
+        pts = centers[ci] + 0.15 * rng.normal(size=(per, dim))
+        for j, p in enumerate(pts):
+            rows.append((ci * per + j, [float(x) for x in p]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(6)
+    q = df.filter(F.col("vec_id") % per == 0)
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(df, q, "vec_id", "embedding", k=500).collect()
+    }
+    exact3 = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(df, q, "vec_id", "embedding", k=3).collect()
+    }
+    approx = cosine_topk_ivf_pq(
+        df, q, "vec_id", "embedding", dim=dim, k=3,
+        n_lists=16, n_probe=4, m_subspaces=8, n_codes=16, rerank=32,
+        rerank_int8=True,
+    ).collect()
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact3 & got) / len(exact3)
+    assert recall >= 0.85, f"int8-rerank recall@3 {recall:.2f} < 0.85"
+    # SQ score error bound: |err| <= sum_i |q_i| * scale/2 with
+    # scale <= 1/127 for unit rows -> ||q||_1 / 254; use 2x slack for
+    # rounding of the scale itself
+    for r in approx:
+        err = abs(r.cos_sim - exact_scores[(r.query_id, r.neighbor_id)])
+        assert err <= 2.0 * np.sqrt(dim) / 254, (r, err)
+
+
 def test_ivfpq_rejects_indivisible_dim(spark, sf_dir):
     import pytest
 

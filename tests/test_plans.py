@@ -209,3 +209,46 @@ def test_plan_shapes_match_snapshot(all_query_plans):
         assert got == snap[name], (
             f"{name} plan shape drifted: {got} != pinned {snap[name]}"
         )
+
+
+def test_date_range_prunes_hive_partitions(spark, sf_dir, tmp_path):
+    """read_date_range's half-open interval must reach the scan as
+    directory-level PartitionFilters on a Hive-partitioned layout —
+    and actually skip out-of-range directories: a corrupt file planted
+    in an out-of-range partition never gets read through the pruned
+    scan, while an unpruned full read trips over it."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.sources import table
+    from etl_spark_spark.sources.parquet import read_date_range
+
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    )
+    path = tmp_path / "orders_by_month"
+    orders.write.partitionBy("order_month").parquet(str(path))
+    bad = path / "order_month=2099-01-01"
+    bad.mkdir()
+    (bad / "junk.parquet").write_bytes(b"this is not a parquet file")
+
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string, order_month date"
+    )
+    df = spark.read.schema(schema).parquet(str(path))
+    out = read_date_range(
+        df, "order_month", dt.date(1995, 1, 1), dt.date(1995, 6, 1)
+    )
+    plan = explain_str(out)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, "scan should expose PartitionFilters"
+    assert "order_month" in pf[0] and ">=" in pf[0] and "<" in pf[0]
+    # pruned read skips the poisoned directory entirely
+    assert out.count() > 0
+    # without pruning the corrupt partition IS read -> error
+    with pytest.raises(Exception, match="[Pp]arquet|FAILED_READ_FILE"):
+        df.count()
