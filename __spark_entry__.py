@@ -1655,6 +1655,187 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    both join sides (brand/size from part, quantity from lineitem).
+    The disjunction cannot be pushed as a whole, but Catalyst's CNF
+    conversion extracts the per-table residuals (size range, quantity
+    range) down to each scan; the join itself broadcasts part. One
+    row out, summed in integer cents."""
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = table(spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    b, s, q = F.col("p_brand"), F.col("p_size"), F.col("l_quantity")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 10) & q.between(1, 20))
+        | ((b == "Brand#7") & s.between(1, 20) & q.between(10, 30))
+        | ((b == "Brand#13") & s.between(5, 30) & q.between(20, 40))
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return j.filter(cond).agg(
+        (F.sum(cents) / 100.0).alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+def q_exclusive_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (double correlation): orders that have at least
+    one line from a low-nation supplier (EXISTS -> LEFT SEMI) and NO
+    line from any other supplier (NOT EXISTS -> LEFT ANTI), counted
+    per priority. Both correlated subqueries decorrelate to key-only
+    join sides — the lineitem side is reduced to l_orderkey before
+    either shuffle, and the supplier lookup broadcasts."""
+    li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    sup = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    orders = table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li_n = li.join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_orderkey", "s_nationkey")
+    in_a = li_n.filter(F.col("s_nationkey") < 5).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    out_a = li_n.filter(F.col("s_nationkey") >= 5).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.join(in_a, "o_orderkey", "left_semi")
+        .join(out_a, "o_orderkey", "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, size),
+    excluding complaint suppliers (NOT IN -> LEFT ANTI on a tiny
+    filtered side). count_distinct plans as the two-phase distinct
+    aggregate (partial distinct map-side); the part join broadcasts."""
+    li = table(spark, sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    part = table(spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    bad = (
+        table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers in target segments whose balance
+    beats the average positive balance (scalar subquery -> 1-row
+    broadcast crossJoin) and who have gone IDLE — no order since
+    2000-06-01 (NOT EXISTS -> LEFT ANTI on the key-only projection of
+    the date-filtered orders; the date filter pushes to the scan),
+    grouped per segment. Balance sums in integer cents; the average
+    threshold is computed as an exact cents-sum / count so the
+    comparison double is partition-order independent."""
+    cust = table(
+        spark, sf_dir, "customer",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+    orders = (
+        table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp_ntz"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    # exact average: integer-cents sum / count, so the threshold double
+    # is bit-identical regardless of partitioning (a plain F.avg would
+    # sum doubles in shuffle order)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            / (F.count("*") * 100.0)
+        ).alias("__avg_bal")
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(orders, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            (F.sum(cents) / 100.0).alias("total_bal"),
+        )
+    )
+
+
+def q_user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, the rolling 7-day event-value
+    sum at each event (rangeBetween on epoch days — a RANGE frame, not
+    ROWS: all events inside the trailing week count whatever their row
+    distance). One shuffle on user_id; cents-summed for bit-exactness
+    against the oracle's RANGE BETWEEN frame."""
+    ev = read_events(spark, sf_dir)
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    base = ev.select(
+        "user_id",
+        F.col("event_id"),
+        day.alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("__cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "day",
+        (F.sum("__cents").over(w) / 100.0).alias("week_value"),
+    )
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis (the CEP-lite shape): per 5-minute-gap
+    session, the ordered event-type path and whether the session
+    CONVERTED (a purchase strictly after a view). Sessionization is
+    the shared one-shuffle lag/sum pass; the path is a sorted
+    collect_list folded per session — array expressions, no Python."""
+    from etl_spark_spark.streaming.windows import sessionize_batch
+
+    ev = read_events(spark, sf_dir)
+    sess = sessionize_batch(ev, "ts", ["user_id"], gap_seconds=300)
+    rows = sess.select(
+        "user_id",
+        "session_id",
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+        ).alias("__e"),
+    )
+    ordered = rows.groupBy("user_id", "session_id").agg(
+        F.array_sort(F.collect_list("__e")).alias("__es")
+    )
+    types = F.transform(F.col("__es"), lambda e: e["et"])
+    first_view = F.array_position(types, "view")
+    # last purchase = size - position of first purchase in the reversed
+    # array + 1 (0 when absent)
+    rev_pos = F.array_position(F.reverse(types), "purchase")
+    last_purchase = F.when(
+        rev_pos > 0, F.size(types) - rev_pos + 1
+    ).otherwise(F.lit(0))
+    return ordered.select(
+        "user_id",
+        "session_id",
+        F.array_join(types, ">").alias("path"),
+        ((first_view > 0) & (last_purchase > first_view)).alias("converted"),
+    )
+
+
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from lineitems whose quantity is below
     20% of the part's average quantity, per brand. The correlated
@@ -2010,6 +2191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_cube": q_revenue_cube,
         "priority_return_pivot": q_priority_return_pivot,
         "corr_exact": q_corr_exact,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "exclusive_supplier_orders": q_exclusive_supplier_orders,
+        "part_supplier_counts": q_part_supplier_counts,
+        "rich_idle_customers": q_rich_idle_customers,
+        "user_rolling_value": q_user_rolling_value,
+        "session_paths": q_session_paths,
     }
 
 
@@ -2704,6 +2891,106 @@ p AS (
 SELECT vec_id, cluster FROM u WHERE vec_id NOT IN (SELECT id_b FROM p)
 """
 
+
+_DISJUNCTIVE_REVENUE_SQL = """
+SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+           AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 5 AND 30
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+_EXCLUSIVE_SUPPLIER_ORDERS_SQL = """
+WITH li_n AS (
+    SELECT l_orderkey, s_nationkey
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+)
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM li_n WHERE s_nationkey < 5)
+  AND o_orderkey NOT IN (SELECT l_orderkey FROM li_n
+                         WHERE s_nationkey >= 5 AND l_orderkey IS NOT NULL)
+GROUP BY o_orderpriority
+"""
+
+_PART_SUPPLIER_COUNTS_SQL = """
+SELECT p_brand, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+_RICH_IDLE_CUSTOMERS_SQL = """
+WITH avg_bal AS (
+    SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) / (count(*) * 100.0)
+               AS ab
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
+FROM customer, avg_bal
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  AND c_acctbal > ab
+  -- IS NOT NULL guard: o_custkey carries NULLs, and a NULL-poisoned
+  -- NOT IN silently empties the result (anti-join semantics intended)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_custkey IS NOT NULL
+                          AND o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY c_mktsegment
+"""
+
+_USER_ROLLING_VALUE_SQL = """
+WITH e AS (
+    SELECT user_id, event_id,
+           epoch_us(ts) // 86400000000 AS day,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT user_id, event_id, day,
+       sum(cents) OVER (
+           PARTITION BY user_id ORDER BY day
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) / 100.0 AS week_value
+FROM e
+"""
+
+_SESSION_PATHS_SQL = """
+WITH e AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+m AS (
+    SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w >= 300000000
+                   THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+    SELECT *, CAST(sum(is_new) OVER (
+                  PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING
+              ) - 1 AS BIGINT) AS session_id
+    FROM m
+),
+r AS (
+    SELECT *, row_number() OVER (
+                  PARTITION BY user_id, session_id ORDER BY us, event_id
+              ) AS rn
+    FROM s
+)
+SELECT user_id, session_id,
+       string_agg(event_type, '>' ORDER BY us, event_id) AS path,
+       coalesce(
+           min(CASE WHEN event_type = 'view' THEN rn END)
+           < max(CASE WHEN event_type = 'purchase' THEN rn END),
+           false
+       ) AS converted
+FROM r GROUP BY user_id, session_id
+"""
 
 _CUSTOMER_ORDER_GAPS_SQL = """
 SELECT o_custkey, o_orderkey,
@@ -3440,4 +3727,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_lsh": _EMB_NEAR_DUP_LSH_SQL,
         "sketch_stats": _SKETCH_STATS_SQL,
         "doc_quality_model": _DOC_QUALITY_MODEL_SQL,
+        "disjunctive_revenue": _DISJUNCTIVE_REVENUE_SQL,
+        "exclusive_supplier_orders": _EXCLUSIVE_SUPPLIER_ORDERS_SQL,
+        "part_supplier_counts": _PART_SUPPLIER_COUNTS_SQL,
+        "rich_idle_customers": _RICH_IDLE_CUSTOMERS_SQL,
+        "user_rolling_value": _USER_ROLLING_VALUE_SQL,
+        "session_paths": _SESSION_PATHS_SQL,
     }

@@ -168,6 +168,7 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # ANN derived-check queries crossJoin 1-row aggregate results
     # (n_results/recall booleans) and inherit emb_cosine_topk's
     # bounded broadcast query set
+    # rich_idle_customers: scalar-subquery threshold = 1-row broadcast
     allowed_bnlj = {
         "emb_cosine_topk",
         "data_quality",
@@ -176,6 +177,7 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
         "emb_cosine_topk_ivf",
         "emb_cosine_topk_ivfpq",
         "emb_near_dup_lsh",
+        "rich_idle_customers",
     }
     for name, plan in all_query_plans.items():
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
