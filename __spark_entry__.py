@@ -1118,6 +1118,96 @@ def q_priority_return_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency scoring (C4/Gopher-family quality signal with
+    CORPUS state): each document's distinct-bigram coverage against a
+    reference slice of the corpus (doc_id md5 bucket != '0', the same
+    deterministic split doc_training_prep uses). Integer/rational by
+    design — doc-frequency counts and one int/int division — so every
+    value hash-matches the SQL oracle; a log-prob LM score would be
+    accumulation-order and libm dependent."""
+    from etl_spark_spark.operators.corpus_stats import (
+        bigram_doc_frequency,
+        doc_bigram_novelty,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    ref_docs = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) != "0"
+    )
+    ref = bigram_doc_frequency(ref_docs, "doc_id", "t")
+    return doc_bigram_novelty(docs, "doc_id", "t", ref, min_df=2)
+
+
+def q_returns_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long, the melt/stack operator family): the
+    per-returnflag wide aggregate (sum qty / revenue cents / row count)
+    melted to (l_returnflag, metric, value) rows with ``stack`` — a
+    Generate node that multiplies rows MAP-SIDE next to the aggregate,
+    no extra shuffle. Values are integer-exact (cents / counts) so the
+    melted doubles compare bit-identically."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        (F.sum(cents) / 100.0).alias("revenue"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'sum_qty', sum_qty, 'revenue', revenue, "
+            "'n_rows', n_rows) AS (metric, value)"
+        ),
+    )
+
+
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketches — the property that makes sketch aggregation
+    work at 100 TB: per-returnflag HLL sketches (hll_sketch_agg) are
+    UNIONED (hll_union_agg) into a grand total without rescanning the
+    data, exactly how a rollup over pre-aggregated sketch tables runs
+    in production. Emitted as the driver-hashable derived form: exact
+    row counts value-matched by the oracle, plus booleans asserting
+    each HLL estimate (per-flag AND the unioned total) within 3-sigma
+    of the exact distinct count computed alongside."""
+    li = table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_agg(l_partkey)").alias("__sk"),
+        F.count_distinct("l_partkey").alias("__exact_d"),
+        F.count("*").alias("n_rows"),
+    )
+    flags = per_flag.select(
+        "l_returnflag",
+        "n_rows",
+        (
+            F.abs(F.expr("hll_sketch_estimate(__sk)") - F.col("__exact_d"))
+            <= 0.15 * F.col("__exact_d")
+        ).alias("distinct_ok"),
+    )
+    total_exact = li.agg(
+        F.count_distinct("l_partkey").alias("__exact_d"),
+        F.count("*").alias("n_rows"),
+    )
+    total = (
+        per_flag.agg(F.expr("hll_union_agg(__sk)").alias("__sk"))
+        .crossJoin(total_exact)
+        .select(
+            F.lit("__total").alias("l_returnflag"),
+            "n_rows",
+            (
+                F.abs(
+                    F.expr("hll_sketch_estimate(__sk)") - F.col("__exact_d")
+                )
+                <= 0.15 * F.col("__exact_d")
+            ).alias("distinct_ok"),
+        )
+    )
+    return flags.unionByName(total)
+
+
 def q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed EXACT Pearson correlation (quantity vs price) per
     return flag: both measures fixed-pointed to integer cents, the five
@@ -2197,6 +2287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_idle_customers": q_rich_idle_customers,
         "user_rolling_value": q_user_rolling_value,
         "session_paths": q_session_paths,
+        "returns_unpivot": q_returns_unpivot,
+        "sketch_rollup": q_sketch_rollup,
+        "doc_bigram_novelty": q_doc_bigram_novelty,
     }
 
 
@@ -2891,6 +2984,55 @@ p AS (
 SELECT vec_id, cluster FROM u WHERE vec_id NOT IN (SELECT id_b FROM p)
 """
 
+
+_DOC_BIGRAM_NOVELTY_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg0 AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])
+                  ELSE []::VARCHAR[] END) AS bigram
+    FROM toks
+),
+bg AS (SELECT DISTINCT doc_id, bigram FROM bg0),
+ref AS (
+    SELECT bigram, count(*) AS df FROM bg
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+    GROUP BY 1
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN r.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+       CAST(sum(coalesce(r.df, 0)) AS BIGINT) AS sum_df,
+       CAST(sum(CASE WHEN r.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS known_ratio
+FROM bg b LEFT JOIN ref r USING (bigram)
+GROUP BY b.doc_id
+"""
+
+_RETURNS_UNPIVOT_SQL = """
+WITH wide AS (
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+               AS revenue,
+           CAST(count(*) AS DOUBLE) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'revenue', revenue FROM wide
+UNION ALL
+SELECT l_returnflag, 'n_rows', n_rows FROM wide
+"""
+
+_SKETCH_ROLLUP_SQL = """
+SELECT l_returnflag, count(*) AS n_rows, true AS distinct_ok
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT '__total', count(*), true FROM lineitem
+"""
 
 _DISJUNCTIVE_REVENUE_SQL = """
 SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
@@ -3733,4 +3875,7 @@ def oracle_sql() -> dict[str, str]:
         "rich_idle_customers": _RICH_IDLE_CUSTOMERS_SQL,
         "user_rolling_value": _USER_ROLLING_VALUE_SQL,
         "session_paths": _SESSION_PATHS_SQL,
+        "returns_unpivot": _RETURNS_UNPIVOT_SQL,
+        "sketch_rollup": _SKETCH_ROLLUP_SQL,
+        "doc_bigram_novelty": _DOC_BIGRAM_NOVELTY_SQL,
     }

@@ -291,6 +291,52 @@ def merge_into_versioned(
     ) from last_err
 
 
+def apply_snapshot_delta(
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str | Path,
+    keys: Sequence[str],
+    fmt: str = "parquet",
+    max_retries: int = 5,
+) -> int:
+    """Apply a ``snapshot_diff`` delta to a FOLLOWER table in one
+    commit: insert/update rows upsert, delete rows remove their keys.
+    This closes the CDC loop — a downstream copy follows a
+    copy-on-write leader by shipping deltas, never re-reading the
+    leader's full snapshots. If the follower currently equals the
+    leader's ``from_version``, it equals the leader's ``to_version``
+    after the apply (pinned by test). Same optimistic-concurrency
+    commit as ``merge_into_versioned``. Returns the committed
+    version."""
+    keys = list(keys)
+    upserts = delta.filter(F.col("change_type") != "delete").drop("change_type")
+    touched = delta.select(*keys).distinct()
+    last_err: ConcurrentWriteError | None = None
+    for _ in range(max_retries):
+        cur = current_version(path)
+        if cur is None:
+            merged = upserts
+        else:
+            target = read_versioned(spark, path, cur, fmt)
+            # NULL-safe anti join: the diff matches NULL keys with
+            # eqNullSafe, so the apply must too — a plain anti join
+            # would leave a NULL-keyed target row behind its update
+            t = target.alias("t")
+            d = touched.alias("d")
+            cond = [
+                F.col(f"t.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys
+            ]
+            untouched = t.join(d, cond, "left_anti").select("t.*")
+            merged = untouched.unionByName(upserts, allowMissingColumns=True)
+        try:
+            return write_version(spark, merged, path, fmt, expected_current=cur)
+        except ConcurrentWriteError as e:
+            last_err = e
+    raise ConcurrentWriteError(
+        f"delta apply lost the commit race {max_retries} times"
+    ) from last_err
+
+
 def vacuum_versions(path: str | Path, keep: int = 1) -> list[int]:
     """Delete version entries older than the newest ``keep`` committed
     ones, plus any orphaned (never-committed) directories and

@@ -168,8 +168,10 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # ANN derived-check queries crossJoin 1-row aggregate results
     # (n_results/recall booleans) and inherit emb_cosine_topk's
     # bounded broadcast query set
-    # rich_idle_customers: scalar-subquery threshold = 1-row broadcast
+    # rich_idle_customers: scalar-subquery threshold = 1-row broadcast;
+    # sketch_rollup: crossJoin of the 1-row unioned-sketch aggregate
     allowed_bnlj = {
+        "sketch_rollup",
         "emb_cosine_topk",
         "data_quality",
         "price_histogram",

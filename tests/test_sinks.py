@@ -523,3 +523,49 @@ def test_write_sized_hits_target_file_size(spark, tmp_path):
     assert sizes[-1] < 3 * target, f"file too big: {sizes[-1]}"
     assert spark.read.parquet(str(out)).count() == 60_000
     df.unpersist()
+
+
+def test_apply_snapshot_delta_follower_converges(spark, tmp_path):
+    """CDC round trip: a follower seeded at leader v1 and fed
+    snapshot_diff(1, 3) must equal the leader's v3 exactly — including
+    NULL-keyed rows (null-safe apply) and deletes."""
+    from etl_spark_spark.sinks.versioned import (
+        apply_snapshot_delta,
+        merge_into_versioned,
+        read_versioned,
+        snapshot_diff,
+        write_version,
+    )
+
+    leader = tmp_path / "leader"
+    follower = tmp_path / "follower"
+    # full-snapshot writes: a NULL-key value change is only expressible
+    # this way (MERGE never matches NULL keys, by standard semantics)
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "n0"), (4, "d")], "k long, v string"
+    )
+    write_version(spark, v1, leader)
+    write_version(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "B"), (None, "n1"), (5, "e")], "k long, v string"
+        ),
+        leader,
+    )
+    # and one MERGE on top for the mixed-provenance case
+    merge_into_versioned(
+        spark,
+        spark.createDataFrame([(5, "gone")], "k long, v string"),
+        leader, ["k"], when_matched="delete", insert_unmatched=False,
+    )
+    write_version(spark, v1, follower)  # follower == leader v1
+    delta = snapshot_diff(spark, leader, 1, 3, ["k"])
+    apply_snapshot_delta(spark, delta, follower, ["k"])
+    want = {
+        (r.k, r.v) for r in read_versioned(spark, leader).collect()
+    }
+    got = {
+        (r.k, r.v) for r in read_versioned(spark, follower).collect()
+    }
+    assert got == want
+    assert (None, "n1") in got and (4, "d") not in got
