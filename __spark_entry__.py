@@ -656,14 +656,20 @@ def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed alongside (HLL++ default rsd 5% -> 15% = 3 sigma; GK p50
     within 5% of the exact median)."""
     li = table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # sketches and exact references aggregate SEPARATELY, then join the
+    # few-row results: a count_distinct in the same groupBy would force
+    # an Expand duplicating every input row through the percentile
+    # buffers too (measured 0.5 s -> 8 s warm at sf0.1 combined)
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("__approx_parts"),
         F.approx_percentile("l_extendedprice", 0.5).alias("__approx_p50"),
-        F.count_distinct("l_partkey").alias("__exact_parts"),
-        F.percentile("l_extendedprice", 0.5).alias("__exact_p50"),
         F.count("*").alias("n_rows"),
     )
-    return agg.select(
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("__exact_parts"),
+        F.percentile("l_extendedprice", 0.5).alias("__exact_p50"),
+    )
+    return sketches.join(F.broadcast(exact), "l_returnflag").select(
         "l_returnflag",
         "n_rows",
         (

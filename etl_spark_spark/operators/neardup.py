@@ -323,28 +323,31 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingles_col: Column,
     threshold: float = 0.8,
-    max_docs: int = 100_000,
+    max_docs: int | None = 100_000,
 ) -> DataFrame:
     """Ground-truth all-pairs n-gram Jaccard via shingle equi-join
     (quadratic in docs sharing a shingle — the baseline MinHash-LSH
     approximates; keep for verification / small corpora).
 
     Guarded BY DESIGN against accidental large-corpus use: raises
-    ``ValueError`` when the corpus exceeds ``max_docs`` (the count is
-    one cheap aggregate — negligible next to the quadratic join it
-    prevents). For big corpora use ``near_dup_minhash`` /
-    ``lsh_candidate_pairs`` + ``jaccard_for_pairs``, which compute the
-    same exact Jaccard but only for banded candidate pairs. Callers
-    that truly need all-pairs at larger sizes can raise ``max_docs``
-    explicitly — an auditable opt-in rather than a silent blowup."""
-    n_docs = df.select(id_col).distinct().count()
-    if n_docs > max_docs:
-        raise ValueError(
-            f"ngram_jaccard_pairs is O(n^2): corpus has {n_docs} docs > "
-            f"max_docs={max_docs}. Use near_dup_minhash (banded LSH + "
-            "exact verify) for large corpora, or pass a larger max_docs "
-            "to opt in explicitly."
-        )
+    ``ValueError`` when the corpus exceeds ``max_docs``. The probe is
+    limit-bounded (stops counting at max_docs + 1, so the small-corpus
+    case never pays a full count) but DOES execute the input lineage
+    once at call time — callers composing this over an expensive
+    upstream pipeline on a corpus they already bound can pass
+    ``max_docs=None`` to skip the probe (an auditable opt-out). For
+    big corpora use ``near_dup_minhash`` / ``lsh_candidate_pairs`` +
+    ``jaccard_for_pairs``, which compute the same exact Jaccard but
+    only for banded candidate pairs."""
+    if max_docs is not None:
+        probe = df.select(id_col).distinct().limit(max_docs + 1).count()
+        if probe > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs is O(n^2): corpus exceeds "
+                f"max_docs={max_docs}. Use near_dup_minhash (banded LSH "
+                "+ exact verify) for large corpora, or pass a larger "
+                "max_docs (or None) to opt in explicitly."
+            )
     sh = shingle_set(df, id_col, shingles_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.withColumnsRenamed({id_col: "id_a"})

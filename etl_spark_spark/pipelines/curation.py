@@ -75,8 +75,13 @@ def curate_documents(
     )
     # near-dup removal among survivors: drop the higher id of each pair
     toks = canon.select(F.col(id_col), tokens(text_col).alias("__t"))
+    # max_docs=None: the guard probe would execute the whole upstream
+    # quality+dedup lineage a second time just to count it; this
+    # composite is the documented small-corpus ground-truth pipeline
+    # (production-scale curation swaps in near_dup_minhash here)
     pairs = ngram_jaccard_pairs(
-        toks, id_col, word_shingles("__t", 3), threshold=jaccard_threshold
+        toks, id_col, word_shingles("__t", 3),
+        threshold=jaccard_threshold, max_docs=None,
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return (
