@@ -135,9 +135,14 @@ def curate_for_training(
     training set.)
     """
     curated = curate_documents(docs, id_col=id_col, text_col=text_col)
-    base = docs.select(id_col, text_col, "source").join(
-        curated.select(id_col), id_col
-    )
+    # Pin the curated ID SET (k ids — tiny at any corpus scale): it
+    # feeds three downstream branches (corpus shingles, eval shingles,
+    # the clean join), each of which would otherwise re-execute the
+    # whole quality+dedup+near-dup lineage. Same materialization move
+    # the incremental-dedup fold uses; a production pipeline would
+    # persist the curated corpus between stages anyway.
+    curated_ids = curated.select(id_col).localCheckpoint()
+    base = docs.select(id_col, text_col, "source").join(curated_ids, id_col)
     toks = base.select(F.col(id_col), tokens(text_col).alias("__t"))
     pairs = shingle_set(toks, id_col, word_shingles("__t", decontam_shingle_n))
     is_eval = hash_bucket(id_col, len(eval_bucket)) == eval_bucket
