@@ -1124,6 +1124,29 @@ def q_priority_return_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history: fold two customer snapshots
+    (the base table, then a derived second snapshot where every 10th
+    customer's balance moved) through scd2_apply. Changed keys carry a
+    closed row (valid_to stamped) plus a new current row; unchanged
+    keys keep their original open row. Pure DataFrame fold with
+    literal as_of stamps, so the full history is bit-reproducible and
+    SQL-expressible."""
+    from etl_spark_spark.operators.scd import scd2_apply
+
+    snap1 = table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_acctbal"]
+    )
+    snap2 = snap1.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    h1 = scd2_apply(None, snap1, ["c_custkey"], "2024-01-01")
+    return scd2_apply(h1, snap2, ["c_custkey"], "2024-02-01")
+
+
 def q_doc_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency scoring (C4/Gopher-family quality signal with
     CORPUS state): each document's distinct-bigram coverage against a
@@ -2296,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returns_unpivot": q_returns_unpivot,
         "sketch_rollup": q_sketch_rollup,
         "doc_bigram_novelty": q_doc_bigram_novelty,
+        "scd2_customer_history": q_scd2_customer_history,
     }
 
 
@@ -2990,6 +3014,19 @@ p AS (
 SELECT vec_id, cluster FROM u WHERE vec_id NOT IN (SELECT id_b FROM p)
 """
 
+
+_SCD2_CUSTOMER_HISTORY_SQL = """
+WITH changed AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+SELECT c_custkey, c_acctbal,
+       '2024-01-01' AS valid_from, NULL AS valid_to, true AS is_current
+FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, c_acctbal, '2024-01-01', '2024-02-01', false
+FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, round(c_acctbal + 100.0, 2), '2024-02-01', NULL, true
+FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
+"""
 
 _DOC_BIGRAM_NOVELTY_SQL = rf"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -3884,4 +3921,5 @@ def oracle_sql() -> dict[str, str]:
         "returns_unpivot": _RETURNS_UNPIVOT_SQL,
         "sketch_rollup": _SKETCH_ROLLUP_SQL,
         "doc_bigram_novelty": _DOC_BIGRAM_NOVELTY_SQL,
+        "scd2_customer_history": _SCD2_CUSTOMER_HISTORY_SQL,
     }

@@ -179,3 +179,48 @@ def test_plan_helpers_roundtrip(spark, sf_dir):
     assert "o_orderkey" in " ".join(pushed_filters(df))
     text = explain_str(df, mode="simple")
     assert "Scan parquet" in text
+
+
+def test_scd2_apply_semantics(spark):
+    """SCD2 fold: change closes + reopens, unchanged passes through,
+    new key opens, missing key closes only under close_missing; and
+    scd2_as_of reconstructs the dimension at any instant."""
+    from etl_spark_spark.operators.scd import scd2_apply, scd2_as_of
+
+    snap1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    snap2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string"
+    )
+    h1 = scd2_apply(None, snap1, ["k"], "2024-01-01")
+    h2 = scd2_apply(h1, snap2, ["k"], "2024-02-01", close_missing=True)
+    rows = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in h2.collect()
+    }
+    assert rows == {
+        (1, "a", "2024-01-01", None, True),            # unchanged
+        (2, "b", "2024-01-01", "2024-02-01", False),   # closed
+        (2, "B", "2024-02-01", None, True),            # reopened
+        (3, "c", "2024-01-01", "2024-02-01", False),   # missing -> closed
+        (4, "d", "2024-02-01", None, True),            # new
+    }
+    at_jan = {
+        (r.k, r.v) for r in scd2_as_of(h2, "2024-01-15").collect()
+    }
+    assert at_jan == {(1, "a"), (2, "b"), (3, "c")}
+    at_feb = {
+        (r.k, r.v) for r in scd2_as_of(h2, "2024-02-15").collect()
+    }
+    assert at_feb == {(1, "a"), (2, "B"), (4, "d")}
+    # a third fold on top of closed history leaves closed rows alone
+    h3 = scd2_apply(
+        h2,
+        spark.createDataFrame([(1, "a2")], "k long, v string"),
+        ["k"], "2024-03-01",
+    )
+    assert h3.filter("k = 2 AND NOT is_current").count() == 1
+    assert {
+        (r.v, r.is_current) for r in h3.filter("k = 1").collect()
+    } == {("a", False), ("a2", True)}
