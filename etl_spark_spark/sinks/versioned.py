@@ -380,6 +380,7 @@ def snapshot_diff(
     to_version: int,
     keys: Sequence[str],
     fmt: str = "parquet",
+    include_old: bool = False,
 ) -> DataFrame:
     """Change-data-capture between two committed snapshots: one row per
     changed key with ``change_type`` in {insert, update, delete} plus
@@ -393,7 +394,12 @@ def snapshot_diff(
     literal marker column (NOT key nullness — a legitimately-NULL key
     column matched via eqNullSafe must not read as an insert). This is
     how downstream consumers follow a copy-on-write table without
-    re-reading it: ship the delta, not the snapshot."""
+    re-reading it: ship the delta, not the snapshot.
+
+    ``include_old=True`` additionally emits each payload column's
+    from-version value as ``old_<col>`` (NULL for inserts) — the
+    retraction half a consumer needs to maintain derived aggregates
+    incrementally (see ``operators.rollup.apply_agg_delta``)."""
     keys = list(keys)
     old = read_versioned(spark, path, from_version, fmt)
     new = read_versioned(spark, path, to_version, fmt)
@@ -427,6 +433,10 @@ def snapshot_diff(
         F.coalesce(n[k], o[f"__ok_{k}"]).alias(k) for k in keys
     ]
     out_payload = [F.col("__new_p")[c].alias(c) for c in payload]
+    if include_old:
+        out_payload += [
+            F.col("__old_p")[c].alias(f"old_{c}") for c in payload
+        ]
     return (
         joined.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())

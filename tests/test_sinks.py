@@ -569,3 +569,47 @@ def test_apply_snapshot_delta_follower_converges(spark, tmp_path):
     }
     assert got == want
     assert (None, "n1") in got and (4, "d") not in got
+
+
+def test_incremental_agg_maintenance_matches_recompute(spark, tmp_path):
+    """Rollup maintenance from a CDC delta must equal a full recompute
+    BIT-for-bit: inserts add, deletes retract, updates retract+add,
+    groups draining to zero disappear, brand-new groups appear."""
+    from etl_spark_spark.operators.rollup import agg_snapshot, apply_agg_delta
+    from etl_spark_spark.sinks.versioned import snapshot_diff, write_version
+
+    t = tmp_path / "base"
+    v1 = spark.createDataFrame(
+        [
+            (1, "east", 10.50), (2, "east", 5.25), (3, "west", 7.00),
+            (4, "west", 1.99), (5, "north", 3.33),
+        ],
+        "id long, region string, amount double",
+    )
+    v2 = spark.createDataFrame(
+        [
+            (1, "east", 12.00),            # update (amount changed)
+            (2, "east", 5.25),             # unchanged
+            (4, "east", 1.99),             # GROUP-CHANGING update west->east
+            (6, "south", 8.88),            # insert, new group
+            # 3, 5 deleted -> west and north drain to zero and vanish
+        ],
+        "id long, region string, amount double",
+    )
+    write_version(spark, v1, t)
+    write_version(spark, v2, t)
+    measures = {"n": (None, "count"), "cents": ("amount", "sum_cents")}
+    base = agg_snapshot(v1, ["region"], measures)
+    delta = snapshot_diff(spark, t, 1, 2, ["id"], include_old=True)
+    assert "old_amount" in delta.columns
+    got = {
+        r.region: (r.n, r.cents)
+        for r in apply_agg_delta(base, delta, ["region"], measures).collect()
+    }
+    want = {
+        r.region: (r.n, r.cents)
+        for r in agg_snapshot(v2, ["region"], measures).collect()
+    }
+    assert got == want
+    assert "north" not in got and "west" not in got
+    assert got["south"] == (1, 888) and got["east"] == (3, 1924)
