@@ -45,7 +45,15 @@ from .similarity import (
     semantic_dedup,
     semantic_dedup_pairs,
 )
-from .skew import salted_sum, with_salt
+from .corpus_stats import (
+    bigram_doc_frequency,
+    bigram_pairs,
+    doc_bigram_novelty,
+)
+from .quality import write_with_metrics
+from .rollup import agg_snapshot, apply_agg_delta
+from .scd import scd2_apply, scd2_as_of
+from .skew import salted_join, salted_sum, with_salt
 from .windows import (
     partial_topk,
     partitioned_sum,
@@ -54,6 +62,15 @@ from .windows import (
 )
 
 __all__ = [
+    "agg_snapshot",
+    "apply_agg_delta",
+    "bigram_doc_frequency",
+    "bigram_pairs",
+    "doc_bigram_novelty",
+    "salted_join",
+    "scd2_apply",
+    "scd2_as_of",
+    "write_with_metrics",
     "dedup_any",
     "dedup_latest",
     "top_k_per_group",

@@ -98,3 +98,33 @@ def fk_violation_count(
         parents, child[child_key].eqNullSafe(F.col("__pk")), "left_anti"
     )
     return orphans.agg(F.count("*").cast("long").alias("n_violations"))
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, Column],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> dict:
+    """Write ``df`` while collecting aggregate ``metrics`` IN-FLIGHT via
+    the Observation API — the counters ride the write job itself, so a
+    100 TB write gets its row counts / null counts / violation tallies
+    for free instead of paying a second full scan (the naive
+    ``df.count(); df.write...`` pattern doubles the I/O bill).
+
+    ``metrics`` maps name -> aggregate Column (count/sum/min/max style
+    — Observation requires aggregates without grouping). Returns the
+    observed values as a dict after the write completes.
+
+    The observed node sits above the scan and below the write, so the
+    metrics describe exactly the rows written — a post-hoc read-back
+    could already see a concurrent writer's rows."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(
+        obs, *[expr.alias(name) for name, expr in metrics.items()]
+    )
+    observed.write.format(fmt).mode(mode).save(path)
+    return obs.get

@@ -98,3 +98,32 @@ def test_profile_drift_statuses_and_stats(spark):
     got2 = {r.column_name: r for r in profile_drift(old2, new).collect()}
     assert got2["v"].status == "type_changed"
     assert (got2["v"].old_type, got2["v"].new_type) == ("int", "string")
+
+
+def test_write_with_metrics_single_pass(spark, sf_dir, tmp_path):
+    """Observation metrics must describe exactly the written rows —
+    collected during the write job, no second scan — and match
+    independently recomputed values."""
+    from pyspark.sql import functions as F2
+
+    from etl_spark_spark.operators.quality import write_with_metrics
+    from etl_spark_spark.sources import table
+
+    li = table(spark, sf_dir, "lineitem").filter(F2.col("l_returnflag") == "R")
+    out = str(tmp_path / "out")
+    cents = F2.round(F2.col("l_extendedprice") * 100).cast("long")
+    got = write_with_metrics(
+        li,
+        out,
+        {
+            "n_rows": F2.count(F2.lit(1)),
+            "n_null_qty": F2.count_if(F2.col("l_quantity").isNull()),
+            "revenue_cents": F2.sum(cents),
+        },
+    )
+    back = spark.read.parquet(out)
+    want_n = back.count()
+    want_rev = back.agg(F2.sum(cents).alias("s")).collect()[0].s
+    assert got["n_rows"] == want_n > 0
+    assert got["n_null_qty"] == 0
+    assert got["revenue_cents"] == want_rev
