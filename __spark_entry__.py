@@ -1124,6 +1124,26 @@ def q_priority_return_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k per-group sampling: 5 docs per source,
+    chosen by content-addressed md5 order (seed-stable across runs and
+    cluster layouts). Planned as row_number + filter(rn <= k), which
+    Spark >= 3.5 executes with WindowGroupLimit — every map partition
+    pre-prunes to its local top-k per group BEFORE the exchange, so a
+    hot source ships ~n_mappers x k rows, not its full row count (the
+    measured winner over the two-phase aggregate form for plain
+    ranked top-k; see BASELINE.md skew bench). Plan gate pins the
+    WindowGroupLimit node."""
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    order = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(order.asc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type 2 dimension history: fold two customer snapshots
     (the base table, then a derived second snapshot where every 10th
@@ -2320,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup": q_sketch_rollup,
         "doc_bigram_novelty": q_doc_bigram_novelty,
         "scd2_customer_history": q_scd2_customer_history,
+        "doc_group_sample": q_doc_group_sample,
     }
 
 
@@ -3014,6 +3035,17 @@ p AS (
 SELECT vec_id, cluster FROM u WHERE vec_id NOT IN (SELECT id_b FROM p)
 """
 
+
+_DOC_GROUP_SAMPLE_SQL = """
+SELECT doc_id, source, rn FROM (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS rn
+    FROM documents
+) t WHERE rn <= 5
+"""
 
 _SCD2_CUSTOMER_HISTORY_SQL = """
 WITH changed AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
@@ -3922,4 +3954,5 @@ def oracle_sql() -> dict[str, str]:
         "sketch_rollup": _SKETCH_ROLLUP_SQL,
         "doc_bigram_novelty": _DOC_BIGRAM_NOVELTY_SQL,
         "scd2_customer_history": _SCD2_CUSTOMER_HISTORY_SQL,
+        "doc_group_sample": _DOC_GROUP_SAMPLE_SQL,
     }

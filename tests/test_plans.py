@@ -256,3 +256,11 @@ def test_date_range_prunes_hive_partitions(spark, sf_dir, tmp_path):
     # without pruning the corrupt partition IS read -> error
     with pytest.raises(Exception, match="[Pp]arquet|FAILED_READ_FILE"):
         df.count()
+
+
+def test_group_sample_plans_window_group_limit(spark, sf_dir):
+    """Per-group exact-k sampling must plan WindowGroupLimit (map-side
+    per-group pruning before the exchange) — the measured winner over
+    the two-phase aggregate for plain ranked top-k."""
+    plan = explain_str(entrymod.q_doc_group_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
