@@ -1124,6 +1124,79 @@ def q_priority_return_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_dense_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: per-priority daily order counts for
+    1995-01, DENSIFIED — days with no orders appear with n_orders=0.
+    The spine is generated with sequence()+explode (no driver loop)
+    and cross-joined against the distinct priorities (both sides tiny:
+    days x priorities), then the actual counts left-join in. The gap
+    row a naive groupBy silently drops is exactly what trend/anomaly
+    jobs need present."""
+    orders = table(spark, sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"])
+    jan = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-02-01").cast("timestamp_ntz"))
+    )
+    counts = jan.groupBy(
+        F.col("o_orderdate").cast("date").cast("string").alias("day"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").cast("long").alias("n_orders"))
+    spine_days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-01-31").cast("date"),
+            )
+        ).alias("__d")
+    ).select(F.col("__d").cast("string").alias("day"))
+    priorities = jan.select(
+        F.col("o_orderpriority").alias("priority")
+    ).distinct()
+    spine = spine_days.crossJoin(F.broadcast(priorities))
+    return spine.join(counts, ["day", "priority"], "left").select(
+        "day",
+        "priority",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier flagging: median + MAD (median absolute
+    deviation) per return flag, flag rows with |x - median| > 10 * MAD.
+    Two exact-percentile aggregates (the second over the deviations)
+    and one broadcast join back — the robust-z-score pattern that,
+    unlike mean/stddev, a single corrupt value cannot skew. Emits the
+    per-flag outlier count plus the thresholds (exact interpolated
+    percentiles, engine-portable)."""
+    li = table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("median_price")
+    )
+    with_dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "__dev", F.abs(F.col("l_extendedprice") - F.col("median_price"))
+    )
+    mad = with_dev.groupBy("l_returnflag").agg(
+        F.percentile("__dev", 0.5).alias("mad"),
+        F.first("median_price").alias("median_price"),
+        F.count("*").alias("n_rows"),
+    )
+    flagged = (
+        with_dev.join(
+            F.broadcast(mad.select("l_returnflag", "mad")), "l_returnflag"
+        )
+        .filter(F.col("__dev") > 10 * F.col("mad"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    return mad.join(flagged, "l_returnflag", "left").select(
+        "l_returnflag",
+        "n_rows",
+        "median_price",
+        "mad",
+        F.coalesce(F.col("n_outliers"), F.lit(0)).cast("long").alias("n_outliers"),
+    )
+
+
 def q_doc_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-k per-group sampling: 5 docs per source,
     chosen by content-addressed md5 order (seed-stable across runs and
@@ -2341,6 +2414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_novelty": q_doc_bigram_novelty,
         "scd2_customer_history": q_scd2_customer_history,
         "doc_group_sample": q_doc_group_sample,
+        "daily_dense_orders": q_daily_dense_orders,
+        "price_outliers": q_price_outliers,
     }
 
 
@@ -3035,6 +3110,43 @@ p AS (
 SELECT vec_id, cluster FROM u WHERE vec_id NOT IN (SELECT id_b FROM p)
 """
 
+
+_DAILY_DENSE_ORDERS_SQL = """
+WITH jan AS (
+    SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+           o_orderpriority AS priority
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-02-01'
+),
+counts AS (SELECT day, priority, count(*) AS n_orders FROM jan GROUP BY 1, 2),
+spine AS (
+    SELECT CAST(CAST(d AS DATE) AS VARCHAR) AS day, p.priority
+    FROM generate_series(DATE '1995-01-01', DATE '1995-01-31',
+                         INTERVAL 1 DAY) s(d)
+    CROSS JOIN (SELECT DISTINCT priority FROM jan) p
+)
+SELECT s.day, s.priority, coalesce(c.n_orders, 0) AS n_orders
+FROM spine s LEFT JOIN counts c USING (day, priority)
+"""
+
+_PRICE_OUTLIERS_SQL = """
+WITH med AS (
+    SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS median_price,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY 1
+),
+dev AS (
+    SELECT l.l_returnflag, abs(l.l_extendedprice - m.median_price) AS d
+    FROM lineitem l JOIN med m USING (l_returnflag)
+),
+mad AS (SELECT l_returnflag, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT m.l_returnflag, m.n_rows, m.median_price, a.mad,
+       coalesce((SELECT count(*) FROM dev
+                 WHERE dev.l_returnflag = m.l_returnflag
+                   AND dev.d > 10 * a.mad), 0) AS n_outliers
+FROM med m JOIN mad a USING (l_returnflag)
+"""
 
 _DOC_GROUP_SAMPLE_SQL = """
 SELECT doc_id, source, rn FROM (
@@ -3955,4 +4067,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_bigram_novelty": _DOC_BIGRAM_NOVELTY_SQL,
         "scd2_customer_history": _SCD2_CUSTOMER_HISTORY_SQL,
         "doc_group_sample": _DOC_GROUP_SAMPLE_SQL,
+        "daily_dense_orders": _DAILY_DENSE_ORDERS_SQL,
+        "price_outliers": _PRICE_OUTLIERS_SQL,
     }

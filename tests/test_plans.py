@@ -170,7 +170,9 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # bounded broadcast query set
     # rich_idle_customers: scalar-subquery threshold = 1-row broadcast;
     # sketch_rollup: crossJoin of the 1-row unioned-sketch aggregate
+    # daily_dense_orders: 31-day spine x tiny distinct-priorities cross
     allowed_bnlj = {
+        "daily_dense_orders",
         "sketch_rollup",
         "emb_cosine_topk",
         "data_quality",
