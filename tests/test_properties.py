@@ -122,3 +122,87 @@ def test_frame_sampling_shape(spark):
         by_id.setdefault(r.id, []).append(r)
     assert [r.frame_no for r in sorted(by_id[1], key=lambda r: r.frame_no)] == [0, 1, 2, 3]
     assert all(len(r.frame) <= 16 for r in frames)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.dictionaries(
+            st.integers(0, 6),  # key
+            st.integers(0, 3),  # value
+            min_size=0,
+            max_size=7,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_scd2_fold_reconstructs_every_snapshot(spark, snaps):
+    """Folding ANY sequence of snapshots through scd2_apply (with
+    close_missing) yields a history whose as-of reconstruction at each
+    fold instant equals that snapshot exactly, and at most one current
+    row exists per key."""
+    from etl_spark_spark.operators.scd import scd2_apply, scd2_as_of
+
+    hist = None
+    stamps = []
+    for i, snap in enumerate(snaps):
+        stamp = f"2024-01-{i + 1:02d}"
+        stamps.append(stamp)
+        rows = [(k, v) for k, v in snap.items()] or [(None, None)]
+        df = spark.createDataFrame(rows, "k int, v int").filter(
+            F.col("k").isNotNull()
+        )
+        hist = scd2_apply(hist, df, ["k"], stamp, close_missing=True)
+    collected = hist.collect()
+    per_key_current = {}
+    for r in collected:
+        if r.is_current:
+            per_key_current[r.k] = per_key_current.get(r.k, 0) + 1
+    assert all(n == 1 for n in per_key_current.values())
+    for i, snap in enumerate(snaps):
+        got = {
+            (r.k, r.v)
+            for r in scd2_as_of(hist, stamps[i] + "T12:00").collect()
+        }
+        assert got == set(snap.items()), f"snapshot {i} not reconstructed"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 2), MONEY),
+        min_size=0, max_size=15, unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 2), MONEY),
+        min_size=0, max_size=15, unique_by=lambda t: t[0],
+    ),
+)
+def test_incremental_rollup_equals_recompute(spark, tmp_path_factory, v1, v2):
+    """For ANY two keyed versions, applying the CDC delta to the v1
+    rollup reproduces the v2 rollup bit-for-bit (inserts, deletes,
+    value updates, and group-changing updates all arise from random
+    pairs)."""
+    from etl_spark_spark.operators.rollup import agg_snapshot, apply_agg_delta
+    from etl_spark_spark.sinks.versioned import snapshot_diff, write_version
+
+    t = tmp_path_factory.mktemp("roll") / "t"
+    schema = "id long, grp long, amount double"
+    d1 = spark.createDataFrame(v1, schema) if v1 else spark.createDataFrame([], schema)
+    d2 = spark.createDataFrame(v2, schema) if v2 else spark.createDataFrame([], schema)
+    write_version(spark, d1, t)
+    write_version(spark, d2, t)
+    measures = {"n": (None, "count"), "cents": ("amount", "sum_cents")}
+    delta = snapshot_diff(spark, t, 1, 2, ["id"], include_old=True)
+    got = {
+        (r.grp): (r.n, r.cents)
+        for r in apply_agg_delta(
+            agg_snapshot(d1, ["grp"], measures), delta, ["grp"], measures
+        ).collect()
+    }
+    want = {
+        (r.grp): (r.n, r.cents)
+        for r in agg_snapshot(d2, ["grp"], measures).collect()
+    }
+    assert got == want
