@@ -2307,6 +2307,349 @@ def q_doc_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_for_training(docs)
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation in two roles joined through DIFFERENT
+    fact paths (supplier side via lineitem, customer side via orders)
+    with a disjunctive cross-pair predicate that can only be applied
+    AFTER both roles are attached. Both nation copies broadcast; the
+    pair filter collapses the fact stream before the per-year
+    aggregate; revenue in integer cents for bit-stable sums."""
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+    orders = table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    customer = table(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supplier = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = table(spark, sf_dir, "nation")
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    shipped = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    joined = (
+        shipped.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .filter(
+            (
+                (F.col("n1.n_name") == "NATION_1")
+                & (F.col("n2.n_name") == "NATION_2")
+            )
+            | (
+                (F.col("n1.n_name") == "NATION_2")
+                & (F.col("n2.n_name") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table in the corpus, so
+    supply cost is the part's retail price — same plan shape, different
+    constant). Profit per supplier-nation per order-year over a
+    p_name LIKE-filtered part subset. The LIKE filter lands in the
+    parquet scan via the broadcast part dim; profit is computed
+    row-wise in cents before the aggregate."""
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    orders = table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    supplier = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    part = table(spark, sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+    nation = table(spark, sf_dir, "nation")
+    cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("long")
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("%widget%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("__c", cents)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum("__c") / 100.0).alias("profit"))
+    )
+
+
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in one
+    quarter, top 20. ORDER BY revenue DESC with a custkey tiebreak and
+    the revenue computed in exact cents, so the LIMIT frontier is
+    deterministic on both engines. Plans TakeOrderedAndProject — never
+    a global sort of the full aggregate."""
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    orders = table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    customer = table(
+        spark, sf_dir, "customer",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    nation = table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    q4_1995 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(q4_1995, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("__c", cents)
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg((F.sum("__c") / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value vs a SCALAR-SUBQUERY fraction
+    of the global total. Decorrelated the Spark way: the per-part
+    aggregate is computed once, the global total is a 1-row re-aggregate
+    of it, and the threshold joins back via a broadcast crossJoin — the
+    per-part aggregate is NOT computed twice and never round-trips the
+    driver. Values in integer cents so share comparisons are exact."""
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supplier = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_part = (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .withColumn("__c", cents)
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.sum("__c").alias("__val_c"))
+    )
+    total = per_part.agg(F.sum("__val_c").alias("__total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        # integer cross-multiply: val * 100000 > total * 100 avoids any
+        # float threshold — identical arithmetic in the oracle
+        .filter(F.col("__val_c") * 100000 > F.col("__total_c") * 100)
+        .select("part_key", (F.col("__val_c") / 100.0).alias("value"))
+    )
+
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count
+    INCLUDING zero-order customers — a left outer join into a
+    two-level aggregate (count per customer, then customers per
+    count). The filtered orders side is aggregated to (custkey, n)
+    BEFORE joining so the second aggregate's input is one row per
+    customer, not one per order."""
+    customer = table(spark, sf_dir, "customer", columns=["c_custkey"])
+    orders = table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("__n"))
+    )
+    return (
+        customer.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue
+    share for one ship-month) in a single pass — numerator and
+    denominator as two conditional cent-sums in ONE aggregate, ratio
+    taken once at the end (round 6 pins the float)."""
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    part = table(spark, sf_dir, "part", columns=["p_partkey", "p_type"])
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
+    )
+    return (
+        month.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("__c", cents)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("__c")).otherwise(F.lit(0))
+            ).alias("__promo"),
+            F.sum("__c").alias("__all"),
+        )
+        .select(
+            (F.col("__promo") / 100.0).alias("promo_revenue"),
+            (F.col("__all") / 100.0).alias("total_revenue"),
+            F.round(100.0 * F.col("__promo") / F.col("__all"), 6).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
+    global max — the classic view + scalar-max pattern. Revenue stays
+    in integer cents through the max comparison, so 'equals the max'
+    is an exact integer predicate (no float-equality flake); the max is
+    a 1-row broadcast, not a driver collect."""
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    supplier = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .withColumn("__c", cents)
+        .groupBy("l_suppkey")
+        .agg(F.sum("__c").alias("__rev_c"))
+    )
+    best = revenue.agg(F.max("__rev_c").alias("__max_c"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("__rev_c") == F.col("__max_c"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("s_name").alias("supp_name"),
+            (F.col("__rev_c") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity clears a HAVING
+    threshold, joined back to header + customer. The lineitem side is
+    fully aggregated (one row per order) before any join; order header
+    and customer attach afterwards, customer broadcast. Quantity summed
+    as integer units (whole-unit quantities) -> exact HAVING edge."""
+    li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = table(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    customer = table(spark, sf_dir, "customer", columns=["c_custkey", "c_name"])
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+def q_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: the correlated 'availqty > 1/2 of
+    shipped qty' subquery becomes 'this supplier shipped > 30% of the
+    part's 1995 volume'). Two-level decorrelation: per-(part, supplier)
+    aggregate joined to the per-part re-aggregate (derived from the
+    first — the fact is scanned ONCE), then a LEFT SEMI join collapses
+    qualifying parts into the supplier dimension. Nation-scoped."""
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+    part = table(spark, sf_dir, "part", columns=["p_partkey", "p_name"])
+    supplier = table(
+        spark, sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    nation = table(spark, sf_dir, "nation")
+    bolts_1995 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("%bolt%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .withColumn("__q", F.round("l_quantity").cast("long"))
+    )
+    per_sp = bolts_1995.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("__q").alias("__sp_qty")
+    )
+    per_part = per_sp.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("__sp_qty").alias("__p_qty")
+    )
+    dominant = (
+        per_sp.join(per_part, F.col("l_partkey") == F.col("__pk"))
+        # integer cross-multiply for the 30% edge: 10*sp > 3*total
+        .filter(F.col("__sp_qty") * 10 > F.col("__p_qty") * 3)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_5")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select(
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("s_name").alias("supp_name"),
+        )
+    )
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -2400,6 +2743,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_year_arrays": q_customer_year_arrays,
         "order_priority_counts": q_order_priority_counts,
         "min_cost_supplier": q_min_cost_supplier,
+        "volume_shipping": q_volume_shipping,
+        "product_profit": q_product_profit,
+        "returned_top_customers": q_returned_top_customers,
+        "important_parts": q_important_parts,
+        "custdist": q_custdist,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "large_orders": q_large_orders,
+        "part_promotion_suppliers": q_part_promotion_suppliers,
         "revenue_cube": q_revenue_cube,
         "priority_return_pivot": q_priority_return_pivot,
         "corr_exact": q_corr_exact,
@@ -3921,6 +4273,149 @@ JOIN supplier ON l_suppkey = s_suppkey
 WHERE rn = 1
 """
 
+_VOLUME_SHIPPING_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+_PRODUCT_PROFIT_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(round((l_extendedprice * (1 - l_discount)
+                       - p_retailprice * l_quantity) * 100) AS BIGINT)
+          ) / 100.0 AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, o_year
+"""
+
+_RETURNED_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          ) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+_IMPORTANT_PARTS_SQL = """
+WITH v AS (
+  SELECT l_partkey AS part_key,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+            ) AS val_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY part_key
+)
+SELECT part_key, val_c / 100.0 AS value
+FROM v
+WHERE val_c * 100000 > (SELECT sum(val_c) FROM v) * 100
+"""
+
+_CUSTDIST_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n
+  FROM orders
+  WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY o_custkey
+)
+SELECT CAST(coalesce(n, 0) AS BIGINT) AS c_count,
+       count(*) AS custdist
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY c_count
+"""
+
+_PROMO_REVENUE_SQL = """
+WITH s AS (
+  SELECT
+    sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             ELSE 0 END) AS promo_c,
+    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS all_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+    AND l_shipdate <  TIMESTAMP '1995-10-01'
+)
+SELECT promo_c / 100.0 AS promo_revenue,
+       all_c / 100.0 AS total_revenue,
+       round(100.0 * promo_c / all_c, 6) AS promo_pct
+FROM s
+"""
+
+_TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+            ) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey AS supp_key, s_name AS supp_name, rev_c / 100.0 AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_c = (SELECT max(rev_c) FROM revenue)
+"""
+
+_LARGE_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING total_qty > 250
+)
+SELECT c_custkey, c_name, o_orderkey AS order_key,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice AS total_price, CAST(total_qty AS BIGINT) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+_PART_PROMOTION_SUPPLIERS_SQL = """
+WITH sp AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(round(l_quantity) AS BIGINT)) AS sp_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-01-01'
+  GROUP BY l_partkey, l_suppkey
+), pt AS (
+  SELECT l_partkey AS pk, sum(sp_qty) AS p_qty FROM sp GROUP BY pk
+)
+SELECT s_suppkey AS supp_key, s_name AS supp_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM sp JOIN pt ON l_partkey = pk
+  WHERE sp_qty * 10 > p_qty * 3
+)
+"""
+
 _REVENUE_CUBE_SQL = f"""
 SELECT l_returnflag AS flag, l_linestatus AS status,
        {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -4045,6 +4540,15 @@ def oracle_sql() -> dict[str, str]:
         "customer_year_arrays": _CUSTOMER_YEAR_ARRAYS_SQL,
         "order_priority_counts": _ORDER_PRIORITY_COUNTS_SQL,
         "min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
+        "volume_shipping": _VOLUME_SHIPPING_SQL,
+        "product_profit": _PRODUCT_PROFIT_SQL,
+        "returned_top_customers": _RETURNED_TOP_CUSTOMERS_SQL,
+        "important_parts": _IMPORTANT_PARTS_SQL,
+        "custdist": _CUSTDIST_SQL,
+        "promo_revenue": _PROMO_REVENUE_SQL,
+        "top_supplier": _TOP_SUPPLIER_SQL,
+        "large_orders": _LARGE_ORDERS_SQL,
+        "part_promotion_suppliers": _PART_PROMOTION_SUPPLIERS_SQL,
         "revenue_cube": _REVENUE_CUBE_SQL,
         "priority_return_pivot": _PRIORITY_RETURN_PIVOT_SQL,
         "corr_exact": _CORR_EXACT_SQL,

@@ -171,7 +171,10 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # rich_idle_customers: scalar-subquery threshold = 1-row broadcast;
     # sketch_rollup: crossJoin of the 1-row unioned-sketch aggregate
     # daily_dense_orders: 31-day spine x tiny distinct-priorities cross
+    # important_parts: Q11 scalar-subquery share threshold = 1-row
+    # broadcast total crossJoined under an inequality filter
     allowed_bnlj = {
+        "important_parts",
         "daily_dense_orders",
         "sketch_rollup",
         "emb_cosine_topk",
