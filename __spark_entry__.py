@@ -2650,6 +2650,78 @@ def q_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_pit_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join: enrich each order with the
+    customer attribute that was CURRENT on the order date, against an
+    SCD2 history (two snapshots: a 1995-06-01 bootstrap, then a
+    1996-06-01 balance change for every 10th customer). The join is a
+    broadcast equi-join on custkey with the validity range as a join
+    filter — the standard PIT pattern; a LEFT join so orders placed
+    before the dimension existed survive with NULL attributes (that
+    edge is pinned, not papered over). Validity stamps are ISO strings
+    compared lexicographically — portable to the oracle."""
+    from etl_spark_spark.operators.scd import scd2_apply
+
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    snap1 = table(spark, sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    snap2 = snap1.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    hist = scd2_apply(
+        scd2_apply(None, snap1, ["c_custkey"], "1995-06-01"),
+        snap2, ["c_custkey"], "1996-06-01",
+    )
+    od = F.date_format("o_orderdate", "yyyy-MM-dd")
+    o = orders.withColumn("order_date", od)
+    cond = (
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("valid_from") <= F.col("order_date"))
+        & (F.col("valid_to").isNull() | (F.col("order_date") < F.col("valid_to")))
+    )
+    return o.join(F.broadcast(hist), cond, "left").select(
+        "o_orderkey",
+        "o_custkey",
+        "order_date",
+        F.col("c_acctbal").alias("acctbal_at_order"),
+        F.col("valid_from").alias("dim_from"),
+    )
+
+
+def q_doc_length_winsor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — the standard outlier-taming step
+    before length-based curation thresholds: clamp each document's
+    length to its SOURCE's [p05, p95] band. Exact interpolated
+    percentiles per source (tiny aggregate) broadcast back onto the
+    full table; the clamp itself is pure codegen (no second shuffle of
+    the fact). For 100 TB swap F.percentile for approx_percentile —
+    traded deliberately: sketch outputs are engine-specific and would
+    break the bit-exact oracle."""
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    bands = docs.groupBy("source").agg(
+        F.percentile("n_chars", 0.05).alias("p05"),
+        F.percentile("n_chars", 0.95).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("n_chars").cast("double"), F.col("p05")), F.col("p95"))
+    return (
+        docs.join(F.broadcast(bands), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            clamped.alias("winsorized"),
+            (
+                (F.col("n_chars") < F.col("p05"))
+                | (F.col("n_chars") > F.col("p95"))
+            ).alias("was_clipped"),
+        )
+    )
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -2752,6 +2824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "large_orders": q_large_orders,
         "part_promotion_suppliers": q_part_promotion_suppliers,
+        "orders_pit_dimension": q_orders_pit_dimension,
+        "doc_length_winsor": q_doc_length_winsor,
         "revenue_cube": q_revenue_cube,
         "priority_return_pivot": q_priority_return_pivot,
         "corr_exact": q_corr_exact,
@@ -4416,6 +4490,43 @@ WHERE s_suppkey IN (
 )
 """
 
+_ORDERS_PIT_DIMENSION_SQL = """
+WITH changed AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0),
+hist AS (
+  SELECT c_custkey, c_acctbal,
+         '1995-06-01' AS valid_from, NULL AS valid_to
+  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+  UNION ALL
+  SELECT c_custkey, c_acctbal, '1995-06-01', '1996-06-01'
+  FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
+  UNION ALL
+  SELECT c_custkey, round(c_acctbal + 100.0, 2), '1996-06-01', NULL
+  FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
+)
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       c_acctbal AS acctbal_at_order,
+       valid_from AS dim_from
+FROM orders
+LEFT JOIN hist
+  ON o_custkey = c_custkey
+ AND valid_from <= strftime(o_orderdate, '%Y-%m-%d')
+ AND (valid_to IS NULL OR strftime(o_orderdate, '%Y-%m-%d') < valid_to)
+"""
+
+_DOC_LENGTH_WINSOR_SQL = """
+WITH bands AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.05) AS p05,
+         quantile_cont(n_chars, 0.95) AS p95
+  FROM documents GROUP BY source
+)
+SELECT doc_id, d.source, n_chars,
+       least(greatest(CAST(n_chars AS DOUBLE), p05), p95) AS winsorized,
+       (n_chars < p05 OR n_chars > p95) AS was_clipped
+FROM documents d JOIN bands b ON d.source = b.source
+"""
+
 _REVENUE_CUBE_SQL = f"""
 SELECT l_returnflag AS flag, l_linestatus AS status,
        {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -4549,6 +4660,8 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier": _TOP_SUPPLIER_SQL,
         "large_orders": _LARGE_ORDERS_SQL,
         "part_promotion_suppliers": _PART_PROMOTION_SUPPLIERS_SQL,
+        "orders_pit_dimension": _ORDERS_PIT_DIMENSION_SQL,
+        "doc_length_winsor": _DOC_LENGTH_WINSOR_SQL,
         "revenue_cube": _REVENUE_CUBE_SQL,
         "priority_return_pivot": _PRIORITY_RETURN_PIVOT_SQL,
         "corr_exact": _CORR_EXACT_SQL,

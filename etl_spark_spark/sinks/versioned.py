@@ -337,6 +337,48 @@ def apply_snapshot_delta(
     ) from last_err
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str | Path,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite the current snapshot's data files into ~``target_file_bytes``
+    files and commit the result as a new version — the maintenance op
+    every ingest-heavy table needs: streams of small merges accumulate
+    thousands of tiny files, and at cluster scale every tiny file is a
+    scan task, a driver bookkeeping entry, and a seek.
+
+    Properties:
+
+    - data-identical by construction (same rows, new layout); readers
+      of older versions are untouched (time travel intact);
+    - file count is sized from the snapshot's ACTUAL on-disk bytes
+      (``coalesce`` — a shuffle-free collapse; compaction must not pay
+      a full shuffle just to concatenate files);
+    - committed with a CAS on the version observed at read time, so a
+      merge landing mid-compaction raises :class:`ConcurrentWriteError`
+      instead of silently reverting that merge's rows (the caller — a
+      maintenance loop — just retries later).
+
+    At 100 TB the same op runs partition-scoped (compact one date/
+    bucket directory at a time) — this table store is unpartitioned
+    snapshots, so the scope is the snapshot. Returns the new version.
+    """
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"versioned table {path} has no commits")
+    vdir = _version_dir(path, cur)
+    on_disk = sum(
+        f.stat().st_size
+        for f in Path(vdir).rglob("*")
+        if f.is_file() and not f.name.startswith((".", "_"))
+    )
+    n_files = max(1, -(-on_disk // target_file_bytes))  # ceil
+    snap = read_versioned(spark, path, cur, fmt).coalesce(int(n_files))
+    return write_version(spark, snap, path, fmt, expected_current=cur)
+
+
 def vacuum_versions(path: str | Path, keep: int = 1) -> list[int]:
     """Delete version entries older than the newest ``keep`` committed
     ones, plus any orphaned (never-committed) directories and

@@ -613,3 +613,82 @@ def test_incremental_agg_maintenance_matches_recompute(spark, tmp_path):
     assert got == want
     assert "north" not in got and "west" not in got
     assert got["south"] == (1, 888) and got["east"] == (3, 1924)
+
+
+def test_compact_table_shrinks_files_data_identical(spark, tmp_path):
+    """Compaction: many-small-file snapshot -> few files in a NEW
+    version, rows bit-identical, prior versions untouched, and a stale
+    compaction (merge landed in between) refuses to clobber."""
+    import pytest
+
+    from etl_spark_spark.sinks.versioned import (
+        ConcurrentWriteError,
+        compact_table,
+        current_version,
+        merge_into_versioned,
+        read_versioned,
+        snapshot_diff,
+        write_version,
+        _version_dir,
+    )
+
+    t = tmp_path / "tbl"
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    write_version(spark, df.repartition(32), t)
+    v1_files = [
+        p for p in _version_dir(t, 1).iterdir() if p.name.endswith(".parquet")
+    ]
+    assert len(v1_files) > 16
+
+    v2 = compact_table(spark, t, target_file_bytes=1 << 30)
+    assert v2 == 2 and current_version(t) == 2
+    v2_files = [
+        p for p in _version_dir(t, 2).iterdir() if p.name.endswith(".parquet")
+    ]
+    assert len(v2_files) == 1
+    # identical data, and the CDC diff between the versions is empty
+    assert read_versioned(spark, t, 2).exceptAll(df).isEmpty()
+    assert df.exceptAll(read_versioned(spark, t, 2)).isEmpty()
+    assert snapshot_diff(spark, t, 1, 2, ["k"]).isEmpty()
+    # old version still time-travelable with its old layout
+    assert len(v1_files) == len(
+        [p for p in _version_dir(t, 1).iterdir() if p.name.endswith(".parquet")]
+    )
+
+    # stale compaction: a merge commits after the compactor read v2
+    class _Racer:
+        def __init__(self):
+            self.fired = False
+
+    # simulate by compacting against a table whose current version
+    # advances first: read_versioned sees v2, then a merge lands v3,
+    # then the compactor's CAS (expected v2) must fail
+    from etl_spark_spark.sinks import versioned as vmod
+
+    real_read = vmod.read_versioned
+    racer = _Racer()
+
+    def read_then_merge(spark_, path, version=None, fmt="parquet"):
+        out = real_read(spark_, path, version, fmt)
+        if not racer.fired:
+            racer.fired = True
+            merge_into_versioned(
+                spark,
+                spark.createDataFrame([(1, 99)], "k long, v long"),
+                t, ["k"],
+            )
+        return out
+
+    vmod_read = vmod.read_versioned
+    try:
+        vmod.read_versioned = read_then_merge
+        with pytest.raises(ConcurrentWriteError):
+            compact_table(spark, t, target_file_bytes=1 << 30)
+    finally:
+        vmod.read_versioned = vmod_read
+    # the interleaved merge's row survived
+    assert read_versioned(spark, t).filter("k = 1 and v = 99").count() == 1
