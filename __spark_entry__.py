@@ -2722,6 +2722,30 @@ def q_doc_length_winsor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward): every event
+    carries the user's most recent purchase value — the IGNORE NULLS
+    running last_value, the window feature none of the other window
+    queries exercise. One shuffle (the per-user window); no self-join,
+    no driver state. Total order pinned by (ts, event_id) so the fill
+    frontier is identical on both engines."""
+    events = read_events(spark, sf_dir)
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(purchase_val, ignorenulls=True)
+        .over(w)
+        .alias("last_purchase_value"),
+    )
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -2826,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_promotion_suppliers": q_part_promotion_suppliers,
         "orders_pit_dimension": q_orders_pit_dimension,
         "doc_length_winsor": q_doc_length_winsor,
+        "events_forward_fill": q_events_forward_fill,
         "revenue_cube": q_revenue_cube,
         "priority_return_pivot": q_priority_return_pivot,
         "corr_exact": q_corr_exact,
@@ -4527,6 +4552,16 @@ SELECT doc_id, d.source, n_chars,
 FROM documents d JOIN bands b ON d.source = b.source
 """
 
+_EVENTS_FORWARD_FILL_SQL = """
+SELECT event_id, user_id, event_type,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_purchase_value
+FROM events
+"""
+
 _REVENUE_CUBE_SQL = f"""
 SELECT l_returnflag AS flag, l_linestatus AS status,
        {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -4662,6 +4697,7 @@ def oracle_sql() -> dict[str, str]:
         "part_promotion_suppliers": _PART_PROMOTION_SUPPLIERS_SQL,
         "orders_pit_dimension": _ORDERS_PIT_DIMENSION_SQL,
         "doc_length_winsor": _DOC_LENGTH_WINSOR_SQL,
+        "events_forward_fill": _EVENTS_FORWARD_FILL_SQL,
         "revenue_cube": _REVENUE_CUBE_SQL,
         "priority_return_pivot": _PRIORITY_RETURN_PIVOT_SQL,
         "corr_exact": _CORR_EXACT_SQL,
