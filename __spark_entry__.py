@@ -2463,12 +2463,17 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("part_key"))
         .agg(F.sum("__c").alias("__val_c"))
     )
-    total = per_part.agg(F.sum("__val_c").alias("__total_c"))
+    total = per_part.agg(
+        F.sum("__val_c").alias("__total_c"), F.count("*").alias("__n_parts")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        # integer cross-multiply: val * 100000 > total * 100 avoids any
-        # float threshold — identical arithmetic in the oracle
-        .filter(F.col("__val_c") * 100000 > F.col("__total_c") * 100)
+        # scale-free threshold (value > 2x the mean part value) as an
+        # integer cross-multiply — no float edge, and unlike a fixed
+        # global fraction the selectivity survives any corpus size
+        # (TPC-H itself rescales Q11's fraction by 1/SF for the same
+        # reason); identical arithmetic in the oracle
+        .filter(F.col("__val_c") * F.col("__n_parts") > F.col("__total_c") * 2)
         .select("part_key", (F.col("__val_c") / 100.0).alias("value"))
     )
 
@@ -2746,6 +2751,38 @@ def q_events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: near-dup pairs (MinHash+LSH,
+    exact-Jaccard verified >= 0.5) whose members landed in DIFFERENT
+    content-addressed splits — the pairs an eval-set decontamination
+    pass must remove before benchmark numbers mean anything. Split
+    membership is recomputed from each pair id as a pure expression
+    (the same md5 rule hash_split uses), so the audit adds ZERO joins
+    on top of the LSH pair generation — at 100 TB the pair set is the
+    small output, and nothing rejoins the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    pairs = near_dup_minhash(
+        toks, "doc_id", word_shingles("t", 3), num_perms=8,
+        rows_per_band=2, threshold=0.5,
+    )
+
+    def split_of(c: str):
+        b = F.substring(F.md5(F.col(c).cast("string")), 1, 1)
+        return (
+            F.when(b < "d", F.lit("train"))
+            .when(b < "f", F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    return (
+        pairs.withColumn("split_a", split_of("id_a"))
+        .withColumn("split_b", split_of("id_b"))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -2851,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_pit_dimension": q_orders_pit_dimension,
         "doc_length_winsor": q_doc_length_winsor,
         "events_forward_fill": q_events_forward_fill,
+        "split_leakage": q_split_leakage,
         "revenue_cube": q_revenue_cube,
         "priority_return_pivot": q_priority_return_pivot,
         "corr_exact": q_corr_exact,
@@ -3149,6 +3187,46 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+"""
+
+_SPLIT_LEAKAGE_SQL = f"""
+WITH {_SHINGLES},
+sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+),
+verified AS (
+    SELECT i.id_a, i.id_b, i.inter / (sa.n + sb.n - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+)
+SELECT id_a, id_b,
+       CASE WHEN substring(md5(CAST(id_a AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+            WHEN substring(md5(CAST(id_a AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+            ELSE 'test' END AS split_a,
+       CASE WHEN substring(md5(CAST(id_b AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+            WHEN substring(md5(CAST(id_b AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+            ELSE 'test' END AS split_b,
+       jaccard
+FROM verified
+WHERE (CASE WHEN substring(md5(CAST(id_a AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+            WHEN substring(md5(CAST(id_a AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+            ELSE 'test' END)
+   <> (CASE WHEN substring(md5(CAST(id_b AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+            WHEN substring(md5(CAST(id_b AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+            ELSE 'test' END)
 """
 
 _DOC_INCREMENTAL_DEDUP_SQL = f"""
@@ -4432,7 +4510,7 @@ WITH v AS (
 )
 SELECT part_key, val_c / 100.0 AS value
 FROM v
-WHERE val_c * 100000 > (SELECT sum(val_c) FROM v) * 100
+WHERE val_c * (SELECT count(*) FROM v) > (SELECT sum(val_c) FROM v) * 2
 """
 
 _CUSTDIST_SQL = """
@@ -4698,6 +4776,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_pit_dimension": _ORDERS_PIT_DIMENSION_SQL,
         "doc_length_winsor": _DOC_LENGTH_WINSOR_SQL,
         "events_forward_fill": _EVENTS_FORWARD_FILL_SQL,
+        "split_leakage": _SPLIT_LEAKAGE_SQL,
         "revenue_cube": _REVENUE_CUBE_SQL,
         "priority_return_pivot": _PRIORITY_RETURN_PIVOT_SQL,
         "corr_exact": _CORR_EXACT_SQL,
