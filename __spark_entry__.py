@@ -2783,6 +2783,43 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed iterative PageRank (5 exact fixed-point iterations)
+    over the customer<->supplier trade graph (distinct order-derived
+    pairs, both directions, so the walk mixes). The ONLY iterative
+    numeric algorithm family in the suite beyond label propagation —
+    and because the recurrence is pure integer arithmetic
+    (operators/graph.py:pagerank_exact), even this has a bit-exact SQL
+    oracle (5 unrolled CTE stages). Output restricted to the supplier
+    side of the bipartite graph. ``rank`` is rank_fp/scale — both
+    operands exactly representable, so the IEEE division is identical
+    on both engines (no rounding needed, none applied)."""
+    from etl_spark_spark.operators.graph import pagerank_exact
+
+    li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    pairs = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    ranks = pagerank_exact(edges, iters=5)
+    return ranks.filter(F.col("node").startswith("S")).select(
+        "node", "rank_fp", "rank"
+    )
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -2889,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_winsor": q_doc_length_winsor,
         "events_forward_fill": q_events_forward_fill,
         "split_leakage": q_split_leakage,
+        "trade_pagerank": q_trade_pagerank,
         "revenue_cube": q_revenue_cube,
         "priority_return_pivot": q_priority_return_pivot,
         "corr_exact": q_corr_exact,
@@ -4640,6 +4678,55 @@ SELECT event_id, user_id, event_type,
 FROM events
 """
 
+
+
+def _pagerank_oracle_sql(iters: int = 5, scale: int = 10**12) -> str:
+    """Unrolled-CTE mirror of operators.graph.pagerank_exact: one
+    (contrib, rank) CTE pair per iteration, same integer recurrence.
+    Generated, not handwritten, so the iteration count stays in one
+    place."""
+    parts = [f"""
+WITH pairs AS (
+  SELECT DISTINCT 'C' || o_custkey AS a, 'S' || l_suppkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-01-01'
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+consts AS (SELECT {scale} // count(*) AS init FROM nodes),
+r0 AS (SELECT node, CAST((SELECT init FROM consts) AS BIGINT) AS rank_fp
+       FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst AS node, sum(r.rank_fp // d.deg) AS inc
+  FROM edges e
+  JOIN r{i-1} r ON e.src = r.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST((SELECT (15 * init) // 100 FROM consts)
+              + (85 * coalesce(c.inc, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)""")
+    parts.append(f"""
+SELECT node, rank_fp, rank_fp / {scale} AS rank
+FROM r{iters}
+WHERE node LIKE 'S%'
+""")
+    return "".join(parts)
+
+
+_TRADE_PAGERANK_SQL = _pagerank_oracle_sql()
+
 _REVENUE_CUBE_SQL = f"""
 SELECT l_returnflag AS flag, l_linestatus AS status,
        {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -4777,6 +4864,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_winsor": _DOC_LENGTH_WINSOR_SQL,
         "events_forward_fill": _EVENTS_FORWARD_FILL_SQL,
         "split_leakage": _SPLIT_LEAKAGE_SQL,
+        "trade_pagerank": _TRADE_PAGERANK_SQL,
         "revenue_cube": _REVENUE_CUBE_SQL,
         "priority_return_pivot": _PRIORITY_RETURN_PIVOT_SQL,
         "corr_exact": _CORR_EXACT_SQL,

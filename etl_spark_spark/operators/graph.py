@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank_exact"]
 
 
 def connected_components(
@@ -91,4 +91,74 @@ def connected_components(
         cur = new
     raise RuntimeError(
         f"connected_components: no convergence in {max_rounds} rounds"
+    )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT fixed-point integer arithmetic
+    — every rank is a long in units of 1/``scale``, so the result is
+    bit-identical at any parallelism/partitioning AND reproducible by
+    any other engine running the same integer recurrence (the property
+    that buys this iterative algorithm a hard SQL oracle; float
+    PageRank sums are accumulation-order-dependent).
+
+    Recurrence (all integer ops — ``div`` truncates):
+
+        r0(v)   = scale div N
+        r_i(v)  = (15 * (scale div N)) div 100
+                  + (85 * sum_{u->v} (r_{i-1}(u) div outdeg(u))) div 100
+
+    Dangling mass and truncation remainders are dropped (ranks are a
+    relative ordering signal, not a distribution — documented, and the
+    oracle drops them identically).
+
+    Scale shape: per iteration ONE shuffle join (ranks ⋈ edges on src —
+    the edge table is static and re-used) + one hash aggregate on dst;
+    lineage truncated per round via localCheckpoint. N (node count) is
+    a single driver scalar. Returns (node, rank_fp, rank) sorted by
+    nothing — rank_fp is the exact long, rank = rank_fp/scale as a
+    display double."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint()  # static: (src, dst, deg)
+    init = scale // n
+    base = ((100 - damping_pct) * init) // 100
+    ranks = nodes.withColumn("rank_fp", F.lit(init).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(inc, 0L)) div 100")
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node", "rank_fp", (F.col("rank_fp") / scale).alias("rank")
     )

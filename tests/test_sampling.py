@@ -270,3 +270,38 @@ def test_temperature_sample_properties(spark, sf_dir):
         assert r["count"] <= 100  # no stratum exceeds the whole budget
     assert abs(sum(r["count"] for r in per) - 100) <= 30  # ~budget total
     assert len(per) >= n_sources - 2  # nearly every stratum represented
+
+
+def test_pagerank_exact_star_and_reference(spark):
+    """pagerank_exact: (a) the hub of an undirected star outranks every
+    leaf; (b) ranks equal a pure-Python evaluation of the SAME integer
+    recurrence — pinning that the distributed fold implements exactly
+    the arithmetic it promises (which is what makes the SQL oracle
+    possible)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.operators.graph import pagerank_exact
+
+    leaves = [f"x{i}" for i in range(6)]
+    pairs = [("hub", l) for l in leaves]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src string, dst string"
+    )
+    got = {r["node"]: r["rank_fp"] for r in pagerank_exact(edges, iters=4).collect()}
+
+    # python reference of the identical recurrence
+    scale, n = 10**12, 7
+    nodes = ["hub"] + leaves
+    out = {"hub": 6, **{l: 1 for l in leaves}}
+    adj_in = {v: [u for u, w in pairs + [(b, a) for a, b in pairs] if w == v]
+              for v in nodes}
+    init = scale // n
+    base = (15 * init) // 100
+    r = {v: init for v in nodes}
+    for _ in range(4):
+        r = {
+            v: base + (85 * sum(r[u] // out[u] for u in adj_in[v])) // 100
+            for v in nodes
+        }
+    assert got == r
+    assert got["hub"] > max(got[l] for l in leaves)
