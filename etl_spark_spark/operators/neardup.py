@@ -210,10 +210,13 @@ def incremental_near_dup(
     corpus already ingested — the ongoing-crawl pattern, where one-shot
     corpus-wide dedup would reprocess 100 TB for every day's arrivals.
 
-    The persistent state is just the minhash signature table of every
+    The persistent state is the minhash signature table of every
     document EVER SEEN (kept or dropped — a batch doc that matches an
     already-dropped earlier doc must still be dropped, exactly like the
-    one-shot pass would have). A batch doc is dropped when any band of
+    one-shot pass would have), COLLAPSED to one min-id representative
+    per distinct full signature: identical signatures band and
+    estimate identically, so the rep evicts exactly what any member
+    would, and the index stops growing with the duplicate count. A batch doc is dropped when any band of
     its signature collides with (a) an index doc or (b) a lower-id doc
     of the same batch, and the signature-agreement estimate reaches
     ``min_est``.
@@ -257,9 +260,15 @@ def incremental_near_dup(
 
     within = lsh_candidate_pairs(reps, id_col, num_perms, rows_per_band)
     if index_signatures is not None:
-        idx_reps = index_signatures.groupBy(*sigcols).agg(
-            F.min(id_col).alias(id_col)
-        )
+        # the index is maintained signature-collapsed (see the update
+        # step below), so it is used directly — no per-fold re-collapse
+        # of the whole history (the cost BASELINE.md flagged on the
+        # adversarial 10x replica). An externally-built uncollapsed
+        # bootstrap index is still CORRECT here (extra identical-
+        # signature rows only add redundant candidate pairs that
+        # estimate identically), just less efficient until the first
+        # returned index replaces it.
+        idx_reps = index_signatures
         rep_bands = signature_bands(reps, id_col, num_perms, rows_per_band)
         idx_bands = signature_bands(idx_reps, id_col, num_perms, rows_per_band)
         cross = (
@@ -278,11 +287,26 @@ def incremental_near_dup(
         )
         cand = within.unionByName(cross)
         est_sig = idx_reps.unionByName(reps)
-        all_sig = index_signatures.unionByName(batch_sig)
+        # update step: the index stays collapsed to ONE min-id row per
+        # distinct full signature. Identical signatures band and
+        # estimate identically, so the representative is a perfect
+        # stand-in for every member as a future evictor — the
+        # queryable signature SET is unchanged while the index (and
+        # every later fold's join input) stops growing with the
+        # duplicate count. Decision-invariance vs the one-shot pass is
+        # pinned by the fold-equivalence property test.
+        all_sig = (
+            index_signatures.unionByName(batch_sig)
+            .groupBy(*sigcols)
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, *sigcols)
+        )
     else:
         cand = within
         est_sig = reps
-        all_sig = batch_sig
+        all_sig = batch_sig.groupBy(*sigcols).agg(
+            F.min(id_col).alias(id_col)
+        ).select(id_col, *sigcols)
     est = est_jaccard_for_pairs(cand, est_sig, id_col, num_perms)
     drop = (
         est.filter(F.col("est_jaccard") >= min_est)

@@ -808,7 +808,15 @@ def test_incremental_near_dup_equals_one_shot(spark, sf_dir):
 
     all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert all_ids - kept_ids == one_shot_drop
-    assert {r.doc_id for r in index.select("doc_id").collect()} == all_ids
+    # collapsed-index contract: rep ids come from the corpus, one row
+    # per distinct full signature (so the index is duplicate-free and
+    # stops growing with the duplicate count)
+    idx_rows = index.collect()
+    sig_cols = sorted(c for c in index.columns if c.startswith("mh"))
+    assert {r.doc_id for r in idx_rows} <= all_ids
+    assert len(idx_rows) == len(
+        {tuple(r[c] for c in sig_cols) for r in idx_rows}
+    )
 
 
 def test_chunk_by_tokens_edges_and_overlap(spark):

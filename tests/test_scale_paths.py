@@ -486,10 +486,29 @@ def test_stream_near_dup_matches_one_shot(spark, sf_dir, tmp_path):
         r.doc_id for r in spark.read.parquet(kept_path).select("doc_id").collect()
     }
     assert kept_ids == all_ids - one_shot_drop
-    idx_ids = {
-        r.doc_id for r in spark.read.parquet(index_path).select("doc_id").collect()
+    # collapsed-index contract: one min-id representative per distinct
+    # full signature, and the representable signature SET covers every
+    # doc ever seen (a rep evicts exactly what any member would)
+    from etl_spark_spark.operators.neardup import minhash_signature, shingle_set
+
+    idx = spark.read.parquet(index_path)
+    sig_cols = sorted(c for c in idx.columns if c.startswith("mh"))
+    full_sig = minhash_signature(
+        shingle_set(
+            docs.select("doc_id", tokens("text").alias("t")),
+            "doc_id",
+            word_shingles("t", 3),
+        ),
+        "doc_id",
+    )
+    expected = {
+        tuple(r[c] for c in sig_cols) for r in full_sig.collect()
     }
-    assert idx_ids == all_ids
+    got_rows = idx.collect()
+    got = {tuple(r[c] for c in sig_cols) for r in got_rows}
+    assert got == expected
+    assert len(got_rows) == len(got), "one row per distinct signature"
+    assert {r.doc_id for r in got_rows} <= all_ids
 
 
 def test_stream_near_dup_crash_replay_keeps_rows(spark, sf_dir, tmp_path):
@@ -540,7 +559,18 @@ def test_stream_near_dup_crash_replay_keeps_rows(spark, sf_dir, tmp_path):
     }
     all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert replay_kept == all_ids - one_shot_drop
-    # index state after replay: every seen doc exactly once
-    idx = spark.read.parquet(index_path).select("doc_id").collect()
-    assert {r.doc_id for r in idx} == all_ids
-    assert len(idx) == len(all_ids)
+    # index state after replay: collapsed — one row per distinct full
+    # signature, covering the corpus signature set, ids from the corpus
+    from etl_spark_spark.operators.neardup import minhash_signature, shingle_set
+
+    idx = spark.read.parquet(index_path)
+    sig_cols = sorted(c for c in idx.columns if c.startswith("mh"))
+    full_sig = minhash_signature(
+        shingle_set(docs, "doc_id", word_shingles("t", 3)), "doc_id"
+    )
+    expected = {tuple(r[c] for c in sig_cols) for r in full_sig.collect()}
+    got_rows = idx.collect()
+    got = {tuple(r[c] for c in sig_cols) for r in got_rows}
+    assert got == expected
+    assert len(got_rows) == len(got)
+    assert {r.doc_id for r in got_rows} <= all_ids
