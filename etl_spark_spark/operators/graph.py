@@ -133,6 +133,14 @@ def pagerank_exact(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph: empty result with the output schema, not a
+        # divide-by-zero at init
+        return nodes.select(
+            "node",
+            F.lit(None).cast("long").alias("rank_fp"),
+            F.lit(None).cast("double").alias("rank"),
+        )
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ed = e.join(deg, "src").localCheckpoint()  # static: (src, dst, deg)
     init = scale // n

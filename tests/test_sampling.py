@@ -305,3 +305,12 @@ def test_pagerank_exact_star_and_reference(spark):
         }
     assert got == r
     assert got["hub"] > max(got[l] for l in leaves)
+
+
+def test_pagerank_exact_empty_graph(spark):
+    from etl_spark_spark.operators.graph import pagerank_exact
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank_exact(edges, iters=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank_fp", "rank"]
