@@ -2820,6 +2820,45 @@ def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_co_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection (co-occurrence mining): suppliers linked by
+    the number of 1995 customers they share — the item-item shape
+    behind co-purchase / co-citation / co-click graphs. One distinct
+    edge list, self-joined per customer with s1 < s2, aggregated per
+    pair; kept pairs need >= 3 shared customers. Scale note: pair fanout
+    is sum(deg_c^2) over customers — bounded here (a customer touches
+    few suppliers); for power-law degree data cap or sample per-key
+    like doc_source_cap does, because one hub customer is a quadratic
+    bomb."""
+    li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    a = edges.alias("a")
+    b = edges.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("supp_a"),
+            F.col("b.l_suppkey").alias("supp_b"),
+        )
+        .agg(F.count("*").alias("shared_customers"))
+        .filter(F.col("shared_customers") >= 3)
+    )
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -2927,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forward_fill": q_events_forward_fill,
         "split_leakage": q_split_leakage,
         "trade_pagerank": q_trade_pagerank,
+        "supplier_co_purchase": q_supplier_co_purchase,
         "revenue_cube": q_revenue_cube,
         "priority_return_pivot": q_priority_return_pivot,
         "corr_exact": q_corr_exact,
@@ -4727,6 +4767,21 @@ WHERE node LIKE 'S%'
 
 _TRADE_PAGERANK_SQL = _pagerank_oracle_sql()
 
+_SUPPLIER_CO_PURCHASE_SQL = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-01-01'
+)
+SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+       count(*) AS shared_customers
+FROM edges a
+JOIN edges b ON a.o_custkey = b.o_custkey AND a.l_suppkey < b.l_suppkey
+GROUP BY supp_a, supp_b
+HAVING count(*) >= 3
+"""
+
 _REVENUE_CUBE_SQL = f"""
 SELECT l_returnflag AS flag, l_linestatus AS status,
        {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -4865,6 +4920,7 @@ def oracle_sql() -> dict[str, str]:
         "events_forward_fill": _EVENTS_FORWARD_FILL_SQL,
         "split_leakage": _SPLIT_LEAKAGE_SQL,
         "trade_pagerank": _TRADE_PAGERANK_SQL,
+        "supplier_co_purchase": _SUPPLIER_CO_PURCHASE_SQL,
         "revenue_cube": _REVENUE_CUBE_SQL,
         "priority_return_pivot": _PRIORITY_RETURN_PIVOT_SQL,
         "corr_exact": _CORR_EXACT_SQL,
