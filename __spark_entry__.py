@@ -2859,6 +2859,49 @@ def q_supplier_co_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: peak number of simultaneously-active
+    user sessions per hour. Sessions (30-min gap rule) become +1/-1
+    boundary events; the concurrency curve is their running sum in
+    global (ts, delta DESC, user, session) order — computed by the
+    distributed prefix-sum operator (within-hour windows + a tiny
+    cross-bucket offset), NOT a single-task global window; then max per
+    hour. delta DESC at ties counts endpoint-touching sessions as
+    concurrent, identically in the oracle."""
+    from etl_spark_spark.operators.windows import scalable_running_sum
+    from etl_spark_spark.streaming.windows import sessionize_batch
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts")
+    sess = (
+        sessionize_batch(ev, "ts", ["user_id"], 1800)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    bounds = sess.select(
+        "user_id", "session_id", F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(
+            "user_id", "session_id", F.col("e").alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    curve = scalable_running_sum(
+        bounds,
+        F.date_trunc("hour", "ts"),
+        [F.col("ts"), F.col("delta").desc(), F.col("user_id"), F.col("session_id")],
+        "delta",
+        out_col="concurrency",
+    )
+    return (
+        curve.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            )
+        )
+        .agg(F.max("concurrency").cast("long").alias("peak_concurrency"))
+    )
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -2967,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "trade_pagerank": q_trade_pagerank,
         "supplier_co_purchase": q_supplier_co_purchase,
+        "concurrent_sessions": q_concurrent_sessions,
         "revenue_cube": q_revenue_cube,
         "priority_return_pivot": q_priority_return_pivot,
         "corr_exact": q_corr_exact,
@@ -4782,6 +4826,45 @@ GROUP BY supp_a, supp_b
 HAVING count(*) >= 3
 """
 
+_CONCURRENT_SESSIONS_SQL = """
+WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+m AS (
+    SELECT user_id, ts, us,
+           CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+sess_ev AS (
+    SELECT user_id, ts,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING
+           ) - 1 AS BIGINT) AS session_id
+    FROM m
+),
+sess AS (
+    SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+    FROM sess_ev GROUP BY 1, 2
+),
+bounds AS (
+    SELECT user_id, session_id, s AS ts, 1 AS delta FROM sess
+    UNION ALL
+    SELECT user_id, session_id, e AS ts, -1 AS delta FROM sess
+),
+curve AS (
+    SELECT ts,
+           sum(delta) OVER (
+               ORDER BY ts, delta DESC, user_id, session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS concurrency
+    FROM bounds
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       CAST(max(concurrency) AS BIGINT) AS peak_concurrency
+FROM curve
+GROUP BY hour
+"""
+
 _REVENUE_CUBE_SQL = f"""
 SELECT l_returnflag AS flag, l_linestatus AS status,
        {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -4921,6 +5004,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _SPLIT_LEAKAGE_SQL,
         "trade_pagerank": _TRADE_PAGERANK_SQL,
         "supplier_co_purchase": _SUPPLIER_CO_PURCHASE_SQL,
+        "concurrent_sessions": _CONCURRENT_SESSIONS_SQL,
         "revenue_cube": _REVENUE_CUBE_SQL,
         "priority_return_pivot": _PRIORITY_RETURN_PIVOT_SQL,
         "corr_exact": _CORR_EXACT_SQL,

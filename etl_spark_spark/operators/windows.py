@@ -127,3 +127,51 @@ def partitioned_sum(
     value_col = F.col(value) if isinstance(value, str) else value
     w = Window.partitionBy(*partition_by)
     return df.withColumn(alias, F.sum(value_col).over(w))
+
+
+def scalable_running_sum(
+    df: DataFrame,
+    bucket_col: Column | str,
+    order_by: Sequence[Column | str],
+    value_col: Column | str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Global running sum WITHOUT a single-partition window — the
+    distributed prefix-sum decomposition:
+
+    1. within-bucket prefix sums (windows partitioned by ``bucket_col``
+       — fully parallel);
+    2. per-bucket totals, offset by an exclusive running sum over the
+       TINY bucket-totals table (the only serial window, sized by the
+       bucket count, not the row count);
+    3. offsets broadcast back: global prefix = within + offset.
+
+    Requirements: ``bucket_col`` must be monotone in the global
+    ordering (e.g. an hour bucket when ordering by timestamp), and
+    ``order_by`` must be a total order within buckets or the prefix is
+    partition-dependent. A naive ``Window.orderBy(ts)`` with no
+    partitionBy computes the same thing on ONE task — the classic
+    sweep-line scale bug this operator exists to avoid.
+    """
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    tagged = df.withColumn("__bkt", b).withColumn("__val", v)
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = tagged.withColumn("__within", F.sum("__val").over(w_in))
+    totals = tagged.groupBy("__bkt").agg(F.sum("__val").alias("__t"))
+    w_b = (
+        Window.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__bkt", F.coalesce(F.sum("__t").over(w_b), F.lit(0)).alias("__off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "__bkt")
+        .withColumn(out_col, F.col("__within") + F.col("__off"))
+        .drop("__bkt", "__val", "__within", "__off")
+    )

@@ -314,3 +314,30 @@ def test_pagerank_exact_empty_graph(spark):
     out = pagerank_exact(edges, iters=3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["node", "rank_fp", "rank"]
+
+
+def test_scalable_running_sum_equals_global_window(spark):
+    """Distributed prefix-sum decomposition == the naive single-task
+    global window, on data that crosses many buckets with duplicate
+    order keys."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.operators.windows import scalable_running_sum
+
+    df = (
+        spark.range(0, 5000)
+        .select(
+            (F.col("id") % 97).alias("t"),  # bucket-crossing, dup-heavy
+            (F.col("id") % 7 - 3).alias("v"),
+            F.col("id").alias("tie"),
+        )
+    )
+    got = scalable_running_sum(
+        df, (F.col("t") / 10).cast("long"), [F.col("t"), F.col("tie")], "v"
+    )
+    w = Window.orderBy("t", "tie").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("running_sum", F.sum("v").over(w))
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
