@@ -2902,6 +2902,34 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL row_number for EVERY row — the ranking a naive
+    Window.orderBy() serializes onto one task — via the distributed
+    prefix-sum operator: running count of 1s in (spend DESC, custkey)
+    order, bucketed by negated spend-cents decade so the bucket is
+    monotone in the ordering. Every customer gets its exact global
+    rank in parallel; ties break on custkey identically in the
+    oracle."""
+    from etl_spark_spark.operators.windows import scalable_running_sum
+
+    orders = table(spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("__cents")
+    )
+    ranked = scalable_running_sum(
+        spend.withColumn("__one", F.lit(1)),
+        -F.expr("__cents div 100000"),
+        [F.col("__cents").desc(), F.col("o_custkey")],
+        "__one",
+        out_col="global_rank",
+    )
+    return ranked.select(
+        "o_custkey",
+        (F.col("__cents") / 100.0).alias("total_spend"),
+        F.col("global_rank").cast("long").alias("global_rank"),
+    )
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -3011,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_pagerank": q_trade_pagerank,
         "supplier_co_purchase": q_supplier_co_purchase,
         "concurrent_sessions": q_concurrent_sessions,
+        "global_spend_rank": q_global_spend_rank,
         "revenue_cube": q_revenue_cube,
         "priority_return_pivot": q_priority_return_pivot,
         "corr_exact": q_corr_exact,
@@ -4865,6 +4894,17 @@ FROM curve
 GROUP BY hour
 """
 
+_GLOBAL_SPEND_RANK_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, cents / 100.0 AS total_spend,
+       row_number() OVER (ORDER BY cents DESC, o_custkey) AS global_rank
+FROM spend
+"""
+
 _REVENUE_CUBE_SQL = f"""
 SELECT l_returnflag AS flag, l_linestatus AS status,
        {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -5005,6 +5045,7 @@ def oracle_sql() -> dict[str, str]:
         "trade_pagerank": _TRADE_PAGERANK_SQL,
         "supplier_co_purchase": _SUPPLIER_CO_PURCHASE_SQL,
         "concurrent_sessions": _CONCURRENT_SESSIONS_SQL,
+        "global_spend_rank": _GLOBAL_SPEND_RANK_SQL,
         "revenue_cube": _REVENUE_CUBE_SQL,
         "priority_return_pivot": _PRIORITY_RETURN_PIVOT_SQL,
         "corr_exact": _CORR_EXACT_SQL,
