@@ -2930,6 +2930,38 @@ def q_global_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_replica_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy replica comparison (Merkle-style): a 'replica' of
+    customer with deterministic injected drift (every 97th key's
+    balance bumped, every 131st key missing, every 113th key an extra
+    synthetic row) is reconciled against the original by per-bucket
+    count+XOR digests — one tiny aggregate per side — and ONLY the
+    divergent buckets get a row-level full outer. The output is the
+    repair plan: (key, left_only | right_only | modified). This is how
+    you compare two 100 TB copies without shipping either."""
+    from etl_spark_spark.operators.reconcile import bucket_scoped_diff
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    cust = table(spark, sf_dir, "customer", columns=cols)
+    replica = (
+        cust.filter(F.col("c_custkey") % 131 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 97 == 0,
+                F.round(F.col("c_acctbal") + 1.0, 2),
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 113 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+            )
+        )
+    )
+    return bucket_scoped_diff(cust, replica, "c_custkey", cols)
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -3040,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_co_purchase": q_supplier_co_purchase,
         "concurrent_sessions": q_concurrent_sessions,
         "global_spend_rank": q_global_spend_rank,
+        "replica_drift_audit": q_replica_drift_audit,
         "revenue_cube": q_revenue_cube,
         "priority_return_pivot": q_priority_return_pivot,
         "corr_exact": q_corr_exact,
@@ -4905,6 +4938,41 @@ SELECT o_custkey, cents / 100.0 AS total_spend,
 FROM spend
 """
 
+_REPLICA_DRIFT_AUDIT_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+),
+replica AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 97 = 0 THEN round(c_acctbal + 1.0, 2)
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM cust WHERE c_custkey % 131 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM cust WHERE c_custkey % 113 = 0
+),
+lf AS (SELECT c_custkey AS key, c_custkey % 64 AS bkt, CAST(('0x' || substr(md5(concat_ws(chr(31), coalesce(CAST(c_custkey AS VARCHAR), chr(0)), coalesce(CAST(c_name AS VARCHAR), chr(0)), coalesce(CAST(c_nationkey AS VARCHAR), chr(0)), coalesce(CAST(c_acctbal AS VARCHAR), chr(0)), coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT) AS fp FROM cust),
+rf AS (SELECT c_custkey AS key, c_custkey % 64 AS bkt, CAST(('0x' || substr(md5(concat_ws(chr(31), coalesce(CAST(c_custkey AS VARCHAR), chr(0)), coalesce(CAST(c_name AS VARCHAR), chr(0)), coalesce(CAST(c_nationkey AS VARCHAR), chr(0)), coalesce(CAST(c_acctbal AS VARCHAR), chr(0)), coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT) AS fp FROM replica),
+ldig AS (SELECT bkt, count(*) AS n, bit_xor(fp) AS d FROM lf GROUP BY bkt),
+rdig AS (SELECT bkt, count(*) AS n, bit_xor(fp) AS d FROM rf GROUP BY bkt),
+bad AS (
+  SELECT coalesce(l.bkt, r.bkt) AS bkt
+  FROM ldig l FULL OUTER JOIN rdig r ON l.bkt = r.bkt
+  WHERE NOT (l.n IS NOT DISTINCT FROM r.n AND l.d IS NOT DISTINCT FROM r.d)
+),
+lb AS (SELECT key, fp FROM lf WHERE bkt IN (SELECT bkt FROM bad)),
+rb AS (SELECT key, fp FROM rf WHERE bkt IN (SELECT bkt FROM bad))
+SELECT coalesce(lb.key, rb.key) AS key,
+       CASE WHEN rb.key IS NULL THEN 'left_only'
+            WHEN lb.key IS NULL THEN 'right_only'
+            WHEN lb.fp <> rb.fp THEN 'modified' END AS change_type
+FROM lb FULL OUTER JOIN rb ON lb.key = rb.key
+WHERE (CASE WHEN rb.key IS NULL THEN 'left_only'
+            WHEN lb.key IS NULL THEN 'right_only'
+            WHEN lb.fp <> rb.fp THEN 'modified' END) IS NOT NULL
+"""
+
 _REVENUE_CUBE_SQL = f"""
 SELECT l_returnflag AS flag, l_linestatus AS status,
        {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -5046,6 +5114,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_co_purchase": _SUPPLIER_CO_PURCHASE_SQL,
         "concurrent_sessions": _CONCURRENT_SESSIONS_SQL,
         "global_spend_rank": _GLOBAL_SPEND_RANK_SQL,
+        "replica_drift_audit": _REPLICA_DRIFT_AUDIT_SQL,
         "revenue_cube": _REVENUE_CUBE_SQL,
         "priority_return_pivot": _PRIORITY_RETURN_PIVOT_SQL,
         "corr_exact": _CORR_EXACT_SQL,

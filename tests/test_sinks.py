@@ -692,3 +692,56 @@ def test_compact_table_shrinks_files_data_identical(spark, tmp_path):
         vmod.read_versioned = vmod_read
     # the interleaved merge's row survived
     assert read_versioned(spark, t).filter("k = 1 and v = 99").count() == 1
+
+
+def test_bucket_digests_and_scoped_diff(spark):
+    """Merkle diff: identical replicas diverge nowhere; a modified /
+    missing / extra key is classified; an even-times-duplicated row
+    (the XOR blind spot) is still caught by the bucket row count."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.operators.reconcile import (
+        bucket_digests,
+        bucket_scoped_diff,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 31).alias("v")
+    )
+    cols = ["k", "v"]
+    same = bucket_digests(df, "k", cols).alias("l").join(
+        bucket_digests(df, "k", cols).alias("r"), "bucket"
+    ).filter(
+        (F.col("l.n_rows") != F.col("r.n_rows"))
+        | (F.col("l.digest") != F.col("r.digest"))
+    )
+    assert same.count() == 0
+
+    replica = (
+        df.filter(F.col("k") != 500)                      # missing
+        .withColumn(
+            "v", F.when(F.col("k") == 7, F.lit(999)).otherwise(F.col("v"))
+        )                                                  # modified
+        .unionByName(df.filter(F.col("k") == 3))           # duplicated twice
+    )
+    got = {
+        (r["key"], r["change_type"])
+        for r in bucket_scoped_diff(df, replica, "k", cols).collect()
+    }
+    assert (500, "left_only") in got
+    assert (7, "modified") in got
+    # k=3 exists on both sides with equal fp -> not in the key diff,
+    # but its bucket MUST be flagged divergent by row count
+    bad_buckets = {
+        r["bucket"]
+        for r in bucket_digests(df, "k", cols).alias("l")
+        .join(bucket_digests(replica, "k", cols).alias("r"), "bucket", "full_outer")
+        .filter(
+            ~(
+                F.col("l.n_rows").eqNullSafe(F.col("r.n_rows"))
+                & F.col("l.digest").eqNullSafe(F.col("r.digest"))
+            )
+        )
+        .collect()
+    }
+    assert 3 % 64 in bad_buckets
