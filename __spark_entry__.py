@@ -2962,6 +2962,49 @@ def q_replica_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_scoped_diff(cust, replica, "c_custkey", cols)
 
 
+def q_customer_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-document build + higher-order functions: each customer's
+    orders become a SORTED array of (order_key, cents) structs — the
+    denormalized 'document' layout columnar engines serve to APIs —
+    then F.filter / F.exists / F.aggregate compute per-customer
+    answers WITHOUT re-exploding (one aggregation shuffle total; the
+    HOFs are codegen'd array folds). Struct array sorted by order_key
+    so the build is deterministic; all money in integer cents."""
+    orders = table(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    docs = (
+        orders.withColumn("__c", cents)
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("o_orderkey").alias("k"),
+                                        F.col("__c").alias("c")))
+            ).alias("orders"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).cast("long").alias("n_urgent"),
+        )
+    )
+    big = F.filter("orders", lambda o: o["c"] > 30_000_00)
+    return docs.select(
+        "o_custkey",
+        F.size("orders").alias("n_orders"),
+        F.size(big).alias("n_big_orders"),
+        F.exists("orders", lambda o: o["c"] > 50_000_00).alias("has_jumbo"),
+        (
+            F.aggregate(
+                "orders", F.lit(0).cast("long"), lambda acc, o: acc + o["c"]
+            )
+            / 100.0
+        ).alias("total_spend"),
+        F.element_at("orders", 1)["k"].alias("first_order_key"),
+        "n_urgent",
+    )
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -3073,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrent_sessions": q_concurrent_sessions,
         "global_spend_rank": q_global_spend_rank,
         "replica_drift_audit": q_replica_drift_audit,
+        "customer_order_docs": q_customer_order_docs,
         "revenue_cube": q_revenue_cube,
         "priority_return_pivot": q_priority_return_pivot,
         "corr_exact": q_corr_exact,
@@ -4973,6 +5017,26 @@ WHERE (CASE WHEN rb.key IS NULL THEN 'left_only'
             WHEN lb.fp <> rb.fp THEN 'modified' END) IS NOT NULL
 """
 
+_CUSTOMER_ORDER_DOCS_SQL = """
+WITH docs AS (
+  SELECT o_custkey,
+         list_sort(list(struct_pack(
+             k := o_orderkey,
+             c := CAST(round(o_totalprice * 100) AS BIGINT)))) AS orders,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_urgent
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       len(orders) AS n_orders,
+       len(list_filter(orders, o -> o.c > 3000000)) AS n_big_orders,
+       len(list_filter(orders, o -> o.c > 5000000)) > 0 AS has_jumbo,
+       list_sum(list_transform(orders, o -> o.c)) / 100.0 AS total_spend,
+       orders[1].k AS first_order_key,
+       n_urgent
+FROM docs
+"""
+
 _REVENUE_CUBE_SQL = f"""
 SELECT l_returnflag AS flag, l_linestatus AS status,
        {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -5115,6 +5179,7 @@ def oracle_sql() -> dict[str, str]:
         "concurrent_sessions": _CONCURRENT_SESSIONS_SQL,
         "global_spend_rank": _GLOBAL_SPEND_RANK_SQL,
         "replica_drift_audit": _REPLICA_DRIFT_AUDIT_SQL,
+        "customer_order_docs": _CUSTOMER_ORDER_DOCS_SQL,
         "revenue_cube": _REVENUE_CUBE_SQL,
         "priority_return_pivot": _PRIORITY_RETURN_PIVOT_SQL,
         "corr_exact": _CORR_EXACT_SQL,
