@@ -269,3 +269,45 @@ def test_group_sample_plans_window_group_limit(spark, sf_dir):
     the two-phase aggregate for plain ranked top-k."""
     plan = explain_str(entrymod.q_doc_group_sample(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_dynamic_partition_pruning_via_dim_filter(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: a fact partitioned by month, joined
+    to a filtered dim whose qualifying months are only known at
+    runtime, must plan a dynamicpruning subquery on the fact scan —
+    the optimizer feature that turns a dim filter into directory
+    skipping at 100 TB without the user writing the month predicate."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.sources import table
+
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    )
+    path = tmp_path / "orders_dpp"
+    orders.write.partitionBy("order_month").parquet(str(path))
+    fact = spark.read.parquet(str(path))
+    months = (
+        orders.select("order_month").distinct()
+        .filter(F.col("order_month") < F.lit("1995-03-01").cast("date"))
+    )
+    joined = fact.join(months, "order_month")
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() > 0
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
+    """allocation retains one SortMergeJoin at plan time (sizes of two
+    derived aggregates unknown); AQE must convert it to a broadcast
+    join once runtime sizes come in under threshold. Asserted on the
+    FINAL adaptive plan after execution — the machine-checked form of
+    the PLANS.md claim."""
+    df = entrymod.q_allocation(spark, sf_dir)
+    # collect() drives THIS Dataset's cached QueryExecution to its
+    # final adaptive plan (count() would plan a separate query)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final, "AQE should have converted the SMJ"
