@@ -3005,6 +3005,26 @@ def q_customer_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact training-mix apportionment: a 200-doc sample budget split
+    across (source, lang) strata by largest-remainder (Hamilton)
+    apportionment — integer allocations that sum EXACTLY to the budget
+    (probabilistic temperature sampling can't promise that), remainder
+    ties broken on the stratum key. All integer arithmetic; the window
+    runs over the strata table, never the corpus."""
+    from etl_spark_spark.operators.sampling import apportion_budget
+
+    docs = table(spark, sf_dir, "documents", columns=["source", "lang"])
+    counts = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("stratum", F.concat_ws("|", "source", "lang"))
+    )
+    return apportion_budget(counts, "stratum", "n_docs", 200).select(
+        "source", "lang", "n_docs", "alloc"
+    )
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -3117,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_spend_rank": q_global_spend_rank,
         "replica_drift_audit": q_replica_drift_audit,
         "customer_order_docs": q_customer_order_docs,
+        "doc_budget_mix": q_doc_budget_mix,
         "revenue_cube": q_revenue_cube,
         "priority_return_pivot": q_priority_return_pivot,
         "corr_exact": q_corr_exact,
@@ -5037,6 +5058,28 @@ SELECT o_custkey,
 FROM docs
 """
 
+_DOC_BUDGET_MIX_SQL = """
+WITH c AS (
+  SELECT source, lang, source || '|' || lang AS stratum,
+         count(*) AS n_docs
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT sum(n_docs) AS w FROM c),
+fl AS (
+  SELECT source, lang, stratum, n_docs,
+         (200 * n_docs) // w AS flr,
+         (200 * n_docs) % w AS rem
+  FROM c, tot
+),
+lo AS (SELECT 200 - sum(flr) AS leftover FROM fl)
+SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(flr + CASE WHEN row_number()
+                           OVER (ORDER BY rem DESC, stratum)
+                       <= (SELECT leftover FROM lo)
+                  THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM fl
+"""
+
 _REVENUE_CUBE_SQL = f"""
 SELECT l_returnflag AS flag, l_linestatus AS status,
        {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -5180,6 +5223,7 @@ def oracle_sql() -> dict[str, str]:
         "global_spend_rank": _GLOBAL_SPEND_RANK_SQL,
         "replica_drift_audit": _REPLICA_DRIFT_AUDIT_SQL,
         "customer_order_docs": _CUSTOMER_ORDER_DOCS_SQL,
+        "doc_budget_mix": _DOC_BUDGET_MIX_SQL,
         "revenue_cube": _REVENUE_CUBE_SQL,
         "priority_return_pivot": _PRIORITY_RETURN_PIVOT_SQL,
         "corr_exact": _CORR_EXACT_SQL,

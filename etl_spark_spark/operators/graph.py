@@ -101,6 +101,7 @@ def pagerank_exact(
     scale: int = 10**12,
     src_col: str = "src",
     dst_col: str = "dst",
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in EXACT fixed-point integer arithmetic
     — every rank is a long in units of 1/``scale``, so the result is
@@ -124,7 +125,15 @@ def pagerank_exact(
     lineage truncated per round via localCheckpoint. N (node count) is
     a single driver scalar. Returns (node, rank_fp, rank) sorted by
     nothing — rank_fp is the exact long, rank = rank_fp/scale as a
-    display double."""
+    display double.
+
+    ``init_ranks`` resumes a previous run: pass a (node, rank_fp)
+    frame (e.g. this function's output) and ``iters`` MORE iterations
+    run from that state. Because the recurrence is exact integer
+    arithmetic, resume composes bit-identically —
+    ``pagerank(e, 5) == pagerank(e, 2) |> resume 3`` (pinned by test),
+    which is what lets a long-running job checkpoint ranks to a table
+    and continue after restart."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -145,7 +154,10 @@ def pagerank_exact(
     ed = e.join(deg, "src").localCheckpoint()  # static: (src, dst, deg)
     init = scale // n
     base = ((100 - damping_pct) * init) // 100
-    ranks = nodes.withColumn("rank_fp", F.lit(init).cast("long"))
+    if init_ranks is None:
+        ranks = nodes.withColumn("rank_fp", F.lit(init).cast("long"))
+    else:
+        ranks = init_ranks.select("node", F.col("rank_fp").cast("long"))
     for _ in range(iters):
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])

@@ -237,3 +237,43 @@ def weighted_sample_without_replacement(
         .limit(k)
         .drop("__es_key")
     )
+
+
+def apportion_budget(
+    counts: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer sample
+    ``budget`` across groups, proportional to ``weight_col`` — the
+    exact-count companion to probabilistic temperature sampling: the
+    allocations are integers, sum EXACTLY to the budget, and are
+    deterministic (remainder ties break on the group key).
+
+    All integer arithmetic — floor quota = (budget*w) div W, remainder
+    = (budget*w) mod W — so the result is engine-portable. The window
+    runs over the GROUPS table (one row per source), not the data.
+    Adds ``alloc`` to the input rows."""
+    from pyspark.sql import Window
+
+    w_total = counts.agg(F.sum(weight_col).alias("__W"))
+    q = counts.crossJoin(F.broadcast(w_total)).select(
+        "*",
+        F.expr(f"({budget} * {weight_col}) div __W").alias("__floor"),
+        F.expr(f"({budget} * {weight_col}) % __W").alias("__rem"),
+    )
+    wleft = Window.orderBy(F.col("__rem").desc(), F.col(key_col))
+    leftover = F.col("__budget_left")
+    q = q.crossJoin(
+        F.broadcast(
+            q.agg((F.lit(budget) - F.sum("__floor")).alias("__budget_left"))
+        )
+    ).withColumn("__rk", F.row_number().over(wleft))
+    return q.select(
+        *counts.columns,
+        (
+            F.col("__floor")
+            + F.when(F.col("__rk") <= leftover, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("alloc"),
+    )

@@ -173,8 +173,10 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # daily_dense_orders: 31-day spine x tiny distinct-priorities cross
     # important_parts: Q11 scalar-subquery share threshold = 1-row
     # broadcast total crossJoined under an inequality filter
+    # doc_budget_mix: crossJoins of 1-row totals (weight sum + leftover)
     allowed_bnlj = {
         "important_parts",
+        "doc_budget_mix",
         "daily_dense_orders",
         "sketch_rollup",
         "emb_cosine_topk",

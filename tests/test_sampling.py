@@ -341,3 +341,36 @@ def test_scalable_running_sum_equals_global_window(spark):
     )
     want = df.withColumn("running_sum", F.sum("v").over(w))
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_pagerank_resume_composes_bitwise(spark):
+    """pagerank(5 iters) == pagerank(2 iters) resumed for 3 more —
+    the exact-integer recurrence makes checkpoint/restart of the
+    iterative job bit-lossless."""
+    from etl_spark_spark.operators.graph import pagerank_exact
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a")]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    full = {r["node"]: r["rank_fp"] for r in pagerank_exact(edges, iters=5).collect()}
+    mid = pagerank_exact(edges, iters=2).select("node", "rank_fp")
+    resumed = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_exact(edges, iters=3, init_ranks=mid).collect()
+    }
+    assert resumed == full
+
+
+def test_apportion_budget_exact_sum_and_proportionality(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.operators.sampling import apportion_budget
+
+    df = spark.createDataFrame(
+        [("a", 330), ("b", 330), ("c", 340), ("d", 7)], "k string, n long"
+    )
+    out = {r["k"]: r["alloc"] for r in apportion_budget(df, "k", "n", 100).collect()}
+    assert sum(out.values()) == 100
+    assert out["c"] >= out["a"] >= out["d"]
+    # budget larger than total weight still sums exactly
+    out2 = {r["k"]: r["alloc"] for r in apportion_budget(df, "k", "n", 5000).collect()}
+    assert sum(out2.values()) == 5000
