@@ -3025,6 +3025,34 @@ def q_doc_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure filter-and-aggregate scan — every
+    predicate (date range, discount band, quantity cap) pushed to the
+    parquet scan, zero joins, one exchange for the single-row global
+    sum. The simplest query in the set and the sharpest pushdown test:
+    if ANY of the three predicates misses PushedFilters, the scan reads
+    10x the rows."""
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue_effect"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def q_superdesconto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_sale_pipeline(spark, sf_dir)
 
@@ -3138,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replica_drift_audit": q_replica_drift_audit,
         "customer_order_docs": q_customer_order_docs,
         "doc_budget_mix": q_doc_budget_mix,
+        "forecast_revenue": q_forecast_revenue,
         "revenue_cube": q_revenue_cube,
         "priority_return_pivot": q_priority_return_pivot,
         "corr_exact": q_corr_exact,
@@ -5080,6 +5109,17 @@ SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
 FROM fl
 """
 
+_FORECAST_REVENUE_SQL = """
+SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0
+           AS revenue_effect,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
 _REVENUE_CUBE_SQL = f"""
 SELECT l_returnflag AS flag, l_linestatus AS status,
        {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -5224,6 +5264,7 @@ def oracle_sql() -> dict[str, str]:
         "replica_drift_audit": _REPLICA_DRIFT_AUDIT_SQL,
         "customer_order_docs": _CUSTOMER_ORDER_DOCS_SQL,
         "doc_budget_mix": _DOC_BUDGET_MIX_SQL,
+        "forecast_revenue": _FORECAST_REVENUE_SQL,
         "revenue_cube": _REVENUE_CUBE_SQL,
         "priority_return_pivot": _PRIORITY_RETURN_PIVOT_SQL,
         "corr_exact": _CORR_EXACT_SQL,

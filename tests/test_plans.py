@@ -313,3 +313,16 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
     assert "AdaptiveSparkPlan isFinalPlan=true" in final
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final, "AQE should have converted the SMJ"
+
+
+def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
+    """Q6: all three predicates (ship-date range, discount band,
+    quantity cap) must reach the parquet scan, and the single global
+    aggregate is the only exchange."""
+    df = entrymod.q_forecast_revenue(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    plan = explain_str(df, mode="simple")
+    assert plan.count("Exchange") == 1
