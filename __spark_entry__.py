@@ -53,6 +53,7 @@ from etl_spark_spark.operators.neardup import (
     exact_dedup,
     near_dup_minhash,
     ngram_jaccard_pairs,
+    prefix_filtered_jaccard_pairs,
     shingle_set,
     simhash,
     simhash_near_dup,
@@ -306,6 +307,20 @@ def q_neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("t"))
     return ngram_jaccard_pairs(toks, "doc_id", word_shingles("t", 3), threshold=0.8)
+
+
+def q_neardup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard pairs at >= 0.7 via AllPairs/PPJoin prefix
+    filtering — identical result to the brute-force shingle join, but
+    candidates come only from each doc's rarest
+    ``n - ceil(t*n) + 1`` shingles plus a size-ratio filter, so the
+    frequent-shingle quadratic blowup never happens. The scalable
+    exact path (LSH is the approximate one)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    return prefix_filtered_jaccard_pairs(
+        toks, "doc_id", word_shingles("t", 3), threshold=0.7
+    )
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3078,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "neardup_minhash": q_neardup_minhash,
         "neardup_ngram_jaccard": q_neardup_ngram_jaccard,
+        "neardup_prefix_jaccard": q_neardup_prefix_jaccard,
         "doc_simhash": q_doc_simhash,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_cosine_topk_lsh": q_emb_cosine_topk_lsh,
@@ -3541,6 +3557,23 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.8
+"""
+
+# prefix filtering is a candidate-pruning strategy only: the qualifying
+# pair set is EXACTLY the brute-force join's, so the oracle is the same
+# shape at the operator's threshold (0.7)
+_NEARDUP_PREFIX_SQL = f"""
+WITH {_SHINGLES},
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.inter / (sa.n + sb.n - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.7
 """
 
 _SIMHASH_BIT_SUMS = ", ".join(
@@ -5190,6 +5223,7 @@ def oracle_sql() -> dict[str, str]:
         "user_retention_cohorts": _USER_RETENTION_COHORTS_SQL,
         "doc_weighted_sample": _DOC_WEIGHTED_SAMPLE_SQL,
         "neardup_ngram_jaccard": _NEARDUP_NGRAM_SQL,
+        "neardup_prefix_jaccard": _NEARDUP_PREFIX_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,
         "emb_cosine_topk": _EMB_COSINE_SQL,
         "events_tumbling": _EVENTS_TUMBLING_SQL,

@@ -15,6 +15,7 @@ from .neardup import (
     near_dup_drop_ids,
     near_dup_minhash,
     ngram_jaccard_pairs,
+    prefix_filtered_jaccard_pairs,
     signature_bands,
     simhash,
 )
@@ -98,6 +99,7 @@ __all__ = [
     "exact_dedup",
     "near_dup_minhash",
     "ngram_jaccard_pairs",
+    "prefix_filtered_jaccard_pairs",
     "simhash",
     "cosine_topk",
     "cosine_topk_lsh",

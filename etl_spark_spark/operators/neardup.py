@@ -397,6 +397,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: Column,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs / PPJoin candidate rule of Bayardo et al., WWW'07 /
+    Xiao et al., WWW'08) — same result set as ``ngram_jaccard_pairs``
+    at the same threshold, but sub-quadratic candidate generation.
+
+    Order each document's shingles by ascending global document
+    frequency (ties broken by the shingle string, so the total order is
+    deterministic and engine-independent). If ``J(x, y) >= t`` then
+    ``|x ∩ y| >= ceil(t·|x|)``, so the first ``|x| - ceil(t·|x|) + 1``
+    shingles of x (its *prefix*) must intersect y's prefix — joining
+    only on prefix shingles finds every qualifying pair. A size filter
+    (``t·max(|x|,|y|) <= min(|x|,|y|)``, implied by J >= t) prunes
+    further before the exact verification join.
+
+    Scale design: the equi-join key set is only the PREFIX shingles —
+    the rarest per doc — so the frequent shingles that make the naive
+    shingle join quadratic (every stopword trigram joins all its docs
+    pairwise) sit at the end of the ordering and never generate
+    candidates. Document frequencies are one hash aggregate; the
+    per-doc ordering is a window partitioned by doc (bounded groups);
+    verification touches shingle sets only for surviving candidates.
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold, exact.
+    """
+    sh = shingle_set(df, id_col, shingles_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("df_", "shingle")
+    pos = (
+        sh.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, id_col)
+        # prefix length |x| - ceil(t*|x|) + 1; the 1e-9 slack makes
+        # float jitter err toward a LONGER prefix (superset of
+        # candidates — safe, the verify join restores exactness)
+        .filter(
+            F.col("pos")
+            <= F.col("n")
+            - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+            + F.lit(1)
+        )
+        .select(id_col, "shingle", "n")
+    )
+    a = pos.withColumnsRenamed({id_col: "id_a", "n": "n_a"})
+    b = pos.withColumnsRenamed({id_col: "id_b", "n": "n_b"})
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # J >= t  =>  t * max <= min  (size/length filter; slack keeps
+        # borderline sizes in — verification decides)
+        .filter(
+            F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9)
+            <= F.least("n_a", "n_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_for_pairs(cand, sh, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def simhash_near_dup(
     df: DataFrame,
     id_col: str,

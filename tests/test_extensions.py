@@ -65,6 +65,33 @@ def test_ngram_jaccard_guards_against_quadratic_blowup(spark, sf_dir):
     assert small == explicit and small > 0
 
 
+def test_prefix_filtered_jaccard_equals_brute_force(spark, sf_dir):
+    """AllPairs/PPJoin prefix filtering is pruning-only: at every
+    threshold the qualifying pair set (and the exact jaccard values)
+    must equal the quadratic shingle join's."""
+    from etl_spark_spark.operators.neardup import prefix_filtered_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    sh = word_shingles("t", 3)
+    for t in (0.5, 0.7, 0.9):
+        brute = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(toks, "doc_id", sh, threshold=t).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_filtered_jaccard_pairs(
+                toks, "doc_id", sh, threshold=t
+            ).collect()
+        }
+        assert pref == brute, (
+            f"t={t}: missing={set(brute) - set(pref)} "
+            f"extra={set(pref) - set(brute)}"
+        )
+    assert brute, "fixture should contain pairs at jaccard >= 0.9"
+
+
 def test_simhash_close_for_near_dups(spark, sf_dir):
     """Near-duplicate docs should have near-identical simhashes
     (small hamming distance), unrelated docs mostly should not."""
