@@ -2874,6 +2874,48 @@ def q_supplier_co_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle membership in the 1995 co-purchase graph
+    (pairs sharing >= 5 customers) via degree-ordered wedge joins
+    (operators/graph.py:triangle_counts). The orientation caps every
+    node's wedge fanout at O(sqrt(m)) regardless of hubs — the property
+    that keeps the self-join alive on power-law graphs; the oracle
+    enumerates triangles with a brute 3-way join instead."""
+    from etl_spark_spark.operators.graph import triangle_counts
+
+    li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    bip = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    a = bip.alias("a")
+    b = bip.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 5)
+        .select("src", "dst")
+    )
+    return triangle_counts(edges, "src", "dst").withColumnsRenamed(
+        {"node": "suppkey"}
+    )
+
+
 def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line concurrency: peak number of simultaneously-active
     user sessions per hour. Sessions (30-min gap rule) become +1/-1
@@ -3076,6 +3118,148 @@ def q_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allocation_pipeline(spark, sf_dir)
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table over each user's event
+    sequence (ts, event_id total order): (from, to, n, p) with p the
+    exact integer/integer share of the from-state
+    (operators/grouped.py:transition_counts)."""
+    from etl_spark_spark.operators.grouped import transition_counts
+
+    ev = read_events(spark, sf_dir)
+    return transition_counts(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, runs of consecutive active calendar
+    days via the day_number - row_number() island constant
+    (operators/grouped.py:activity_streaks)."""
+    from etl_spark_spark.operators.grouped import activity_streaks
+
+    ev = read_events(spark, sf_dir)
+    return activity_streaks(ev, "user_id", "ts")
+
+
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT Welch two-sample t-test per event type
+    between a deterministic 50/50 user hash split: integer-cents
+    sufficient statistics (associative — bit-stable under any shuffle
+    order), then a fixed IEEE double sequence the oracle mirrors
+    term-for-term (operators/grouped.py:welch_t_test). The
+    experimentation-analytics shape: at 100 TB it is one map-side-
+    combinable aggregate, never a per-variant collect."""
+    from etl_spark_spark.operators.grouped import welch_t_test
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            F.lit("A"),
+        ).otherwise(F.lit("B")).alias("variant"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return welch_t_test(ev, ["event_type"], "cents", "variant")
+
+
+_SUPPLIER_TRIANGLES_SQL = """
+WITH bip AS (
+  SELECT DISTINCT o_custkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-01-01'
+), g AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM bip a JOIN bip b
+    ON a.o_custkey = b.o_custkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= 5
+), tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM g e1
+  JOIN g e2 ON e2.u = e1.u AND e1.v < e2.v
+  JOIN g e3 ON e3.u = e1.v AND e3.v = e2.v
+), members AS (
+  SELECT x AS suppkey FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT suppkey, count(*) AS n_triangles FROM members GROUP BY suppkey
+"""
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_state
+  FROM events
+), c AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM s WHERE to_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE) AS p
+FROM c
+"""
+
+_USER_ACTIVITY_STREAKS_SQL = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+g AS (
+  SELECT user_id, day,
+         (day - DATE '1970-01-01')
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM s GROUP BY user_id
+"""
+
+# mirrors welch_t_test's IEEE sequence term-for-term; int -> double via
+# VARCHAR (strtod is correctly rounded, matching Spark's decimal->double)
+_AB_TEST_WELCH_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(round(value * 100) AS HUGEINT) AS x
+  FROM events
+), s AS (
+  SELECT event_type,
+         count(*) FILTER (variant = 'A') AS n_a,
+         count(*) FILTER (variant <> 'A') AS n_b,
+         coalesce(sum(x) FILTER (variant = 'A'), 0) AS sa,
+         coalesce(sum(x) FILTER (variant <> 'A'), 0) AS sb,
+         coalesce(sum(x * x) FILTER (variant = 'A'), 0) AS ssa,
+         coalesce(sum(x * x) FILTER (variant <> 'A'), 0) AS ssb
+  FROM d GROUP BY event_type
+), c AS (
+  SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(CAST(sa AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+         CAST(CAST(sb AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+         CAST(CAST(n_a * ssa - sa * sa AS VARCHAR) AS DOUBLE)
+           / CAST(n_a * (n_a - 1) AS DOUBLE) AS var_a,
+         CAST(CAST(n_b * ssb - sb * sb AS VARCHAR) AS DOUBLE)
+           / CAST(n_b * (n_b - 1) AS DOUBLE) AS var_b
+  FROM s
+), e AS (
+  SELECT event_type, n_a, n_b, mean_a, mean_b,
+         var_a / CAST(n_a AS DOUBLE) AS se_a,
+         var_b / CAST(n_b AS DOUBLE) AS se_b
+  FROM c
+)
+SELECT event_type, n_a, n_b, mean_a, mean_b,
+       (mean_a - mean_b) / sqrt(se_a + se_b) AS t_stat,
+       ((se_a + se_b) * (se_a + se_b))
+         / ((se_a * se_a) / CAST(n_a - 1 AS DOUBLE)
+            + (se_b * se_b) / CAST(n_b - 1 AS DOUBLE)) AS welch_df
+FROM e WHERE n_a > 1 AND n_b > 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -3177,6 +3361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "trade_pagerank": q_trade_pagerank,
         "supplier_co_purchase": q_supplier_co_purchase,
+        "supplier_triangles": q_supplier_triangles,
+        "event_transitions": q_event_transitions,
+        "user_activity_streaks": q_user_activity_streaks,
+        "ab_test_welch": q_ab_test_welch,
         "concurrent_sessions": q_concurrent_sessions,
         "global_spend_rank": q_global_spend_rank,
         "replica_drift_audit": q_replica_drift_audit,
@@ -5293,6 +5481,10 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _SPLIT_LEAKAGE_SQL,
         "trade_pagerank": _TRADE_PAGERANK_SQL,
         "supplier_co_purchase": _SUPPLIER_CO_PURCHASE_SQL,
+        "supplier_triangles": _SUPPLIER_TRIANGLES_SQL,
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "user_activity_streaks": _USER_ACTIVITY_STREAKS_SQL,
+        "ab_test_welch": _AB_TEST_WELCH_SQL,
         "concurrent_sessions": _CONCURRENT_SESSIONS_SQL,
         "global_spend_rank": _GLOBAL_SPEND_RANK_SQL,
         "replica_drift_audit": _REPLICA_DRIFT_AUDIT_SQL,

@@ -182,3 +182,70 @@ def pagerank_exact(
     return ranks.select(
         "node", "rank_fp", (F.col("rank_fp") / scale).alias("rank")
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts on an undirected graph via DEGREE
+    ORDERING (the node-iterator++ / Cohen MapReduce scheme): orient
+    every edge from the (degree, id)-smaller endpoint to the larger,
+    build wedges by self-joining oriented edges on their source, and
+    close each wedge against the oriented edge list.
+
+    Scale design: with this orientation every node's out-degree is
+    O(sqrt(m)) on any graph (a node keeps only neighbors of larger
+    degree), so wedge fanout is bounded by sum(out_deg^2) <= m^1.5 —
+    the standard guarantee that makes the self-join survive power-law
+    degree distributions where the naive wedge join is quadratic in
+    the hub degree. Three hash joins + two aggregates, no iteration.
+
+    Input may list each undirected edge once in either direction;
+    self-loops and duplicate edges are removed. Returns
+    (node, n_triangles) for every node in >= 1 triangle.
+    """
+    e = (
+        edges.select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.withColumnsRenamed({"node": "u", "deg": "deg_u"})
+    dv = deg.withColumnsRenamed({"node": "v", "deg": "deg_v"})
+    # orient: lower (deg, id) -> higher (deg, id)
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("deg_u") < F.col("deg_v"))
+                | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
+                F.col("u"),
+            ).otherwise(F.col("v")).alias("lo"),
+            F.when(
+                (F.col("deg_u") < F.col("deg_v"))
+                | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
+                F.col("v"),
+            ).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+    w1 = oriented.withColumnsRenamed({"lo": "pivot", "hi": "b"})
+    w2 = oriented.withColumnsRenamed({"lo": "pivot", "hi": "c"})
+    wedges = w1.join(w2, "pivot").filter(F.col("b") < F.col("c"))
+    # the closing edge (b, c) is oriented too, but not necessarily
+    # b -> c: check the canonical undirected pair instead
+    closing = e.withColumnsRenamed({"u": "b", "v": "c"})
+    tri = wedges.join(closing, ["b", "c"])  # (pivot, b, c) triangles
+    per_node = (
+        tri.select(F.col("pivot").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node

@@ -184,3 +184,127 @@ def fit_group_trend_exact(
         .alias("__yc"),
     )
     return base.groupBy(*keys).applyInPandas(fit, schema=out_schema)
+
+
+def transition_counts(
+    df: DataFrame,
+    part_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition table: for each entity's event
+    sequence (ordered by ``order_cols`` — include a unique tiebreaker
+    so the order is total), count (from_state, to_state) adjacencies
+    and their within-from probability. One shuffle on the entity key
+    for the lag window, one aggregate; ``p`` is an exact integer/
+    integer division (deterministic IEEE, engine-portable)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    steps = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_state")
+    return steps.select(
+        "from_state",
+        "to_state",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(w_from).cast("double")
+        ).alias("p"),
+    )
+
+
+def activity_streaks(df: DataFrame, id_col: str, ts_col: str) -> DataFrame:
+    """Gaps-and-islands per entity over calendar days: distinct active
+    days, grouped into runs of consecutive days by the classic
+    day_number - row_number() constant. Returns per entity
+    (active_days, n_streaks, longest_streak). The row_number window is
+    partitioned by the entity (bounded groups); everything else is
+    hash aggregation."""
+    from pyspark.sql import Window
+
+    days = df.select(
+        F.col(id_col), F.to_date(ts_col).alias("day")
+    ).distinct()
+    w = Window.partitionBy(id_col).orderBy("day")
+    grp = days.select(
+        id_col,
+        "day",
+        (
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = grp.groupBy(id_col, "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy(id_col).agg(
+        F.sum("len").alias("active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cents_col: str,
+    variant_col: str,
+    variant_a: str = "A",
+) -> DataFrame:
+    """Distributed EXACT Welch two-sample t-test per group: the
+    sufficient statistics (n, sum, sum-of-squares) are integer sums of
+    the fixed-point measure (associative — any shuffle order gives the
+    same bits), and the final t / degrees-of-freedom arithmetic is a
+    fixed IEEE double sequence an oracle can mirror term-for-term
+    (same shape as ``corr_exact``: decimal -> double casts are
+    correctly rounded). Two variants per group, conditional
+    aggregation, a single pass."""
+    keys = list(group_cols)
+    is_a = F.col(variant_col) == F.lit(variant_a)
+    x = F.col(cents_col)
+    s = df.groupBy(*keys).agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(~is_a, 1)).alias("n_b"),
+        F.coalesce(F.sum(F.when(is_a, x)), F.lit(0)).alias("sa"),
+        F.coalesce(F.sum(F.when(~is_a, x)), F.lit(0)).alias("sb"),
+        F.coalesce(
+            F.sum(F.when(is_a, (x * x).cast("decimal(38,0)"))), F.lit(0)
+        ).cast("decimal(38,0)").alias("ssa"),
+        F.coalesce(
+            F.sum(F.when(~is_a, (x * x).cast("decimal(38,0)"))), F.lit(0)
+        ).cast("decimal(38,0)").alias("ssb"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dbl = lambda e: e.cast("double")  # noqa: E731
+    mean_a = dbl(F.col("sa")) / dbl(F.col("n_a"))
+    mean_b = dbl(F.col("sb")) / dbl(F.col("n_b"))
+    var_a = dbl(dec("n_a") * F.col("ssa") - dec("sa") * dec("sa")) / dbl(
+        F.col("n_a") * (F.col("n_a") - F.lit(1))
+    )
+    var_b = dbl(dec("n_b") * F.col("ssb") - dec("sb") * dec("sb")) / dbl(
+        F.col("n_b") * (F.col("n_b") - F.lit(1))
+    )
+    se_a = var_a / dbl(F.col("n_a"))
+    se_b = var_b / dbl(F.col("n_b"))
+    se2 = se_a + se_b
+    t = (mean_a - mean_b) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (se_a * se_a) / dbl(F.col("n_a") - F.lit(1))
+        + (se_b * se_b) / dbl(F.col("n_b") - F.lit(1))
+    )
+    return s.filter((F.col("n_a") > 1) & (F.col("n_b") > 1)).select(
+        *keys,
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        t.alias("t_stat"),
+        dfw.alias("welch_df"),
+    )

@@ -92,6 +92,23 @@ def test_prefix_filtered_jaccard_equals_brute_force(spark, sf_dir):
     assert brute, "fixture should contain pairs at jaccard >= 0.9"
 
 
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant vertex: K4 has 4 triangles, each K4 node is in
+    exactly 3, the pendant in none. Edges listed in mixed direction
+    with a duplicate and a self-loop to exercise canonicalization."""
+    from etl_spark_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (4, 2), (3, 4),
+            (4, 5), (3, 3),
+        ],
+        "src int, dst int",
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
 def test_simhash_close_for_near_dups(spark, sf_dir):
     """Near-duplicate docs should have near-identical simhashes
     (small hamming distance), unrelated docs mostly should not."""
