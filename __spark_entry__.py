@@ -3160,6 +3160,96 @@ def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_t_test(ev, ["event_type"], "cents", "variant")
 
 
+def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: per-class support / true-positives /
+    predicted-count, precision, recall and F1 of the stopword-profile
+    language identifier against the corpus's ``lang`` labels. Three
+    hash aggregates + a full-outer join on the class; the ratios are
+    exact integer/integer IEEE divisions mirrored by the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("lang").alias("actual"), lang_id("text").alias("pred")
+    )
+    act = d.groupBy("actual").agg(
+        F.count("*").alias("support"),
+        F.count(F.when(F.col("pred") == F.col("actual"), 1)).alias("tp"),
+    )
+    pred = d.groupBy(F.col("pred").alias("actual")).agg(
+        F.count("*").alias("pred_n")
+    )
+    j = act.join(pred, "actual", "full").select(
+        F.col("actual").alias("lang"),
+        F.coalesce("support", F.lit(0)).alias("support"),
+        F.coalesce("tp", F.lit(0)).alias("tp"),
+        F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
+    )
+    prec = F.when(
+        F.col("pred_n") > 0,
+        F.col("tp").cast("double") / F.col("pred_n").cast("double"),
+    )
+    rec = F.when(
+        F.col("support") > 0,
+        F.col("tp").cast("double") / F.col("support").cast("double"),
+    )
+    return j.select(
+        "lang",
+        "support",
+        "tp",
+        "pred_n",
+        prec.alias("prec"),
+        rec.alias("rec"),
+        F.when(
+            prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec)
+        ).alias("f1"),
+    )
+
+
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every
+    purchase's integer cents split 40/20/40 over its view/click touches
+    in the prior 24 h (operators/asof.py:position_attribution — binned
+    interval join + per-conversion windows; deterministic remainder
+    placement makes every credit an exact integer, so the per-channel
+    sums are bit-stable integer aggregation at any scale)."""
+    from etl_spark_spark.operators.asof import position_attribution
+
+    ev = read_events(spark, sf_dir)
+    conversions = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros("ts").alias("conv_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros("ts").alias("touch_us"),
+    )
+    credits = position_attribution(
+        touches,
+        conversions,
+        keys=["user_id"],
+        touch_id="touch_id",
+        touch_ts_us="touch_us",
+        conv_id="conv_id",
+        conv_ts_us="conv_us",
+        cents_col="cents",
+        lookback_us=86_400_000_000,
+    )
+    return (
+        credits.join(
+            touches.select("touch_id", "touch_type"),
+            F.col("__touch_id") == F.col("touch_id"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.sum("attributed_cents").alias("attributed_cents"),
+            F.count("*").alias("n_touch_credits"),
+        )
+    )
+
+
 _SUPPLIER_TRIANGLES_SQL = """
 WITH bip AS (
   SELECT DISTINCT o_custkey, l_suppkey
@@ -3257,6 +3347,45 @@ SELECT event_type, n_a, n_b, mean_a, mean_b,
          / ((se_a * se_a) / CAST(n_a - 1 AS DOUBLE)
             + (se_b * se_b) / CAST(n_b - 1 AS DOUBLE)) AS welch_df
 FROM e WHERE n_a > 1 AND n_b > 1
+"""
+
+
+
+_MULTI_TOUCH_ATTRIBUTION_SQL = """
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS cts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+         epoch_us(ts) AS tts
+  FROM events WHERE event_type IN ('view', 'click')
+), paired AS (
+  SELECT c.conv_id, c.cents, t.touch_id, t.touch_type, t.tts
+  FROM conv c JOIN t ON c.user_id = t.user_id
+  WHERE t.tts BETWEEN c.cts - 86400000000 AND c.cts - 1
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id ORDER BY tts, touch_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+  FROM paired
+), credit AS (
+  SELECT touch_type,
+         CASE WHEN n = 1 THEN cents
+              WHEN n = 2 THEN CASE WHEN rn = 1 THEN cents - cents // 2
+                                   ELSE cents // 2 END
+              WHEN rn = 1 THEN cents - (cents * 40 // 100) - (cents * 20 // 100)
+              WHEN rn = n THEN cents * 40 // 100
+              ELSE (cents * 20 // 100) // (n - 2)
+                   + CASE WHEN rn - 1 <= (cents * 20 // 100) % (n - 2)
+                          THEN 1 ELSE 0 END
+         END AS ac
+  FROM r
+)
+SELECT touch_type,
+       CAST(sum(ac) AS BIGINT) AS attributed_cents,
+       CAST(count(*) AS BIGINT) AS n_touch_credits
+FROM credit GROUP BY touch_type
 """
 
 
@@ -3365,6 +3494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "user_activity_streaks": q_user_activity_streaks,
         "ab_test_welch": q_ab_test_welch,
+        "lang_id_eval": q_lang_id_eval,
+        "multi_touch_attribution": q_multi_touch_attribution,
         "concurrent_sessions": q_concurrent_sessions,
         "global_spend_rank": q_global_spend_rank,
         "replica_drift_audit": q_replica_drift_audit,
@@ -3617,6 +3748,38 @@ _DOC_LANG_ID_SQL = (
     + ", ".join(f"score_{lang}" for lang in _LANGS)
     + f", {_lang_case_sql()} AS pred_lang FROM scored"
 )
+
+_LANG_ID_EVAL_SQL = f"""
+WITH lang_scored AS ({_DOC_LANG_ID_SQL}),
+a AS (
+  SELECT lang AS lang_c, CAST(count(*) AS BIGINT) AS support,
+         CAST(count(*) FILTER (pred_lang = lang) AS BIGINT) AS tp
+  FROM lang_scored GROUP BY 1
+),
+p AS (
+  SELECT pred_lang AS lang_c, CAST(count(*) AS BIGINT) AS pred_n
+  FROM lang_scored GROUP BY 1
+),
+j AS (
+  SELECT coalesce(a.lang_c, p.lang_c) AS lang,
+         coalesce(support, 0) AS support,
+         coalesce(tp, 0) AS tp,
+         coalesce(pred_n, 0) AS pred_n
+  FROM a FULL OUTER JOIN p ON a.lang_c = p.lang_c
+),
+m AS (
+  SELECT lang, support, tp, pred_n,
+         CASE WHEN pred_n > 0
+              THEN CAST(tp AS DOUBLE) / CAST(pred_n AS DOUBLE) END AS prec,
+         CASE WHEN support > 0
+              THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END AS rec
+  FROM j
+)
+SELECT lang, support, tp, pred_n, prec, rec,
+       CASE WHEN prec + rec > 0
+            THEN 2.0 * prec * rec / (prec + rec) END AS f1
+FROM m
+"""
 
 _DOC_EXACT_DEDUP_SQL = r"""
 SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
@@ -5485,6 +5648,8 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "user_activity_streaks": _USER_ACTIVITY_STREAKS_SQL,
         "ab_test_welch": _AB_TEST_WELCH_SQL,
+        "lang_id_eval": _LANG_ID_EVAL_SQL,
+        "multi_touch_attribution": _MULTI_TOUCH_ATTRIBUTION_SQL,
         "concurrent_sessions": _CONCURRENT_SESSIONS_SQL,
         "global_spend_rank": _GLOBAL_SPEND_RANK_SQL,
         "replica_drift_audit": _REPLICA_DRIFT_AUDIT_SQL,

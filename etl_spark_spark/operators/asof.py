@@ -96,3 +96,98 @@ def asof_join(
             F.col("__pay").getField(c).alias(c) for c in payload
         ]
     return filled.filter(F.col("__src") == 1).select(*out_cols)
+
+
+def position_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    keys: Sequence[str],
+    touch_id: str,
+    touch_ts_us: str,
+    conv_id: str,
+    conv_ts_us: str,
+    cents_col: str,
+    lookback_us: int,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution with EXACT
+    integer-cents credit: each conversion's value is split 40% to the
+    first touch, 40% to the last, 20% shared by the middles, over the
+    touches in ``(conv_ts - lookback, conv_ts)`` for the same keys.
+
+    All splits are integer div/mod with deterministic remainder
+    placement (leftover cents to the first touch; middle remainder to
+    the earliest middles), so per-conversion credits sum EXACTLY to the
+    conversion's cents and every aggregate downstream is an integer sum
+    — bit-stable under any shuffle order, unlike fractional-weight
+    float attribution. 1 touch -> 100%; 2 touches -> 50/50 (odd cent to
+    the first).
+
+    Scale design: the touch<->conversion pairing is the binned
+    point-in-interval equi-join (operators/ranges.py) — never a
+    per-user nested loop — and the position windows partition by
+    conversion id (bounded groups: touches within one lookback).
+    Returns one row per (conversion, touch) with ``attributed_cents``.
+    """
+    from pyspark.sql import Window
+
+    from .ranges import point_in_interval_join
+
+    conv = conversions.select(
+        *keys,
+        F.col(conv_id).alias("__conv_id"),
+        F.col(conv_ts_us).alias("__conv_ts"),
+        F.col(cents_col).alias("__cents"),
+        (F.col(conv_ts_us) - F.lit(lookback_us)).alias("__start"),
+        (F.col(conv_ts_us) - F.lit(1)).alias("__end"),
+    )
+    pts = touches.select(
+        *keys,
+        F.col(touch_id).alias("__touch_id"),
+        F.col(touch_ts_us).alias("__touch_ts"),
+    )
+    paired = point_in_interval_join(
+        conv, pts, keys, "__start", "__end", "__touch_ts",
+        bin_us=lookback_us,
+    )
+    w = Window.partitionBy("__conv_id").orderBy("__touch_ts", "__touch_id")
+    wn = Window.partitionBy("__conv_id")
+    r = (
+        paired.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    c = F.col("__cents")
+    first40 = F.expr("__cents * 40 div 100")
+    mid20 = F.expr("__cents * 20 div 100")
+    credit = (
+        F.when(F.col("n") == 1, c)
+        .when(
+            F.col("n") == 2,
+            F.when(F.col("rn") == 1, c - F.expr("__cents div 2")).otherwise(
+                F.expr("__cents div 2")
+            ),
+        )
+        # n >= 3: first gets 40% + all leftover, last 40%, middles
+        # share 20% (earliest middles absorb the mod-m remainder)
+        .when(
+            F.col("rn") == 1,
+            c - first40 - mid20,
+        )
+        .when(F.col("rn") == F.col("n"), first40)
+        .otherwise(
+            F.expr("(__cents * 20 div 100) div (n - 2)")
+            + F.when(
+                (F.col("rn") - 1)
+                <= F.expr("(__cents * 20 div 100) % (n - 2)"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+    )
+    return r.select(
+        *keys,
+        "__conv_id",
+        "__touch_id",
+        "__touch_ts",
+        "rn",
+        "n",
+        credit.cast("long").alias("attributed_cents"),
+    )

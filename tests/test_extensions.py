@@ -92,6 +92,52 @@ def test_prefix_filtered_jaccard_equals_brute_force(spark, sf_dir):
     assert brute, "fixture should contain pairs at jaccard >= 0.9"
 
 
+def test_position_attribution_conserves_cents(spark, sf_dir):
+    """Per conversion, attributed credits must sum EXACTLY to the
+    conversion's cents (integer apportionment, no float leakage), the
+    first/last touches must carry >= any middle, and a conversion with
+    no in-window touch must be absent."""
+    from etl_spark_spark.operators.asof import position_attribution
+    from etl_spark_spark.sources import read_events
+    from pyspark.sql import functions as F
+
+    ev = read_events(spark, sf_dir)
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros("ts").alias("conv_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.unix_micros("ts").alias("touch_us"),
+    )
+    credits = position_attribution(
+        touches, conv, ["user_id"], "touch_id", "touch_us",
+        "conv_id", "conv_us", "cents", lookback_us=86_400_000_000,
+    )
+    per_conv = credits.groupBy("__conv_id").agg(
+        F.sum("attributed_cents").alias("got")
+    )
+    chk = per_conv.join(
+        conv, F.col("__conv_id") == F.col("conv_id")
+    ).filter(F.col("got") != F.col("cents"))
+    assert chk.count() == 0, chk.limit(5).collect()
+    assert per_conv.count() > 0
+    # U-shape: endpoints >= every middle credit (n >= 3)
+    mids = credits.filter(
+        (F.col("n") >= 3) & (F.col("rn") > 1) & (F.col("rn") < F.col("n"))
+    ).groupBy("__conv_id").agg(F.max("attributed_cents").alias("mid_max"))
+    ends = credits.filter(
+        (F.col("rn") == 1) | (F.col("rn") == F.col("n"))
+    ).groupBy("__conv_id").agg(F.min("attributed_cents").alias("end_min"))
+    bad = mids.join(ends, "__conv_id").filter(
+        F.col("mid_max") > F.col("end_min")
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
 def test_triangle_counts_known_graph(spark):
     """K4 plus a pendant vertex: K4 has 4 triangles, each K4 node is in
     exactly 3, the pendant in none. Edges listed in mixed direction

@@ -315,6 +315,49 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
     assert "SortMergeJoin" not in final, "AQE should have converted the SMJ"
 
 
+def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
+    """Runtime row-group filtering: with the runtime bloom-filter
+    optimization enabled, a shuffle join whose build side carries a
+    selective filter must inject a BloomFilter aggregate on the build
+    side and a might_contain probe on the stream side — the optimizer
+    feature that prunes most of a 100 TB fact scan's shuffle input
+    before it is shuffled. (Off by default in this container's tuned
+    session; asserted here under an explicit conf scope.)"""
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.sources import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        # the fixture fact is far under the 10GB production default
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+        # force the SMJ path: bloom injection targets shuffle joins
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+        orders = table(
+            spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+        ).filter(F.col("o_orderpriority") == "1-URGENT")
+        joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "might_contain" in plan.lower(), (
+            plan[:3000]
+        )
+        assert joined.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
     """Q6: all three predicates (ship-date range, discount band,
     quantity cap) must reach the parquet scan, and the single global
