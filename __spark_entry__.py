@@ -3250,6 +3250,82 @@ def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: parts not dominated on (size, retailprice) —
+    maximal in both dimensions (operators/windows.py:pareto_frontier_2d,
+    the distributed exclusive-prefix-max sweep; the oracle is the
+    obviously-correct quadratic NOT EXISTS dominance test)."""
+    from etl_spark_spark.operators.windows import pareto_frontier_2d
+
+    part = table(
+        spark, sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+    return pareto_frontier_2d(part, "p_size", "p_retailprice")
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction over the corpus: per mid-frequency
+    term (2 <= df <= 40), the document frequency, total term count,
+    and the sorted posting list serialized as CSV (arrays leave as
+    strings — the driver canonicalizer can't sort list cells). Explode
+    + two hash aggregates; posting lists stay bounded by the df cap."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    per_doc = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings_csv"),
+        )
+        .filter((F.col("df") >= 2) & (F.col("df") <= 40))
+    )
+
+
+def q_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed leading-digit
+    shares vs the Benford expectation — the forensic data-quality
+    screen for fabricated numeric columns. Counts are exact integers;
+    the expected shares are Python-computed literals embedded
+    identically in both engines, so every double matches bitwise."""
+    import math
+
+    orders = table(spark, sf_dir, "orders", columns=["o_totalprice"])
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    )
+    counts = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    expected = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        expected = F.when(
+            F.col("digit") == str(d), F.lit(math.log10(1 + 1 / d))
+        ).otherwise(expected)
+    total = counts.agg(F.sum("n").alias("__total"))
+    share = F.col("n").cast("double") / F.col("__total").cast("double")
+    counts = counts.crossJoin(F.broadcast(total))
+    return counts.select(
+        "digit",
+        "n",
+        share.alias("share"),
+        expected.alias("expected"),
+        F.abs(share - expected).alias("abs_dev"),
+    )
+
+
 _SUPPLIER_TRIANGLES_SQL = """
 WITH bip AS (
   SELECT DISTINCT o_custkey, l_suppkey
@@ -3389,6 +3465,8 @@ FROM credit GROUP BY touch_type
 """
 
 
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -3496,6 +3574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_welch": q_ab_test_welch,
         "lang_id_eval": q_lang_id_eval,
         "multi_touch_attribution": q_multi_touch_attribution,
+        "pareto_parts": q_pareto_parts,
+        "inverted_index": q_inverted_index,
+        "benford_totalprice": q_benford_totalprice,
         "concurrent_sessions": q_concurrent_sessions,
         "global_spend_rank": q_global_spend_rank,
         "replica_drift_audit": q_replica_drift_audit,
@@ -5549,6 +5630,55 @@ FROM c
 """
 
 
+_PARETO_PARTS_SQL = """
+SELECT p_size, p_partkey, p_retailprice FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_size >= p.p_size AND q.p_retailprice >= p.p_retailprice
+    AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice)
+)
+"""
+
+_INVERTED_INDEX_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+pd AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf,
+         array_to_string(list_sort(list(doc_id)), ',') AS postings_csv
+  FROM pd GROUP BY term
+)
+SELECT * FROM agg WHERE df BETWEEN 2 AND 40
+"""
+
+
+def _benford_expected_sql() -> str:
+    import math
+
+    whens = " ".join(
+        f"WHEN digit = '{d}' THEN {math.log10(1 + 1 / d)!r}"
+        for d in range(1, 10)
+    )
+    return f"CASE {whens} END"
+
+
+_BENFORD_TOTALPRICE_SQL = f"""
+WITH c AS (
+  SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+), s AS (
+  SELECT digit, CAST(n AS BIGINT) AS n,
+         CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share,
+         {_benford_expected_sql()} AS expected
+  FROM c
+)
+SELECT digit, n, share, expected, abs(share - expected) AS abs_dev FROM s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -5650,6 +5780,9 @@ def oracle_sql() -> dict[str, str]:
         "ab_test_welch": _AB_TEST_WELCH_SQL,
         "lang_id_eval": _LANG_ID_EVAL_SQL,
         "multi_touch_attribution": _MULTI_TOUCH_ATTRIBUTION_SQL,
+        "pareto_parts": _PARETO_PARTS_SQL,
+        "inverted_index": _INVERTED_INDEX_SQL,
+        "benford_totalprice": _BENFORD_TOTALPRICE_SQL,
         "concurrent_sessions": _CONCURRENT_SESSIONS_SQL,
         "global_spend_rank": _GLOBAL_SPEND_RANK_SQL,
         "replica_drift_audit": _REPLICA_DRIFT_AUDIT_SQL,

@@ -175,3 +175,110 @@ def scalable_running_sum(
         .withColumn(out_col, F.col("__within") + F.col("__off"))
         .drop("__bkt", "__val", "__within", "__off")
     )
+
+
+def scalable_running_max(
+    df: DataFrame,
+    bucket_col: Column | str,
+    order_by: Sequence[Column | str],
+    value_col: Column | str,
+    out_col: str = "running_max",
+) -> DataFrame:
+    """Global running max without a single-partition window — the same
+    prefix decomposition as ``scalable_running_sum`` (max is equally
+    associative): within-bucket prefix maxima in parallel, an exclusive
+    running max over the tiny bucket-maxima table, then
+    ``greatest(within, offset)``. Same monotone-bucket requirement."""
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    tagged = df.withColumn("__bkt", b).withColumn("__val", v)
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = tagged.withColumn("__within", F.max("__val").over(w_in))
+    totals = tagged.groupBy("__bkt").agg(F.max("__val").alias("__t"))
+    w_b = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bkt", F.max("__t").over(w_b).alias("__off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__off").isNull(), F.col("__within")
+            ).otherwise(F.greatest("__within", "__off")),
+        )
+        .drop("__bkt", "__val", "__within", "__off")
+    )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bucket_col: Column | str | None = None,
+) -> DataFrame:
+    """2-D skyline (maximization): rows not dominated by any other row
+    (q dominates p iff q.x >= p.x, q.y >= p.y, and one is strict).
+    Equal (x, y) duplicates dominate nothing and are all kept.
+
+    Distributed sweep: per distinct x, the max y (hash aggregate);
+    then the exclusive running max of those maxima over x DESC —
+    computed as within-bucket windows plus an exclusive max over the
+    tiny bucket-maxima table, never a single-task global window. A row
+    is on the frontier iff its y equals its x-group max AND strictly
+    exceeds the best y at any strictly larger x.
+
+    ``bucket_col`` (default: x itself) must be monotone in x; pass a
+    coarse bucket (e.g. ``F.floor(F.col(x)/1000)``) when x is near-
+    continuous so the serial window stays tiny.
+    """
+    b = (
+        F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    ) if bucket_col is not None else F.col(x_col)
+    groups = (
+        df.withColumn("__bkt", b)
+        .groupBy("__bkt", x_col)
+        .agg(F.max(y_col).alias("__xmax"))
+    )
+    # exclusive prefix max over x DESC: one row per distinct x, so the
+    # within-bucket window and the bucket-offsets table are both sized
+    # by distinct-x counts, not row counts
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col(x_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = groups.withColumn("__excl", F.max("__xmax").over(w_in))
+    btot = groups.groupBy("__bkt").agg(F.max("__xmax").alias("__t"))
+    w_b = (
+        Window.orderBy(F.col("__bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = btot.select("__bkt", F.max("__t").over(w_b).alias("__off"))
+    marks = (
+        within.join(F.broadcast(boff), "__bkt")
+        .select(
+            x_col,
+            "__xmax",
+            # greatest() skips NULLs: null only when both are null
+            F.greatest("__excl", "__off").alias("__better"),
+        )
+    )
+    return (
+        # no broadcast hint: marks is sized by distinct-x — small for
+        # discrete x, so AQE picks broadcast; a hint would be wrong for
+        # near-continuous x
+        df.join(marks, x_col)
+        .filter(
+            (F.col(y_col) == F.col("__xmax"))
+            & (
+                F.col("__better").isNull()
+                | (F.col(y_col) > F.col("__better"))
+            )
+        )
+        .drop("__xmax", "__better")
+    )

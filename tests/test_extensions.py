@@ -138,6 +138,44 @@ def test_position_attribution_conserves_cents(spark, sf_dir):
     assert bad.count() == 0, bad.limit(5).collect()
 
 
+def test_pareto_frontier_equals_brute_force(spark):
+    """Distributed sweep == quadratic dominance test, on data dense
+    with ties and exact duplicates (the hard cases: same-x groups,
+    duplicate frontier points, dominated duplicates)."""
+    import random
+
+    from etl_spark_spark.operators.windows import pareto_frontier_2d
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randint(0, 12), float(rng.randint(0, 12)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, x int, y double")
+    brute = {
+        (i, x, y)
+        for (i, x, y) in rows
+        if not any(
+            qx >= x and qy >= y and (qx > x or qy > y)
+            for (_, qx, qy) in rows
+        )
+    }
+    got = {
+        (r.id, r.x, r.y) for r in pareto_frontier_2d(df, "x", "y").collect()
+    }
+    assert got == brute
+    # coarse-bucket variant must give the identical frontier
+    from pyspark.sql import functions as F
+
+    got_b = {
+        (r.id, r.x, r.y)
+        for r in pareto_frontier_2d(
+            df, "x", "y", bucket_col=F.floor(F.col("x") / 5)
+        ).collect()
+    }
+    assert got_b == brute
+
+
 def test_triangle_counts_known_graph(spark):
     """K4 plus a pendant vertex: K4 has 4 triangles, each K4 node is in
     exactly 3, the pendant in none. Edges listed in mixed direction

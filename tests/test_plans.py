@@ -174,7 +174,9 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # important_parts: Q11 scalar-subquery share threshold = 1-row
     # broadcast total crossJoined under an inequality filter
     # doc_budget_mix: crossJoins of 1-row totals (weight sum + leftover)
+    # benford_totalprice: crossJoin of the 1-row digit-count total
     allowed_bnlj = {
+        "benford_totalprice",
         "important_parts",
         "doc_budget_mix",
         "daily_dense_orders",
