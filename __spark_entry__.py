@@ -3326,6 +3326,45 @@ def q_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quartiles (no approx_percentile error bound, no
+    global sort): distribution aggregate + one per-group window over
+    distinct values (operators/stats.py:exact_group_quantiles); the
+    smallest-v-with-cum>=ceil(q*n) semantics are pinned by a plain-SQL
+    window oracle, not an engine quantile builtin."""
+    from etl_spark_spark.operators.stats import exact_group_quantiles
+
+    li = table(
+        spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"]
+    )
+    return exact_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", qs=(0.25, 0.5, 0.75)
+    )
+
+
+def q_ks_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov D between the A/B user-hash
+    purchase-value distributions — the distribution-free counterpart
+    to ab_test_welch. CDFs evaluated at every distinct cents value via
+    the distributed prefix-sum decomposition (bucketed by cents/1000,
+    so the serial window sees only bucket totals)
+    (operators/stats.py:ks_two_sample)."""
+    from etl_spark_spark.operators.stats import ks_two_sample
+
+    ev = read_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            F.lit("A"),
+        ).otherwise(F.lit("B")).alias("variant"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ks_two_sample(
+        ev, "cents", "variant", bucket=F.expr("cents div 1000")
+    )
+
+
 _SUPPLIER_TRIANGLES_SQL = """
 WITH bip AS (
   SELECT DISTINCT o_custkey, l_suppkey
@@ -3577,6 +3616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_parts": q_pareto_parts,
         "inverted_index": q_inverted_index,
         "benford_totalprice": q_benford_totalprice,
+        "exact_price_quartiles": q_exact_price_quartiles,
+        "ks_test_ab": q_ks_test_ab,
         "concurrent_sessions": q_concurrent_sessions,
         "global_spend_rank": q_global_spend_rank,
         "replica_drift_audit": q_replica_drift_audit,
@@ -5678,6 +5719,52 @@ WITH c AS (
 SELECT digit, n, share, expected, abs(share - expected) AS abs_dev FROM s
 """
 
+_EXACT_PRICE_QUARTILES_SQL = """
+WITH dist AS (
+  SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, v, c,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM dist
+)
+SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+       min(CASE WHEN cum >= ceil(0.25 * n) THEN v END) AS q25,
+       min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS q50,
+       min(CASE WHEN cum >= ceil(0.75 * n) THEN v END) AS q75
+FROM cum GROUP BY l_returnflag
+"""
+
+_KS_TEST_AB_SQL = """
+WITH d AS (
+  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), dist AS (
+  SELECT cents,
+         count(*) FILTER (variant = 'A') AS ca,
+         count(*) FILTER (variant <> 'A') AS cb
+  FROM d GROUP BY 1
+), cum AS (
+  SELECT cents,
+         sum(ca) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+         sum(cb) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+  FROM dist
+), t AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM dist
+)
+SELECT n_a, n_b,
+       max(abs(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE))) AS d_stat
+FROM cum, t GROUP BY n_a, n_b
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -5783,6 +5870,8 @@ def oracle_sql() -> dict[str, str]:
         "pareto_parts": _PARETO_PARTS_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "benford_totalprice": _BENFORD_TOTALPRICE_SQL,
+        "exact_price_quartiles": _EXACT_PRICE_QUARTILES_SQL,
+        "ks_test_ab": _KS_TEST_AB_SQL,
         "concurrent_sessions": _CONCURRENT_SESSIONS_SQL,
         "global_spend_rank": _GLOBAL_SPEND_RANK_SQL,
         "replica_drift_audit": _REPLICA_DRIFT_AUDIT_SQL,

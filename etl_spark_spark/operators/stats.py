@@ -1,0 +1,111 @@
+"""Exact distributed statistics: order statistics and distribution
+tests computed from DISTRIBUTION AGGREGATES, never a global sort.
+
+The shared trick: pre-aggregate to one row per distinct (group, value)
+— at scale this is the decisive shrink (a 100 TB fact has far fewer
+distinct cents values than rows) — then run windows over the compact
+distribution. Cumulative counts are integer sums (associative,
+bit-stable under any shuffle order), and every derived ratio is an
+exact-integer IEEE division an oracle can mirror.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """EXACT discrete quantiles per group: for each q, the smallest
+    value v with count(x <= v) >= ceil(q * n). No approximation (the
+    scale alternative Spark offers, approx_percentile, has an error
+    bound) and no global sort: one hash aggregate to the per-(group,
+    value) distribution, one window partitioned by group over that
+    compact distribution, one final aggregate.
+
+    ``qs`` entries should be exactly-representable binary fractions
+    (0.25, 0.5, 0.75...) so ceil(q*n) never suffers float jitter; the
+    semantics above are pinned in plain SQL by the oracle, not by any
+    engine's quantile builtin.
+    """
+    keys = list(group_cols)
+    dist = df.groupBy(*keys, value_col).agg(F.count("*").alias("__c"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*keys)
+    cum = dist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(wg)
+    )
+    aggs = []
+    for q in qs:
+        target = F.ceil(F.lit(q) * F.col("__n"))
+        label = f"q{int(q * 100)}"
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum") >= target, F.col(value_col))
+            ).alias(label)
+        )
+    return cum.groupBy(*keys).agg(
+        F.max("__n").alias("n"),
+        *aggs,
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    variant_col: str,
+    variant_a: str = "A",
+    bucket: Column | None = None,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov D statistic:
+    D = max over observed values of |F_a(v) - F_b(v)|, with the
+    empirical CDFs evaluated at every distinct value (right-continuous,
+    the textbook definition — ties handled exactly).
+
+    Scale path: per-distinct-value counts for each sample, then the
+    cumulative counts via the distributed prefix-sum decomposition
+    (``bucket`` must be monotone in the value order; defaults to the
+    value itself, right for discrete/fixed-point measures) — never a
+    single-task global window. Returns one row:
+    (n_a, n_b, d_stat)."""
+    from .windows import scalable_running_sum
+
+    is_a = F.col(variant_col) == F.lit(variant_a)
+    dist = (
+        df.groupBy(value_col)
+        .agg(
+            F.count(F.when(is_a, 1)).alias("__ca"),
+            F.count(F.when(~is_a, 1)).alias("__cb"),
+        )
+    )
+    b = bucket if bucket is not None else F.col(value_col)
+    cum_a = scalable_running_sum(
+        dist, b, [value_col], "__ca", out_col="__cuma"
+    )
+    cum = scalable_running_sum(
+        cum_a, b, [value_col], "__cb", out_col="__cumb"
+    )
+    totals = dist.agg(
+        F.sum("__ca").alias("n_a"), F.sum("__cb").alias("n_b")
+    )
+    d = F.abs(
+        F.col("__cuma").cast("double") / F.col("n_a").cast("double")
+        - F.col("__cumb").cast("double") / F.col("n_b").cast("double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select("n_a", "n_b", d.alias("__d"))
+        .groupBy("n_a", "n_b")
+        .agg(F.max("__d").alias("d_stat"))
+    )

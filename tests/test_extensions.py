@@ -138,6 +138,61 @@ def test_position_attribution_conserves_cents(spark, sf_dir):
     assert bad.count() == 0, bad.limit(5).collect()
 
 
+def test_exact_group_quantiles_brute_force(spark):
+    """smallest v with count(x<=v) >= ceil(q*n), per group, vs a
+    direct Python computation on tie-heavy data."""
+    import math
+    import random
+
+    from etl_spark_spark.operators.stats import exact_group_quantiles
+
+    rng = random.Random(11)
+    rows = [(rng.choice("XY"), float(rng.randint(0, 20))) for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.g: (r.n, r.q25, r.q50, r.q75)
+        for r in exact_group_quantiles(df, ["g"], "v").collect()
+    }
+    for g in "XY":
+        vs = sorted(v for gg, v in rows if gg == g)
+        n = len(vs)
+        want = tuple(vs[math.ceil(q * n) - 1] for q in (0.25, 0.5, 0.75))
+        assert got[g] == (n, *want), (g, got[g], want)
+
+
+def test_ks_two_sample_brute_force(spark):
+    """D statistic vs direct CDF-difference computation, including the
+    identical-distribution zero case."""
+    import random
+
+    from etl_spark_spark.operators.stats import ks_two_sample
+
+    rng = random.Random(13)
+    rows = [
+        ("A" if rng.random() < 0.5 else "B", rng.randint(0, 30))
+        for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "variant string, v long")
+    row = ks_two_sample(df, "v", "variant").collect()[0]
+    a = sorted(v for t, v in rows if t == "A")
+    b = sorted(v for t, v in rows if t == "B")
+    grid = sorted({v for _, v in rows})
+    want = max(
+        abs(
+            sum(x <= g for x in a) / len(a)
+            - sum(x <= g for x in b) / len(b)
+        )
+        for g in grid
+    )
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    assert abs(row.d_stat - want) < 1e-15
+    same = spark.createDataFrame(
+        [("A", v) for v in range(10)] + [("B", v) for v in range(10)],
+        "variant string, v long",
+    )
+    assert ks_two_sample(same, "v", "variant").collect()[0].d_stat == 0.0
+
+
 def test_pareto_frontier_equals_brute_force(spark):
     """Distributed sweep == quadratic dominance test, on data dense
     with ties and exact duplicates (the hard cases: same-x groups,
