@@ -1,5 +1,5 @@
 from .dedup import dedup_any, dedup_latest
-from .graph import connected_components
+from .graph import connected_components, pagerank_exact, triangle_counts
 from .joins import broadcast_join, join_expr
 from .multimodal import (
     attach_media,
@@ -56,14 +56,35 @@ from .rollup import agg_snapshot, apply_agg_delta
 from .scd import scd2_apply, scd2_as_of
 from .skew import salted_join, salted_sum, with_salt
 from .windows import (
+    pareto_frontier_2d,
     partial_topk,
     partitioned_sum,
+    scalable_running_max,
+    scalable_running_sum,
     top_k_per_group,
     top_one_per_group_agg,
 )
+from .grouped import (
+    activity_streaks,
+    transition_counts,
+    welch_t_test,
+)
+from .stats import exact_group_quantiles, ks_two_sample
+from .asof import position_attribution
 
 __all__ = [
+    "activity_streaks",
     "agg_snapshot",
+    "exact_group_quantiles",
+    "ks_two_sample",
+    "pagerank_exact",
+    "pareto_frontier_2d",
+    "position_attribution",
+    "scalable_running_max",
+    "scalable_running_sum",
+    "transition_counts",
+    "triangle_counts",
+    "welch_t_test",
     "apply_agg_delta",
     "bigram_doc_frequency",
     "bigram_pairs",

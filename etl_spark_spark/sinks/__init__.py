@@ -1,4 +1,5 @@
 from .write import (
+    export_training_shards,
     upsert,
     write,
     write_bucketed,
@@ -18,6 +19,7 @@ from .versioned import (
 )
 
 __all__ = [
+    "export_training_shards",
     "write", "upsert", "write_bucketed", "write_range_sorted", "write_sized",
     "write_zordered", "write_version", "read_versioned",
     "merge_into_versioned", "vacuum_versions", "current_version",

@@ -389,3 +389,84 @@ def write_sized(
             shutil.rmtree(stage, ignore_errors=True)
     finally:
         df.unpersist()
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    split_col: str,
+    shard_key: Sequence[str],
+    shards_per_split: int = 4,
+) -> dict:
+    """Export a curated corpus as training shards: one directory per
+    split, ``shards_per_split`` parquet files each, rows assigned to a
+    shard by hash of ``shard_key`` (deterministic — re-running the
+    export from the same input reproduces byte-identical shard
+    membership, independent of partitioning or cluster size), and a
+    manifest recording per-shard row counts and an order-insensitive
+    content digest (sum + xor of per-row hashes — associative, so the
+    digest is reproducible under any execution order).
+
+    The manifest is the consumer contract: a trainer can verify a
+    shard it downloaded without re-reading the corpus. Returns the
+    manifest dict; writes it as ``_manifest.json`` next to the shards.
+
+    Scale: one pass — shard assignment is an expression, the write is
+    ``partitionBy(split, shard)`` (each task streams to its own
+    directories), digests are a hash aggregate. No collect of data
+    rows; only the tiny manifest comes to the driver.
+    """
+    import json as _json
+    from pathlib import Path as _Path
+
+    from pyspark.sql import functions as F
+
+    key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in shard_key])
+    tagged = df.withColumn(
+        "__shard", F.pmod(F.xxhash64(key, F.lit(41)), F.lit(shards_per_split))
+    )
+    tagged.write.mode("overwrite").partitionBy(split_col, "__shard").parquet(
+        path
+    )
+    back = _spark_of(df).read.parquet(path)
+    row_h = F.xxhash64(
+        F.concat_ws(
+            "\x00", *[F.col(c).cast("string") for c in sorted(df.columns)]
+        )
+    )
+    stats = (
+        back.withColumn("__h", row_h)
+        .groupBy(split_col, "__shard")
+        .agg(
+            F.count("*").alias("rows"),
+            # decimal(38,0): exact associative sum with no long
+            # overflow under ANSI mode
+            F.sum(F.col("__h").cast("decimal(38,0)")).alias("hash_sum"),
+            F.expr("cast(bit_xor(__h) as long)").alias("hash_xor"),
+        )
+        .collect()
+    )
+    shard_rows = [
+        {
+            "split": r[split_col],
+            "shard": int(r["__shard"]),
+            "rows": int(r["rows"]),
+            "hash_sum": int(r["hash_sum"]),
+            "hash_xor": int(r["hash_xor"]),
+        }
+        for r in stats
+    ]
+    manifest = {
+        "shards": sorted(
+            shard_rows, key=lambda s: (str(s["split"]), s["shard"])
+        ),
+        "total_rows": sum(s["rows"] for s in shard_rows),
+        "columns": sorted(df.columns),
+        "shards_per_split": shards_per_split,
+    }
+    (_Path(path) / "_manifest.json").write_text(_json.dumps(manifest, indent=1))
+    return manifest
+
+
+def _spark_of(df: DataFrame) -> SparkSession:
+    return df.sparkSession

@@ -175,8 +175,10 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # broadcast total crossJoined under an inequality filter
     # doc_budget_mix: crossJoins of 1-row totals (weight sum + leftover)
     # benford_totalprice: crossJoin of the 1-row digit-count total
+    # ks_test_ab: crossJoin of the 1-row (n_a, n_b) totals aggregate
     allowed_bnlj = {
         "benford_totalprice",
+        "ks_test_ab",
         "important_parts",
         "doc_budget_mix",
         "daily_dense_orders",
@@ -315,6 +317,48 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
     assert "AdaptiveSparkPlan isFinalPlan=true" in final
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final, "AQE should have converted the SMJ"
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join: a shuffle join with one hot key must come out of
+    adaptive execution with the skewed partition SPLIT
+    (SortMergeJoin(skew=true) + an AQEShuffleRead marked skewed) —
+    the runtime answer to key skew when salting isn't applied.
+    Thresholds are scaled down so fixture-size data trips the same
+    code path production sizes would."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.concat(F.lit("x" * 80), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):

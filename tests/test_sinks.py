@@ -745,3 +745,38 @@ def test_bucket_digests_and_scoped_diff(spark):
         .collect()
     }
     assert 3 % 64 in bad_buckets
+
+
+def test_export_training_shards_manifest_reproducible(spark, tmp_path):
+    """Shard membership and manifest digests must be deterministic
+    functions of the DATA — identical across re-exports under
+    different partitionings — and totals must reconcile."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.sinks.write import export_training_shards
+    from etl_spark_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "source",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c",
+            F.lit("train"),
+        ).otherwise(F.lit("val")).alias("split"),
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = export_training_shards(docs, p1, "split", ["doc_id"], 3)
+    m2 = export_training_shards(
+        docs.repartition(13), p2, "split", ["doc_id"], 3
+    )
+    assert m1 == m2
+    assert m1["total_rows"] == docs.count()
+    assert {s["split"] for s in m1["shards"]} == {"train", "val"}
+    assert all(s["rows"] > 0 for s in m1["shards"])
+    import json
+    from pathlib import Path
+
+    on_disk = json.loads((Path(p1) / "_manifest.json").read_text())
+    assert on_disk["total_rows"] == m1["total_rows"]
+    # every shard directory exists and holds parquet
+    back = spark.read.parquet(p1)
+    assert back.count() == m1["total_rows"]
