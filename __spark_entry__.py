@@ -3365,6 +3365,49 @@ def q_ks_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4):
+    parse_json once, variant_get typed extraction, then aggregate —
+    the open-schema path when JSON payloads are too heterogeneous for
+    a fixed struct (the MapType companion query pins the closed-schema
+    path). Oracle: DuckDB JSON extraction of the same field."""
+    ev = read_events(spark, sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+def q_pyds_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the custom Python DataSource (partition-parallel
+    pure-Python reader, sources/pydatasource.py): 5000 synthetic rows
+    in 8 planned slices, aggregated per source. The oracle regenerates
+    the corpus with SQL range() + the same integer arithmetic — the
+    whole custom-connector read path is value-checked."""
+    from etl_spark_spark.sources.pydatasource import register_synthdocs
+
+    register_synthdocs(spark)
+    df = (
+        spark.read.format("synthdocs")
+        .option("rows", 5000)
+        .option("parts", 8)
+        .load()
+    )
+    return df.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
+    )
+
+
 _SUPPLIER_TRIANGLES_SQL = """
 WITH bip AS (
   SELECT DISTINCT o_custkey, l_suppkey
@@ -3618,6 +3661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_totalprice": q_benford_totalprice,
         "exact_price_quartiles": q_exact_price_quartiles,
         "ks_test_ab": q_ks_test_ab,
+        "events_props_variant": q_events_props_variant,
+        "pyds_source_stats": q_pyds_source_stats,
         "concurrent_sessions": q_concurrent_sessions,
         "global_spend_rank": q_global_spend_rank,
         "replica_drift_audit": q_replica_drift_audit,
@@ -5765,6 +5810,34 @@ SELECT n_a, n_b,
 FROM cum, t GROUP BY n_a, n_b
 """
 
+_EVENTS_PROPS_VARIANT_SQL = """
+WITH k AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       min(k) AS k_min,
+       max(k) AS k_max
+FROM k GROUP BY event_type
+"""
+
+# regenerates the synthetic DataSource corpus: same integer arithmetic
+# as sources/pydatasource.py (_MULT/_MOD)
+_PYDS_SOURCE_STATS_SQL = """
+WITH ids AS (SELECT range AS doc_id FROM range(5000)),
+d AS (
+  SELECT doc_id, 's' || CAST(doc_id % 5 AS VARCHAR) AS source,
+         (doc_id * 2654435761) % 997 AS n_chars
+  FROM ids
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM d GROUP BY source
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -5872,6 +5945,8 @@ def oracle_sql() -> dict[str, str]:
         "benford_totalprice": _BENFORD_TOTALPRICE_SQL,
         "exact_price_quartiles": _EXACT_PRICE_QUARTILES_SQL,
         "ks_test_ab": _KS_TEST_AB_SQL,
+        "events_props_variant": _EVENTS_PROPS_VARIANT_SQL,
+        "pyds_source_stats": _PYDS_SOURCE_STATS_SQL,
         "concurrent_sessions": _CONCURRENT_SESSIONS_SQL,
         "global_spend_rank": _GLOBAL_SPEND_RANK_SQL,
         "replica_drift_audit": _REPLICA_DRIFT_AUDIT_SQL,
