@@ -3408,6 +3408,121 @@ def q_pyds_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean event value per user: each event's value
+    holds until the user's next event (sampled-state semantics — the
+    right mean for irregular time series, where the plain mean
+    over-weights bursts). Weighted sums are exact integer
+    cents x microseconds in decimal(38,0); the final division is the
+    usual oracle-mirrored exact-int IEEE step."""
+    from pyspark.sql import Window as W
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.col("event_id"),
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    seg = ev.withColumn("next_us", F.lead("us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    s = seg.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("next_us") - F.col("us")).alias("active_us"),
+        F.sum(
+            (F.col("cents") * (F.col("next_us") - F.col("us"))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("wsum"),
+    )
+    return s.select(
+        "user_id",
+        "n_segments",
+        "active_us",
+        (
+            F.col("wsum").cast("double")
+            / F.col("active_us").cast("double")
+        ).alias("tw_cents"),
+    )
+
+
+def q_monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue report: per-month integer-cents totals
+    (one hash aggregate over the fact), then lag/delta/pct over the
+    TINY month table — the serial window is sized by the number of
+    months, never the fact row count."""
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]
+    )
+    from pyspark.sql import Window as W
+
+    monthly = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("month")
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+    w = W.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue_cents",
+        F.lag("revenue_cents").over(w).alias("prev_cents"),
+        (
+            F.col("revenue_cents") - F.lag("revenue_cents").over(w)
+        ).alias("delta_cents"),
+        (
+            (
+                F.col("revenue_cents") - F.lag("revenue_cents").over(w)
+            ).cast("double")
+            / F.lag("revenue_cents").over(w).cast("double")
+        ).alias("mom_pct"),
+    )
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory analysis: parts ranked by revenue, classified by
+    cumulative revenue share (A < 80%, B < 95%, C rest). The cumulative
+    sum over the revenue-descending global order runs through the
+    distributed prefix-sum decomposition bucketed by revenue band —
+    the one serial window sees only band totals
+    (operators/windows.py:scalable_running_sum)."""
+    from etl_spark_spark.operators.windows import scalable_running_sum
+
+    li = table(
+        spark, sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"]
+    )
+    rev = (
+        li.select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+    cum = scalable_running_sum(
+        rev,
+        -F.expr("revenue_cents div 100000000"),
+        [F.col("revenue_cents").desc(), F.col("l_partkey")],
+        "revenue_cents",
+        out_col="cum_cents",
+    )
+    total = rev.agg(F.sum("revenue_cents").alias("__total"))
+    share = F.col("cum_cents").cast("double") / F.col("__total").cast("double")
+    return cum.crossJoin(F.broadcast(total)).select(
+        "l_partkey",
+        "revenue_cents",
+        "cum_cents",
+        share.alias("cum_share"),
+        F.when(share < 0.8, F.lit("A"))
+        .when(share < 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
 _SUPPLIER_TRIANGLES_SQL = """
 WITH bip AS (
   SELECT DISTINCT o_custkey, l_suppkey
@@ -3663,6 +3778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test_ab": q_ks_test_ab,
         "events_props_variant": q_events_props_variant,
         "pyds_source_stats": q_pyds_source_stats,
+        "time_weighted_value": q_time_weighted_value,
+        "monthly_revenue_mom": q_monthly_revenue_mom,
+        "abc_classification": q_abc_classification,
         "concurrent_sessions": q_concurrent_sessions,
         "global_spend_rank": q_global_spend_rank,
         "replica_drift_audit": q_replica_drift_audit,
@@ -5839,6 +5957,71 @@ FROM d GROUP BY source
 """
 
 
+_TIME_WEIGHTED_VALUE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), seg AS (
+  SELECT user_id, us, cents,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+  FROM ev
+), s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(next_us - us) AS BIGINT) AS active_us,
+         sum(cents * (next_us - us)) AS wsum
+  FROM seg WHERE next_us IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_segments, active_us,
+       CAST(CAST(wsum AS VARCHAR) AS DOUBLE) / CAST(active_us AS DOUBLE)
+         AS tw_cents
+FROM s
+"""
+
+_MONTHLY_REVENUE_MOM_SQL = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue_cents,
+       lag(revenue_cents) OVER (ORDER BY month) AS prev_cents,
+       revenue_cents - lag(revenue_cents) OVER (ORDER BY month)
+         AS delta_cents,
+       CAST(revenue_cents - lag(revenue_cents) OVER (ORDER BY month)
+            AS DOUBLE)
+         / CAST(lag(revenue_cents) OVER (ORDER BY month) AS DOUBLE)
+         AS mom_pct
+FROM m
+"""
+
+_ABC_CLASSIFICATION_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT l_partkey, revenue_cents,
+         CAST(sum(revenue_cents) OVER (
+           ORDER BY revenue_cents DESC, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_cents,
+         (SELECT CAST(sum(revenue_cents) AS BIGINT) FROM rev) AS total
+  FROM rev
+)
+SELECT l_partkey, revenue_cents, cum_cents,
+       CAST(cum_cents AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(cum_cents AS DOUBLE) / CAST(total AS DOUBLE) < 0.8
+              THEN 'A'
+            WHEN CAST(cum_cents AS DOUBLE) / CAST(total AS DOUBLE) < 0.95
+              THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -5947,6 +6130,9 @@ def oracle_sql() -> dict[str, str]:
         "ks_test_ab": _KS_TEST_AB_SQL,
         "events_props_variant": _EVENTS_PROPS_VARIANT_SQL,
         "pyds_source_stats": _PYDS_SOURCE_STATS_SQL,
+        "time_weighted_value": _TIME_WEIGHTED_VALUE_SQL,
+        "monthly_revenue_mom": _MONTHLY_REVENUE_MOM_SQL,
+        "abc_classification": _ABC_CLASSIFICATION_SQL,
         "concurrent_sessions": _CONCURRENT_SESSIONS_SQL,
         "global_spend_rank": _GLOBAL_SPEND_RANK_SQL,
         "replica_drift_audit": _REPLICA_DRIFT_AUDIT_SQL,

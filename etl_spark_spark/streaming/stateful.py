@@ -128,3 +128,53 @@ def stream_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_purchase_click_left_join(
+    spark: SparkSession,
+    path: str,
+    within: str = "30 minutes",
+    glob: str | None = None,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: like the inner form, but
+    purchases with no click in the window are emitted null-extended —
+    AFTER the watermark passes their join range, because only then can
+    the engine prove no matching click can still arrive. The test
+    pins exactly that semantics: matched rows equal the inner join's;
+    null rows appear only once the range is watermark-closed, so a
+    tail-of-stream purchase may legitimately be withheld."""
+    clicks = (
+        read_events_stream(spark, path, glob=glob)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", within)
+    )
+    purchases = (
+        read_events_stream(spark, path, glob=glob)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", within)
+    )
+    return purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (clicks.click_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    ).select(
+        purchases.user_id,
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "value",
+    )

@@ -176,7 +176,9 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # doc_budget_mix: crossJoins of 1-row totals (weight sum + leftover)
     # benford_totalprice: crossJoin of the 1-row digit-count total
     # ks_test_ab: crossJoin of the 1-row (n_a, n_b) totals aggregate
+    # abc_classification: crossJoin of the 1-row revenue grand total
     allowed_bnlj = {
+        "abc_classification",
         "benford_totalprice",
         "ks_test_ab",
         "important_parts",

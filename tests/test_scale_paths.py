@@ -574,3 +574,54 @@ def test_stream_near_dup_crash_replay_keeps_rows(spark, sf_dir, tmp_path):
     assert got == expected
     assert len(got_rows) == len(got)
     assert {r.doc_id for r in got_rows} <= all_ids
+
+
+def test_stream_stream_left_join_null_extension(spark, sf_dir):
+    """Left-outer stream-stream join: matched rows must be a subset of
+    the batch inner join; null-extended rows must appear, and only for
+    purchases the BATCH inner join also leaves unmatched (the engine
+    may withhold tail purchases whose range is not yet
+    watermark-closed, but must never invent a null row for a purchase
+    that has a click in range)."""
+    from etl_spark_spark.streaming.stateful import (
+        stream_purchase_click_left_join,
+    )
+
+    rows = run_available_now(
+        stream_purchase_click_left_join(spark, sf_dir, glob="events.parquet"),
+        query_name="t_ssj_left",
+        output_mode="append",
+    )
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch_inner = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in purchases.join(
+            clicks,
+            (purchases.user_id == clicks.user_id)
+            & (clicks.click_ts <= purchases.purchase_ts)
+            & (
+                clicks.click_ts
+                >= purchases.purchase_ts - F.expr("INTERVAL 30 minutes")
+            ),
+        ).collect()
+    }
+    matched_purchases = {p for (_, p, _) in batch_inner}
+    got_matched = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in rows
+        if r.click_id is not None
+    }
+    got_nulls = {r.purchase_id for r in rows if r.click_id is None}
+    assert got_matched and got_matched <= batch_inner
+    assert got_nulls, "some unmatched purchase should be null-extended"
+    assert not (got_nulls & matched_purchases), (
+        "null-extended a purchase that has an in-range click"
+    )
