@@ -3523,6 +3523,87 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup->first-purchase latency, exact quartiles per signup-day
+    cohort: two min-aggregates (first signup, first purchase at or
+    after it), then operators/stats.py:exact_group_quantiles over the
+    integer-microsecond latencies — funnel timing analytics with no
+    approx-percentile error."""
+    from etl_spark_spark.operators.stats import exact_group_quantiles
+
+    ev = read_events(spark, sf_dir)
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("signup_us"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    conv = (
+        signups.join(purchases, "user_id")
+        .filter(F.col("p_us") >= F.col("signup_us"))
+        .groupBy("user_id", "signup_us")
+        .agg(F.min("p_us").alias("first_purchase_us"))
+        .select(
+            F.date_format(
+                F.timestamp_micros(F.col("signup_us")), "yyyy-MM-dd"
+            ).alias("cohort_day"),
+            (F.col("first_purchase_us") - F.col("signup_us")).alias(
+                "latency_us"
+            ),
+        )
+    )
+    return exact_group_quantiles(conv, ["cohort_day"], "latency_us")
+
+
+def q_part_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering scores: parts co-ordered by
+    the same customer, scored by cosine over the customer-incidence
+    vectors — shared / sqrt(n_a * n_b), the association normalization
+    that makes hub items comparable to niche ones. Exact integer
+    inputs; pairs need >= 3 shared customers (the support floor that
+    also bounds the pair fanout)."""
+    li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    orders = table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    inc = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    deg = inc.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = inc.alias("a")
+    b = inc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    da = deg.withColumnsRenamed({"l_partkey": "part_a", "n": "n_a"})
+    db = deg.withColumnsRenamed({"l_partkey": "part_b", "n": "n_b"})
+    return (
+        pairs.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+
+
 _SUPPLIER_TRIANGLES_SQL = """
 WITH bip AS (
   SELECT DISTINCT o_custkey, l_suppkey
@@ -3781,6 +3862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_value": q_time_weighted_value,
         "monthly_revenue_mom": q_monthly_revenue_mom,
         "abc_classification": q_abc_classification,
+        "conversion_latency": q_conversion_latency,
+        "part_cooccurrence_cosine": q_part_cooccurrence_cosine,
         "concurrent_sessions": q_concurrent_sessions,
         "global_spend_rank": q_global_spend_rank,
         "replica_drift_audit": q_replica_drift_audit,
@@ -6022,6 +6105,56 @@ FROM cum
 """
 
 
+_CONVERSION_LATENCY_SQL = """
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), conv AS (
+  SELECT strftime(make_timestamp(s.signup_us), '%Y-%m-%d') AS cohort_day,
+         min(p.p_us) - s.signup_us AS latency_us
+  FROM s JOIN p ON s.user_id = p.user_id AND p.p_us >= s.signup_us
+  GROUP BY s.user_id, s.signup_us
+), dist AS (
+  SELECT cohort_day, latency_us AS v, count(*) AS c FROM conv GROUP BY 1, 2
+), cum AS (
+  SELECT cohort_day, v, c,
+         sum(c) OVER (PARTITION BY cohort_day ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY cohort_day) AS n
+  FROM dist
+)
+SELECT cohort_day, CAST(max(n) AS BIGINT) AS n,
+       min(CASE WHEN cum >= ceil(0.25 * n) THEN v END) AS q25,
+       min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS q50,
+       min(CASE WHEN cum >= ceil(0.75 * n) THEN v END) AS q75
+FROM cum GROUP BY cohort_day
+"""
+
+_PART_COOCCURRENCE_COSINE_SQL = """
+WITH inc AS (
+  SELECT DISTINCT o_custkey, l_partkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), deg AS (
+  SELECT l_partkey, count(*) AS n FROM inc GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM inc a JOIN inc b
+    ON a.o_custkey = b.o_custkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT part_a, part_b, shared,
+       CAST(shared AS DOUBLE)
+         / sqrt(CAST(da.n * db.n AS DOUBLE)) AS cosine
+FROM pairs
+JOIN deg da ON da.l_partkey = part_a
+JOIN deg db ON db.l_partkey = part_b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -6133,6 +6266,8 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_value": _TIME_WEIGHTED_VALUE_SQL,
         "monthly_revenue_mom": _MONTHLY_REVENUE_MOM_SQL,
         "abc_classification": _ABC_CLASSIFICATION_SQL,
+        "conversion_latency": _CONVERSION_LATENCY_SQL,
+        "part_cooccurrence_cosine": _PART_COOCCURRENCE_COSINE_SQL,
         "concurrent_sessions": _CONCURRENT_SESSIONS_SQL,
         "global_spend_rank": _GLOBAL_SPEND_RANK_SQL,
         "replica_drift_audit": _REPLICA_DRIFT_AUDIT_SQL,
