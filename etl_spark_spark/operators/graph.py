@@ -208,6 +208,12 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # the canonical edge list feeds SEVEN plan branches (degrees x2,
+        # orientation x2, both wedge sides, the closing join); without a
+        # checkpoint Catalyst re-derives the whole upstream per branch —
+        # a 200+-exchange plan when edges come from a join+aggregate.
+        # The edge list is the small artifact here; materialize it once.
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -233,6 +239,8 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
                 F.col("v"),
             ).otherwise(F.col("u")).alias("hi"),
         )
+        # edge-sized like e; feeds both wedge sides — one materialization
+        .localCheckpoint()
     )
     w1 = oriented.withColumnsRenamed({"lo": "pivot", "hi": "b"})
     w2 = oriented.withColumnsRenamed({"lo": "pivot", "hi": "c"})
