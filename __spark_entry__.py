@@ -3604,6 +3604,114 @@ def q_part_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chi2_type_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (event type x A/B variant) with
+    Cramér's V — the categorical counterpart to ab_test_welch. Every
+    per-cell contribution is an exact-integer IEEE division, and the
+    cross-cell sum folds a SORTED cell array sequentially
+    (F.aggregate, mirrored by the oracle's list_reduce) so the float
+    total is bit-identical regardless of partitioning — a parallel
+    float SUM() would be order-dependent."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            F.lit("A"),
+        ).otherwise(F.lit("B")).alias("variant"),
+    )
+    cells = ev.groupBy("event_type", "variant").agg(
+        F.count("*").alias("o")
+    )
+    rows_t = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_t = cells.groupBy("variant").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("N"),
+        F.count_distinct("event_type").alias("n_rows"),
+        F.count_distinct("variant").alias("n_cols"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    j = (
+        cells.join(rows_t, "event_type")
+        .join(F.broadcast(cols_t), "variant")
+        .crossJoin(F.broadcast(tot))
+    )
+    num = dec(F.col("o") * F.col("N") - F.col("r") * F.col("c"))
+    contrib = (num * num).cast("double") / dec(
+        F.col("N") * F.col("r") * F.col("c")
+    ).cast("double")
+    folded = j.select(
+        F.concat_ws("|", "event_type", "variant").alias("k"),
+        contrib.alias("ct"),
+        "N",
+        "n_rows",
+        "n_cols",
+    ).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("k", "ct"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x.getField("ct"),
+        ).alias("chi2"),
+        F.max("N").alias("n"),
+        F.max("n_rows").alias("n_rows"),
+        F.max("n_cols").alias("n_cols"),
+    )
+    return folded.select(
+        "n",
+        "chi2",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n")
+                * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+            ).cast("double")
+        ).alias("cramers_v"),
+    )
+
+
+def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — concentration analytics
+    with the exact rank-weighted formula G = (2*sum(i*x_i) - (n+1)*
+    sum(x)) / (n*sum(x)) over ascending spend. The global rank comes
+    from the distributed prefix-sum (never a single-task window), the
+    rank-weighted sum is exact decimal, and only the final division is
+    float — one deterministic row."""
+    from etl_spark_spark.operators.windows import scalable_running_sum
+
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    ranked = scalable_running_sum(
+        spend.withColumn("__one", F.lit(1)),
+        F.expr("cents div 100000"),
+        [F.col("cents"), F.col("o_custkey")],
+        "__one",
+        out_col="rk",
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(dec(F.col("rk") * F.col("cents"))).alias("six"),
+    )
+    return s.select(
+        "n",
+        "sx",
+        (
+            (
+                F.lit(2) * dec(F.col("six"))
+                - dec((F.col("n") + 1)) * dec(F.col("sx"))
+            ).cast("double")
+            / (dec(F.col("n")) * dec(F.col("sx"))).cast("double")
+        ).alias("gini"),
+    )
+
+
 _SUPPLIER_TRIANGLES_SQL = """
 WITH bip AS (
   SELECT DISTINCT o_custkey, l_suppkey
@@ -3864,6 +3972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abc_classification": q_abc_classification,
         "conversion_latency": q_conversion_latency,
         "part_cooccurrence_cosine": q_part_cooccurrence_cosine,
+        "chi2_type_variant": q_chi2_type_variant,
+        "customer_spend_gini": q_customer_spend_gini,
         "concurrent_sessions": q_concurrent_sessions,
         "global_spend_rank": q_global_spend_rank,
         "replica_drift_audit": q_replica_drift_audit,
@@ -6155,6 +6265,64 @@ JOIN deg db ON db.l_partkey = part_b
 """
 
 
+_CHI2_TYPE_VARIANT_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant
+  FROM events
+), cells AS (
+  SELECT event_type, variant, count(*) AS o FROM d GROUP BY 1, 2
+), r AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+c AS (SELECT variant, sum(o) AS c FROM cells GROUP BY 1),
+t AS (
+  SELECT sum(o) AS N, count(DISTINCT event_type) AS n_rows,
+         count(DISTINCT variant) AS n_cols
+  FROM cells
+), j AS (
+  SELECT cells.event_type || '|' || cells.variant AS k,
+         CAST(CAST((o * N - r.r * c.c) * (o * N - r.r * c.c) AS VARCHAR)
+              AS DOUBLE)
+           / CAST(CAST(N * r.r * c.c AS VARCHAR) AS DOUBLE) AS ct,
+         N, n_rows, n_cols
+  FROM cells JOIN r USING (event_type) JOIN c USING (variant), t
+), f AS (
+  SELECT list_reduce(
+           list_transform(list_sort(list({'k': k, 'ct': ct})), x -> x.ct),
+           (a, b) -> a + b
+         ) AS chi2,
+         CAST(max(N) AS BIGINT) AS n,
+         max(n_rows) AS n_rows, max(n_cols) AS n_cols
+  FROM j
+)
+SELECT n, chi2,
+       CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+       sqrt(chi2 / CAST(n * least(n_rows - 1, n_cols - 1) AS DOUBLE))
+         AS cramers_v
+FROM f
+"""
+
+_CUSTOMER_SPEND_GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS rk
+  FROM spend
+), s AS (
+  SELECT count(*) AS n, sum(cents) AS sx, sum(rk * cents) AS six
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+       CAST(CAST(2 * six - (n + 1) * sx AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(n * sx AS VARCHAR) AS DOUBLE) AS gini
+FROM s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -6268,6 +6436,8 @@ def oracle_sql() -> dict[str, str]:
         "abc_classification": _ABC_CLASSIFICATION_SQL,
         "conversion_latency": _CONVERSION_LATENCY_SQL,
         "part_cooccurrence_cosine": _PART_COOCCURRENCE_COSINE_SQL,
+        "chi2_type_variant": _CHI2_TYPE_VARIANT_SQL,
+        "customer_spend_gini": _CUSTOMER_SPEND_GINI_SQL,
         "concurrent_sessions": _CONCURRENT_SESSIONS_SQL,
         "global_spend_rank": _GLOBAL_SPEND_RANK_SQL,
         "replica_drift_audit": _REPLICA_DRIFT_AUDIT_SQL,

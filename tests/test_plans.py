@@ -177,8 +177,10 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # benford_totalprice: crossJoin of the 1-row digit-count total
     # ks_test_ab: crossJoin of the 1-row (n_a, n_b) totals aggregate
     # abc_classification: crossJoin of the 1-row revenue grand total
+    # chi2_type_variant: crossJoin of the 1-row (N, n_rows, n_cols) totals
     allowed_bnlj = {
         "abc_classification",
+        "chi2_type_variant",
         "benford_totalprice",
         "ks_test_ab",
         "important_parts",
