@@ -3853,6 +3853,263 @@ FROM credit GROUP BY touch_type
 
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Lucene's default scorer) for a literal
+    query over the corpus — curation forensics ("which docs dominate
+    this query?"). Map-only tf via array filters (no explode), 1-row
+    corpus-stats broadcast, TakeOrderedAndProject top-k; scores are
+    micro-scaled ints so JVM-vs-libm ln ulp noise can't break the
+    oracle (operators/retrieval.py)."""
+    from etl_spark_spark.operators.retrieval import bm25_topk
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=15)
+
+
+_BM25_TERMS = ["hash", "join", "stream"]
+
+
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: mean unigram surprisal of every
+    document under token statistics trained on the corpus itself —
+    high = gibberish/OCR noise, low = boilerplate. Milli-nat integer
+    output (operators/lm.py)."""
+    from etl_spark_spark.operators.lm import unigram_surprisal
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_surprisal(docs, "doc_id", "text")
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication audit (suffix-array-dedup stand-in):
+    per doc, the fraction of its 8-token spans shared with other docs —
+    the boilerplate/templated-spam strip signal. Spans travel as md5
+    digests only (operators/neardup.py:duplicate_span_stats)."""
+    from etl_spark_spark.operators.neardup import duplicate_span_stats
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tok = docs.select("doc_id", tokens("text").alias("__tok"))
+    return duplicate_span_stats(tok, "doc_id", word_shingles("__tok", 8))
+
+
+def q_mann_whitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) A/B test on purchase values with tie
+    correction — the nonparametric sibling of ab_test_welch/ks_test_ab,
+    same deterministic variant split. Integer rank statistics from a
+    distribution aggregate + distributed prefix sum; z is IEEE-exact
+    (sqrt only — no transcendentals) (operators/stats.py)."""
+    from etl_spark_spark.operators.stats import mann_whitney_u
+
+    ev = table(spark, sf_dir, "events", columns=["user_id", "event_type", "value"])
+    d = ev.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return mann_whitney_u(d, "cents", "variant", variant_a="A")
+
+
+def q_supplier_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS (hop-bounded reachability) over the supplier
+    co-purchase graph: how far supplier 1's influence reaches within 3
+    hops. Frontier-expansion joins, one shuffle per hop, pinned by a
+    bounded-depth recursive-CTE oracle (operators/graph.py:bfs_hops)."""
+    from etl_spark_spark.operators.graph import bfs_hops
+
+    li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    bip = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = bip.alias("a"), bip.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("src", "dst")
+    )
+    return bfs_hops(edges, F.lit(1).cast("long"), max_hops=3)
+
+
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy profile of categorical columns across two tables
+    (order status/priority, document lang/source) — the degenerate-
+    feature / label-drift screen. One unpivot scan per table, micro-nat
+    integer entropy (functions/profile.py:categorical_entropy)."""
+    from etl_spark_spark.functions.profile import categorical_entropy
+
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"]
+    )
+    docs = table(spark, sf_dir, "documents", columns=["lang", "source"])
+    return categorical_entropy(
+        orders, ["o_orderstatus", "o_orderpriority"]
+    ).unionByName(categorical_entropy(docs, ["lang", "source"]))
+
+
+def q_priority_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode-priority two-level aggregate, keyed on
+    l_linestatus since this dataset carries no shipmode): lines shipped
+    in 1995, conditional counts of urgent/high vs lower order
+    priorities per status. Join prunes to 3 columns; CASE-sum partial
+    aggregates map-side."""
+    li = table(
+        spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus", "l_shipdate"]
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished multi-supplier orders, suppliers whose lineitem shipped
+    late (>60 days after order date) while EVERY other supplier shipped
+    on time. The exists/not-exists pair is expressed as one per-(order,
+    supplier) aggregate + one per-order aggregate — two hash shuffles
+    on keys that can't skew, instead of correlated subqueries."""
+    li = table(
+        spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    orders = table(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+    ).filter(F.col("o_orderstatus") == "F")
+    supplier = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("long")
+    per_os = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    waiting = per_os.filter(F.col("late") == 1).join(
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+        "l_orderkey",
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+def q_mv_routed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view routing (plans/mv.py): revenue by returnflag
+    answered from a (returnflag, linestatus, ship_year) additive rollup
+    instead of rescanning lineitem — the router re-aggregates integer
+    partial states, so the answer is bit-identical to the base-table
+    aggregate the oracle computes. The routing decision itself is
+    pinned by tests/test_mv.py."""
+    from etl_spark_spark.plans.mv import answer, materialize_rollup
+
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).withColumn(
+        "revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).withColumn("ship_year", F.year("l_shipdate"))
+    measures = {
+        "revenue_cents": ("revenue", "sum_cents"),
+        "n_lines": (None, "count"),
+    }
+    view = materialize_rollup(
+        li, "rf_ls_year", ["l_returnflag", "l_linestatus", "ship_year"], measures
+    )
+    routed, source = answer(
+        [view], lambda: li, ["l_returnflag"], measures
+    )
+    assert source == "rf_ls_year"  # must not fall back to a base scan
+    return routed
+
+
+def q_cumulative_new_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-acquisition curve: per month, first-time customers and
+    the running total of customers acquired so far. First-order month
+    via one hash aggregate; the running total uses the distributed
+    prefix-sum decomposition (year bucket), not a single-task global
+    window."""
+    from etl_spark_spark.operators.windows import scalable_running_sum
+
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.date_format("o_orderdate", "yyyy-MM")).alias("month")
+    )
+    monthly = first.groupBy("month").agg(F.count("*").alias("n_new"))
+    out = scalable_running_sum(
+        monthly,
+        F.substring("month", 1, 4),
+        ["month"],
+        "n_new",
+        out_col="cum_customers",
+    )
+    return out.select("month", "n_new", "cum_customers")
+
+
+def q_order_value_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions (percent_rank + cume_dist):
+    where every 1995-H1 order sits inside its month's value
+    distribution. Both statistics are exact integer-ratio divisions —
+    bit-stable at any parallelism. One shuffle on the month key."""
+    orders = table(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    ).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp_ntz"))
+    )
+    w = Window.partitionBy(
+        F.date_format("o_orderdate", "yyyy-MM")
+    ).orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -3996,6 +4253,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_group_sample": q_doc_group_sample,
         "daily_dense_orders": q_daily_dense_orders,
         "price_outliers": q_price_outliers,
+        "bm25_search": q_bm25_search,
+        "doc_surprisal": q_doc_surprisal,
+        "duplicate_spans": q_duplicate_spans,
+        "mann_whitney_ab": q_mann_whitney_ab,
+        "supplier_reach_bfs": q_supplier_reach_bfs,
+        "column_entropy": q_column_entropy,
+        "priority_lines_by_status": q_priority_lines_by_status,
+        "waiting_suppliers": q_waiting_suppliers,
+        "mv_routed_revenue": q_mv_routed_revenue,
+        "cumulative_new_customers": q_cumulative_new_customers,
+        "order_value_position": q_order_value_position,
     }
 
 
@@ -6323,6 +6591,211 @@ FROM s
 """
 
 
+def _bm25_oracle() -> str:
+    from etl_spark_spark.operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql("documents", "doc_id", "text", _BM25_TERMS, k=15)
+
+
+def _surprisal_oracle() -> str:
+    from etl_spark_spark.operators.lm import unigram_surprisal_sql
+
+    return unigram_surprisal_sql("documents", "doc_id", "text")
+
+
+_DUPLICATE_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 8
+                THEN list_transform(range(1, len(t) - 6),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                          t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                          t[i+6] || ' ' || t[i+7])
+                ELSE []::VARCHAR[] END) AS s
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, md5(s) AS h FROM sh0
+), sizes AS (
+  SELECT d.doc_id, count(sh.h) AS n_spans
+  FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+  GROUP BY 1
+), dfc AS (
+  SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), shared AS (
+  SELECT sh.doc_id, count(*) AS n_shared
+  FROM sh JOIN dfc USING (h) GROUP BY 1
+)
+SELECT s.doc_id, CAST(s.n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(x.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN s.n_spans > 0
+            THEN CAST(coalesce(x.n_shared, 0) AS DOUBLE)
+                 / CAST(s.n_spans AS DOUBLE)
+            ELSE 0.0 END AS shared_frac
+FROM sizes s LEFT JOIN shared x ON x.doc_id = s.doc_id
+"""
+
+
+_MANN_WHITNEY_AB_SQL = """
+WITH d AS (
+  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), dist AS (
+  SELECT cents,
+         count(*) FILTER (variant = 'A') AS ca,
+         count(*) FILTER (variant <> 'A') AS cb
+  FROM d GROUP BY 1
+), cum AS (
+  SELECT ca, cb, ca + cb AS nv,
+         sum(ca + cb) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumn
+  FROM dist
+), agg AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b,
+         CAST(sum(ca * (2 * (cumn - nv) + nv + 1)) AS BIGINT) AS ra2,
+         CAST(sum(nv * nv * nv - nv) AS BIGINT) AS tie_term
+  FROM cum
+)
+SELECT n_a, n_b,
+       CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+       tie_term,
+       (CAST(ra2 - n_a * (n_a + 1) AS DOUBLE)
+        - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+       / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+            * (CAST(n_a + n_b + 1 AS DOUBLE)
+               - CAST(tie_term AS DOUBLE)
+                 / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))) AS z
+FROM agg
+"""
+
+
+_SUPPLIER_REACH_BFS_SQL = """
+WITH RECURSIVE bip AS (
+  SELECT DISTINCT o.o_custkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-01-01'
+), e AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM bip a JOIN bip b
+    ON a.o_custkey = b.o_custkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), und AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT dst AS a, src AS b FROM e
+), walk(node, hops) AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS hops
+  UNION ALL
+  SELECT u.b AS node, w.hops + 1 AS hops
+  FROM walk w JOIN und u ON u.a = w.node
+  WHERE w.hops < 3
+)
+SELECT node, CAST(min(hops) AS INTEGER) AS hops FROM walk GROUP BY 1
+"""
+
+
+def _entropy_col_sql(col: str, tbl: str) -> str:
+    return f"""
+SELECT '{col}' AS column_name, CAST(sum(c) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(round((ln(CAST(sum(c) AS DOUBLE))
+                   - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                     / CAST(sum(c) AS DOUBLE)) * 1e6) AS BIGINT)
+         AS entropy_micro
+FROM (SELECT CAST({col} AS VARCHAR) AS v, count(*) AS c
+      FROM {tbl} GROUP BY 1)"""
+
+
+_COLUMN_ENTROPY_SQL = " UNION ALL ".join(
+    [
+        _entropy_col_sql("o_orderstatus", "orders"),
+        _entropy_col_sql("o_orderpriority", "orders"),
+        _entropy_col_sql("lang", "documents"),
+        _entropy_col_sql("source", "documents"),
+    ]
+)
+
+
+_PRIORITY_LINES_BY_STATUS_SQL = """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY 1
+"""
+
+
+_WAITING_SUPPLIERS_SQL = """
+WITH per_os AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY 1, 2
+), per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+  FROM per_os GROUP BY 1
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_os p
+JOIN per_order q ON p.l_orderkey = q.l_orderkey
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.late = 1 AND q.n_supp >= 2 AND q.n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+_MV_ROUTED_REVENUE_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY 1
+"""
+
+
+_CUMULATIVE_NEW_CUSTOMERS_SQL = """
+WITH first AS (
+  SELECT o_custkey, min(strftime(o_orderdate, '%Y-%m')) AS month
+  FROM orders GROUP BY 1
+), monthly AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS n_new FROM first GROUP BY 1
+)
+SELECT month, n_new,
+       CAST(sum(n_new) OVER (ORDER BY month
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum_customers
+FROM monthly
+"""
+
+
+_ORDER_VALUE_POSITION_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-07-01'
+WINDOW w AS (PARTITION BY strftime(o_orderdate, '%Y-%m')
+             ORDER BY o_totalprice)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -6468,4 +6941,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_group_sample": _DOC_GROUP_SAMPLE_SQL,
         "daily_dense_orders": _DAILY_DENSE_ORDERS_SQL,
         "price_outliers": _PRICE_OUTLIERS_SQL,
+        "bm25_search": _bm25_oracle(),
+        "doc_surprisal": _surprisal_oracle(),
+        "duplicate_spans": _DUPLICATE_SPANS_SQL,
+        "mann_whitney_ab": _MANN_WHITNEY_AB_SQL,
+        "supplier_reach_bfs": _SUPPLIER_REACH_BFS_SQL,
+        "column_entropy": _COLUMN_ENTROPY_SQL,
+        "priority_lines_by_status": _PRIORITY_LINES_BY_STATUS_SQL,
+        "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
+        "mv_routed_revenue": _MV_ROUTED_REVENUE_SQL,
+        "cumulative_new_customers": _CUMULATIVE_NEW_CUSTOMERS_SQL,
+        "order_value_position": _ORDER_VALUE_POSITION_SQL,
     }

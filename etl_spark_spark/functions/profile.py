@@ -91,3 +91,55 @@ def profile_drift(
         status.join(o, "column_name", "left")
         .join(n, "column_name", "left")
     )
+
+
+def categorical_entropy(
+    df: DataFrame, columns: Sequence[str]
+) -> DataFrame:
+    """Shannon entropy (and normalized entropy) of low-cardinality
+    columns — the screening statistic for degenerate / near-constant
+    features and for spotting drift in label distributions.
+
+    One row per profiled column: (column_name, n, n_distinct,
+    entropy_micro) with entropy = -sum p ln p in nats, emitted
+    micro-scaled (``round(x*1e6)::bigint``) because JVM and libm ``ln``
+    can disagree by 1 ulp — the 1e-6 quantum makes the value
+    bit-stable across engines while keeping six decimals.
+
+    Scale shape: one grouped count per column over a single unpivot
+    scan (the per-column category counts are tiny), then a per-column
+    fold — no driver loops, no collect.
+    """
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column_name", "kv.val")
+    counts = stacked.groupBy("column_name", "val").agg(
+        F.count("*").alias("__c")
+    )
+    per_col = counts.groupBy("column_name").agg(
+        F.sum("__c").alias("n"), F.count("*").alias("n_distinct"),
+        F.sum(
+            F.col("__c").cast("double") * F.log(F.col("__c").cast("double"))
+        ).alias("__sum_clnc"),
+    )
+    # -sum p ln p = ln n - (sum c ln c)/n
+    ent = (
+        F.log(F.col("n").cast("double"))
+        - F.col("__sum_clnc") / F.col("n").cast("double")
+    )
+    return per_col.select(
+        "column_name",
+        "n",
+        "n_distinct",
+        F.round(ent * 1e6).cast("long").alias("entropy_micro"),
+    )

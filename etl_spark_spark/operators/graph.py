@@ -257,3 +257,61 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .agg(F.count("*").alias("n_triangles"))
     )
     return per_node
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Single-source BFS over an UNDIRECTED edge table: minimum hop
+    count from ``source`` for every node within ``max_hops``.
+
+    The reachability primitive behind "blast radius" / influence-reach
+    questions on the co-purchase and trade graphs. Deterministic —
+    hop distances are unique minima, independent of partitioning or
+    visit order — so a bounded-depth recursive-CTE oracle reproduces
+    it exactly.
+
+    Scale shape: classic frontier expansion — per hop ONE shuffle join
+    (frontier ⋈ edges, frontier is only the newly-discovered nodes,
+    never the full visited set) + one left_anti against the visited
+    table + a distinct; lineage truncated per hop with localCheckpoint.
+    ``max_hops`` bounds the rounds, so the plan depth is fixed. Works
+    unchanged on a 1000-executor cluster: the per-hop frontier is the
+    only growing state and it lives in executors, not the driver.
+
+    Returns (node, hops) including the source at hops=0.
+    """
+    spark = edges.sparkSession
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = spark.range(1).select(
+        F.lit(source).alias("node"), F.lit(0).cast("int").alias("hops")
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(hop).cast("int").alias("hops"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited

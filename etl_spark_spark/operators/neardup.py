@@ -616,3 +616,61 @@ def contamination_scores(
         .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
         .withColumn("contamination", F.col("n_hits") / F.col("n_shingles"))
     )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    id_col: str,
+    shingles_col: Column,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplication audit (the scalable stand-in for
+    suffix-array substring dedup a la "Deduplicating Training Data
+    Makes Language Models Better": exact long-span matches, found by
+    hashing fixed-length token windows instead of building a suffix
+    array).
+
+    For every document: how many distinct spans (token n-gram windows
+    from ``shingles_col``) it contains, and what fraction of them also
+    appear in at least ``min_docs - 1`` OTHER documents — the signal
+    used to strip boilerplate passages and templated spam before
+    training.
+
+    Scale shape: spans travel as md5 digests (fixed 32 bytes, never the
+    raw text), one distinct per doc, one hash aggregate per span
+    keyed by digest (uniform keys — no skew), one semi-style join
+    back. Wide corpora shuffle only (digest, id) pairs.
+
+    Returns (id_col, n_spans, n_shared, shared_frac) — docs shorter
+    than the window size report 0 spans and 0.0 fraction.
+    """
+    spans = (
+        docs.select(F.col(id_col), F.explode_outer(shingles_col).alias("__s"))
+        .select(id_col, F.md5("__s").alias("__h"))
+        .distinct()
+    )
+    df_counts = (
+        spans.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.col("__h")).alias("n_spans")
+    )
+    shared = (
+        spans.join(df_counts, "__h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        per_doc.join(shared, id_col, "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .withColumn(
+            "shared_frac",
+            F.when(
+                F.col("n_spans") > 0,
+                F.col("n_shared").cast("double")
+                / F.col("n_spans").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

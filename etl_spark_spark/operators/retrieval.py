@@ -1,0 +1,161 @@
+"""Ranked text retrieval over a document corpus (LLM-data-pipeline
+extension; no reference counterpart — the reference's surface stops at
+relational ETL, but a training-data engine needs corpus search for
+curation forensics: "which documents dominate this query?").
+
+BM25 (Robertson/Sparck Jones probabilistic weighting, the Lucene/
+Elasticsearch default) implemented as PURE DataFrame expressions:
+
+- per-document term frequencies for the (small, literal) query term
+  set come from ``size(filter(tokens, t -> t = term))`` — map-only,
+  no explode, no shuffle, one pass over the corpus;
+- corpus statistics (N, avg doc length, per-term document frequency)
+  are ONE 1-row aggregate broadcast back with a crossJoin — the same
+  tiny-dimension idiom the repo uses everywhere;
+- the score is a fixed left-to-right chain of per-term contributions
+  (not a SUM aggregate), so floating-point evaluation order is
+  identical in any engine and under any parallelism;
+- scores are emitted as micro-scaled integers
+  (``round(score * 1e6)::bigint``): Spark's JVM ``ln`` and a C-libm
+  ``ln`` (DuckDB/NumPy) can disagree by 1 ulp (~4% of arguments,
+  measured in this container), so raw transcendental doubles are NOT
+  oracle-stable bitwise — a 1e-6 quantum absorbs ulp noise while
+  keeping six significant decimals of score.
+
+Scale: one corpus scan + a 1-row broadcast + TakeOrderedAndProject for
+the top-k — no shuffle proportional to corpus size. 100 TB of text
+ranks with map-side work only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for ``query_terms`` under BM25.
+
+    Returns ``(id_col, dl, n_hit_terms, score_micro)`` ordered by
+    (score desc, id) — deterministic under score ties. Documents
+    matching no query term are excluded.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    tok = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+
+    def _match(term: str):
+        # single-arg lambda factory: a default-arg lambda would have
+        # two parameters and F.filter would treat it as the
+        # (element, index) form
+        return lambda x: x == F.lit(term)
+
+    base = tok.select(
+        id_col,
+        F.size("__t").alias("dl"),
+        *[
+            F.size(F.filter(F.col("__t"), _match(t))).alias(f"__tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("__n_docs"),
+        F.sum("dl").alias("__sum_dl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    n = F.col("__n_docs").cast("double")
+    avgdl = F.col("__sum_dl").cast("double") / n
+    contribs = []
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        df = F.col(f"__df_{i}").cast("double")
+        idf = F.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        denom = tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+        contribs.append(
+            F.when(tf > 0, idf * (tf * (k1 + 1.0)) / denom).otherwise(F.lit(0.0))
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    n_hit = None
+    for i in range(len(query_terms)):
+        h = (F.col(f"__tf_{i}") > 0).cast("int")
+        n_hit = h if n_hit is None else n_hit + h
+    return (
+        scored.select(
+            id_col,
+            "dl",
+            n_hit.alias("n_hit_terms"),
+            F.round(score * 1e6).cast("long").alias("score_micro"),
+        )
+        .filter(F.col("score_micro") > 0)
+        .orderBy(F.desc("score_micro"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB mirror of :func:`bm25_topk` (same tokenization, same
+    expression tree, same micro-scaling) for the oracle gate."""
+    tf_cols = ", ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(query_terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(query_terms))
+    )
+    contribs = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN "
+        f"ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)"
+        f" * (CAST(tf_{i} AS DOUBLE) * ({k1} + 1.0))"
+        f" / (CAST(tf_{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b}"
+        f" * CAST(dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+        f" ELSE 0.0 END)"
+        for i in range(len(query_terms))
+    )
+    hits = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(query_terms))
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_col},
+         regexp_split_to_array(lower(trim({text_col})), '\\s+') AS t
+  FROM {table}
+), base AS (
+  SELECT {id_col}, len(t) AS dl, {tf_cols} FROM tok
+), s AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_cols} FROM base
+)
+SELECT {id_col}, dl, CAST({hits} AS INTEGER) AS n_hit_terms,
+       CAST(round(({contribs}) * 1e6) AS BIGINT) AS score_micro
+FROM base, s
+WHERE CAST(round(({contribs}) * 1e6) AS BIGINT) > 0
+ORDER BY score_micro DESC, {id_col}
+LIMIT {k}
+"""

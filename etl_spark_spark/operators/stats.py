@@ -109,3 +109,75 @@ def ks_two_sample(
         .groupBy("n_a", "n_b")
         .agg(F.max("__d").alias("d_stat"))
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    variant_col: str,
+    variant_a: str = "A",
+) -> DataFrame:
+    """EXACT Mann-Whitney U (Wilcoxon rank-sum) with tie correction.
+
+    The nonparametric two-sample location test — the robust companion
+    to the Welch t (``ab_test_welch``) and KS (``ks_two_sample``)
+    shapes: compares A/B by ranks, so it needs no normality and shrugs
+    off outliers.
+
+    Scale path (same trick as the siblings): collapse to ONE row per
+    distinct value with per-variant counts, then ranks come from an
+    integer prefix sum over that compact distribution — never a
+    per-row global sort. All sufficient statistics are integers
+    (doubled average ranks are integral even at ties), so every
+    derived double — U, the tie-corrected normal approximation z —
+    is a deterministic IEEE expression over exact integers that an
+    ANSI-SQL oracle reproduces bitwise (sqrt is correctly rounded per
+    IEEE 754, unlike ln/exp).
+
+    Returns one row: (n_a, n_b, u_a, tie_term, z) where u_a is the
+    U statistic of variant A and z uses the tie-corrected variance
+    sigma^2 = (na*nb/12)*((n+1) - T/(n*(n-1))), T = sum(t^3 - t).
+    """
+    is_a = F.col(variant_col) == F.lit(variant_a)
+    dist = df.groupBy(value_col).agg(
+        F.count(F.when(is_a, 1)).alias("__ca"),
+        F.count(F.when(~is_a, 1)).alias("__cb"),
+    )
+    from .windows import scalable_running_sum
+
+    dist = dist.withColumn("__nv", F.col("__ca") + F.col("__cb"))
+    cum = scalable_running_sum(
+        dist, F.col(value_col), [value_col], "__nv", out_col="__cum"
+    )
+    # doubled average rank of the tie group at v: 2*cum_before + nv + 1
+    rank2 = 2 * (F.col("__cum") - F.col("__nv")) + F.col("__nv") + 1
+    agg = cum.agg(
+        F.sum("__ca").alias("n_a"),
+        F.sum("__cb").alias("n_b"),
+        F.sum(F.col("__ca") * rank2).alias("__ra2"),
+        F.sum(
+            F.col("__nv").cast("long") * F.col("__nv") * F.col("__nv")
+            - F.col("__nv")
+        ).alias("tie_term"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = F.col("n_a") + F.col("n_b")
+    # U2 = 2*Ra - na*(na+1)  (exact integers)
+    u2 = F.col("__ra2") - F.col("n_a") * (F.col("n_a") + 1)
+    s2 = (
+        na * nb / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_term").cast("double")
+            / (n.cast("long") * (n - 1)).cast("double")
+        )
+    )
+    z = (u2.cast("double") - na * nb) / (2.0 * F.sqrt(s2))
+    return agg.select(
+        "n_a",
+        "n_b",
+        (u2.cast("double") / 2.0).alias("u_a"),
+        "tie_term",
+        z.alias("z"),
+    )

@@ -178,7 +178,11 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # ks_test_ab: crossJoin of the 1-row (n_a, n_b) totals aggregate
     # abc_classification: crossJoin of the 1-row revenue grand total
     # chi2_type_variant: crossJoin of the 1-row (N, n_rows, n_cols) totals
+    # bm25_search: crossJoin of the 1-row corpus-stats aggregate
+    # doc_surprisal: crossJoin of the 1-row corpus-token total
     allowed_bnlj = {
+        "bm25_search",
+        "doc_surprisal",
         "abc_classification",
         "chi2_type_variant",
         "benford_totalprice",

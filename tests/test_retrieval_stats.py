@@ -1,0 +1,175 @@
+"""Unit pins for the round-3 wave: BM25 retrieval, unigram surprisal,
+duplicate-span audit, Mann-Whitney U, BFS reach, categorical entropy.
+
+Each operator also has a full DuckDB oracle (test_oracle.py covers all
+registered queries); these tests pin the SEMANTICS against tiny
+hand-checkable inputs and brute-force recomputations, so a refactor
+that breaks the math fails here with a readable diff, not a hash
+mismatch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bm25_matches_brute_force(spark):
+    from etl_spark_spark.operators.retrieval import bm25_topk
+
+    corpus = [
+        (1, "hash join hash join spark"),
+        (2, "hash table scan"),
+        (3, "sort merge join"),
+        (4, "filter scan vector"),
+        (5, "hash hash hash hash hash hash"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    terms = ["hash", "join"]
+    got = {
+        r["doc_id"]: r["score_micro"]
+        for r in bm25_topk(docs, "doc_id", "text", terms, k=10).collect()
+    }
+
+    # brute force in python
+    toks = {i: t.split() for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    k1, b = 1.2, 0.75
+    want = {}
+    for i, t in toks.items():
+        score = 0.0
+        for term in terms:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            score += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if round(score * 1e6) > 0:
+            want[i] = round(score * 1e6)
+    assert got == want
+    # doc 5 is pure term spam: high tf saturates, so it must NOT beat
+    # the doc that matches both terms
+    assert got[1] > got[5]
+
+
+def test_unigram_surprisal_brute_force(spark):
+    from etl_spark_spark.operators.lm import unigram_surprisal
+
+    corpus = [(1, "a a b"), (2, "a c"), (3, "b b a a")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_terms"], r["mean_surprisal_milli"])
+        for r in unigram_surprisal(docs, "doc_id", "text").collect()
+    }
+    counts = {"a": 5, "b": 3, "c": 1}
+    total = 9
+    for i, text in corpus:
+        t = text.split()
+        mean = sum(-math.log(counts[w] / total) for w in t) / len(t)
+        assert out[i][0] == len(t)
+        assert out[i][1] == len(set(t))
+        assert out[i][2] == round(mean * 1000)
+    # the rare-token doc is the most surprising
+    assert out[2][2] == max(v[2] for v in out.values())
+
+
+def test_duplicate_span_stats_small(spark):
+    from etl_spark_spark.functions.text import tokens, word_shingles
+    from etl_spark_spark.operators.neardup import duplicate_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five"),
+            (2, "zero one two three four"),  # shares span "one two three"
+            (3, "alpha beta gamma delta"),
+            (4, "short doc"),  # < 3 tokens -> 0 spans
+        ],
+        "doc_id long, text string",
+    )
+    tok = docs.select("doc_id", tokens("text").alias("t"))
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_shared"], r["shared_frac"])
+        for r in duplicate_span_stats(
+            tok, "doc_id", word_shingles("t", 3)
+        ).collect()
+    }
+    assert out[1] == (3, 2, pytest.approx(2 / 3))  # "one two three","two three four" shared
+    assert out[2] == (3, 2, pytest.approx(2 / 3))
+    assert out[3] == (2, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)  # short doc present with zero spans
+
+
+def test_mann_whitney_u_matches_brute_force(spark):
+    from etl_spark_spark.operators.stats import mann_whitney_u
+
+    import random
+
+    rng = random.Random(7)
+    rows = [("A", rng.randint(0, 30)) for _ in range(120)] + [
+        ("B", rng.randint(5, 40)) for _ in range(90)
+    ]
+    df = spark.createDataFrame(rows, "variant string, v long")
+    row = mann_whitney_u(df, "v", "variant").collect()[0]
+
+    # brute force: average ranks over the pooled sample
+    pooled = sorted(v for _, v in rows)
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    rank = {}
+    pos = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank[v] = pos + (t + 1) / 2
+        pos += t
+    ra = sum(rank[v] for g, v in rows if g == "A")
+    na = sum(1 for g, _ in rows if g == "A")
+    nb = len(rows) - na
+    u_a = ra - na * (na + 1) / 2
+    n = na + nb
+    tie = sum(t**3 - t for t in cnt.values())
+    s2 = na * nb / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u_a - na * nb / 2) / math.sqrt(s2)
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["u_a"] == pytest.approx(u_a, abs=1e-9)
+    assert row["tie_term"] == tie
+    assert row["z"] == pytest.approx(z, rel=1e-12)
+
+
+def test_bfs_hops_small_graph(spark):
+    from etl_spark_spark.operators.graph import bfs_hops
+
+    # 1-2-3-4 chain plus 2-5; 6 isolated from source component
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5), (6, 7)], "src long, dst long"
+    )
+    out = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, F.lit(1).cast("long"), max_hops=2).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2, 5: 2}  # 4 is 3 hops away -> cut
+
+    full = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, F.lit(1).cast("long"), max_hops=10).collect()
+    }
+    assert full == {1: 0, 2: 1, 3: 2, 5: 2, 4: 3}  # early-stops, 6/7 unreachable
+
+
+def test_categorical_entropy_known_values(spark):
+    from etl_spark_spark.functions.profile import categorical_entropy
+
+    df = spark.createDataFrame(
+        [("x", "u")] * 4 + [("y", "u")] * 4 + [("z", "u")] * 0 + [("x", "v")] * 0,
+        "c1 string, c2 string",
+    )
+    out = {
+        r["column_name"]: (r["n"], r["n_distinct"], r["entropy_micro"])
+        for r in categorical_entropy(df, ["c1", "c2"]).collect()
+    }
+    assert out["c1"] == (8, 2, round(math.log(2) * 1e6))  # fair coin: ln 2
+    assert out["c2"] == (8, 1, 0)  # constant column: zero entropy

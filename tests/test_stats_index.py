@@ -1,0 +1,69 @@
+"""File-skipping via the min/max stats index (sources/stats_index.py):
+pruning must be a correctness-preserving superset (same rows as a full
+scan + filter) AND actually skip files on a range-sorted layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark_spark.sinks.write import write_range_sorted
+from etl_spark_spark.sources.stats_index import (
+    build_stats_index,
+    pruned_parquet_read,
+)
+
+
+def _fixture(spark, path: str) -> None:
+    df = spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    write_range_sorted(df, path, ["id"], num_files=8)
+
+
+def test_pruned_read_equals_full_filter_and_skips_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _fixture(spark, path)
+    lo, hi = 2_000, 2_999
+    got, n_read, n_total = pruned_parquet_read(spark, path, "id", lo, hi)
+    got_rows = got.filter(F.col("id").between(lo, hi))  # residual filter
+    want = (
+        spark.read.parquet(path).filter(F.col("id").between(lo, hi))
+    )
+    assert got_rows.count() == want.count() == 1000
+    assert (
+        got_rows.agg(F.sum("v")).collect()[0][0]
+        == want.agg(F.sum("v")).collect()[0][0]
+    )
+    # range-sorted into 8 files: a 10% slice must not touch all files
+    assert n_total >= 4
+    assert 1 <= n_read < n_total
+
+
+def test_pruned_read_empty_range(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _fixture(spark, path)
+    got, n_read, n_total = pruned_parquet_read(spark, path, "id", 50_000, 60_000)
+    assert n_read == 0 and got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "k", "v"]
+
+
+def test_reusable_index_and_conservative_nulls(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _fixture(spark, path)
+    idx = build_stats_index(spark, path, ["id"]).localCheckpoint()
+    # same index reused across reads: no extra stats scans needed
+    for lo, hi, n in [(0, 99, 100), (9_900, 9_999, 100), (0, 9_999, 10_000)]:
+        df, n_read, n_total = pruned_parquet_read(
+            spark, path, "id", lo, hi, index=idx
+        )
+        assert df.filter(F.col("id").between(lo, hi)).count() == n
+    # a file with NULL stats is kept, never skipped
+    null_idx = idx.withColumn("min_id", F.lit(None).cast("long")).withColumn(
+        "max_id", F.lit(None).cast("long")
+    )
+    _, n_read, n_total = pruned_parquet_read(
+        spark, path, "id", 0, 10, index=null_idx
+    )
+    assert n_read == n_total
