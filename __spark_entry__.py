@@ -4110,6 +4110,26 @@ def q_order_value_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style near-dup detection for OPAQUE media
+    payloads: simhash over strided byte windows of the binary (no
+    tokenization, no codec) — the byte-level analog of image pHash
+    dedup, usable on any attachment the engine can't decode. Reuses
+    the banded simhash pair machinery; payloads here are the fake-
+    codec text bytes (pure ASCII), which is what lets a SQL oracle
+    replay the byte windows with substr."""
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    media = attach_media(docs, "doc_id", "text", "text/plain")
+    s = media.select(
+        F.col("id"), F.col("media").cast("string").alias("__txt")
+    ).filter(F.length("__txt") >= 8)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("__txt") - 7, F.lit(4)),
+        lambda i: F.col("__txt").substr(i, F.lit(8)),
+    )
+    return simhash_near_dup(s, "id", grams, threshold=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -4264,6 +4284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_routed_revenue": q_mv_routed_revenue,
         "cumulative_new_customers": q_cumulative_new_customers,
         "order_value_position": q_order_value_position,
+        "media_phash_pairs": q_media_phash_pairs,
     }
 
 
@@ -6796,6 +6817,32 @@ WINDOW w AS (PARTITION BY strftime(o_orderdate, '%Y-%m')
 """
 
 
+_MEDIA_PHASH_PAIRS_SQL = f"""
+WITH m AS (SELECT doc_id, text FROM documents WHERE strlen(text) >= 8),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, strlen(text) - 6, 4),
+                               i -> substr(text, i, 8))) AS tk
+  FROM m
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM g),
+s AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id AS id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM s),
+bands AS (
+    SELECT id, simhash, b AS band,
+           (simhash >> (15 * b)) & 32767 AS key
+    FROM sh, unnest([0, 1, 2, 3]) AS u(b)
+),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -6952,4 +6999,5 @@ def oracle_sql() -> dict[str, str]:
         "mv_routed_revenue": _MV_ROUTED_REVENUE_SQL,
         "cumulative_new_customers": _CUMULATIVE_NEW_CUSTOMERS_SQL,
         "order_value_position": _ORDER_VALUE_POSITION_SQL,
+        "media_phash_pairs": _MEDIA_PHASH_PAIRS_SQL,
     }
