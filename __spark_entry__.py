@@ -4130,6 +4130,107 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(s, "id", grams, threshold=10)
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search ("hash join" as ADJACENT tokens —
+    what bag-of-words BM25 can't distinguish from scattered terms):
+    per-row window test over the token array, map-only, no shuffle
+    (operators/retrieval.py:phrase_occurrences)."""
+    from etl_spark_spark.operators.retrieval import phrase_occurrences
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tok = docs.select("doc_id", tokens("text").alias("__tok"))
+    return tok.select(
+        "doc_id",
+        phrase_occurrences("__tok", ["hash", "join"]).alias("n_occ"),
+    ).filter(F.col("n_occ") > 0)
+
+
+def q_weighted_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted EXACT quartiles: per return flag, the price
+    points below which 25/50/75% of the QUANTITY moved — the weighted
+    generalization of exact_price_quartiles, same
+    distribution-aggregate scale path with integer cumulative weights
+    (operators/stats.py:exact_weighted_quantiles)."""
+    from etl_spark_spark.operators.stats import exact_weighted_quantiles
+
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    ).withColumn("qty", F.round("l_quantity").cast("long"))
+    return exact_weighted_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", "qty"
+    )
+
+
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness (the engagement ratio product teams track):
+    per active day, distinct daily actives, trailing-28-day distinct
+    actives, and their exact ratio. The trailing-window distinct is
+    computed by FANNING each (user, day) row out to the 28 days it
+    supports (map-side sequence+explode) and hash-aggregating distinct
+    users per day — no per-day range self-join, no giant window state;
+    the fanout factor is the fixed window length, independent of data
+    volume."""
+    ev = read_events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 27))
+        ).alias("day"),
+    )
+    mau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+def q_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day autocorrelation of daily order revenue — the
+    persistence screen for a time series (is a big day followed by a
+    big day?). Daily integer-cents totals, consecutive-calendar-day
+    pairs via an equi-join on day+1 (distributed; no single-task global
+    lag window), then the exact-Pearson shape of corr_exact: decimal
+    sufficient statistics and one fixed IEEE tail."""
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    nxt = daily.select(
+        F.date_sub(F.col("day"), 1).alias("day"), F.col("cents").alias("y")
+    )
+    pairs = daily.select("day", F.col("cents").alias("x")).join(nxt, "day")
+    s = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("n") * F.col("sxy") - dec("sx") * dec("sy")).cast("double")
+    denx = (dec("n") * F.col("sxx") - dec("sx") * dec("sx")).cast("double")
+    deny = (dec("n") * F.col("syy") - dec("sy") * dec("sy")).cast("double")
+    return s.select(
+        "n",
+        (num / F.nullif(F.sqrt(denx * deny), F.lit(0.0))).alias("autocorr_1d"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -4285,6 +4386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_new_customers": q_cumulative_new_customers,
         "order_value_position": q_order_value_position,
         "media_phash_pairs": q_media_phash_pairs,
+        "phrase_search": q_phrase_search,
+        "weighted_price_quartiles": q_weighted_price_quartiles,
+        "dau_mau_stickiness": q_dau_mau_stickiness,
+        "revenue_autocorr": q_revenue_autocorr,
     }
 
 
@@ -6843,6 +6948,90 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 10
 """
 
 
+def _phrase_search_oracle() -> str:
+    from etl_spark_spark.operators.retrieval import phrase_occurrences_sql
+
+    hit = phrase_occurrences_sql("t", ["hash", "join"])
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, CAST({hit} AS INTEGER) AS n_occ FROM toks
+)
+SELECT doc_id, n_occ FROM c WHERE n_occ > 0
+"""
+
+
+_WEIGHTED_PRICE_QUARTILES_SQL = """
+WITH d AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST(round(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+), dist AS (
+  SELECT l_returnflag, v, sum(w) AS w FROM d GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, v,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cumw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM dist
+)
+SELECT l_returnflag, CAST(max(tw) AS BIGINT) AS total_weight,
+       min(CASE WHEN cumw >= ceil(0.25 * tw) THEN v END) AS wq25,
+       min(CASE WHEN cumw >= ceil(0.5 * tw) THEN v END) AS wq50,
+       min(CASE WHEN cumw >= ceil(0.75 * tw) THEN v END) AS wq75
+FROM cum GROUP BY 1
+"""
+
+
+_DAU_MAU_STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), dau AS (
+  SELECT d AS day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1
+), contrib AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                                     CAST(d AS TIMESTAMP) + INTERVAL 27 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM ud
+), mau AS (
+  SELECT day, count(DISTINCT user_id) AS mau FROM contrib GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(dau AS BIGINT) AS dau, CAST(mau AS BIGINT) AS mau,
+       CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+FROM dau JOIN mau USING (day)
+"""
+
+
+_REVENUE_AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT a.cents AS x, b.cents AS y
+  FROM daily a JOIN daily b ON b.day = a.day + 1
+), s AS (
+  SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM pairs
+), c AS (
+  -- int -> double via VARCHAR: strtod is correctly rounded, matching
+  -- Spark's decimal->double cast
+  SELECT n::BIGINT AS n,
+         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS numd,
+         CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS denxd,
+         CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS denyd
+  FROM s
+)
+SELECT n, numd / nullif(sqrt(denxd * denyd), 0.0) AS autocorr_1d FROM c
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -7000,4 +7189,8 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_new_customers": _CUMULATIVE_NEW_CUSTOMERS_SQL,
         "order_value_position": _ORDER_VALUE_POSITION_SQL,
         "media_phash_pairs": _MEDIA_PHASH_PAIRS_SQL,
+        "phrase_search": _phrase_search_oracle(),
+        "weighted_price_quartiles": _WEIGHTED_PRICE_QUARTILES_SQL,
+        "dau_mau_stickiness": _DAU_MAU_STICKINESS_SQL,
+        "revenue_autocorr": _REVENUE_AUTOCORR_SQL,
     }

@@ -159,3 +159,44 @@ WHERE CAST(round(({contribs}) * 1e6) AS BIGINT) > 0
 ORDER BY score_micro DESC, {id_col}
 LIMIT {k}
 """
+
+
+def phrase_occurrences(tokens_col, terms: list[str]):
+    """Occurrence count of an exact adjacent-token phrase inside a
+    token array — positional phrase search, the retrieval primitive
+    BM25's bag-of-words scoring can't express. Pure per-row expression
+    (scan window starts, test each offset): map-only, no explode, no
+    shuffle, embarrassingly parallel at any corpus size.
+
+    Returns an int Column: number of positions i with
+    tokens[i + j] == terms[j] for all j."""
+    if not terms:
+        raise ValueError("phrase_occurrences needs at least one term")
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    n = len(terms)
+
+    def _hit(i):
+        cond = None
+        for j, term in enumerate(terms):
+            c = F.element_at(t, i + j) == F.lit(term)
+            cond = c if cond is None else cond & c
+        return cond
+
+    starts = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.size(F.filter(starts, _hit))
+
+
+def phrase_occurrences_sql(tokens_expr: str, terms: list[str]) -> str:
+    """DuckDB mirror of :func:`phrase_occurrences` over a list
+    expression (1-based indexing matches element_at)."""
+    n = len(terms)
+    cond = " AND ".join(
+        f"{tokens_expr}[i + {j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    return (
+        f"CASE WHEN len({tokens_expr}) >= {n} THEN "
+        f"len(list_filter(range(1, len({tokens_expr}) - {n - 2}), "
+        f"i -> {cond})) ELSE 0 END"
+    )

@@ -181,3 +181,46 @@ def mann_whitney_u(
         "tie_term",
         z.alias("z"),
     )
+
+
+def exact_weighted_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """EXACT weighted quantiles per group: the smallest value v with
+    weight(x <= v) >= ceil(q * W), W = total integer weight — the
+    volume-weighted median/quartiles shape ("half the QUANTITY moved at
+    or below this price"), which the unweighted form can't answer.
+
+    Same scale path as :func:`exact_group_quantiles`: collapse to the
+    per-(group, value) distribution summing INTEGER weights, one
+    window over the compact distribution, one final aggregate.
+    ``weight_col`` must be integral (cast upstream) so cumulative
+    weights are exact under any shuffle order.
+    """
+    keys = list(group_cols)
+    dist = df.groupBy(*keys, value_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*keys)
+    cum = dist.withColumn("__cum", F.sum("__w").over(w)).withColumn(
+        "__tw", F.sum("__w").over(wg)
+    )
+    aggs = []
+    for q in qs:
+        target = F.ceil(F.lit(q) * F.col("__tw"))
+        label = f"wq{int(q * 100)}"
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum") >= target, F.col(value_col))
+            ).alias(label)
+        )
+    return cum.groupBy(*keys).agg(F.max("__tw").alias("total_weight"), *aggs)
