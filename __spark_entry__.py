@@ -4231,6 +4231,99 @@ def q_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier evaluation on the embedding table: for each of
+    the 50 probe vectors, the 5 exact-cosine nearest neighbors vote on
+    a label (majority, ties to the smallest label) and the prediction
+    is scored against the probe's true label — the standard
+    embedding-quality sanity check. Reuses the broadcast exact top-k
+    path (corpus scanned once, never shuffled); votes collapse in one
+    tiny aggregate."""
+    from etl_spark_spark.operators.similarity import cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    nn = cosine_topk(emb, probes, "vec_id", "embedding", k=5)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = (
+        nn.join(lab, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.col("n_label")
+    )
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"), "votes")
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection (binary-segmentation first split) on the
+    daily-revenue series: the split day maximizing the between-segment
+    variance reduction G(t) = t(n-t)/n * (mean_left - mean_right)^2 —
+    the level-shift detector behind regression alerts. Integer daily
+    cents + the distributed prefix sum give exact cumulative sums;
+    G is pure rational arithmetic on them (no transcendentals), so the
+    doubles are bit-identical in any engine and the argmax is pinned
+    with a day tie-break. TakeOrdered top-1, no global sort."""
+    from etl_spark_spark.operators.windows import scalable_running_sum
+
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    cum = scalable_running_sum(
+        daily, F.year("day"), ["day"], "cents", out_col="__scum"
+    )
+    cnt = scalable_running_sum(
+        cum.withColumn("__one", F.lit(1).cast("long")),
+        F.year("day"),
+        ["day"],
+        "__one",
+        out_col="__t",
+    )
+    totals = daily.agg(
+        F.sum("cents").alias("__s"), F.count("*").alias("__n")
+    )
+    x = cnt.crossJoin(F.broadcast(totals)).filter(F.col("__t") < F.col("__n"))
+    t = F.col("__t").cast("double")
+    n = F.col("__n").cast("double")
+    ml = F.col("__scum").cast("double") / t
+    mr = (F.col("__s") - F.col("__scum")).cast("double") / (n - t)
+    g = t * (n - t) / n * (ml - mr) * (ml - mr)
+    return (
+        x.select(
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.col("__t").alias("n_left"),
+            (F.col("__n") - F.col("__t")).alias("n_right"),
+            ml.alias("mean_left_cents"),
+            mr.alias("mean_right_cents"),
+            g.alias("g_stat"),
+        )
+        .orderBy(F.desc("g_stat"), "split_day")
+        .limit(1)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -4390,6 +4483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_price_quartiles": q_weighted_price_quartiles,
         "dau_mau_stickiness": q_dau_mau_stickiness,
         "revenue_autocorr": q_revenue_autocorr,
+        "knn_label_accuracy": q_knn_label_accuracy,
+        "revenue_changepoint": q_revenue_changepoint,
     }
 
 
@@ -7032,6 +7127,77 @@ SELECT n, numd / nullif(sqrt(denxd * denyd), 0.0) AS autocorr_1d FROM c
 """
 
 
+_KNN_LABEL_ACCURACY_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+           FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS n_label
+      FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, n_label,
+           {_DOT.format(a="qv", b="cv")}
+           / nullif(sqrt({_DOT.format(a="qv", b="qv")})
+                    * sqrt({_DOT.format(a="cv", b="cv")}), 0) AS cos_sim
+    FROM c, q WHERE neighbor_id != query_id
+), nn AS (
+    SELECT query_id, n_label FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+), votes AS (
+    SELECT query_id, n_label, count(*) AS votes FROM nn GROUP BY 1, 2
+), pred AS (
+    SELECT query_id, n_label AS pred_label, CAST(votes AS BIGINT) AS votes
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY votes DESC, n_label
+        ) AS rn
+        FROM votes
+    ) t WHERE rn = 1
+)
+SELECT p.query_id, q.true_label, p.pred_label, p.votes,
+       p.pred_label = q.true_label AS correct
+FROM pred p JOIN q ON q.query_id = p.query_id
+"""
+
+
+_REVENUE_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT day,
+         sum(cents) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS scum,
+         row_number() OVER (ORDER BY day) AS t
+  FROM daily
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS s, count(*) AS n FROM daily
+), g AS (
+  SELECT strftime(day, '%Y-%m-%d') AS split_day,
+         CAST(t AS BIGINT) AS n_left,
+         CAST(n - t AS BIGINT) AS n_right,
+         CAST(scum AS DOUBLE) / CAST(t AS DOUBLE) AS mean_left_cents,
+         CAST(s - scum AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+           AS mean_right_cents,
+         CAST(t AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+           / CAST(n AS DOUBLE)
+           * (CAST(scum AS DOUBLE) / CAST(t AS DOUBLE)
+              - CAST(s - scum AS DOUBLE)
+                / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)))
+           * (CAST(scum AS DOUBLE) / CAST(t AS DOUBLE)
+              - CAST(s - scum AS DOUBLE)
+                / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))) AS g_stat
+  FROM cum, tot WHERE t < n
+)
+SELECT * FROM g ORDER BY g_stat DESC, split_day LIMIT 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -7193,4 +7359,6 @@ def oracle_sql() -> dict[str, str]:
         "weighted_price_quartiles": _WEIGHTED_PRICE_QUARTILES_SQL,
         "dau_mau_stickiness": _DAU_MAU_STICKINESS_SQL,
         "revenue_autocorr": _REVENUE_AUTOCORR_SQL,
+        "knn_label_accuracy": _KNN_LABEL_ACCURACY_SQL,
+        "revenue_changepoint": _REVENUE_CHANGEPOINT_SQL,
     }

@@ -180,9 +180,13 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # chi2_type_variant: crossJoin of the 1-row (N, n_rows, n_cols) totals
     # bm25_search: crossJoin of the 1-row corpus-stats aggregate
     # doc_surprisal: crossJoin of the 1-row corpus-token total
+    # knn_label_accuracy: <=50-row broadcast probe set (cosine_topk)
+    # revenue_changepoint: crossJoin of the 1-row (S, n) totals
     allowed_bnlj = {
         "bm25_search",
         "doc_surprisal",
+        "knn_label_accuracy",
+        "revenue_changepoint",
         "abc_classification",
         "chi2_type_variant",
         "benford_totalprice",
