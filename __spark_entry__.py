@@ -4324,6 +4324,25 @@ def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): six
+    greedy merges learned over the distinct-word frequency table —
+    per round one bigram hash aggregate and ONE driver row (the argmax
+    pair). The oracle replays the identical recurrence as chained SQL
+    stages: same tie-break, same literal-replace merge semantics, so
+    the learned merge table matches exactly."""
+    from etl_spark_spark.operators.bpe import train_bpe
+
+    docs = table(spark, sf_dir, "documents", columns=["text"])
+    merges = train_bpe(docs, "text", n_merges=6)
+    rows = [
+        (i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -4485,6 +4504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_autocorr": q_revenue_autocorr,
         "knn_label_accuracy": q_knn_label_accuracy,
         "revenue_changepoint": q_revenue_changepoint,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -7198,6 +7218,12 @@ SELECT * FROM g ORDER BY g_stat DESC, split_day LIMIT 1
 """
 
 
+def _bpe_merges_oracle() -> str:
+    from etl_spark_spark.operators.bpe import train_bpe_sql
+
+    return train_bpe_sql("documents", "text", n_merges=6)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -7361,4 +7387,5 @@ def oracle_sql() -> dict[str, str]:
         "revenue_autocorr": _REVENUE_AUTOCORR_SQL,
         "knn_label_accuracy": _KNN_LABEL_ACCURACY_SQL,
         "revenue_changepoint": _REVENUE_CHANGEPOINT_SQL,
+        "bpe_merges": _bpe_merges_oracle(),
     }

@@ -173,3 +173,44 @@ def test_categorical_entropy_known_values(spark):
     }
     assert out["c1"] == (8, 2, round(math.log(2) * 1e6))  # fair coin: ln 2
     assert out["c2"] == (8, 1, 0)  # constant column: zero entropy
+
+
+def test_bpe_matches_python_reference(spark):
+    from etl_spark_spark.operators.bpe import SEP, END_OF_WORD, train_bpe
+
+    corpus = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new"),
+        (3, "low new lower newer"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = train_bpe(docs, "text", n_merges=5)
+
+    # pure-python reference with IDENTICAL semantics: str.replace is
+    # the same left-to-right resume-after-replacement scan
+    from collections import Counter
+
+    words = Counter()
+    for _, text in corpus:
+        words.update(text.lower().split())
+    state = {
+        w: SEP + SEP.join(list(w)) + SEP + END_OF_WORD + SEP
+        for w in words
+    }
+    want = []
+    for _ in range(5):
+        pairs = Counter()
+        for w, s in state.items():
+            syms = [x for x in s.split(SEP) if x]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += words[w]
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        want.append((a, b, c))
+        state = {
+            w: s.replace(SEP + a + SEP + b + SEP, SEP + a + b + SEP)
+            for w, s in state.items()
+        }
+    assert got == want
+    # 'low' appears 5 times -> ('l','o') or ('o','w') must win round 1
+    assert got[0][0:2] in {("l", "o"), ("o", "w")}
