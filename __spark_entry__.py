@@ -4343,6 +4343,18 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply BPE token budgeting: per document, the token
+    count under the 6-merge tokenizer learned from this corpus. Merges
+    apply to the DISTINCT-WORD table (each word tokenized once); docs
+    join their words and sum — explode + word-keyed join + per-doc
+    aggregate (operators/bpe.py:bpe_token_counts)."""
+    from etl_spark_spark.operators.bpe import bpe_token_counts
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_token_counts(docs, "doc_id", "text", n_merges=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -4505,6 +4517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_accuracy": q_knn_label_accuracy,
         "revenue_changepoint": q_revenue_changepoint,
         "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 
@@ -7224,6 +7237,12 @@ def _bpe_merges_oracle() -> str:
     return train_bpe_sql("documents", "text", n_merges=6)
 
 
+def _bpe_token_counts_oracle() -> str:
+    from etl_spark_spark.operators.bpe import bpe_token_counts_sql
+
+    return bpe_token_counts_sql("documents", "doc_id", "text", n_merges=6)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -7388,4 +7407,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_accuracy": _KNN_LABEL_ACCURACY_SQL,
         "revenue_changepoint": _REVENUE_CHANGEPOINT_SQL,
         "bpe_merges": _bpe_merges_oracle(),
+        "bpe_token_counts": _bpe_token_counts_oracle(),
     }

@@ -159,3 +159,72 @@ w{k + 1} AS (
         for k in range(n_merges)
     )
     return "WITH " + ",".join(stages) + "\n" + finals
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 6,
+) -> DataFrame:
+    """Train BPE on the corpus, then tokenize every document with the
+    learned merges — the real token-budget counter (whitespace and
+    regex counts only approximate what a trained tokenizer charges).
+
+    Efficient apply: merges act on the DISTINCT-WORD table (each word
+    tokenized once, however often it occurs), then documents join their
+    words and sum per-word token counts — one explode + one join keyed
+    by word + one per-doc aggregate. Returns (id_col, n_words,
+    bpe_tokens) where bpe_tokens includes the </w> end-of-word marker
+    fused into the final symbol when learned."""
+    merges = train_bpe(docs, text_col, n_merges=n_merges)
+    wt = word_symbol_table(docs, text_col)
+    s = F.col("s")
+    for a, b, _ in merges:
+        s = F.replace(s, F.lit(SEP + a + SEP + b + SEP), F.lit(SEP + a + b + SEP))
+    per_word = wt.select(
+        "w",
+        F.size(F.filter(F.split(s, SEP), lambda x: x != F.lit(""))).alias(
+            "__wtoks"
+        ),
+    )
+    doc_words = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        doc_words.join(per_word, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("__wtoks").alias("bpe_tokens"),
+        )
+    )
+
+
+def bpe_token_counts_sql(
+    table: str, id_col: str, text_col: str, n_merges: int = 6
+) -> str:
+    """DuckDB mirror of :func:`bpe_token_counts`: reuses the chained
+    merge stages of :func:`train_bpe_sql` and applies the final symbol
+    table back to the documents."""
+    chain = train_bpe_sql(table, text_col, n_merges)
+    # keep every CTE, drop the final merge-table SELECT union
+    stages = chain.split("\nSELECT 1 AS rank")[0][len("WITH "):]
+    return f"""
+WITH {stages},
+per_word AS (
+  SELECT w, len(list_filter(string_split(s, '{SEP}'), x -> x <> ''))
+           AS wtoks
+  FROM w{n_merges}
+),
+doc_words AS (
+  SELECT {id_col},
+         unnest(regexp_split_to_array(lower(trim({text_col})), '\\s+')) AS w
+  FROM {table}
+)
+SELECT d.{id_col}, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(p.wtoks) AS BIGINT) AS bpe_tokens
+FROM doc_words d JOIN per_word p USING (w)
+WHERE d.w <> ''
+GROUP BY 1
+"""
