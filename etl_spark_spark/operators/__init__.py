@@ -1,6 +1,8 @@
+from .bpe import bpe_token_counts, train_bpe, word_symbol_table
 from .dedup import dedup_any, dedup_latest
 from .graph import connected_components, pagerank_exact, triangle_counts
 from .joins import broadcast_join, join_expr
+from .lm import unigram_surprisal
 from .multimodal import (
     attach_media,
     extract_features,
@@ -9,6 +11,7 @@ from .multimodal import (
 )
 from .neardup import (
     contamination_scores,
+    duplicate_span_stats,
     est_jaccard_for_pairs,
     exact_dedup,
     incremental_near_dup,
@@ -20,6 +23,7 @@ from .neardup import (
     simhash,
 )
 from .reconcile import allocate_proportional, reconcile_full_outer
+from .retrieval import bm25_topk, phrase_occurrences
 from .packing import chunk_by_tokens, pack_by_token_budget
 from .sampling import (
     hash_bucket,
@@ -140,6 +144,13 @@ __all__ = [
     "salted_sum",
     "weighted_sample_without_replacement",
     "with_salt",
+    "duplicate_span_stats",
+    "bpe_token_counts",
+    "train_bpe",
+    "word_symbol_table",
+    "unigram_surprisal",
+    "bm25_topk",
+    "phrase_occurrences",
     "attach_media",
     "extract_features",
     "resize_media",
