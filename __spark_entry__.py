@@ -4355,6 +4355,76 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, "doc_id", "text", n_merges=6)
 
 
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT dedup (|A∩B| / min(|A|,|B|) >= 0.7): catches
+    "one doc mostly quoted inside another", which symmetric Jaccard
+    misses. Same banded MinHash candidate index as neardup_minhash,
+    exact-intersection verified (operators/neardup.py:containment_pairs)."""
+    from etl_spark_spark.operators.neardup import containment_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    return containment_pairs(
+        toks, "doc_id", word_shingles("t", 3), num_perms=8,
+        rows_per_band=2, threshold=0.7,
+    )
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order contents: for
+    frequently co-ordered part pairs (support >= 3 orders), both
+    directed rules with confidence = support/n(antecedent) and lift =
+    support*N / (n(antecedent)*n(consequent)) — all exact integer
+    ratios. Distinct incidence + one self-join per order + item-count
+    broadcasts; the basket total rides a 1-row crossJoin."""
+    li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    b = li.distinct()
+    totals = b.agg(F.countDistinct("l_orderkey").alias("__nb"))
+    items = b.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("pa"), F.col("y.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "support"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "support",
+        )
+    )
+    na = items.withColumnsRenamed({"l_partkey": "antecedent", "n": "n_ant"})
+    nc = items.withColumnsRenamed({"l_partkey": "consequent", "n": "n_con"})
+    out = (
+        rules.join(na, "antecedent")
+        .join(nc, "consequent")
+        .crossJoin(F.broadcast(totals))
+    )
+    conf = F.col("support").cast("double") / F.col("n_ant").cast("double")
+    lift = (F.col("support") * F.col("__nb")).cast("double") / (
+        F.col("n_ant") * F.col("n_con")
+    ).cast("double")
+    return out.select(
+        "antecedent",
+        "consequent",
+        "support",
+        "n_ant",
+        "n_con",
+        conf.alias("confidence"),
+        lift.alias("lift"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -4518,6 +4588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_changepoint": q_revenue_changepoint,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "doc_containment": q_doc_containment,
+        "basket_rules": q_basket_rules,
     }
 
 
@@ -7243,6 +7315,60 @@ def _bpe_token_counts_oracle() -> str:
     return bpe_token_counts_sql("documents", "doc_id", "text", n_merges=6)
 
 
+_DOC_CONTAINMENT_SQL_TMPL = """
+WITH {shingles},
+sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i.inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+         AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.7
+"""
+
+
+_BASKET_RULES_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+totals AS (SELECT count(DISTINCT l_orderkey) AS nb FROM b),
+items AS (SELECT l_partkey, count(*) AS n FROM b GROUP BY 1),
+pairs AS (
+  SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*) AS support
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, support FROM pairs
+  UNION ALL
+  SELECT pb AS antecedent, pa AS consequent, support FROM pairs
+)
+SELECT r.antecedent, r.consequent, CAST(r.support AS BIGINT) AS support,
+       CAST(na.n AS BIGINT) AS n_ant, CAST(nc.n AS BIGINT) AS n_con,
+       CAST(r.support AS DOUBLE) / CAST(na.n AS DOUBLE) AS confidence,
+       CAST(r.support * t.nb AS DOUBLE) / CAST(na.n * nc.n AS DOUBLE)
+         AS lift
+FROM rules r
+JOIN items na ON na.l_partkey = r.antecedent
+JOIN items nc ON nc.l_partkey = r.consequent
+CROSS JOIN totals t
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -7408,4 +7534,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_changepoint": _REVENUE_CHANGEPOINT_SQL,
         "bpe_merges": _bpe_merges_oracle(),
         "bpe_token_counts": _bpe_token_counts_oracle(),
+        "doc_containment": _DOC_CONTAINMENT_SQL_TMPL.format(
+            shingles=_SHINGLES, mh=_MH_COLS, bands=_BANDS_SQL
+        ),
+        "basket_rules": _BASKET_RULES_SQL,
     }

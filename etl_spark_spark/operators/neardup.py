@@ -674,3 +674,49 @@ def duplicate_span_stats(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: Column,
+    num_perms: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: |A ∩ B| / min(|A|, |B|) >= threshold —
+    the "one document is mostly quoted inside the other" signal that
+    symmetric Jaccard misses entirely (a paragraph fully embedded in a
+    book has tiny Jaccard but containment 1.0). Candidates come from
+    the same banded MinHash index as near_dup_minhash (min-wise hashing
+    is still sensitive to the smaller side's shingles), verified with
+    exact set intersection. Returns (id_a, id_b, inter, n_a, n_b,
+    containment) with id_a < id_b."""
+    sh = shingle_set(df, id_col, shingles_col)
+    sig = minhash_signature(sh, id_col, num_perms)
+    cand = lsh_candidate_pairs(sig, id_col, num_perms, rows_per_band)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sh_a = sh.withColumnsRenamed({id_col: "id_a", "shingle": "s"})
+    sh_b = sh.withColumnsRenamed({id_col: "id_b", "shingle": "s"})
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "n_a",
+            "n_b",
+            (
+                F.col("inter").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )
+    return out.filter(F.col("containment") >= threshold)

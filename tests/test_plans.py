@@ -182,7 +182,9 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # doc_surprisal: crossJoin of the 1-row corpus-token total
     # knn_label_accuracy: <=50-row broadcast probe set (cosine_topk)
     # revenue_changepoint: crossJoin of the 1-row (S, n) totals
+    # basket_rules: crossJoin of the 1-row basket-count total
     allowed_bnlj = {
+        "basket_rules",
         "bm25_search",
         "doc_surprisal",
         "knn_label_accuracy",
