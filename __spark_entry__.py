@@ -4425,6 +4425,100 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional term associations: pointwise mutual information
+    ln(c_ab·N / (df_a·df_b)) for mid-frequency term pairs co-occurring
+    in >= 3 documents — the query-expansion / related-terms primitive.
+    df band (5..50) bounds the self-join fanout exactly like the
+    co-purchase projections; PMI is micro-scaled (ln ulp rule,
+    ORACLE_NOTES.md)."""
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    dt = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).distinct()
+    dfc = dt.groupBy("term").agg(F.count("*").alias("df"))
+    totals = dt.agg(F.countDistinct("doc_id").alias("__n"))
+    # corpus-relative band (integer comparison, no float threshold):
+    # drop near-ubiquitous terms (df > 90% of docs) and hapaxes
+    mid = (
+        dfc.crossJoin(F.broadcast(totals))
+        .filter((F.col("df") >= 2) & (F.col("df") * 10 <= F.col("__n") * 9))
+        .select("term", "df")
+    )
+    dtm = dt.join(F.broadcast(mid), "term")
+    a, b = dtm.alias("a"), dtm.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    pmi = F.log(
+        (F.col("c_ab") * F.col("__n")).cast("double")
+        / (F.col("df_a") * F.col("df_b")).cast("double")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(totals))
+        .select(
+            "term_a",
+            "term_b",
+            "c_ab",
+            "df_a",
+            "df_b",
+            F.round(pmi * 1e6).cast("long").alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "term_a", "term_b")
+        .limit(50)
+    )
+
+
+def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-quality evaluation as a query: recall of the banded
+    MinHash-LSH near-dup detector against the EXACT Jaccard >= 0.5
+    ground truth (computed by the prefix-filtered exact join — proven
+    equal to brute force). One row: pair counts, true positives, and
+    exact-ratio recall/precision. The standard report a dedup pipeline
+    publishes before anyone trusts its banding parameters."""
+    from etl_spark_spark.operators.neardup import (
+        near_dup_minhash,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    exact = prefix_filtered_jaccard_pairs(
+        toks, "doc_id", word_shingles("t", 3), threshold=0.5
+    ).select("id_a", "id_b")
+    lsh = near_dup_minhash(
+        toks, "doc_id", word_shingles("t", 3), num_perms=8,
+        rows_per_band=2, threshold=0.5,
+    ).select("id_a", "id_b")
+    tp = exact.join(lsh, ["id_a", "id_b"])
+    stats = exact.agg(F.count("*").alias("n_exact")).crossJoin(
+        lsh.agg(F.count("*").alias("n_lsh"))
+    ).crossJoin(tp.agg(F.count("*").alias("n_tp")))
+    return stats.select(
+        "n_exact",
+        "n_lsh",
+        "n_tp",
+        (F.col("n_tp").cast("double") / F.col("n_exact").cast("double")).alias(
+            "recall"
+        ),
+        (F.col("n_tp").cast("double") / F.col("n_lsh").cast("double")).alias(
+            "precision"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -4590,6 +4684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "doc_containment": q_doc_containment,
         "basket_rules": q_basket_rules,
+        "term_pmi": q_term_pmi,
+        "neardup_eval": q_neardup_eval,
     }
 
 
@@ -7369,6 +7465,89 @@ CROSS JOIN totals t
 """
 
 
+_TERM_PMI_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+  )
+), dfc AS (
+  SELECT term, count(*) AS df FROM dt GROUP BY 1
+), tot AS (
+  SELECT count(DISTINCT doc_id) AS n FROM dt
+), mid AS (
+  SELECT term, df FROM dfc, tot WHERE df >= 2 AND df * 10 <= n * 9
+), dtm AS (
+  SELECT dt.doc_id, dt.term, m.df FROM dt JOIN mid m USING (term)
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         a.df AS df_a, b.df AS df_b, count(*) AS c_ab
+  FROM dtm a JOIN dtm b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3
+)
+SELECT term_a, term_b, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+       CAST(round(ln(CAST(c_ab * n AS DOUBLE)
+                     / CAST(df_a * df_b AS DOUBLE)) * 1e6) AS BIGINT)
+         AS pmi_micro
+FROM pairs, tot
+ORDER BY pmi_micro DESC, term_a, term_b
+LIMIT 50
+"""
+
+
+_NEARDUP_EVAL_SQL_TMPL = """
+WITH {shingles},
+exact0 AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+    FROM sh x JOIN sh y ON y.s = x.s AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+exact_pairs AS (
+    SELECT e.id_a, e.id_b
+    FROM exact0 e
+    JOIN sizes sa ON sa.doc_id = e.id_a
+    JOIN sizes sb ON sb.doc_id = e.id_b
+    WHERE e.inter / (sa.n + sb.n - e.inter) >= 0.5
+),
+sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+linter AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+),
+lsh_pairs AS (
+    SELECT i.id_a, i.id_b
+    FROM linter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+),
+s AS (
+  SELECT (SELECT count(*) FROM exact_pairs) AS n_exact,
+         (SELECT count(*) FROM lsh_pairs) AS n_lsh,
+         (SELECT count(*) FROM exact_pairs e
+            JOIN lsh_pairs l ON l.id_a = e.id_a AND l.id_b = e.id_b)
+           AS n_tp
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
+       CAST(n_tp AS BIGINT) AS n_tp,
+       CAST(n_tp AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall,
+       CAST(n_tp AS DOUBLE) / CAST(n_lsh AS DOUBLE) AS precision
+FROM s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -7538,4 +7717,8 @@ def oracle_sql() -> dict[str, str]:
             shingles=_SHINGLES, mh=_MH_COLS, bands=_BANDS_SQL
         ),
         "basket_rules": _BASKET_RULES_SQL,
+        "term_pmi": _TERM_PMI_SQL,
+        "neardup_eval": _NEARDUP_EVAL_SQL_TMPL.format(
+            shingles=_SHINGLES, mh=_MH_COLS, bands=_BANDS_SQL
+        ),
     }

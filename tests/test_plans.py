@@ -183,8 +183,12 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # knn_label_accuracy: <=50-row broadcast probe set (cosine_topk)
     # revenue_changepoint: crossJoin of the 1-row (S, n) totals
     # basket_rules: crossJoin of the 1-row basket-count total
+    # term_pmi: crossJoin of the 1-row corpus doc-count total
+    # neardup_eval: crossJoins of three 1-row pair-count aggregates
     allowed_bnlj = {
         "basket_rules",
+        "term_pmi",
+        "neardup_eval",
         "bm25_search",
         "doc_surprisal",
         "knn_label_accuracy",
