@@ -4519,6 +4519,37 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stock_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running balance clamped at zero (the warehouse-stock / cash-
+    register recurrence b_t = max(0, b_{t-1} + x_t)) — NOT a plain
+    prefix sum, and naively sequential. Distributed exactly via the
+    identity b_t = S_t - min(0, min_{k<=t} S_k): one prefix SUM and one
+    prefix MIN per supplier partition, both integer, both associative.
+    Daily net = returned quantity in minus shipped quantity out."""
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_quantity", "l_returnflag"],
+    ).filter(F.col("l_suppkey") <= 20)
+    sign = F.when(F.col("l_returnflag") == "R", 1).otherwise(-1)
+    daily = li.groupBy(
+        "l_suppkey", F.to_date("l_shipdate").alias("day")
+    ).agg(F.sum(F.round("l_quantity").cast("long") * sign).alias("net"))
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.withColumn("s", F.sum("net").over(w))
+    cum = cum.withColumn("m", F.min("s").over(w))
+    balance = F.col("s") - F.least(F.lit(0).cast("long"), F.col("m"))
+    return cum.select(
+        "l_suppkey",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "net",
+        balance.alias("balance"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -4686,6 +4717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "term_pmi": q_term_pmi,
         "neardup_eval": q_neardup_eval,
+        "stock_balance_floor": q_stock_balance_floor,
     }
 
 
@@ -7548,6 +7580,33 @@ FROM s
 """
 
 
+_STOCK_BALANCE_FLOOR_SQL = """
+WITH daily AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END)
+              AS BIGINT) AS net
+  FROM lineitem WHERE l_suppkey <= 20
+  GROUP BY 1, 2
+), cum AS (
+  SELECT l_suppkey, day, net,
+         sum(net) OVER (PARTITION BY l_suppkey ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS s
+  FROM daily
+), cum2 AS (
+  SELECT l_suppkey, day, net, s,
+         min(s) OVER (PARTITION BY l_suppkey ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS m
+  FROM cum
+)
+SELECT l_suppkey, strftime(day, '%Y-%m-%d') AS day, net,
+       CAST(s - least(CAST(0 AS BIGINT), m) AS BIGINT) AS balance
+FROM cum2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -7721,4 +7780,5 @@ def oracle_sql() -> dict[str, str]:
         "neardup_eval": _NEARDUP_EVAL_SQL_TMPL.format(
             shingles=_SHINGLES, mh=_MH_COLS, bands=_BANDS_SQL
         ),
+        "stock_balance_floor": _STOCK_BALANCE_FLOOR_SQL,
     }

@@ -214,3 +214,23 @@ def test_bpe_matches_python_reference(spark):
     assert got == want
     # 'low' appears 5 times -> ('l','o') or ('o','w') must win round 1
     assert got[0][0:2] in {("l", "o"), ("o", "w")}
+
+
+def test_stock_balance_floor_matches_sequential_recurrence(spark, sf_dir):
+    """The prefix-sum/prefix-min identity must equal the sequential
+    b_t = max(0, b_{t-1} + x_t) recurrence (the oracle shares the
+    identity, so this pins it against an INDEPENDENT simulation)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.q_stock_balance_floor(spark, sf_dir).collect()
+    by_supp = {}
+    for r in rows:
+        by_supp.setdefault(r["l_suppkey"], []).append((r["day"], r["net"], r["balance"]))
+    assert by_supp
+    for supp, seq in by_supp.items():
+        seq.sort()
+        b = 0
+        for day, net, balance in seq:
+            b = max(0, b + net)
+            assert balance == b, (supp, day, balance, b)
+        assert all(x[2] >= 0 for x in seq)
