@@ -4550,6 +4550,74 @@ def q_stock_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_purchase_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for days-to-first-purchase with
+    right censoring (users who never purchase are censored at their
+    last observed event) — the churn/conversion survival analysis a
+    plain conversion rate can't give. Per-user observation built from
+    three min/max aggregates; the curve itself is a distribution
+    aggregate over distinct day values + the distributed prefix sum
+    (at-risk counts) + a log-space cumulative product, micro-scaled
+    because exp/ln are 1-ulp engine-divergent (ORACLE_NOTES.md)."""
+    from etl_spark_spark.operators.windows import scalable_running_sum
+
+    ev = read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    obs = per_user.select(
+        F.when(
+            F.col("first_purchase").isNotNull(),
+            F.datediff(F.to_date("first_purchase"), F.to_date("first_ts")),
+        )
+        .otherwise(F.datediff(F.to_date("last_ts"), F.to_date("first_ts")))
+        .alias("t"),
+        F.col("first_purchase").isNotNull().cast("long").alias("event"),
+    )
+    dist = obs.groupBy("t").agg(
+        F.sum("event").alias("d"),
+        F.sum(1 - F.col("event")).alias("c"),
+    )
+    cum = scalable_running_sum(
+        dist.withColumn("__rm", F.col("d") + F.col("c")),
+        F.col("t"),
+        ["t"],
+        "__rm",
+        out_col="__cumrm",
+    )
+    totals = dist.agg(F.sum(F.col("d") + F.col("c")).alias("__n"))
+    cum = cum.crossJoin(F.broadcast(totals)).withColumn(
+        "n_risk", F.col("__n") - (F.col("__cumrm") - F.col("__rm"))
+    )
+    # d == n_risk drives survival to EXACTLY zero (ln(0) is undefined):
+    # carry it as an absorbing flag via a prefix sum of indicators
+    lnf = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    zero = (F.col("d") == F.col("n_risk")).cast("long")
+    cum = scalable_running_sum(
+        cum.withColumn("__lnf", lnf).withColumn("__z", zero),
+        F.col("t"), ["t"], "__lnf", out_col="__cumln",
+    )
+    cum = scalable_running_sum(
+        cum, F.col("t"), ["t"], "__z", out_col="__cumz"
+    )
+    surv = F.when(
+        F.col("__cumz") > 0, F.lit(0).cast("long")
+    ).otherwise(F.round(F.exp("__cumln") * 1e6).cast("long"))
+    return cum.filter(F.col("d") > 0).select(
+        "t", "n_risk", "d", "c", surv.alias("survival_micro")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -4718,6 +4786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_pmi": q_term_pmi,
         "neardup_eval": q_neardup_eval,
         "stock_balance_floor": q_stock_balance_floor,
+        "purchase_survival_km": q_purchase_survival_km,
     }
 
 
@@ -7607,6 +7676,52 @@ FROM cum2
 """
 
 
+_PURCHASE_SURVIVAL_KM_SQL = """
+WITH per_user AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+  FROM events GROUP BY 1
+), obs AS (
+  SELECT CASE WHEN fp IS NOT NULL
+              THEN date_diff('day', CAST(first_ts AS DATE), CAST(fp AS DATE))
+              ELSE date_diff('day', CAST(first_ts AS DATE),
+                             CAST(last_ts AS DATE)) END AS t,
+         CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM per_user
+), dist AS (
+  SELECT t, sum(event) AS d, sum(1 - event) AS c FROM obs GROUP BY 1
+), cum AS (
+  SELECT t, d, c,
+         sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cumrm,
+         sum(d + c) OVER () AS n
+  FROM dist
+), k AS (
+  SELECT t, d, c, n - (cumrm - (d + c)) AS n_risk FROM cum
+), l AS (
+  SELECT t, d, c, n_risk,
+         CASE WHEN d > 0 AND d < n_risk
+              THEN ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+              ELSE 0.0 END AS lnf,
+         CASE WHEN d = n_risk THEN 1 ELSE 0 END AS z
+  FROM k
+), s AS (
+  SELECT t, d, c, n_risk,
+         sum(lnf) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cumln,
+         sum(z) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cumz
+  FROM l
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       CAST(c AS BIGINT) AS c,
+       CASE WHEN cumz > 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(round(exp(cumln) * 1e6) AS BIGINT) END
+         AS survival_micro
+FROM s WHERE d > 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -7781,4 +7896,5 @@ def oracle_sql() -> dict[str, str]:
             shingles=_SHINGLES, mh=_MH_COLS, bands=_BANDS_SQL
         ),
         "stock_balance_floor": _STOCK_BALANCE_FLOOR_SQL,
+        "purchase_survival_km": _PURCHASE_SURVIVAL_KM_SQL,
     }

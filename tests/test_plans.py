@@ -185,10 +185,12 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # basket_rules: crossJoin of the 1-row basket-count total
     # term_pmi: crossJoin of the 1-row corpus doc-count total
     # neardup_eval: crossJoins of three 1-row pair-count aggregates
+    # purchase_survival_km: crossJoin of the 1-row user-count total
     allowed_bnlj = {
         "basket_rules",
         "term_pmi",
         "neardup_eval",
+        "purchase_survival_km",
         "bm25_search",
         "doc_surprisal",
         "knn_label_accuracy",
