@@ -4618,6 +4618,80 @@ def q_purchase_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing the A/B time-to-first-purchase survival
+    curves (the hypothesis test that pairs with purchase_survival_km;
+    same deterministic md5 variant split as the other A/B shapes). Per
+    distinct day: integer death/at-risk counts via two distributed
+    prefix sums; the statistic folds hypergeometric expectations and
+    variances — micro-scaled because the final sums are short
+    order-dependent float folds."""
+    from etl_spark_spark.operators.windows import scalable_running_sum
+
+    ev = read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fp"),
+    )
+    obs = per_user.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+        F.when(
+            F.col("fp").isNotNull(),
+            F.datediff(F.to_date("fp"), F.to_date("first_ts")),
+        )
+        .otherwise(F.datediff(F.to_date("last_ts"), F.to_date("first_ts")))
+        .alias("t"),
+        F.col("fp").isNotNull().cast("long").alias("event"),
+    )
+    dist = obs.groupBy("t").agg(
+        F.sum(F.col("event") * F.col("is_a")).alias("d_a"),
+        F.sum("event").alias("d"),
+        F.sum("is_a").alias("rm_a"),
+        F.count("*").alias("rm"),
+    )
+    cum = scalable_running_sum(dist, F.col("t"), ["t"], "rm_a", out_col="__ca")
+    cum = scalable_running_sum(cum, F.col("t"), ["t"], "rm", out_col="__c")
+    totals = dist.agg(
+        F.sum("rm_a").alias("__na"), F.sum("rm").alias("__n")
+    )
+    k = cum.crossJoin(F.broadcast(totals)).select(
+        "t",
+        "d_a",
+        "d",
+        (F.col("__na") - (F.col("__ca") - F.col("rm_a"))).alias("n_a"),
+        (F.col("__n") - (F.col("__c") - F.col("rm"))).alias("n"),
+    ).filter((F.col("d") > 0) & (F.col("n") > 1))
+    p = F.col("n_a").cast("double") / F.col("n").cast("double")
+    e_a = F.col("d").cast("double") * p
+    v = (
+        F.col("d").cast("double")
+        * p
+        * (1.0 - p)
+        * (F.col("n") - F.col("d")).cast("double")
+        / (F.col("n") - 1).cast("double")
+    )
+    agg = k.agg(
+        F.sum("d_a").alias("o_a"),
+        F.sum(e_a).alias("__e"),
+        F.sum(v).alias("__v"),
+    )
+    z = (F.col("o_a").cast("double") - F.col("__e")) / F.sqrt("__v")
+    return agg.select(
+        "o_a",
+        F.round(F.col("__e") * 1e6).cast("long").alias("e_a_micro"),
+        F.round(F.col("__v") * 1e6).cast("long").alias("v_micro"),
+        F.round(z * 1e6).cast("long").alias("z_micro"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -4787,6 +4861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_eval": q_neardup_eval,
         "stock_balance_floor": q_stock_balance_floor,
         "purchase_survival_km": q_purchase_survival_km,
+        "ab_logrank_test": q_ab_logrank_test,
     }
 
 
@@ -7722,6 +7797,56 @@ FROM s WHERE d > 0
 """
 
 
+_AB_LOGRANK_TEST_SQL = """
+WITH per_user AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+  FROM events GROUP BY 1
+), obs AS (
+  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN fp IS NOT NULL
+              THEN date_diff('day', CAST(first_ts AS DATE), CAST(fp AS DATE))
+              ELSE date_diff('day', CAST(first_ts AS DATE),
+                             CAST(last_ts AS DATE)) END AS t,
+         CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM per_user
+), dist AS (
+  SELECT t, sum(event * is_a) AS d_a, sum(event) AS d,
+         sum(is_a) AS rm_a, count(*) AS rm
+  FROM obs GROUP BY 1
+), cum AS (
+  SELECT t, d_a, d, rm_a, rm,
+         sum(rm_a) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS ca,
+         sum(rm) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS c,
+         sum(rm_a) OVER () AS na, sum(rm) OVER () AS n_tot
+  FROM dist
+), k AS (
+  SELECT t, d_a, d,
+         na - (ca - rm_a) AS n_a,
+         n_tot - (c - rm) AS n
+  FROM cum WHERE d > 0 AND n_tot - (c - rm) > 1
+), s AS (
+  SELECT CAST(sum(d_a) AS BIGINT) AS o_a,
+         sum(CAST(d AS DOUBLE)
+             * (CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE))) AS e,
+         sum(CAST(d AS DOUBLE)
+             * (CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0 - CAST(n_a AS DOUBLE) / CAST(n AS DOUBLE))
+             * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)) AS v
+  FROM k
+)
+SELECT o_a,
+       CAST(round(e * 1e6) AS BIGINT) AS e_a_micro,
+       CAST(round(v * 1e6) AS BIGINT) AS v_micro,
+       CAST(round((CAST(o_a AS DOUBLE) - e) / sqrt(v) * 1e6) AS BIGINT)
+         AS z_micro
+FROM s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -7897,4 +8022,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stock_balance_floor": _STOCK_BALANCE_FLOOR_SQL,
         "purchase_survival_km": _PURCHASE_SURVIVAL_KM_SQL,
+        "ab_logrank_test": _AB_LOGRANK_TEST_SQL,
     }

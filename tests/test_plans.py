@@ -191,6 +191,7 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
         "term_pmi",
         "neardup_eval",
         "purchase_survival_km",
+        "ab_logrank_test",
         "bm25_search",
         "doc_surprisal",
         "knn_label_accuracy",
