@@ -4692,6 +4692,24 @@ def q_ab_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% CI for the mean order value, single-pass Poisson
+    style (per-(row, replicate) Poisson(1) weights from md5-uniforms
+    against embedded integer CDF thresholds — no resampling shuffle,
+    deterministic across engines). 100 replicates; CI = 3rd/98th
+    order-statistic replicate means
+    (operators/stats.py:poisson_bootstrap_mean_ci)."""
+    from etl_spark_spark.operators.stats import poisson_bootstrap_mean_ci
+
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return poisson_bootstrap_mean_ci(orders, "o_orderkey", "cents", b=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -4862,6 +4880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stock_balance_floor": q_stock_balance_floor,
         "purchase_survival_km": q_purchase_survival_km,
         "ab_logrank_test": q_ab_logrank_test,
+        "revenue_bootstrap_ci": q_revenue_bootstrap_ci,
     }
 
 
@@ -7847,6 +7866,46 @@ FROM s
 """
 
 
+def _revenue_bootstrap_ci_oracle() -> str:
+    from etl_spark_spark.operators.stats import POISSON1_THRESHOLDS
+
+    w_case = "CASE " + " ".join(
+        f"WHEN uu < {t} THEN {k}"
+        for k, t in enumerate(POISSON1_THRESHOLDS)
+    ) + f" ELSE {len(POISSON1_THRESHOLDS)} END"
+    return f"""
+WITH d AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), reps AS (
+  SELECT k, v, unnest(range(0, 100)) AS r FROM d
+), u AS (
+  SELECT r, v,
+         ('0x' || substr(md5(CAST(k AS VARCHAR) || '#'
+                             || CAST(r AS VARCHAR)), 1, 8))::BIGINT AS uu
+  FROM reps
+), wts AS (
+  SELECT r, v, {w_case} AS w FROM u
+), per AS (
+  SELECT r, CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean
+  FROM wts GROUP BY r
+), ranked AS (
+  SELECT mean, row_number() OVER (ORDER BY mean, r) AS rn FROM per
+), ci AS (
+  SELECT min(CASE WHEN rn = 3 THEN mean END) AS ci_lo,
+         min(CASE WHEN rn = 98 THEN mean END) AS ci_hi
+  FROM ranked
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_value
+  FROM d
+)
+SELECT t.n, CAST(100 AS INTEGER) AS b_replicates, t.mean_value,
+       ci.ci_lo, ci.ci_hi
+FROM t, ci
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -8023,4 +8082,5 @@ def oracle_sql() -> dict[str, str]:
         "stock_balance_floor": _STOCK_BALANCE_FLOOR_SQL,
         "purchase_survival_km": _PURCHASE_SURVIVAL_KM_SQL,
         "ab_logrank_test": _AB_LOGRANK_TEST_SQL,
+        "revenue_bootstrap_ci": _revenue_bootstrap_ci_oracle(),
     }

@@ -224,3 +224,99 @@ def exact_weighted_quantiles(
             ).alias(label)
         )
     return cum.groupBy(*keys).agg(F.max("__tw").alias("total_weight"), *aggs)
+
+
+#: Poisson(1) CDF thresholds scaled to 2^32 (k = 0..8) — computed once
+#: in Python and embedded as the SAME literals in the Spark expression
+#: and the SQL oracle, so the weight drawn from a 32-bit md5-uniform is
+#: engine-identical by construction. P(w > 8) ~ 1e-6 -> clamped to 9.
+POISSON1_THRESHOLDS = (
+    1580030169,
+    3160060337,
+    3950075422,
+    4213413783,
+    4279248374,
+    4292415292,
+    4294609778,
+    4294923276,
+    4294962463,
+)
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    b: int = 100,
+    lo_rank: int = 3,
+    hi_rank: int = 98,
+) -> DataFrame:
+    """Distributed bootstrap confidence interval for the mean, the
+    single-pass Poisson-bootstrap way (resampling WITH replacement is
+    a shuffle-killer at scale; giving every row an independent
+    Poisson(1) weight per replicate is free and converges to the same
+    distribution — the standard large-scale trick).
+
+    DETERMINISTIC: the per-(row, replicate) weight comes from inverting
+    the Poisson(1) CDF on a 32-bit uniform derived from
+    ``md5(key || '#' || replicate)`` against integer literal
+    thresholds — reproducible across runs, partitionings, and engines.
+
+    Scale shape: one ``b``-fold map-side fanout (sequence+explode), one
+    hash aggregate to ``b`` replicate rows, order statistics over those
+    ``b`` rows. Values must be integral (cents); replicate means are
+    exact-integer divisions. Returns one row: (n, b_replicates,
+    mean_value, ci_lo, ci_hi) where ci bounds are the ``lo_rank``-th /
+    ``hi_rank``-th smallest replicate means (rank ties broken by
+    replicate id).
+    """
+    key = F.col(key_col)
+    reps = df.select(
+        key.alias("__k"), F.col(value_col).cast("long").alias("__v")
+    ).withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(b - 1))))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("__k").cast("string"), F.lit("#"),
+                           F.col("__r").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(len(POISSON1_THRESHOLDS))
+    for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_THRESHOLDS[k]), F.lit(k)).otherwise(w)
+    per_rep = (
+        reps.withColumn("__w", w.cast("long"))
+        .groupBy("__r")
+        .agg(
+            F.sum(F.col("__w") * F.col("__v")).alias("__swv"),
+            F.sum("__w").alias("__sw"),
+        )
+        .select(
+            "__r",
+            (F.col("__swv").cast("double") / F.col("__sw").cast("double")
+             ).alias("__mean"),
+        )
+    )
+    wnd = Window.orderBy("__mean", "__r")
+    ranked = per_rep.withColumn("__rn", F.row_number().over(wnd))
+    ci = ranked.agg(
+        F.min(F.when(F.col("__rn") == lo_rank, F.col("__mean"))).alias(
+            "ci_lo"
+        ),
+        F.min(F.when(F.col("__rn") == hi_rank, F.col("__mean"))).alias(
+            "ci_hi"
+        ),
+    )
+    totals = df.agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col(value_col).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_value"),
+    )
+    return totals.crossJoin(F.broadcast(ci)).select(
+        "n", F.lit(b).alias("b_replicates"), "mean_value", "ci_lo", "ci_hi"
+    )

@@ -192,6 +192,7 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
         "neardup_eval",
         "purchase_survival_km",
         "ab_logrank_test",
+        "revenue_bootstrap_ci",
         "bm25_search",
         "doc_surprisal",
         "knn_label_accuracy",

@@ -234,3 +234,19 @@ def test_stock_balance_floor_matches_sequential_recurrence(spark, sf_dir):
             b = max(0, b + net)
             assert balance == b, (supp, day, balance, b)
         assert all(x[2] >= 0 for x in seq)
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from etl_spark_spark.operators.stats import poisson_bootstrap_mean_ci
+    from pyspark.sql import functions as SF
+
+    df = spark.range(2_000).select(
+        SF.col("id").alias("k"), ((SF.col("id") % 97) * 3 + 50).alias("v")
+    )
+    r1 = poisson_bootstrap_mean_ci(df, "k", "v", b=100).collect()[0]
+    r2 = poisson_bootstrap_mean_ci(df, "k", "v", b=100).collect()[0]
+    assert r1 == r2  # hash-derived weights: bit-deterministic
+    assert r1["ci_lo"] < r1["mean_value"] < r1["ci_hi"]
+    # a 95% CI on n=2000 of this spread is narrow but not degenerate
+    width = r1["ci_hi"] - r1["ci_lo"]
+    assert 0 < width < r1["mean_value"] * 0.2
