@@ -57,7 +57,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name, fn in queries.items():
+
+    def _line(partial: bool) -> str:
+        doc = {
+            "metric": "total_query_wall_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "queries_warm": warm,
+            "total_warm_sec": round(sum(warm.values()), 3),
+            "r1_subset_warm_sec": round(
+                sum(v for k, v in warm.items() if k in R1_QUERIES), 3
+            ),
+            "n_queries": len(timings),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+        if partial:
+            doc["partial"] = True
+        return json.dumps(doc)
+
+    for i, (name, fn) in enumerate(queries.items()):
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -66,25 +85,12 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         warm[name] = round(time.perf_counter() - t0, 3)
+        if (i + 1) % 25 == 0:
+            # timeout insurance: a killed run still leaves a valid
+            # (explicitly partial) JSON line as its last stdout line
+            print(_line(partial=True), flush=True)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "total_warm_sec": round(sum(warm.values()), 3),
-                "r1_subset_warm_sec": round(
-                    sum(v for k, v in warm.items() if k in R1_QUERIES), 3
-                ),
-                "n_queries": len(timings),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    print(_line(partial=False))
 
 
 if __name__ == "__main__":
