@@ -4710,6 +4710,54 @@ def q_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_mean_ci(orders, "o_orderkey", "cents", b=100)
 
 
+def q_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 10% two-sided trimmed mean of order values — the robust
+    location estimate outliers can't drag. No sort of the data: the
+    k lowest/highest observations are removed ARITHMETICALLY from the
+    per-distinct-value distribution (clamped tie-aware effective
+    counts over the distributed prefix sum), so every intermediate is
+    an exact integer and the final mean one exact division."""
+    from etl_spark_spark.operators.windows import scalable_running_sum
+
+    orders = table(spark, sf_dir, "orders", columns=["o_totalprice"])
+    vals = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    dist = vals.groupBy("v").agg(F.count("*").alias("c"))
+    cum = scalable_running_sum(dist, F.col("v"), ["v"], "c", out_col="cumc")
+    totals = dist.agg(
+        F.sum("c").alias("n"), F.sum(F.col("c") * F.col("v")).alias("s")
+    )
+    x = cum.crossJoin(F.broadcast(totals))
+    k = F.floor(F.col("n") / 10).cast("long")
+    cum_before = F.col("cumc") - F.col("c")
+    low_eff = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("c"), k - cum_before),
+    )
+    above = F.col("n") - F.col("cumc")
+    high_eff = F.greatest(
+        F.lit(0).cast("long"), F.least(F.col("c"), k - above)
+    )
+    agg = x.groupBy("n", "s").agg(
+        F.sum(low_eff * F.col("v")).alias("__slow"),
+        F.sum(high_eff * F.col("v")).alias("__shigh"),
+    )
+    kk = F.floor(F.col("n") / 10).cast("long")
+    tmean = (
+        (F.col("s") - F.col("__slow") - F.col("__shigh")).cast("double")
+        / (F.col("n") - 2 * kk).cast("double")
+    )
+    return agg.select(
+        "n",
+        kk.alias("k_trimmed_each_side"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "mean_cents"
+        ),
+        tmean.alias("trimmed_mean_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -4881,6 +4929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_survival_km": q_purchase_survival_km,
         "ab_logrank_test": q_ab_logrank_test,
         "revenue_bootstrap_ci": q_revenue_bootstrap_ci,
+        "trimmed_mean_price": q_trimmed_mean_price,
     }
 
 
@@ -7906,6 +7955,35 @@ FROM t, ci
 """
 
 
+_TRIMMED_MEAN_PRICE_SQL = """
+WITH vals AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+), dist AS (
+  SELECT v, count(*) AS c FROM vals GROUP BY 1
+), cum AS (
+  SELECT v, c,
+         sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cumc,
+         sum(c) OVER () AS n, sum(c * v) OVER () AS s
+  FROM dist
+), eff AS (
+  SELECT n, s,
+         greatest(0, least(c, CAST(floor(n / 10) AS BIGINT)
+                              - (cumc - c))) * v AS lowv,
+         greatest(0, least(c, CAST(floor(n / 10) AS BIGINT)
+                              - (n - cumc))) * v AS highv
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(floor(n / 10) AS BIGINT) AS k_trimmed_each_side,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+       CAST(s - sum(lowv) - sum(highv) AS DOUBLE)
+         / CAST(n - 2 * CAST(floor(n / 10) AS BIGINT) AS DOUBLE)
+         AS trimmed_mean_cents
+FROM eff GROUP BY n, s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "superdesconto": _SUPERDESCONTO_SQL,
@@ -8083,4 +8161,5 @@ def oracle_sql() -> dict[str, str]:
         "purchase_survival_km": _PURCHASE_SURVIVAL_KM_SQL,
         "ab_logrank_test": _AB_LOGRANK_TEST_SQL,
         "revenue_bootstrap_ci": _revenue_bootstrap_ci_oracle(),
+        "trimmed_mean_price": _TRIMMED_MEAN_PRICE_SQL,
     }

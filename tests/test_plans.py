@@ -193,6 +193,7 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
         "purchase_survival_km",
         "ab_logrank_test",
         "revenue_bootstrap_ci",
+        "trimmed_mean_price",
         "bm25_search",
         "doc_surprisal",
         "knn_label_accuracy",
