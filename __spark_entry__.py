@@ -7927,12 +7927,13 @@ WITH d AS (
   SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
   FROM orders
 ), reps AS (
-  SELECT k, v, unnest(range(0, 100)) AS r FROM d
+  SELECT k, v, unnest(range(0, 25)) AS g FROM d
 ), u AS (
-  SELECT r, v,
+  SELECT 4 * g + j AS r, v,
          ('0x' || substr(md5(CAST(k AS VARCHAR) || '#'
-                             || CAST(r AS VARCHAR)), 1, 8))::BIGINT AS uu
-  FROM reps
+                             || CAST(g AS VARCHAR)),
+                         1 + 8 * j, 8))::BIGINT AS uu
+  FROM reps, unnest([0, 1, 2, 3]) AS t(j)
 ), wts AS (
   SELECT r, v, {w_case} AS w FROM u
 ), per AS (
