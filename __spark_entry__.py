@@ -1178,37 +1178,47 @@ def q_daily_dense_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier flagging: median + MAD (median absolute
     deviation) per return flag, flag rows with |x - median| > 10 * MAD.
-    Two exact-percentile aggregates (the second over the deviations)
-    and one broadcast join back — the robust-z-score pattern that,
-    unlike mean/stddev, a single corrupt value cannot skew. Emits the
-    per-flag outlier count plus the thresholds (exact interpolated
-    percentiles, engine-portable)."""
+    Both medians run through exact_group_quantiles (distribution agg +
+    window over the COMPACT per-distinct-value distribution) rather
+    than F.percentile, whose TypedImperativeAggregate buffers every
+    group value in the aggregation buffer — 3 groups x 2B rows at
+    100x is an executor-OOM aggregate; the distribution form shrinks
+    to distinct values first. Discrete-quantile semantics (smallest v
+    with cum >= ceil(q*n)), same as q_exact_price_quartiles."""
+    from etl_spark_spark.operators.stats import exact_group_quantiles
+
     li = table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
-    med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("median_price")
+    med = exact_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", qs=(0.5,)
+    ).select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.col("q50").alias("median_price"),
     )
     with_dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
         "__dev", F.abs(F.col("l_extendedprice") - F.col("median_price"))
     )
-    mad = with_dev.groupBy("l_returnflag").agg(
-        F.percentile("__dev", 0.5).alias("mad"),
-        F.first("median_price").alias("median_price"),
-        F.count("*").alias("n_rows"),
-    )
+    mad = exact_group_quantiles(
+        with_dev, ["l_returnflag"], "__dev", qs=(0.5,)
+    ).select("l_returnflag", F.col("q50").alias("mad"))
     flagged = (
-        with_dev.join(
-            F.broadcast(mad.select("l_returnflag", "mad")), "l_returnflag"
-        )
+        with_dev.join(F.broadcast(mad), "l_returnflag")
         .filter(F.col("__dev") > 10 * F.col("mad"))
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_outliers"))
     )
-    return mad.join(flagged, "l_returnflag", "left").select(
-        "l_returnflag",
-        "n_rows",
-        "median_price",
-        "mad",
-        F.coalesce(F.col("n_outliers"), F.lit(0)).cast("long").alias("n_outliers"),
+    return (
+        med.join(F.broadcast(mad), "l_returnflag")
+        .join(flagged, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "median_price",
+            "mad",
+            F.coalesce(F.col("n_outliers"), F.lit(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
     )
 
 
@@ -3563,14 +3573,34 @@ def q_part_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors — shared / sqrt(n_a * n_b), the association normalization
     that makes hub items comparable to niche ones. Exact integer
     inputs; pairs need >= 3 shared customers (the support floor that
-    also bounds the pair fanout)."""
+    also bounds the pair fanout).
+
+    Hub-basket cap (standard co-occurrence practice): customers with
+    more than MAX_BASKET distinct parts are dropped BEFORE the pair
+    self-join — the per-key pair fanout is quadratic in basket size,
+    so one reseller account with 1e5 parts would otherwise generate
+    5e9 pairs on a single join key at 100x scale. The over-cap key
+    set is tiny by construction, so it is removed with a broadcast
+    anti-join (no extra shuffle of the incidence table); the degree
+    normalization uses the SAME capped incidence so cosine stays
+    internally consistent. Documented bias: hub baskets carry near-
+    zero association signal per pair anyway (see
+    scripts/bench_skew.py replica numbers in BASELINE.md)."""
+    max_basket = 200
     li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     orders = table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    inc = (
+    inc_all = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("o_custkey", "l_partkey")
         .distinct()
     )
+    hubs = (
+        inc_all.groupBy("o_custkey")
+        .agg(F.count("*").alias("__bsz"))
+        .filter(F.col("__bsz") > max_basket)
+        .select("o_custkey")
+    )
+    inc = inc_all.join(F.broadcast(hubs), "o_custkey", "left_anti")
     deg = inc.groupBy("l_partkey").agg(F.count("*").alias("n"))
     a = inc.alias("a")
     b = inc.alias("b")
@@ -4213,13 +4243,19 @@ def q_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_sub(F.col("day"), 1).alias("day"), F.col("cents").alias("y")
     )
     pairs = daily.select("day", F.col("cents").alias("x")).join(nxt, "day")
+    # Cast BEFORE multiplying: x,y are daily cents (already ~1.2e10/day
+    # at sf1), so long*long would silently overflow int64 at scale.
+    # decimal(19,0)*decimal(19,0) -> decimal(38,0), exact like the
+    # oracle's HUGEINT path.
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     s = pairs.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (dec("n") * F.col("sxy") - dec("sx") * dec("sy")).cast("double")
@@ -5734,16 +5770,35 @@ FROM spine s LEFT JOIN counts c USING (day, priority)
 """
 
 _PRICE_OUTLIERS_SQL = """
-WITH med AS (
-    SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS median_price,
-           count(*) AS n_rows
-    FROM lineitem GROUP BY 1
-),
-dev AS (
-    SELECT l.l_returnflag, abs(l.l_extendedprice - m.median_price) AS d
-    FROM lineitem l JOIN med m USING (l_returnflag)
-),
-mad AS (SELECT l_returnflag, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
+WITH dist AS (
+  SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, v, c,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM dist
+), med AS (
+  SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+         min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS median_price
+  FROM cum GROUP BY 1
+), dev AS (
+  SELECT l.l_returnflag, abs(l.l_extendedprice - m.median_price) AS d
+  FROM lineitem l JOIN med m USING (l_returnflag)
+), ddist AS (
+  SELECT l_returnflag, d, count(*) AS c FROM dev GROUP BY 1, 2
+), dcum AS (
+  SELECT l_returnflag, d, c,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM ddist
+), mad AS (
+  SELECT l_returnflag,
+         min(CASE WHEN cum >= ceil(0.5 * n) THEN d END) AS mad
+  FROM dcum GROUP BY 1
+)
 SELECT m.l_returnflag, m.n_rows, m.median_price, a.mad,
        coalesce((SELECT count(*) FROM dev
                  WHERE dev.l_returnflag = m.l_returnflag
@@ -7178,9 +7233,14 @@ FROM cum GROUP BY cohort_day
 """
 
 _PART_COOCCURRENCE_COSINE_SQL = """
-WITH inc AS (
+WITH inc_all AS (
   SELECT DISTINCT o_custkey, l_partkey
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), inc AS (
+  SELECT o_custkey, l_partkey FROM inc_all
+  WHERE o_custkey NOT IN (
+    SELECT o_custkey FROM inc_all GROUP BY 1 HAVING count(*) > 200
+  )
 ), deg AS (
   SELECT l_partkey, count(*) AS n FROM inc GROUP BY 1
 ), pairs AS (
@@ -7916,24 +7976,31 @@ FROM s
 
 
 def _revenue_bootstrap_ci_oracle() -> str:
-    from etl_spark_spark.operators.stats import POISSON1_THRESHOLDS
+    from etl_spark_spark.operators.stats import (
+        LEHMER_M,
+        POISSON1_THRESHOLDS,
+        lehmer_multipliers,
+    )
 
     w_case = "CASE " + " ".join(
         f"WHEN uu < {t} THEN {k}"
         for k, t in enumerate(POISSON1_THRESHOLDS)
     ) + f" ELSE {len(POISSON1_THRESHOLDS)} END"
+    mults = ", ".join(
+        f"({r}, {m})" for r, m in enumerate(lehmer_multipliers(100))
+    )
     return f"""
 WITH d AS (
   SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS v
   FROM orders
-), reps AS (
-  SELECT k, v, unnest(range(0, 25)) AS g FROM d
+), seeded AS (
+  SELECT v,
+         ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT
+           % {LEHMER_M - 1} + 1 AS s
+  FROM d
 ), u AS (
-  SELECT 4 * g + j AS r, v,
-         ('0x' || substr(md5(CAST(k AS VARCHAR) || '#'
-                             || CAST(g AS VARCHAR)),
-                         1 + 8 * j, 8))::BIGINT AS uu
-  FROM reps, unnest([0, 1, 2, 3]) AS t(j)
+  SELECT m.r AS r, v, (s * m.m) % {LEHMER_M} AS uu
+  FROM seeded CROSS JOIN (VALUES {mults}) AS m(r, m)
 ), wts AS (
   SELECT r, v, {w_case} AS w FROM u
 ), per AS (

@@ -76,6 +76,49 @@ def main() -> None:
             doc["partial"] = True
         return json.dumps(doc)
 
+    def _compact_line(partial: bool) -> str:
+        """A <=1800-char JSON line that survives a tail-window capture:
+        headline totals plus as many per-query warm timings as fit,
+        slowest first. The FULL per-query detail is the preceding
+        stdout line and bench_full.json — this line exists because a
+        capture that keeps only the last ~2000 chars of stdout would
+        otherwise see a head-truncated (unparseable) full line."""
+        doc = {
+            "metric": "total_query_wall_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(timings),
+            "total_warm_sec": round(sum(warm.values()), 3),
+            "r1_subset_warm_sec": round(
+                sum(v for k, v in warm.items() if k in R1_QUERIES), 3
+            ),
+            "full_detail": "bench_full.json",
+            "queries": {},
+        }
+        if partial:
+            doc["partial"] = True
+        budget = 1800
+        base = len(json.dumps(doc))
+        shown: dict[str, float] = {}
+        for k, v in sorted(warm.items(), key=lambda kv: -kv[1]):
+            entry = len(json.dumps({k: v})) + 1
+            if base + entry > budget:
+                break
+            shown[k] = v
+            base += entry
+        doc["queries"] = shown
+        doc["n_queries_shown"] = len(shown)
+        return json.dumps(doc)
+
+    def _dump(partial: bool) -> None:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_full.json"),
+            "w",
+        ) as f:
+            f.write(_line(partial) + "\n")
+
     for i, (name, fn) in enumerate(queries.items()):
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
@@ -87,10 +130,15 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t0, 3)
         if (i + 1) % 25 == 0:
             # timeout insurance: a killed run still leaves a valid
-            # (explicitly partial) JSON line as its last stdout line
+            # (explicitly partial, tail-window-sized) JSON line as its
+            # last stdout line, and the full detail on disk
+            _dump(partial=True)
             print(_line(partial=True), flush=True)
+            print(_compact_line(partial=True), flush=True)
 
-    print(_line(partial=False))
+    _dump(partial=False)
+    print(_line(partial=False), flush=True)
+    print(_compact_line(partial=False), flush=True)
 
 
 if __name__ == "__main__":

@@ -109,13 +109,11 @@ def train_bpe(
     return merges
 
 
-def train_bpe_sql(
-    table: str, text_col: str, n_merges: int = 6
-) -> str:
-    """DuckDB mirror of :func:`train_bpe`: the same recurrence as
-    ``n_merges`` chained CTE stages, emitting (rank, lhs, rhs, merged,
-    pair_count) — the exact table the Spark query builds from the
-    collected merges."""
+def _bpe_cte_stages(table: str, text_col: str, n_merges: int) -> list[str]:
+    """The shared chained-CTE merge recurrence both SQL builders
+    assemble from (w0 .. w{n_merges}, pairs{k}, best{k}) — a single
+    source of truth so neither builder has to carve up the other's
+    finished SQL string."""
     sep = SEP
     stages = [
         f"""
@@ -153,6 +151,17 @@ w{k + 1} AS (
   FROM w{k} w, best{k} b
 )"""
         )
+    return stages
+
+
+def train_bpe_sql(
+    table: str, text_col: str, n_merges: int = 6
+) -> str:
+    """DuckDB mirror of :func:`train_bpe`: the same recurrence as
+    ``n_merges`` chained CTE stages, emitting (rank, lhs, rhs, merged,
+    pair_count) — the exact table the Spark query builds from the
+    collected merges."""
+    stages = _bpe_cte_stages(table, text_col, n_merges)
     finals = " UNION ALL ".join(
         f"SELECT {k + 1} AS rank, a AS lhs, b AS rhs, a || b AS merged, "
         f"CAST(c AS BIGINT) AS pair_count FROM best{k}"
@@ -207,9 +216,7 @@ def bpe_token_counts_sql(
     """DuckDB mirror of :func:`bpe_token_counts`: reuses the chained
     merge stages of :func:`train_bpe_sql` and applies the final symbol
     table back to the documents."""
-    chain = train_bpe_sql(table, text_col, n_merges)
-    # keep every CTE, drop the final merge-table SELECT union
-    stages = chain.split("\nSELECT 1 AS rank")[0][len("WITH "):]
+    stages = ",".join(_bpe_cte_stages(table, text_col, n_merges))
     return f"""
 WITH {stages},
 per_word AS (

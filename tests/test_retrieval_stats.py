@@ -250,3 +250,39 @@ def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     # a 95% CI on n=2000 of this spread is narrow but not degenerate
     width = r1["ci_hi"] - r1["ci_lo"]
     assert 0 < width < r1["mean_value"] * 0.2
+
+
+def test_poisson_bootstrap_rejects_out_of_range_ranks(spark):
+    from etl_spark_spark.operators.stats import poisson_bootstrap_mean_ci
+    from pyspark.sql import functions as SF
+    import pytest
+
+    df = spark.range(10).select(SF.col("id").alias("k"), SF.col("id").alias("v"))
+    # defaults (3, 98) are only valid when b >= 98
+    with pytest.raises(ValueError, match="lo_rank"):
+        poisson_bootstrap_mean_ci(df, "k", "v", b=96)
+    with pytest.raises(ValueError, match="lo_rank"):
+        poisson_bootstrap_mean_ci(df, "k", "v", b=100, lo_rank=98, hi_rank=3)
+    with pytest.raises(ValueError, match="lo_rank"):
+        poisson_bootstrap_mean_ci(df, "k", "v", b=100, lo_rank=0, hi_rank=98)
+
+
+def test_quantile_labels_full_precision_and_duplicate_rejection(spark):
+    from etl_spark_spark.operators.stats import (
+        exact_group_quantiles,
+        exact_weighted_quantiles,
+    )
+    from pyspark.sql import functions as SF
+    import pytest
+
+    df = spark.range(1_000).select(
+        (SF.col("id") % 2).alias("g"),
+        SF.col("id").alias("v"),
+        SF.lit(1).alias("w"),
+    )
+    out = exact_group_quantiles(df, ["g"], "v", qs=(0.125, 0.12, 0.999))
+    assert {"q0_125", "q12", "q0_999"} <= set(out.columns)  # no collision
+    wout = exact_weighted_quantiles(df, ["g"], "v", "w", qs=(0.5, 0.999))
+    assert {"wq50", "wq0_999"} <= set(wout.columns)
+    with pytest.raises(ValueError, match="duplicate"):
+        exact_group_quantiles(df, ["g"], "v", qs=(0.5, 0.5))
