@@ -3579,13 +3579,15 @@ def q_part_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than MAX_BASKET distinct parts are dropped BEFORE the pair
     self-join — the per-key pair fanout is quadratic in basket size,
     so one reseller account with 1e5 parts would otherwise generate
-    5e9 pairs on a single join key at 100x scale. The over-cap key
-    set is tiny by construction, so it is removed with a broadcast
-    anti-join (no extra shuffle of the incidence table); the degree
-    normalization uses the SAME capped incidence so cosine stays
-    internally consistent. Documented bias: hub baskets carry near-
-    zero association signal per pair anyway (see
-    scripts/bench_skew.py replica numbers in BASELINE.md)."""
+    5e9 pairs on a single join key at 100x scale. The size filter is
+    a count window over the incidence partitioned by o_custkey: ONE
+    pass over a single incidence lineage (an aggregate + anti-join
+    formulation recomputes the lineitem-orders join for the hub set),
+    and it leaves the capped incidence already hash-partitioned by
+    the self-join key. The degree normalization uses the SAME capped
+    incidence so cosine stays internally consistent. Documented bias:
+    hub baskets carry near-zero association signal per pair anyway
+    (see scripts/bench_skew.py replica numbers in BASELINE.md)."""
     max_basket = 200
     li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     orders = table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
@@ -3594,13 +3596,12 @@ def q_part_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_partkey")
         .distinct()
     )
-    hubs = (
-        inc_all.groupBy("o_custkey")
-        .agg(F.count("*").alias("__bsz"))
-        .filter(F.col("__bsz") > max_basket)
-        .select("o_custkey")
+    wb = Window.partitionBy("o_custkey")
+    inc = (
+        inc_all.withColumn("__bsz", F.count("*").over(wb))
+        .filter(F.col("__bsz") <= max_basket)
+        .drop("__bsz")
     )
-    inc = inc_all.join(F.broadcast(hubs), "o_custkey", "left_anti")
     deg = inc.groupBy("l_partkey").agg(F.count("*").alias("n"))
     a = inc.alias("a")
     b = inc.alias("b")

@@ -24,13 +24,16 @@ def test_oracle(name, spark, sf_dir):
     assert_oracle_match(spark, sf_dir, QUERIES[name], ORACLES[name])
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only(name, spark, sf_dir):
-    """Queries without a SQL oracle (approximate / pandas-side ops) must
-    still run and produce a stable schema."""
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_no_rows_only_queries_remain():
+    """Every registered query currently carries a full SQL oracle —
+    this pins that state explicitly (the old parametrized rows-only
+    fallback showed up as an unexplained pytest skip when its
+    parameter set was empty). If a genuinely non-SQL-expressible
+    query is ever added, replace this with a parametrized
+    run-and-schema check over the difference set."""
+    assert set(QUERIES) == set(ORACLES), (
+        f"queries without an oracle: {sorted(set(QUERIES) - set(ORACLES))}"
+    )
 
 
 def test_entry_smoke(spark):
