@@ -67,3 +67,51 @@ def test_reusable_index_and_conservative_nulls(spark, tmp_path):
         spark, path, "id", 0, 10, index=null_idx
     )
     assert n_read == n_total
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """Z-order vs single-column range clustering: after write_zordered
+    on (x, y), a 1/8-range predicate on EITHER column must skip files,
+    while the range-sorted-by-x layout skips only on x (every file
+    spans the full y range). Also pins correctness: pruning + residual
+    filter returns exactly the full-scan answer on both layouts."""
+    from etl_spark_spark.sinks.zorder import write_zordered
+    from etl_spark_spark.sources.stats_index import (
+        build_stats_index,
+        prune_files,
+    )
+
+    df = spark.range(64_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(1024)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1024)).alias("y"),
+        F.col("id").alias("v"),
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(df, zpath, ["x", "y"], num_files=16, bits=8)
+    write_range_sorted(df, rpath, ["x"], num_files=16)
+
+    zidx = build_stats_index(spark, zpath, ["x", "y"]).localCheckpoint()
+    ridx = build_stats_index(spark, rpath, ["x", "y"]).localCheckpoint()
+    n_files = zidx.count()
+    assert n_files == 16 and ridx.count() == 16
+
+    lo, hi = 0, 127  # a 1/8 slice of either dimension
+    zx, zy = prune_files(zidx, "x", lo, hi), prune_files(zidx, "y", lo, hi)
+    rx, ry = prune_files(ridx, "x", lo, hi), prune_files(ridx, "y", lo, hi)
+    # z-order discriminates on BOTH columns
+    assert len(zx) <= n_files // 2, f"zorder x kept {len(zx)}/{n_files}"
+    assert len(zy) <= n_files // 2, f"zorder y kept {len(zy)}/{n_files}"
+    # range-sorted-by-x: strong on x, useless on y (every file kept)
+    assert len(rx) <= n_files // 4
+    assert len(ry) == n_files
+    # pruning is a correctness-preserving superset on the z layout
+    want = df.filter(F.col("y").between(lo, hi)).agg(
+        F.sum("v"), F.count("*")
+    ).collect()[0]
+    got = (
+        spark.read.parquet(*zy)
+        .filter(F.col("y").between(lo, hi))
+        .agg(F.sum("v"), F.count("*"))
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want)
