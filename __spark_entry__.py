@@ -62,6 +62,7 @@ from etl_spark_spark.operators.fuzzy import fuzzy_join
 from etl_spark_spark.operators.quality import (
     expectation_metrics,
     fk_violation_count,
+    functional_dependencies,
 )
 from etl_spark_spark.operators.sampling import (
     hash_bucket,
@@ -4795,6 +4796,91 @@ def q_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter (Rae et al. 2021, arXiv:2112.11446
+    §A1.1, public method): the published corpus quality heuristics as
+    per-rule boolean flags plus the composite keep decision. Every
+    ratio threshold is cross-multiplied into an integer inequality, so
+    flags are bit-reproducible across engines (extension: corpus
+    quality filtering; complements the continuous quality_score)."""
+    from functools import reduce
+
+    from etl_spark_spark.functions.text import (
+        gopher_rule_counters,
+        gopher_rule_flags,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    counters = gopher_rule_counters("text")
+    n_stop = stopword_hits("text", LANG_PROFILES["en"]).cast("long")
+    flags = gopher_rule_flags(counters, n_stop)
+    keep = reduce(lambda a, b: a & b, flags.values())
+    return docs.select(
+        "doc_id",
+        "source",
+        *[v.alias(k) for k, v in counters.items()],
+        n_stop.alias("n_stop"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (TANE-family schema discovery,
+    public method) across four tables: does lhs determine rhs? One
+    hash aggregate per candidate, no joins (extension: data-quality /
+    schema profiling; operators/quality.py)."""
+    fd = functional_dependencies
+    return (
+        fd(table(spark, sf_dir, "part"),
+           [("p_brand", "p_type"), ("p_name", "p_brand")], "part")
+        .union(fd(table(spark, sf_dir, "orders"),
+                  [("o_custkey", "o_orderpriority")], "orders"))
+        .union(fd(table(spark, sf_dir, "customer"),
+                  [("c_name", "c_nationkey")], "customer"))
+        .union(fd(table(spark, sf_dir, "nation"),
+                  [("n_nationkey", "n_regionkey"),
+                   ("n_regionkey", "n_nationkey")], "nation"))
+    )
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram per source — the corpus
+    length-distribution profile every mixing decision starts from.
+    Buckets come from the binary-representation length (exact integer
+    path in both engines; floor(log2(x)) through doubles could flip at
+    boundaries)."""
+    docs = table(spark, sf_dir, "documents")
+    n = token_count("text").cast("long")
+    base = docs.select("source", n.alias("__n"))
+    bucket = (F.length(F.conv(F.col("__n").cast("string"), 10, 2)) - 1).cast(
+        "int"
+    )
+    return (
+        base.groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("__n").alias("min_tokens"),
+            F.max("__n").alias("max_tokens"),
+            F.sum("__n").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 3-gram contamination matrix: distinct shared
+    shingles per source pair, with per-source vocabulary sizes
+    (extension: corpus curation — the 'how much does crawl A duplicate
+    corpus B' audit run before setting mixing weights). Shingle-keyed
+    join, per-group fanout bounded by the source count
+    (operators/corpus_stats.py:source_shingle_overlap)."""
+    from etl_spark_spark.operators.corpus_stats import source_shingle_overlap
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("source", tokens("text").alias("t"))
+    return source_shingle_overlap(t, "source", word_shingles("t", 3))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "superdesconto": q_superdesconto,
@@ -4967,6 +5053,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_logrank_test": q_ab_logrank_test,
         "revenue_bootstrap_ci": q_revenue_bootstrap_ci,
         "trimmed_mean_price": q_trimmed_mean_price,
+        "doc_gopher_filter": q_doc_gopher_filter,
+        "fd_audit": q_fd_audit,
+        "doc_length_histogram": q_doc_length_histogram,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -8052,6 +8142,98 @@ SELECT CAST(n AS BIGINT) AS n,
 FROM eff GROUP BY n, s
 """
 
+_DOC_GOPHER_FILTER_SQL = rf"""
+WITH base AS (
+    SELECT doc_id, source,
+           CAST(len({_TOKS}) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(lower(trim(text)), '\s', '', 'g'))
+                AS BIGINT) AS word_chars,
+           CAST(len(list_filter({_TOKS}, w -> regexp_matches(w, '[a-z]')))
+                AS BIGINT) AS alpha_words,
+           CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+               AS symbols,
+           CAST(len(regexp_extract_all(lower(trim(text)), '{_EN_PAT}'))
+                AS BIGINT) AS n_stop
+    FROM documents
+), flagged AS (
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+               AS r_word_len,
+           (5 * alpha_words >= 4 * n_words) AS r_alpha,
+           (10 * symbols <= n_words) AS r_symbol,
+           (n_stop >= 2) AS r_stop
+    FROM base
+)
+SELECT doc_id, source, n_words, word_chars, alpha_words, symbols, n_stop,
+       r_word_count, r_word_len, r_alpha, r_symbol, r_stop,
+       (r_word_count AND r_word_len AND r_alpha AND r_symbol AND r_stop)
+           AS keep
+FROM flagged
+"""
+
+
+def _fd_branch_sql(tab: str, lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{tab}' AS tbl, '{lhs}' AS lhs, '{rhs}' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (__k > 1) AS BIGINT) AS n_violating,
+       count(*) FILTER (__k > 1) = 0 AS holds
+FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS __k FROM {tab} GROUP BY 1)
+"""
+
+
+_FD_AUDIT_SQL = " UNION ALL ".join(
+    _fd_branch_sql(t, l, r)
+    for t, l, r in [
+        ("part", "p_brand", "p_type"),
+        ("part", "p_name", "p_brand"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("customer", "c_name", "c_nationkey"),
+        ("nation", "n_nationkey", "n_regionkey"),
+        ("nation", "n_regionkey", "n_nationkey"),
+    ]
+)
+
+_DOC_LENGTH_HISTOGRAM_SQL = rf"""
+WITH base AS (
+    SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+)
+SELECT source,
+       CAST(length(bin(n)) - 1 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n) AS min_tokens,
+       max(n) AS max_tokens,
+       CAST(sum(n) AS BIGINT) AS sum_tokens
+FROM base
+GROUP BY 1, 2
+"""
+
+_SOURCE_OVERLAP_SQL = rf"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+sh0 AS (
+    SELECT source,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE []::VARCHAR[] END) AS s
+    FROM toks
+),
+sh AS (SELECT DISTINCT source, s FROM sh0),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh a JOIN sh b USING (s)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, na.n AS n_a, nb.n AS n_b
+FROM pairs
+JOIN sizes na ON pairs.source_a = na.source
+JOIN sizes nb ON pairs.source_b = nb.source
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -8231,4 +8413,8 @@ def oracle_sql() -> dict[str, str]:
         "ab_logrank_test": _AB_LOGRANK_TEST_SQL,
         "revenue_bootstrap_ci": _revenue_bootstrap_ci_oracle(),
         "trimmed_mean_price": _TRIMMED_MEAN_PRICE_SQL,
+        "doc_gopher_filter": _DOC_GOPHER_FILTER_SQL,
+        "fd_audit": _FD_AUDIT_SQL,
+        "doc_length_histogram": _DOC_LENGTH_HISTOGRAM_SQL,
+        "source_overlap": _SOURCE_OVERLAP_SQL,
     }

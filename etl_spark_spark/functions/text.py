@@ -174,3 +174,45 @@ def lang_id(c: Column | str) -> Column:
             cond = c2 if cond is None else (cond & c2)
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def gopher_rule_counters(c: Column | str) -> dict[str, Column]:
+    """The integer counters behind the published Gopher quality rules
+    (Rae et al. 2021, arXiv:2112.11446 §A1.1 — public method): word
+    count, total word characters, words containing a letter, hash/
+    ellipsis symbols. All exact integers so the rule thresholds can be
+    tested with integer inequalities (no float ratios to diverge
+    across engines). Pure per-row expressions — map-only at any scale.
+    """
+    t = tokens(c)
+    return {
+        "n_words": F.size(t).cast("long"),
+        "word_chars": F.length(
+            F.regexp_replace(normalize_text(c), r"\s", "")
+        ).cast("long"),
+        "alpha_words": F.size(
+            F.filter(t, lambda w: w.rlike("[a-z]"))
+        ).cast("long"),
+        "symbols": F.regexp_count(_col(c), F.lit(r"#|\.\.\.")).cast("long"),
+    }
+
+
+def gopher_rule_flags(
+    counters: dict[str, Column],
+    n_stop: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> dict[str, Column]:
+    """Gopher rule booleans from ``gopher_rule_counters`` output plus a
+    stopword-hit count. Ratio thresholds are cross-multiplied into
+    integer comparisons (mean word length in [3, 10], >= 80% alphabetic
+    words, < 10% symbol ratio, >= 2 stopword hits), so every flag is
+    bit-reproducible in any engine."""
+    n, wc = counters["n_words"], counters["word_chars"]
+    return {
+        "r_word_count": (n >= min_words) & (n <= max_words),
+        "r_word_len": (3 * n <= wc) & (wc <= 10 * n),
+        "r_alpha": 5 * counters["alpha_words"] >= 4 * n,
+        "r_symbol": 10 * counters["symbols"] <= n,
+        "r_stop": n_stop >= 2,
+    }

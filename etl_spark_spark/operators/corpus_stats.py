@@ -83,3 +83,61 @@ def doc_bigram_novelty(
             F.col("n_known").cast("double") / F.col("n_bigrams"),
         )
     )
+
+
+def source_shingle_overlap(
+    docs: DataFrame,
+    source_col: str,
+    shingles_col: Column | str,
+) -> DataFrame:
+    """Cross-source n-gram contamination matrix: for every pair of
+    sources, how many DISTINCT shingles appear in both (the "how much
+    does crawl A duplicate corpus B" question corpus curation answers
+    before mixing sources).
+
+    Returns (source_a, source_b, n_shared, n_a, n_b) with source_a <
+    source_b lexicographically; ``n_a``/``n_b`` are each side's total
+    distinct shingle counts, so Jaccard/containment are one division
+    away.
+
+    Scale shape: the corpus collapses to DISTINCT (source, shingle)
+    rows first (hash aggregate, linear), and the pair join is keyed by
+    shingle — each join group is bounded by the number of SOURCES
+    carrying that shingle, never by corpus size, so the worst shingle
+    (a stopword trigram present in all S sources) costs S^2 rows, flat
+    in N. Both join sides are corpus-vocabulary-sized and merge-hinted:
+    distinct shingle tables compress misleadingly well, and AQE's
+    dynamic broadcast must never build them driver-side (same failure
+    class as the 100x jaccard_for_pairs OOM, neardup.py:104).
+    """
+    sh = (
+        docs.select(
+            F.col(source_col).alias("__src"),
+            F.explode(
+                shingles_col if isinstance(shingles_col, Column)
+                else F.col(shingles_col)
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("__src").agg(F.count("*").cast("long").alias("n"))
+    a = sh.select(F.col("__src").alias("source_a"), "s")
+    b = sh.select(F.col("__src").alias("source_b"), "s")
+    pairs = (
+        a.hint("merge")
+        .join(b.hint("merge"), "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("__src").alias("source_a"), F.col("n").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("__src").alias("source_b"), F.col("n").alias("n_b")),
+            "source_b",
+        )
+        .select("source_a", "source_b", "n_shared", "n_a", "n_b")
+    )

@@ -115,6 +115,27 @@ def jaccard_for_pairs(
     is never broadcast regardless of how well it compresses; per-doc
     set arrays are bounded by doc length, so the row width is bounded.
     """
+    return pair_set_stats(pairs, shingles, id_col).select(
+        "id_a",
+        "id_b",
+        (
+            F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+        ).alias("jaccard"),
+    )
+
+
+def pair_set_stats(
+    pairs: DataFrame, shingles: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact per-pair set statistics (id_a, id_b, __i intersection,
+    __na, __nb side sizes) for candidate pairs — the shared scale-safe
+    core of ``jaccard_for_pairs`` and ``containment_pairs``: collapse
+    each doc's shingles to ONE sorted-array row, attach both arrays to
+    each pair, intersect map-side with ``array_intersect``. Linear in
+    |pairs| + |docs|; all three join sides merge-hinted (candidate and
+    set tables compress misleadingly well on duplicate-heavy corpora,
+    and AQE's dynamic broadcast must never build either driver-side —
+    the 100x-replica OOM documented in ``jaccard_for_pairs``)."""
     sets = shingles.groupBy(id_col).agg(
         F.sort_array(F.collect_set("shingle")).alias("__ss")
     )
@@ -129,9 +150,6 @@ def jaccard_for_pairs(
         F.size("__ss").alias("__nb"),
     )
     inter = F.size(F.array_intersect("__sa", "__sb"))
-    # merge-hint BOTH corpus-sized set sides as well: their verbatim-
-    # duplicate text compresses just as misleadingly as the pair table
-    # (run 2 on the same replica broadcast the set side and OOM'd)
     return (
         pairs.hint("merge")
         .join(a.hint("merge"), "id_a")
@@ -142,13 +160,6 @@ def jaccard_for_pairs(
             inter.alias("__i"),
             "__na",
             "__nb",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
-            ).alias("jaccard"),
         )
     )
 
@@ -216,11 +227,16 @@ def est_jaccard_for_pairs(
         F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
         for p in range(num_perms)
     )
-    # same never-broadcast-the-pairs rule as jaccard_for_pairs
+    # same never-broadcast rule as jaccard_for_pairs, on ALL THREE
+    # unbounded sides: the pair table AND both corpus-sized signature
+    # tables (verbatim-duplicate replicas repeat each md5 component
+    # ~N_twin times, so the sig shuffle compresses far below its
+    # in-memory size and AQE's dynamic broadcast would build it
+    # driver-side)
     return (
         pairs.hint("merge")
-        .join(sig_a, "id_a")
-        .join(sig_b, "id_b")
+        .join(sig_a.hint("merge"), "id_a")
+        .join(sig_b.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -481,8 +497,12 @@ def prefix_filtered_jaccard_pairs(
     )
     a = pos.withColumnsRenamed({id_col: "id_a", "n": "n_a"})
     b = pos.withColumnsRenamed({id_col: "id_b", "n": "n_b"})
+    # merge hints: prefix tables are corpus-sized and carry verbatim-
+    # duplicated shingle strings on twin-heavy corpora — the lying-
+    # compression case AQE's dynamic broadcast must not fall for
     cand = (
-        a.join(b, "shingle")
+        a.hint("merge")
+        .join(b.hint("merge"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         # J >= t  =>  t * max <= min  (size/length filter; slack keeps
         # borderline sizes in — verification decides)
@@ -722,33 +742,24 @@ def containment_pairs(
     book has tiny Jaccard but containment 1.0). Candidates come from
     the same banded MinHash index as near_dup_minhash (min-wise hashing
     is still sensitive to the smaller side's shingles), verified with
-    exact set intersection. Returns (id_a, id_b, inter, n_a, n_b,
+    exact set intersection via the collapsed-set ``pair_set_stats``
+    core (the prior pair-x-shingle join exploded |pairs| x
+    |shingles/doc| rows — the same shape that OOM'd jaccard_for_pairs
+    on the 100x twin replica). Returns (id_a, id_b, inter, n_a, n_b,
     containment) with id_a < id_b."""
     sh = shingle_set(df, id_col, shingles_col)
     sig = minhash_signature(sh, id_col, num_perms)
     cand = lsh_candidate_pairs(sig, id_col, num_perms, rows_per_band)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    sh_a = sh.withColumnsRenamed({id_col: "id_a", "shingle": "s"})
-    sh_b = sh.withColumnsRenamed({id_col: "id_b", "shingle": "s"})
-    inter = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "n": "n_b"}), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "inter",
-            "n_a",
-            "n_b",
-            (
-                F.col("inter").cast("double")
-                / F.least("n_a", "n_b").cast("double")
-            ).alias("containment"),
-        )
+    # long casts keep the pre-refactor schema (count(*)-typed columns)
+    out = pair_set_stats(cand, sh, id_col).select(
+        "id_a",
+        "id_b",
+        F.col("__i").cast("long").alias("inter"),
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        (
+            F.col("__i").cast("double")
+            / F.least("__na", "__nb").cast("double")
+        ).alias("containment"),
     )
     return out.filter(F.col("containment") >= threshold)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "expectation_metrics",
     "fk_violation_count",
+    "functional_dependencies",
     "quarantine",
 ]
 
@@ -59,6 +60,49 @@ def expectation_metrics(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         ),
         F.col("n_rows").cast("long").alias("n_rows"),
     ).select("rule", "n_rows", "n_violations")
+
+
+def functional_dependencies(
+    df: DataFrame, pairs: list[tuple[str, str]], table_name: str = ""
+) -> DataFrame:
+    """Profile candidate functional dependencies lhs -> rhs: does every
+    distinct lhs value map to exactly one rhs value?
+
+    One row per candidate pair: (tbl, lhs, rhs, n_groups long,
+    n_violating long, holds boolean) where ``n_violating`` counts lhs
+    groups with >1 distinct rhs. The schema-discovery primitive behind
+    key detection and denormalization checks (public technique; e.g.
+    the TANE family of FD-mining algorithms works from exactly these
+    per-group distinct counts).
+
+    Scale shape: each pair costs one hash aggregate keyed by lhs (map-
+    side partial distinct on (lhs, rhs)) followed by a 1-row rollup —
+    linear scans, no joins, nothing driver-side. Pairs are independent
+    branches unioned positionally, so Spark schedules them in parallel
+    off the (cached or re-read) scan.
+    """
+    if not pairs:
+        raise ValueError("at least one (lhs, rhs) pair required")
+    branches = []
+    for lhs, rhs in pairs:
+        g = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("__k"))
+        branches.append(
+            g.agg(
+                F.count("*").cast("long").alias("n_groups"),
+                F.count_if(F.col("__k") > 1).cast("long").alias("n_violating"),
+            ).select(
+                F.lit(table_name).alias("tbl"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_groups",
+                "n_violating",
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)
+    return out
 
 
 def quarantine(

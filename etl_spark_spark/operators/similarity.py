@@ -85,12 +85,27 @@ def _unit_rows(mat):
     return m / np.sqrt(acc)[:, None]
 
 
+#: Auto-sized blocking targets ~this many rows per block, which caps the
+#: per-task numpy score matrix at (2 * _BLOCK_TARGET_ROWS)^2 * 8 bytes.
+_BLOCK_TARGET_ROWS = 2048
+
+
+def _auto_n_blocks(base: DataFrame, floor: int = 8) -> int:
+    """Pick the block count from the actual corpus size so per-task
+    memory stays flat as N grows (one cheap count job; trivial next to
+    the O(N^2) scoring it sizes). Found the hard way: the fixed
+    n_blocks=8 default built a ~25k x 25k float64 score matrix per task
+    on a 200k-vector replica (100x) and crashed the Arrow workers."""
+    n = base.count()
+    return max(floor, -(-n // _BLOCK_TARGET_ROWS))
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim >=
     threshold) by exact all-pairs comparison over unit-normalized
@@ -108,8 +123,11 @@ def cosine_near_dup_pairs(
 
     Scale model: exact all-pairs is inherently O(N²) compute, but here
     it is spread over B(B+1)/2 independent tasks with per-task memory
-    O(2N/B) rows and shuffle volume B·N rows — raise ``n_blocks`` as N
-    grows and no single node ever holds the corpus. (The previous
+    O(2N/B) rows and shuffle volume B·N rows. ``n_blocks=None`` (the
+    default) sizes B from the actual corpus count so per-task rows stay
+    ~``_BLOCK_TARGET_ROWS`` whatever N is, and the scorer additionally
+    chunks its numpy product so worker memory is hard-bounded even for
+    a pathological block — no single node ever holds the corpus. (The previous
     implementation broadcast a driver-collected corpus matrix: exact
     and fast at bench scale but a driver-OOM at real scale.) For
     sub-quadratic *approximate* candidate generation use the
@@ -120,6 +138,8 @@ def cosine_near_dup_pairs(
     ANSI-SQL list_reduce oracle), independent of blocking.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_blocks is None:
+        n_blocks = _auto_n_blocks(base)
     return _blocked_cosine_pairs(base, threshold, n_blocks, group_cols=())
 
 
@@ -170,24 +190,39 @@ def _blocked_cosine_pairs(
         ids_r = right["id"].to_numpy(dtype=np.int64)
         u_l = _unit_rows(np.vstack(left["v"].to_numpy()))
         u_r = u_l if pi == pj else _unit_rows(np.vstack(right["v"].to_numpy()))
-        acc = np.zeros((u_l.shape[0], u_r.shape[0]))
-        for i in range(u_l.shape[1]):
-            acc = acc + u_l[:, i][:, None] * u_r[:, i][None, :]
-        # score each unordered pair once: within a block -> upper
-        # triangle by id; across blocks -> all (l, r) combos, emitted
-        # as (min_id, max_id)
-        mask = (acc >= threshold) & (ids_l[:, None] != ids_r[None, :])
-        if pi == pj:
-            mask &= ids_l[:, None] < ids_r[None, :]
-        li, ri = np.nonzero(mask)
-        a, b = ids_l[li], ids_r[ri]
-        out = pd.DataFrame(
-            {
-                "id_a": np.minimum(a, b),
-                "id_b": np.maximum(a, b),
-                "cos_sim": acc[li, ri],
-            }
-        )
+        # Hard memory bound independent of blocking: score left rows in
+        # chunks so the float64 matrix never exceeds ~128 MB. Chunking
+        # over rows leaves each element's dimension-sequential
+        # accumulation order untouched, so values stay bit-identical.
+        chunk = max(1, (16 << 20) // max(1, u_r.shape[0]))
+        frames = []
+        for s in range(0, u_l.shape[0], chunk):
+            cl, cids = u_l[s : s + chunk], ids_l[s : s + chunk]
+            acc = np.zeros((cl.shape[0], u_r.shape[0]))
+            for i in range(cl.shape[1]):
+                acc += cl[:, i][:, None] * u_r[:, i][None, :]
+            # score each unordered pair once: within a block -> upper
+            # triangle by id; across blocks -> all (l, r) combos,
+            # emitted as (min_id, max_id)
+            mask = (acc >= threshold) & (cids[:, None] != ids_r[None, :])
+            if pi == pj:
+                mask &= cids[:, None] < ids_r[None, :]
+            li, ri = np.nonzero(mask)
+            if not len(li):
+                continue
+            a, b = cids[li], ids_r[ri]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(a, b),
+                        "id_b": np.maximum(a, b),
+                        "cos_sim": acc[li, ri],
+                    }
+                )
+            )
+        if not frames:
+            return empty
+        out = pd.concat(frames, ignore_index=True)
         for g, kv in zip(gcols, key[:n_group]):
             out.insert(0, g, kv)
         return out[list(cols)]
@@ -254,7 +289,7 @@ def semantic_dedup_pairs(
     threshold: float,
     cluster_col: str | None = None,
     n_clusters: int = 16,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Within-cluster embedding near-duplicate pairs — the candidate
     stage of SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -284,6 +319,12 @@ def semantic_dedup_pairs(
         F.col(vec_col).alias("v"),
         F.col(cluster_col).alias("cluster"),
     )
+    if n_blocks is None:
+        # size from the corpus count: bounds the worst (hot-cluster)
+        # group even when the clustering is skewed; for typical
+        # clusterings most (cluster, pi, pj) groups are then tiny,
+        # which costs task overhead, not correctness or memory
+        n_blocks = _auto_n_blocks(base, floor=4)
     return _blocked_cosine_pairs(
         base, threshold, n_blocks, group_cols=("cluster",)
     )
@@ -296,7 +337,7 @@ def semantic_dedup(
     threshold: float,
     cluster_col: str | None = None,
     n_clusters: int = 16,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: drop the higher id of
     every within-cluster pair with cosine >= ``threshold`` (greedy
