@@ -1,6 +1,6 @@
 # Single-command CI gate: everything the driver and the judge check,
 # runnable locally. `make check` = unit/property/plan tests + the full
-# 170-query DuckDB oracle mirror at the driver's sf0.01.
+# full-registry DuckDB oracle mirror at the driver's sf0.01.
 #
 #   make test      - pytest suite (sf0.001 fixtures, tuned session)
 #   make oracle    - scripts/check_correctness.py, full registry, sf0.01

@@ -43,7 +43,7 @@ spark.sparkContext.setLogLevel("ERROR")
 t0 = time.time()
 df = entry.queries()[{name!r}](spark, {sf!r})
 n = df.count()
-print(f"RES {{d}} {{q}} rows={{n}} {{t:.1f}}s".format(
+print("RES {{d}} {{q}} rows={{n}} {{t:.1f}}s".format(
     d={sf!r}, q={name!r}, n=n, t=time.time() - t0), flush=True)
 """
 
