@@ -493,10 +493,16 @@ def prefix_filtered_jaccard_pairs(
             - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
             + F.lit(1)
         )
-        .select(id_col, "shingle", "n")
+        .select(id_col, "shingle", "n", "pos")
     )
-    a = pos.withColumnsRenamed({id_col: "id_a", "n": "n_a"})
-    b = pos.withColumnsRenamed({id_col: "id_b", "n": "n_b"})
+    a = pos.withColumnsRenamed({id_col: "id_a", "n": "n_a", "pos": "pos_a"})
+    b = pos.withColumnsRenamed({id_col: "id_b", "n": "n_b", "pos": "pos_b"})
+    # J >= t  <=>  inter >= t/(1+t) * (n_a + n_b)  (the PPJoin overlap
+    # requirement alpha); slack errs toward keeping — verify decides
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+        - F.lit(1e-9)
+    )
     # merge hints: prefix tables are corpus-sized and carry verbatim-
     # duplicated shingle strings on twin-heavy corpora — the lying-
     # compression case AQE's dynamic broadcast must not fall for
@@ -504,11 +510,25 @@ def prefix_filtered_jaccard_pairs(
         a.hint("merge")
         .join(b.hint("merge"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        # J >= t  =>  t * max <= min  (size/length filter; slack keeps
-        # borderline sizes in — verification decides)
+        # size/length filter: J >= t  =>  t * max <= min
         .filter(
             F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9)
             <= F.least("n_a", "n_b")
+        )
+        # PPJoin positional filter (Xiao et al., WWW'08): everything at
+        # or after the matched prefix position is the most that can
+        # still overlap — 1 + min(n_a - pos_a, n_b - pos_b) — so pairs
+        # whose shared shingle sits too LATE in either prefix can never
+        # reach alpha and are pruned before the expensive verify join
+        # (measured 96.2M -> far fewer candidates on the 30x twin
+        # replica; exact-safe, the kept set is still a superset of all
+        # qualifying pairs)
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")
+            )
+            >= alpha
         )
         .select("id_a", "id_b")
         .distinct()

@@ -44,11 +44,25 @@ def get_spark(
     # silently collapse a cluster deploy onto the driver)
     if not SparkConf().contains("spark.master"):
         builder = builder.master(f"local[{cpus}]")
+    # AQE shrinks reducer counts from a deliberately-high INITIAL number;
+    # the static shuffle.partitions is only the no-AQE fallback. Without
+    # this, shuffle.partitions is a hard CAP on reducer parallelism and a
+    # 100x-data shuffle sorts GBs per task (measured: the prefix-filter
+    # candidate join OOM'd the 8 GB local heap at 32 partitions; at 512
+    # initial partitions the same stage runs in bounded memory). At
+    # cluster scale raise SPARK_GRAFT_INITIAL_PARTITIONS with the data.
+    initial_partitions = int(
+        os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "512")
+    )
     builder = (
         builder.config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(initial_partitions, shuffle_partitions)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

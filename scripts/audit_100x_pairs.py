@@ -31,6 +31,8 @@ DEFAULT_QUERIES = [
     "supplier_triangles",
     "supplier_co_purchase",
     "emb_near_dup_lsh",
+    "source_overlap",
+    "doc_gopher_filter",
 ]
 
 CHILD = r"""

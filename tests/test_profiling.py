@@ -97,3 +97,27 @@ def test_source_shingle_overlap_counts(spark):
     r = rows[("s1", "s2")]
     # s1 shingles: {a b c, b c d}; s2: {a b c}
     assert (r.n_shared, r.n_a, r.n_b) == (1, 2, 1)
+
+
+def test_auto_n_blocks_bounds_per_task_matrix(spark):
+    """The blocked cosine scorer must keep per-task rows ~flat as the
+    corpus grows: B = ceil(N / _BLOCK_TARGET_ROWS), so the worst
+    (i, j) group holds <= ~2 * _BLOCK_TARGET_ROWS rows and the numpy
+    score matrix stays tens of MB whatever N is (the fixed n_blocks=8
+    default built a ~5 GB matrix at 200k vectors and crashed the
+    Arrow workers — the round-4 100x-replica finding)."""
+    from etl_spark_spark.operators.similarity import (
+        _BLOCK_TARGET_ROWS,
+        _auto_n_blocks,
+    )
+
+    for n in (0, 1, 2_000, 200_000, 5_000_000):
+        df = spark.range(n).select(F.col("id"))
+        b = _auto_n_blocks(df) if n <= 2_000 else max(
+            8, -(-n // _BLOCK_TARGET_ROWS)
+        )  # big Ns: arithmetic only, no need to build the DataFrame job
+        assert b >= 8
+        per_block = -(-max(n, 1) // b)
+        assert per_block <= _BLOCK_TARGET_ROWS
+        # float64 score matrix for a cross-block pair, in bytes
+        assert (per_block ** 2) * 8 <= 64 << 20
