@@ -473,8 +473,34 @@ def prefix_filtered_jaccard_pairs(
     per-doc ordering is a window partitioned by doc (bounded groups);
     verification touches shingle sets only for surviving candidates.
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, exact.
+
+    Verbatim-duplicate collapse (standard set-similarity-join
+    preprocessing, cf. Vernica et al. SIGMOD'10): documents with
+    IDENTICAL shingle sets are grouped first (one linear N x payload
+    shuffle on the sorted set), the whole prefix/positional/verify
+    pipeline runs over DISTINCT sets only, and set-level pairs expand
+    back to doc pairs output-linearly — narrow (id, id, jaccard) rows,
+    no arrays attached. This is what makes the operator safe on
+    twin-heavy corpora: without it, T verbatim twins per doc multiply
+    true pairs by ~T²/2 and the verify join must move every pair's
+    3 KB set arrays (measured: 100x twin replica DNF'd this box's
+    73 GB scratch; collapsed, candidate volume is independent of twin
+    multiplicity). Same-set pairs are exactly jaccard = 1.0 (n/n),
+    bit-identical to the uncollapsed computation.
     """
-    sh = shingle_set(df, id_col, shingles_col)
+    sh_docs = shingle_set(df, id_col, shingles_col)
+    fam = (
+        sh_docs.groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("shingle")).alias("__ss"))
+        .groupBy("__ss")
+        .agg(
+            F.min(id_col).alias("__rep"),
+            F.collect_list(id_col).alias("__members"),
+        )
+    )
+    sh = fam.select(
+        F.col("__rep").alias(id_col), F.explode("__ss").alias("shingle")
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     from pyspark.sql import Window
@@ -533,9 +559,40 @@ def prefix_filtered_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return jaccard_for_pairs(cand, sh, id_col).filter(
+    rep_pairs = jaccard_for_pairs(cand, sh, id_col).filter(
         F.col("jaccard") >= threshold
     )
+    # expand set-level pairs back to doc pairs: output-linear, arrays
+    # never attached to pair rows
+    mem = fam.select(
+        F.col("__rep").alias("__r"), F.explode("__members").alias("__doc")
+    )
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("__r").alias("id_a"), F.col("__doc").alias("__da")),
+            "id_a",
+        )
+        .join(
+            mem.select(F.col("__r").alias("id_b"), F.col("__doc").alias("__db")),
+            "id_b",
+        )
+        .select(
+            F.least("__da", "__db").alias("id_a"),
+            F.greatest("__da", "__db").alias("id_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        mem.select("__r", F.col("__doc").alias("__da"))
+        .join(mem.select("__r", F.col("__doc").alias("__db")), "__r")
+        .filter(F.col("__da") < F.col("__db"))
+        .select(
+            F.col("__da").alias("id_a"),
+            F.col("__db").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash_near_dup(

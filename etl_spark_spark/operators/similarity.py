@@ -90,6 +90,26 @@ def _unit_rows(mat):
 _BLOCK_TARGET_ROWS = 2048
 
 
+def _max_group_blocks(
+    base: DataFrame, group_col: str, floor: int = 4
+) -> int:
+    """Block count for the GROUPED scorer, sized from the LARGEST
+    group, not the corpus: per-task memory only depends on the hottest
+    (group, pi, pj) cell, and every row is shuffled n_blocks times —
+    corpus-derived blocking would make the candidate-stage shuffle
+    O(N²/target) rows, forfeiting exactly the k-independent-subproblems
+    win clustering buys. One linear count aggregate (re-runs a map-only
+    cluster assignment once; trivial next to the pair scoring)."""
+    mx = (
+        base.groupBy(group_col)
+        .agg(F.count("*").alias("__c"))
+        .agg(F.max("__c"))
+        .first()[0]
+        or 1
+    )
+    return max(floor, -(-int(mx) // _BLOCK_TARGET_ROWS))
+
+
 def _auto_n_blocks(base: DataFrame, floor: int = 8) -> int:
     """Pick the block count from the actual corpus size so per-task
     memory stays flat as N grows (one cheap count job; trivial next to
@@ -320,11 +340,7 @@ def semantic_dedup_pairs(
         F.col(cluster_col).alias("cluster"),
     )
     if n_blocks is None:
-        # size from the corpus count: bounds the worst (hot-cluster)
-        # group even when the clustering is skewed; for typical
-        # clusterings most (cluster, pi, pj) groups are then tiny,
-        # which costs task overhead, not correctness or memory
-        n_blocks = _auto_n_blocks(base, floor=4)
+        n_blocks = _max_group_blocks(base, "cluster")
     return _blocked_cosine_pairs(
         base, threshold, n_blocks, group_cols=("cluster",)
     )

@@ -28,8 +28,10 @@ def _q_labels(prefix: str, qs: Sequence[float]) -> list[str]:
     labels = []
     for q in qs:
         pct = q * 100
-        if pct == int(pct):
-            labels.append(f"{prefix}{int(pct)}")
+        # tolerance, not ==: 0.07 * 100 is 7.000000000000001 in binary
+        # floats — exact comparison would mislabel whole percents
+        if abs(pct - round(pct)) < 1e-9:
+            labels.append(f"{prefix}{int(round(pct))}")
         else:
             labels.append(f"{prefix}{q}".replace(".", "_"))
     dupes = {x for x in labels if labels.count(x) > 1}

@@ -41,6 +41,22 @@ def zorder_key(
         raise ValueError("zorder needs 2-4 columns")
     if bits * n >= 63:
         raise ValueError(f"key width {bits * n} overflows a long")
+    from pyspark.sql.types import BooleanType, NumericType, TimestampType
+
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, (NumericType, TimestampType, BooleanType)):
+            # a non-castable column would quantize to NULL for EVERY
+            # row (non-ANSI cast), silently collapsing the whole Morton
+            # key — and the entire dataset — into one unclustered
+            # partition with no discriminating file stats
+            raise ValueError(
+                f"zorder column {c!r} has non-numeric type "
+                f"{dt.simpleString()}; cast it to a numeric/timestamp "
+                "surrogate upstream (e.g. a dictionary code or "
+                "datediff) — strings have no meaningful linear "
+                "quantization"
+            )
     bounds = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],

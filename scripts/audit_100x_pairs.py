@@ -58,12 +58,19 @@ def main() -> int:
     failed: list[str] = []
     for name in names:
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, "-c", CHILD.format(repo=repo, name=name, sf=sf)],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", CHILD.format(repo=repo, name=name, sf=sf)],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # a hung query (the exact pathology this audit hunts) must
+            # fail ONE row, not abort the batch with a traceback
+            failed.append(name)
+            print(f"FAIL {name} timeout after 1800s", flush=True)
+            continue
         res = [
             line for line in proc.stdout.splitlines() if line.startswith("RES ")
         ]

@@ -121,3 +121,32 @@ def test_auto_n_blocks_bounds_per_task_matrix(spark):
         assert per_block <= _BLOCK_TARGET_ROWS
         # float64 score matrix for a cross-block pair, in bytes
         assert (per_block ** 2) * 8 <= 64 << 20
+
+
+def test_grouped_block_count_sized_from_largest_group(spark):
+    """The clustered scorer's auto block count must derive from the
+    LARGEST cluster, not the corpus: every row is shuffled n_blocks
+    times, so corpus-derived sizing makes the candidate shuffle
+    O(N^2/target) rows — forfeiting the k-independent-subproblems win
+    clustering buys (code-review finding, round 4)."""
+    from etl_spark_spark.operators.similarity import (
+        _BLOCK_TARGET_ROWS,
+        _max_group_blocks,
+    )
+
+    # 12,288 rows in 12 balanced clusters of 1,024: corpus-derived
+    # sizing would give ceil(12288/2048) = 6; group-derived must give
+    # the floor (largest group fits one target block)
+    df = spark.range(12 * 1024).select(
+        F.col("id"), (F.col("id") % 12).alias("cluster")
+    )
+    assert _max_group_blocks(df, "cluster") == 4
+    # one hot cluster of 3 * target rows dominates the sizing
+    skew = spark.range(3 * _BLOCK_TARGET_ROWS).select(
+        F.col("id"), F.lit(0).alias("cluster")
+    )
+    assert _max_group_blocks(skew, "cluster") == 4  # floor still binds
+    skew9 = spark.range(9 * _BLOCK_TARGET_ROWS).select(
+        F.col("id"), F.lit(0).alias("cluster")
+    )
+    assert _max_group_blocks(skew9, "cluster") == 9

@@ -286,3 +286,19 @@ def test_quantile_labels_full_precision_and_duplicate_rejection(spark):
     assert {"wq50", "wq0_999"} <= set(wout.columns)
     with pytest.raises(ValueError, match="duplicate"):
         exact_group_quantiles(df, ["g"], "v", qs=(0.5, 0.5))
+
+
+def test_quantile_labels_whole_percent_float_jitter():
+    """0.07 * 100 is 7.000000000000001 in binary floats: whole-percent
+    quantiles must still get the compact documented label, while finer
+    quantiles keep full-precision labels and duplicates are rejected."""
+    import pytest
+
+    from etl_spark_spark.operators.stats import _q_labels
+
+    assert _q_labels("q", (0.07, 0.14, 0.29, 0.55)) == [
+        "q7", "q14", "q29", "q55",
+    ]
+    assert _q_labels("q", (0.125, 0.999)) == ["q0_125", "q0_999"]
+    with pytest.raises(ValueError, match="duplicate"):
+        _q_labels("q", (0.25, 0.25))

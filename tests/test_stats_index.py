@@ -115,3 +115,18 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
         .collect()[0]
     )
     assert tuple(got) == tuple(want)
+
+
+def test_zorder_rejects_non_numeric_columns(spark, tmp_path):
+    """A string column would quantize to NULL for every row (non-ANSI
+    cast), silently collapsing the Morton key — zorder_key must refuse
+    it up front instead."""
+    import pytest
+
+    from etl_spark_spark.sinks.zorder import write_zordered
+
+    df = spark.range(10).select(
+        F.col("id"), F.concat(F.lit("r"), F.col("id")).alias("name")
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        write_zordered(df, str(tmp_path / "z"), ["name", "id"])
