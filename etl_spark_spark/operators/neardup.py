@@ -164,6 +164,107 @@ def pair_set_stats(
     )
 
 
+def collapse_identical_sets(
+    sh: DataFrame, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Verbatim-duplicate collapse shared by every pair generator
+    (standard set-similarity-join preprocessing, cf. Vernica et al.
+    SIGMOD'10): group docs whose shingle SETS are identical (one linear
+    N x payload shuffle on the sorted set) so the expensive candidate /
+    verify machinery runs over DISTINCT sets only. Returns
+
+    - ``reps_sh``: (id, shingle) rows for one representative (min id)
+      per distinct set — a drop-in replacement for the full shingle
+      table in any downstream pipeline, because MinHash signatures,
+      prefix orderings, Jaccard and containment are all functions of
+      the set alone;
+    - ``members``: (__r rep id, __doc member id, __n set size) — the
+      expansion table for :func:`expand_collapsed_pairs`.
+
+    Why this matters at scale: T verbatim twins per doc multiply
+    candidate pairs by ~T^2/2 in ANY banded/prefix scheme (identical
+    sets collide in every band/prefix), and the verify join then moves
+    every pair's KB-scale set arrays (measured: the 100x twin replica
+    DNF'd this box's 73 GB scratch through the uncollapsed prefix
+    join). Collapsed, candidate volume is independent of twin
+    multiplicity and the re-expansion is output-linear."""
+    fam = (
+        sh.groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("shingle")).alias("__ss"))
+        .groupBy("__ss")
+        .agg(
+            F.min(id_col).alias("__rep"),
+            F.collect_list(id_col).alias("__members"),
+        )
+    )
+    reps_sh = fam.select(
+        F.col("__rep").alias(id_col), F.explode("__ss").alias("shingle")
+    )
+    members = fam.select(
+        F.col("__rep").alias("__r"),
+        F.explode("__members").alias("__doc"),
+        F.size("__ss").alias("__n"),
+    )
+    return reps_sh, members
+
+
+def expand_collapsed_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    within_values: dict[str, Column],
+) -> DataFrame:
+    """Expand representative-level pairs back to doc-level pairs,
+    output-linearly and with no set arrays attached:
+
+    - CROSS pairs (different sets): every (member of id_a's family) x
+      (member of id_b's family), value columns carried through verbatim
+      — exact, because every similarity here is a function of the sets;
+    - WITHIN pairs (same set): all id-ordered pairs inside each family,
+      value columns from ``within_values`` (the identical-set constants:
+      jaccard/containment 1.0, intersection = set size ``__n``...).
+
+    Pair ids are re-ordered with least/greatest so the output contract
+    (id_a < id_b) matches the uncollapsed computation bit-for-bit."""
+    value_cols = [c for c in rep_pairs.columns if c not in ("id_a", "id_b")]
+    # merge hints: members is corpus-sized with near-sequential long
+    # columns — the lying-compression shape AQE's dynamic broadcast
+    # must never build driver-side (same rule as pair_set_stats)
+    cross = (
+        rep_pairs.hint("merge")
+        .join(
+            members.select(
+                F.col("__r").alias("id_a"), F.col("__doc").alias("__da")
+            ).hint("merge"),
+            "id_a",
+        )
+        .join(
+            members.select(
+                F.col("__r").alias("id_b"), F.col("__doc").alias("__db")
+            ).hint("merge"),
+            "id_b",
+        )
+        .select(
+            F.least("__da", "__db").alias("id_a"),
+            F.greatest("__da", "__db").alias("id_b"),
+            *value_cols,
+        )
+    )
+    within = (
+        members.select("__r", "__n", F.col("__doc").alias("__da"))
+        .join(
+            members.select("__r", F.col("__doc").alias("__db")).hint("merge"),
+            "__r",
+        )
+        .filter(F.col("__da") < F.col("__db"))
+        .select(
+            F.col("__da").alias("id_a"),
+            F.col("__db").alias("id_b"),
+            *[within_values[c].alias(c) for c in value_cols],
+        )
+    )
+    return cross.unionByName(within)
+
+
 def near_dup_minhash(
     df: DataFrame,
     id_col: str,
@@ -173,12 +274,24 @@ def near_dup_minhash(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate pairs with exact-Jaccard
-    verification: (id_a, id_b, jaccard >= threshold)."""
+    verification: (id_a, id_b, jaccard >= threshold).
+
+    Runs signature + banding + verify over DISTINCT shingle sets only
+    (see :func:`collapse_identical_sets`): identical sets have identical
+    signatures, so they collide in EVERY band and an uncollapsed run
+    generates T^2/2 within-family candidates per T verbatim twins.
+    Bit-identical to the uncollapsed computation — same-set pairs are
+    exactly jaccard 1.0 and always banded candidates."""
     sh = shingle_set(df, id_col, shingles_col)
-    sig = minhash_signature(sh, id_col, num_perms)
+    reps_sh, members = collapse_identical_sets(sh, id_col)
+    sig = minhash_signature(reps_sh, id_col, num_perms)
     cand = lsh_candidate_pairs(sig, id_col, num_perms, rows_per_band)
-    jac = jaccard_for_pairs(cand, sh, id_col)
-    return jac.filter(F.col("jaccard") >= threshold)
+    rep_pairs = jaccard_for_pairs(cand, reps_sh, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+    return expand_collapsed_pairs(
+        rep_pairs, members, {"jaccard": F.lit(1.0)}
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def signature_bands(
@@ -396,6 +509,7 @@ def ngram_jaccard_pairs(
     shingles_col: Column,
     threshold: float = 0.8,
     max_docs: int | None = 100_000,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Ground-truth all-pairs n-gram Jaccard via shingle equi-join
     (quadratic in docs sharing a shingle — the baseline MinHash-LSH
@@ -410,7 +524,14 @@ def ngram_jaccard_pairs(
     ``max_docs=None`` to skip the probe (an auditable opt-out). For
     big corpora use ``near_dup_minhash`` / ``lsh_candidate_pairs`` +
     ``jaccard_for_pairs``, which compute the same exact Jaccard but
-    only for banded candidate pairs."""
+    only for banded candidate pairs.
+
+    ``collapse_identical=True`` (default) runs the quadratic shingle
+    join over DISTINCT shingle sets only and expands pairs back
+    output-linearly (see :func:`collapse_identical_sets`) — bit-
+    identical results, immune to verbatim-twin blowup. Pass ``False``
+    to pin the raw formulation in tests (so a collapse bug cannot
+    cancel out when two collapsed operators are compared)."""
     if max_docs is not None:
         probe = df.select(id_col).distinct().limit(max_docs + 1).count()
         if probe > max_docs:
@@ -421,6 +542,8 @@ def ngram_jaccard_pairs(
                 "max_docs (or None) to opt in explicitly."
             )
     sh = shingle_set(df, id_col, shingles_col)
+    if collapse_identical:
+        sh, mem = collapse_identical_sets(sh, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.withColumnsRenamed({id_col: "id_a"})
     b = sh.withColumnsRenamed({id_col: "id_b"})
@@ -430,7 +553,7 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    pairs = (
         inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({id_col: "id_b", "n": "n_b"}), "id_b")
         .select(
@@ -443,6 +566,9 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if not collapse_identical:
+        return pairs
+    return expand_collapsed_pairs(pairs, mem, {"jaccard": F.lit(1.0)})
 
 
 def prefix_filtered_jaccard_pairs(
@@ -474,33 +600,16 @@ def prefix_filtered_jaccard_pairs(
     verification touches shingle sets only for surviving candidates.
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, exact.
 
-    Verbatim-duplicate collapse (standard set-similarity-join
-    preprocessing, cf. Vernica et al. SIGMOD'10): documents with
-    IDENTICAL shingle sets are grouped first (one linear N x payload
-    shuffle on the sorted set), the whole prefix/positional/verify
-    pipeline runs over DISTINCT sets only, and set-level pairs expand
-    back to doc pairs output-linearly — narrow (id, id, jaccard) rows,
-    no arrays attached. This is what makes the operator safe on
-    twin-heavy corpora: without it, T verbatim twins per doc multiply
-    true pairs by ~T²/2 and the verify join must move every pair's
-    3 KB set arrays (measured: 100x twin replica DNF'd this box's
-    73 GB scratch; collapsed, candidate volume is independent of twin
-    multiplicity). Same-set pairs are exactly jaccard = 1.0 (n/n),
-    bit-identical to the uncollapsed computation.
+    The whole prefix/positional/verify pipeline runs over DISTINCT
+    shingle sets only (see :func:`collapse_identical_sets` for why —
+    verbatim twins would otherwise multiply candidates by ~T^2/2 and
+    drag KB-scale set arrays through the verify join); set-level pairs
+    expand back to doc pairs output-linearly. Same-set pairs are
+    exactly jaccard = 1.0 (n/n), bit-identical to the uncollapsed
+    computation.
     """
     sh_docs = shingle_set(df, id_col, shingles_col)
-    fam = (
-        sh_docs.groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("shingle")).alias("__ss"))
-        .groupBy("__ss")
-        .agg(
-            F.min(id_col).alias("__rep"),
-            F.collect_list(id_col).alias("__members"),
-        )
-    )
-    sh = fam.select(
-        F.col("__rep").alias(id_col), F.explode("__ss").alias("shingle")
-    )
+    sh, mem = collapse_identical_sets(sh_docs, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     from pyspark.sql import Window
@@ -562,37 +671,7 @@ def prefix_filtered_jaccard_pairs(
     rep_pairs = jaccard_for_pairs(cand, sh, id_col).filter(
         F.col("jaccard") >= threshold
     )
-    # expand set-level pairs back to doc pairs: output-linear, arrays
-    # never attached to pair rows
-    mem = fam.select(
-        F.col("__rep").alias("__r"), F.explode("__members").alias("__doc")
-    )
-    cross = (
-        rep_pairs.join(
-            mem.select(F.col("__r").alias("id_a"), F.col("__doc").alias("__da")),
-            "id_a",
-        )
-        .join(
-            mem.select(F.col("__r").alias("id_b"), F.col("__doc").alias("__db")),
-            "id_b",
-        )
-        .select(
-            F.least("__da", "__db").alias("id_a"),
-            F.greatest("__da", "__db").alias("id_b"),
-            "jaccard",
-        )
-    )
-    within = (
-        mem.select("__r", F.col("__doc").alias("__da"))
-        .join(mem.select("__r", F.col("__doc").alias("__db")), "__r")
-        .filter(F.col("__da") < F.col("__db"))
-        .select(
-            F.col("__da").alias("id_a"),
-            F.col("__db").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return cross.unionByName(within)
+    return expand_collapsed_pairs(rep_pairs, mem, {"jaccard": F.lit(1.0)})
 
 
 def simhash_near_dup(
@@ -822,13 +901,17 @@ def containment_pairs(
     exact set intersection via the collapsed-set ``pair_set_stats``
     core (the prior pair-x-shingle join exploded |pairs| x
     |shingles/doc| rows — the same shape that OOM'd jaccard_for_pairs
-    on the 100x twin replica). Returns (id_a, id_b, inter, n_a, n_b,
-    containment) with id_a < id_b."""
+    on the 100x twin replica). Candidates/verification run over
+    DISTINCT shingle sets only (see :func:`collapse_identical_sets`;
+    same-set pairs are exactly inter = n_a = n_b, containment 1.0).
+    Returns (id_a, id_b, inter, n_a, n_b, containment) with
+    id_a < id_b."""
     sh = shingle_set(df, id_col, shingles_col)
-    sig = minhash_signature(sh, id_col, num_perms)
+    reps_sh, members = collapse_identical_sets(sh, id_col)
+    sig = minhash_signature(reps_sh, id_col, num_perms)
     cand = lsh_candidate_pairs(sig, id_col, num_perms, rows_per_band)
     # long casts keep the pre-refactor schema (count(*)-typed columns)
-    out = pair_set_stats(cand, sh, id_col).select(
+    out = pair_set_stats(cand, reps_sh, id_col).select(
         "id_a",
         "id_b",
         F.col("__i").cast("long").alias("inter"),
@@ -839,4 +922,15 @@ def containment_pairs(
             / F.least("__na", "__nb").cast("double")
         ).alias("containment"),
     )
-    return out.filter(F.col("containment") >= threshold)
+    rep_pairs = out.filter(F.col("containment") >= threshold)
+    nn = F.col("__n").cast("long")
+    return expand_collapsed_pairs(
+        rep_pairs,
+        members,
+        {
+            "inter": nn,
+            "n_a": nn,
+            "n_b": nn,
+            "containment": F.lit(1.0),
+        },
+    )

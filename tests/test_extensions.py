@@ -68,7 +68,9 @@ def test_ngram_jaccard_guards_against_quadratic_blowup(spark, sf_dir):
 def test_prefix_filtered_jaccard_equals_brute_force(spark, sf_dir):
     """AllPairs/PPJoin prefix filtering is pruning-only: at every
     threshold the qualifying pair set (and the exact jaccard values)
-    must equal the quadratic shingle join's."""
+    must equal the quadratic shingle join's. The brute side runs
+    collapse_identical=False so a twin-collapse bug shared by both
+    pipelines cannot cancel out."""
     from etl_spark_spark.operators.neardup import prefix_filtered_jaccard_pairs
 
     docs = table(spark, sf_dir, "documents")
@@ -77,7 +79,9 @@ def test_prefix_filtered_jaccard_equals_brute_force(spark, sf_dir):
     for t in (0.5, 0.7, 0.9):
         brute = {
             (r.id_a, r.id_b): r.jaccard
-            for r in ngram_jaccard_pairs(toks, "doc_id", sh, threshold=t).collect()
+            for r in ngram_jaccard_pairs(
+                toks, "doc_id", sh, threshold=t, collapse_identical=False
+            ).collect()
         }
         pref = {
             (r.id_a, r.id_b): r.jaccard
@@ -90,6 +94,89 @@ def test_prefix_filtered_jaccard_equals_brute_force(spark, sf_dir):
             f"extra={set(pref) - set(brute)}"
         )
     assert brute, "fixture should contain pairs at jaccard >= 0.9"
+
+
+def test_verbatim_collapse_bit_identical_on_twin_corpus(spark, sf_dir):
+    """Every pair generator collapses identical shingle sets before its
+    candidate/verify machinery (collapse_identical_sets). On a corpus
+    where each doc has verbatim twins, each operator's output must be
+    BIT-identical to the uncollapsed quadratic formulation — same
+    pairs, same values — including the expanded within-family pairs."""
+    from etl_spark_spark.operators.neardup import (
+        containment_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(60)
+    # twin each doc 3x under distinct ids: doc_id*10 + replica
+    twins = docs.select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("rep"),
+        "doc_id",
+        "text",
+    ).select(
+        (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"), "text"
+    )
+    toks = twins.select("doc_id", tokens("text").alias("t"))
+    sh = word_shingles("t", 3)
+    brute = {
+        (r.id_a, r.id_b): round(r.jaccard, 12)
+        for r in ngram_jaccard_pairs(
+            toks, "doc_id", sh, threshold=0.5, collapse_identical=False
+        ).collect()
+    }
+    assert brute, "twinned corpus must contain qualifying pairs"
+    for op_name, got in (
+        (
+            "ngram(collapsed)",
+            {
+                (r.id_a, r.id_b): round(r.jaccard, 12)
+                for r in ngram_jaccard_pairs(
+                    toks, "doc_id", sh, threshold=0.5
+                ).collect()
+            },
+        ),
+        (
+            "prefix_filtered",
+            {
+                (r.id_a, r.id_b): round(r.jaccard, 12)
+                for r in prefix_filtered_jaccard_pairs(
+                    toks, "doc_id", sh, threshold=0.5
+                ).collect()
+            },
+        ),
+    ):
+        assert got == brute, (
+            f"{op_name}: missing={set(brute) - set(got)} "
+            f"extra={set(got) - set(brute)}"
+        )
+    # LSH pairs: every within-family (twin) pair MUST be present with
+    # jaccard exactly 1.0 (identical signatures band together always),
+    # and every reported pair must carry the brute-force exact value
+    lsh = {
+        (r.id_a, r.id_b): round(r.jaccard, 12)
+        for r in near_dup_minhash(
+            toks, "doc_id", sh, threshold=0.5
+        ).collect()
+    }
+    base_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    for b in base_ids:
+        fam = sorted(b * 10 + k for k in range(3))
+        for i in range(3):
+            for j in range(i + 1, 3):
+                assert lsh.get((fam[i], fam[j])) == 1.0
+    assert set(lsh) <= set(brute)
+    for pair, j in lsh.items():
+        assert j == brute[pair]
+    # containment: twin pairs are exactly (n, n, n, 1.0)
+    cont = containment_pairs(
+        toks, "doc_id", sh, threshold=0.7
+    ).collect()
+    by_pair = {(r.id_a, r.id_b): r for r in cont}
+    for b in base_ids:
+        fam = sorted(b * 10 + k for k in range(3))
+        r = by_pair.get((fam[0], fam[1]))
+        assert r is not None and r.containment == 1.0
+        assert r.inter == r.n_a == r.n_b and r.inter > 0
 
 
 def test_position_attribution_conserves_cents(spark, sf_dir):
