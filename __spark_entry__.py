@@ -2726,16 +2726,25 @@ def q_orders_pit_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_length_winsor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group winsorization — the standard outlier-taming step
     before length-based curation thresholds: clamp each document's
-    length to its SOURCE's [p05, p95] band. Exact interpolated
-    percentiles per source (tiny aggregate) broadcast back onto the
-    full table; the clamp itself is pure codegen (no second shuffle of
-    the fact). For 100 TB swap F.percentile for approx_percentile —
-    traded deliberately: sketch outputs are engine-specific and would
-    break the bit-exact oracle."""
+    length to its SOURCE's [p05, p95] band. The bands run through
+    exact_group_quantiles (hash agg to the per-(source, n_chars)
+    distribution, window over that COMPACT distribution) rather than
+    F.percentile, whose TypedImperativeAggregate buffers every group
+    value in the aggregation buffer — ~5 sources x billions of rows at
+    100x is an executor-OOM aggregate; the distribution form shrinks
+    to distinct lengths first. Discrete-quantile semantics (smallest v
+    with cum >= ceil(q*n)), same as price_outliers; the tiny band
+    table broadcasts back onto the fact and the clamp itself is pure
+    codegen (no second shuffle of the fact)."""
+    from etl_spark_spark.operators.stats import exact_group_quantiles
+
     docs = table(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
-    bands = docs.groupBy("source").agg(
-        F.percentile("n_chars", 0.05).alias("p05"),
-        F.percentile("n_chars", 0.95).alias("p95"),
+    bands = exact_group_quantiles(
+        docs, ["source"], "n_chars", qs=(0.05, 0.95)
+    ).select(
+        "source",
+        F.col("q5").cast("double").alias("p05"),
+        F.col("q95").cast("double").alias("p95"),
     )
     clamped = F.least(F.greatest(F.col("n_chars").cast("double"), F.col("p05")), F.col("p95"))
     return (
@@ -2751,6 +2760,104 @@ def q_doc_length_winsor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("was_clipped"),
         )
     )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO under the hash gate — the reference's flagship sink
+    semantic (reference etl_job.py:79-85, ``merge_table_iceberg`` ON
+    t.etiqueta = s.etiqueta) run through the catalog-less versioned
+    emulation (sinks/versioned.py merge_into_versioned: COW snapshot +
+    CAS commit):
+
+    1. bootstrap the target with the even-custkey half of customer
+       (batch 0, balances in exact integer cents);
+    2. MERGE the custkey%3==0 batch (batch 1, balances bumped +$100):
+       matched keys (custkey %6==0) are REPLACED whole-row, unmatched
+       odd multiples of 3 are INSERTED;
+    3. return the committed snapshot.
+
+    The oracle replays the same MERGE in plain SQL (anti-join + union
+    — the standard WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT
+    expansion), so the upsert result itself sits under the row/schema/
+    value-hash gate, not just pytest. Each call merges into a fresh
+    private temp table (idempotent across driver/bench/plan-snapshot
+    invocations; the ~2k-row demo table is left for the returned
+    DataFrame to scan). Scale note: the emulation rewrites only the
+    TARGET table (one anti-join + union, shuffle on the merge key);
+    a catalog MERGE (Delta/Iceberg) would rewrite matched files only —
+    the interface is swap-ready (ROADMAP.md), the query semantics are
+    identical."""
+    import tempfile
+
+    from etl_spark_spark.sinks.versioned import (
+        merge_into_versioned,
+        read_versioned,
+    )
+
+    cust = table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    target0 = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        "c_name",
+        cents.alias("acctbal_cents"),
+        F.lit(0).alias("batch"),
+    )
+    source = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_name",
+        (cents + F.lit(10_000)).alias("acctbal_cents"),
+        F.lit(1).alias("batch"),
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_merge_upsert_")
+    merge_into_versioned(spark, target0, root, ["c_custkey"])
+    merge_into_versioned(spark, source, root, ["c_custkey"])
+    return read_versioned(spark, root).select(
+        "c_custkey", "c_name", "acctbal_cents", "batch"
+    )
+
+
+def q_indexed_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end z-order + stats-index scan path under the hash gate:
+    write orders Morton-clustered on (o_custkey, o_totalprice)
+    (sinks/zorder.py — codegen bit-interleave, one range exchange),
+    then read it back through ``sources.stats_index.indexed_read``
+    with ranges on BOTH clustered columns — file skipping from the
+    per-file min/max manifest plus the exact residual filter, the
+    lakehouse OPTIMIZE ZORDER BY + data-skipping loop reconstructed
+    for plain parquet. The oracle runs the same two range predicates
+    over the source table directly, so the gate proves the layout +
+    prune + residual pipeline is row-for-row lossless. The
+    n_files_read < n_files_total skipping claim is pinned by
+    tests/test_stats_index.py (file counts are layout-dependent;
+    results are not).
+
+    At 100 TB: the z-ordered write is one range exchange over the
+    Morton key; the index is one file-count-sized aggregate refreshed
+    per ingestion batch; every multi-dimensional range query then
+    opens only overlapping files — the scan cost tracks the
+    selectivity, not the table size."""
+    import tempfile
+
+    from etl_spark_spark.sinks.zorder import write_zordered
+    from etl_spark_spark.sources.stats_index import indexed_read
+
+    orders = table(
+        spark,
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_zorder_scan_")
+    path = f"{root}/orders_z"
+    write_zordered(orders, path, ["o_custkey", "o_totalprice"], num_files=16)
+    scan = indexed_read(
+        spark,
+        path,
+        {"o_custkey": (10, 100), "o_totalprice": (50_000.0, 150_000.0)},
+    )
+    return scan.df.select("o_orderkey", "o_custkey", "o_totalprice")
 
 
 def q_events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4978,6 +5085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_promotion_suppliers": q_part_promotion_suppliers,
         "orders_pit_dimension": q_orders_pit_dimension,
         "doc_length_winsor": q_doc_length_winsor,
+        "merge_upsert": q_merge_upsert,
+        "indexed_zorder_scan": q_indexed_zorder_scan,
         "events_forward_fill": q_events_forward_fill,
         "split_leakage": q_split_leakage,
         "trade_pagerank": q_trade_pagerank,
@@ -6838,16 +6947,50 @@ LEFT JOIN hist
 """
 
 _DOC_LENGTH_WINSOR_SQL = """
-WITH bands AS (
+WITH dist AS (
+  SELECT source, n_chars AS v, count(*) AS c
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT source, v, c,
+         sum(c) OVER (PARTITION BY source ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY source) AS n
+  FROM dist
+), bands AS (
   SELECT source,
-         quantile_cont(n_chars, 0.05) AS p05,
-         quantile_cont(n_chars, 0.95) AS p95
-  FROM documents GROUP BY source
+         CAST(min(CASE WHEN cum >= ceil(0.05 * n) THEN v END) AS DOUBLE) AS p05,
+         CAST(min(CASE WHEN cum >= ceil(0.95 * n) THEN v END) AS DOUBLE) AS p95
+  FROM cum GROUP BY 1
 )
 SELECT doc_id, d.source, n_chars,
        least(greatest(CAST(n_chars AS DOUBLE), p05), p95) AS winsorized,
        (n_chars < p05 OR n_chars > p95) AS was_clipped
 FROM documents d JOIN bands b ON d.source = b.source
+"""
+
+_MERGE_UPSERT_SQL = """
+WITH target AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         0 AS batch
+  FROM customer WHERE c_custkey % 2 = 0
+), source AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) + 10000 AS acctbal_cents,
+         1 AS batch
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT t.* FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.c_custkey = t.c_custkey)
+UNION ALL
+SELECT * FROM source
+"""
+
+_INDEXED_ZORDER_SCAN_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey BETWEEN 10 AND 100
+  AND o_totalprice BETWEEN 50000.0 AND 150000.0
 """
 
 _EVENTS_FORWARD_FILL_SQL = """
@@ -8326,6 +8469,8 @@ def oracle_sql() -> dict[str, str]:
         "part_promotion_suppliers": _PART_PROMOTION_SUPPLIERS_SQL,
         "orders_pit_dimension": _ORDERS_PIT_DIMENSION_SQL,
         "doc_length_winsor": _DOC_LENGTH_WINSOR_SQL,
+        "merge_upsert": _MERGE_UPSERT_SQL,
+        "indexed_zorder_scan": _INDEXED_ZORDER_SCAN_SQL,
         "events_forward_fill": _EVENTS_FORWARD_FILL_SQL,
         "split_leakage": _SPLIT_LEAKAGE_SQL,
         "trade_pagerank": _TRADE_PAGERANK_SQL,

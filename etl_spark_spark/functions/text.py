@@ -183,6 +183,13 @@ def gopher_rule_counters(c: Column | str) -> dict[str, Column]:
     ellipsis symbols. All exact integers so the rule thresholds can be
     tested with integer inequalities (no float ratios to diverge
     across engines). Pure per-row expressions — map-only at any scale.
+
+    Approximation note: ``word_chars`` counts every non-whitespace
+    character of the normalized text — punctuation and digits included
+    — so the derived mean-word-length rule deviates from the Gopher
+    paper's per-word character definition on punctuation-heavy docs
+    (trade: one regexp_replace vs aggregating length(w) over the token
+    array; Spark and the oracle share the same definition either way).
     """
     t = tokens(c)
     return {

@@ -99,7 +99,11 @@ def jaccard_for_pairs(
     pairs: DataFrame, shingles: DataFrame, id_col: str
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs. Returns (id_a, id_b,
-    jaccard).
+    jaccard). Pairs with ZERO shingle intersection are emitted with
+    jaccard 0.0 (the whole-set join keeps every candidate row) — a
+    deliberate contract change from the pre-round-4 shared-shingle
+    inner join, which dropped disjoint pairs; filter ``jaccard > 0``
+    for the old behavior.
 
     Scale shape (round-4, replacing the pair-x-shingle join): collapse
     each doc's shingles to ONE row carrying the set as a sorted array,
@@ -164,6 +168,66 @@ def pair_set_stats(
     )
 
 
+def pair_overlap_counts(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Intersection sizes for candidate pairs WITHOUT attaching set
+    arrays: join each pair to its a-side postings, keep the rows whose
+    shingle fingerprint also appears in the b-side postings, count the
+    survivors per pair. Returns (id_a, id_b, *carry_cols, __i).
+
+    Scale shape: the only pair-proportional intermediate is
+    |pairs| x |a-side set| NARROW rows (two ids + a 128-bit shingle
+    fingerprint ≈ 32 bytes) — vs :func:`pair_set_stats`, which attaches
+    two KB-scale sorted arrays to EVERY pair and whose sort spill
+    DNF'd the 100x verbatim-twin replica on this box's 73 GB scratch
+    (BASELINE.md round-4). Shingles are matched on two independent
+    xxhash64 fingerprints (128 bits total, computed map-side, never
+    leaving the query): a spurious count needs two DISTINCT shingles
+    within one pair's sets to collide on BOTH halves —
+    P < |set|^2 / 2^128 per pair, < 1e-22 even at 10^12-shingle corpus
+    scale — so the result is exact for every input that fits a real
+    cluster, and the sf-scale oracle / brute-force property gates pin
+    it bit-for-bit where it is feasible to check.
+
+    All sides merge-hinted: candidate and posting tables compress
+    misleadingly well on duplicate-heavy corpora, and AQE's dynamic
+    broadcast must never build either driver-side (the measured 100x
+    OOM documented in ``jaccard_for_pairs``).
+
+    Inner semantics: pairs with EMPTY intersection do not appear —
+    callers thresholding at a similarity > 0 lose nothing.
+    """
+    f1 = F.xxhash64(F.col("shingle"))
+    f2 = F.xxhash64(F.lit("pair-overlap#2"), F.col("shingle"))
+    post = shingles.select(
+        F.col(id_col), f1.alias("__f1"), f2.alias("__f2")
+    )
+    a = post.withColumnRenamed(id_col, "id_a")
+    b = post.withColumnRenamed(id_col, "id_b")
+    return (
+        pairs.hint("merge")
+        .join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), ["id_b", "__f1", "__f2"])
+        .groupBy("id_a", "id_b", *carry_cols)
+        .agg(F.count("*").alias("__i"))
+    )
+
+
+def _check_threshold(threshold: float) -> None:
+    """Pair-generator similarity thresholds must sit in (0, 1]:
+    within-family (identical-set) pairs re-expand with the hardcoded
+    constants jaccard/containment = 1.0, which matches the uncollapsed
+    computation only when 1.0 itself passes the threshold; and the
+    overlap-count verify core drops empty intersections, which is
+    lossless only when similarity 0 does not qualify."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+
 def collapse_identical_sets(
     sh: DataFrame, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -187,7 +251,15 @@ def collapse_identical_sets(
     every pair's KB-scale set arrays (measured: the 100x twin replica
     DNF'd this box's 73 GB scratch through the uncollapsed prefix
     join). Collapsed, candidate volume is independent of twin
-    multiplicity and the re-expansion is output-linear."""
+    multiplicity and the re-expansion is output-linear.
+
+    Bounds caveat (documented trade): the groupBy key is the full
+    sorted shingle-set array and ``__members`` materializes every twin
+    id in ONE row, so the shuffle payload and the widest row grow with
+    set size x twin multiplicity — fine at the audited 100x replica
+    scale; for pathological twin counts, group on a set fingerprint
+    (with an exactness check) or aggregate member COUNTS instead of
+    the id array."""
     fam = (
         sh.groupBy(id_col)
         .agg(F.sort_array(F.collect_set("shingle")).alias("__ss"))
@@ -282,6 +354,7 @@ def near_dup_minhash(
     generates T^2/2 within-family candidates per T verbatim twins.
     Bit-identical to the uncollapsed computation — same-set pairs are
     exactly jaccard 1.0 and always banded candidates."""
+    _check_threshold(threshold)
     sh = shingle_set(df, id_col, shingles_col)
     reps_sh, members = collapse_identical_sets(sh, id_col)
     sig = minhash_signature(reps_sh, id_col, num_perms)
@@ -532,6 +605,7 @@ def ngram_jaccard_pairs(
     identical results, immune to verbatim-twin blowup. Pass ``False``
     to pin the raw formulation in tests (so a collapse bug cannot
     cancel out when two collapsed operators are compared)."""
+    _check_threshold(threshold)
     if max_docs is not None:
         probe = df.select(id_col).distinct().limit(max_docs + 1).count()
         if probe > max_docs:
@@ -589,7 +663,12 @@ def prefix_filtered_jaccard_pairs(
     shingles of x (its *prefix*) must intersect y's prefix — joining
     only on prefix shingles finds every qualifying pair. A size filter
     (``t·max(|x|,|y|) <= min(|x|,|y|)``, implied by J >= t) prunes
-    further before the exact verification join.
+    further before the exact verification join. Verification computes
+    intersection COUNTS through :func:`pair_overlap_counts` (narrow
+    candidate x posting rows) — never by attaching both sorted set
+    arrays per pair, whose |pairs| x KB footprint DNF'd the 100x
+    verbatim-twin replica on 73 GB of scratch (BASELINE.md round-4);
+    jaccard = i / (n_a + n_b - i) needs only the counts.
 
     Scale design: the equi-join key set is only the PREFIX shingles —
     the rarest per doc — so the frequent shingles that make the naive
@@ -608,6 +687,7 @@ def prefix_filtered_jaccard_pairs(
     exactly jaccard = 1.0 (n/n), bit-identical to the uncollapsed
     computation.
     """
+    _check_threshold(threshold)
     sh_docs = shingle_set(df, id_col, shingles_col)
     sh, mem = collapse_identical_sets(sh_docs, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
@@ -665,12 +745,19 @@ def prefix_filtered_jaccard_pairs(
             )
             >= alpha
         )
-        .select("id_a", "id_b")
+        # n_a/n_b are functions of the ids, so carrying them through
+        # the distinct costs no cardinality and saves the size re-join
+        .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
-    rep_pairs = jaccard_for_pairs(cand, sh, id_col).filter(
-        F.col("jaccard") >= threshold
-    )
+    ov = pair_overlap_counts(cand, sh, id_col, carry_cols=("n_a", "n_b"))
+    rep_pairs = ov.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("__i") / (F.col("n_a") + F.col("n_b") - F.col("__i"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
     return expand_collapsed_pairs(rep_pairs, mem, {"jaccard": F.lit(1.0)})
 
 
@@ -905,7 +992,11 @@ def containment_pairs(
     DISTINCT shingle sets only (see :func:`collapse_identical_sets`;
     same-set pairs are exactly inter = n_a = n_b, containment 1.0).
     Returns (id_a, id_b, inter, n_a, n_b, containment) with
-    id_a < id_b."""
+    id_a < id_b. Disjoint candidate pairs carry containment 0.0 into
+    the threshold filter (pair_set_stats keeps every candidate row —
+    the round-4 contract change documented on ``jaccard_for_pairs``),
+    so they are dropped by any threshold in (0, 1]."""
+    _check_threshold(threshold)
     sh = shingle_set(df, id_col, shingles_col)
     reps_sh, members = collapse_identical_sets(sh, id_col)
     sig = minhash_signature(reps_sh, id_col, num_perms)

@@ -70,7 +70,14 @@ def functional_dependencies(
 
     One row per candidate pair: (tbl, lhs, rhs, n_groups long,
     n_violating long, holds boolean) where ``n_violating`` counts lhs
-    groups with >1 distinct rhs. The schema-discovery primitive behind
+    groups with >1 distinct rhs.
+
+    NULL semantics (documented trade, shared with the DuckDB oracle):
+    ``countDistinct`` ignores NULL rhs values, so an lhs group mapping
+    to {x, NULL} — or to all NULLs — counts as NON-violating; ``holds``
+    asserts "at most one NON-NULL rhs per lhs", not strict textbook FD.
+    Coalesce rhs to a sentinel before calling if NULL should count as
+    its own value. The schema-discovery primitive behind
     key detection and denormalization checks (public technique; e.g.
     the TANE family of FD-mining algorithms works from exactly these
     per-group distinct counts).

@@ -91,6 +91,46 @@ def read_date_range(
     return df.filter((c >= lo) & (c < hi))
 
 
+def read_date_range_indexed(
+    spark: SparkSession,
+    path: str,
+    date_col: str,
+    start: dt.date,
+    end: dt.date,
+    index: DataFrame | None = None,
+):
+    """S4 date-range scan THROUGH the file-stats index: manifest-style
+    file skipping (``sources.stats_index``) composed with
+    :func:`read_date_range`'s exact half-open residual filter — the
+    first-class form of "don't even open files outside the window" for
+    non-Hive-partitioned layouts (a range-sorted or z-ordered feed,
+    ``sinks.write.write_range_sorted`` / ``sinks.zorder``).
+
+    Pruning keeps every file whose [min, max] overlaps
+    [start, end + 1 day] — a superset of the half-open window, so the
+    residual filter restores exactness; NULL-stat files are kept.
+    Returns a ``stats_index.PrunedScan`` (df, n_files_read,
+    n_files_total). Pass a persisted ``index`` to skip the stats scan.
+    """
+    from .stats_index import PrunedScan, build_stats_index, prune_files
+
+    idx = index if index is not None else build_stats_index(
+        spark, path, [date_col]
+    )
+    idx = idx.localCheckpoint()  # pin: prune + count read the same stats
+    total = idx.count()
+    files = prune_files(
+        idx,
+        date_col,
+        start.isoformat(),
+        (end + dt.timedelta(days=1)).isoformat(),
+    )
+    if not files:
+        return PrunedScan(spark.read.parquet(path).limit(0), 0, total)
+    df = read_date_range(spark.read.parquet(*files), date_col, start, end)
+    return PrunedScan(df, len(files), total)
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize the events ``ts`` column to a session-TZ TIMESTAMP,
     whatever physical encoding the feed was written with:

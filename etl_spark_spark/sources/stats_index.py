@@ -28,6 +28,7 @@ file), exactly like parquet row-group stats one level up.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,3 +80,64 @@ def pruned_parquet_read(
         empty = spark.read.parquet(path).limit(0)
         return empty, 0, total
     return spark.read.parquet(*files), len(files), total
+
+
+class PrunedScan(NamedTuple):
+    """Result of :func:`indexed_read`: the DataFrame already carries
+    the residual row filters (exact semantics, not a superset); the
+    file counts expose the skipping for tests/telemetry to pin."""
+
+    df: DataFrame
+    n_files_read: int
+    n_files_total: int
+
+
+def indexed_read(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple],
+    index: DataFrame | None = None,
+    columns: Sequence[str] | None = None,
+) -> PrunedScan:
+    """First-class index-pruned scan — the engine's scan-path entry
+    point composing the manifest-style file skip with the residual
+    filter, so callers get EXACT range semantics in one call instead
+    of orchestrating prune + filter by hand.
+
+    ``ranges`` maps column -> (lo, hi) CLOSED intervals, ANDed: a file
+    is read only if its [min, max] overlaps EVERY requested range
+    (NULL-stat files conservatively kept), then the same intervals are
+    applied row-level. Multi-column ranges are exactly what a
+    z-ordered layout (``sinks.zorder.write_zordered``) makes
+    discriminating — on a Morton-clustered table each listed column
+    skips files independently; on a single-column range-sorted layout
+    only that column's range skips.
+
+    Scale shape: the index is file-count-sized (one tiny row per
+    file); the kept-file list is driver-side but bounded by file
+    count, exactly like Spark's own FileIndex. Pass a persisted
+    ``index`` to amortize the stats scan across reads; the residual
+    filters still push down to row groups within kept files.
+    """
+    if not ranges:
+        raise ValueError("at least one column range required")
+    cols = list(ranges)
+    idx = index if index is not None else build_stats_index(spark, path, cols)
+    idx = idx.localCheckpoint()  # pin: prune + count read the same stats
+    total = idx.count()
+    keep = idx
+    for c, (lo, hi) in ranges.items():
+        keep = keep.filter(
+            (F.col(f"max_{c}").isNull() | (F.col(f"max_{c}") >= lo))
+            & (F.col(f"min_{c}").isNull() | (F.col(f"min_{c}") <= hi))
+        )
+    files = [r["file"] for r in keep.select("file").collect()]
+    if not files:
+        df = spark.read.parquet(path).limit(0)
+    else:
+        df = spark.read.parquet(*files)
+    for c, (lo, hi) in ranges.items():  # residual: exact, pushes down
+        df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+    if columns:
+        df = df.select(*columns)
+    return PrunedScan(df, len(files), total)

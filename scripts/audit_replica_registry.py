@@ -8,9 +8,13 @@ The flagship/pair-generator queries already have dedicated 100x audits
 buys is "no query anywhere in the registry goes super-linear or breaks
 at 10x", including the ~150 queries nobody hand-picked for auditing.
 
-Usage: python scripts/audit_replica_registry.py [replica_dir] [out_json]
-Queries run in ascending 1x-warm order so a late crash loses only the
-already-audited prefix (results are flushed after every query).
+Usage: python scripts/audit_replica_registry.py [replica_dir] [out_json] \
+           [--top N | query ...]
+Default: the full registry. ``--top N`` selects the N most expensive
+queries by 1x warm cost (the round-5 heavy-composite 100x pass);
+explicit names select exactly those. Queries run in ascending 1x-warm
+order so a late crash loses only the already-audited prefix (results
+are flushed after every query).
 """
 
 from __future__ import annotations
@@ -28,14 +32,24 @@ from etl_spark_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    replica_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/replica_rel10x"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/replica_registry_audit.json"
+    args = sys.argv[1:]
+    replica_dir = args[0] if args else "/tmp/replica_rel10x"
+    out_path = args[1] if len(args) > 1 else "/tmp/replica_registry_audit.json"
+    rest = args[2:]
     with open("bench_full.json") as f:
         warm_1x = json.load(f)["queries_warm"]
 
     spark = get_spark(app_name="replica-registry-audit")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
+    if rest and rest[0] == "--top":
+        picked = sorted(queries, key=lambda n: -warm_1x.get(n, 0.0))
+        queries = {n: queries[n] for n in picked[: int(rest[1])]}
+    elif rest:
+        unknown = [n for n in rest if n not in queries]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        queries = {n: queries[n] for n in rest}
     order = sorted(queries, key=lambda n: warm_1x.get(n, 0.0))
 
     results: dict[str, dict] = {}

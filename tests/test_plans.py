@@ -249,6 +249,23 @@ def test_plan_shapes_match_snapshot(all_query_plans):
         )
 
 
+def test_no_percentile_buffers_in_quantile_queries(spark, sf_dir):
+    """price_outliers and doc_length_winsor must route their order
+    statistics through exact_group_quantiles (distribution aggregate +
+    window over the compact distribution) — NO percentile aggregate
+    anywhere in the plan. F.percentile is a TypedImperativeAggregate
+    that buffers every group value in executor memory: a handful of
+    groups x billions of rows at 100x is an OOM aggregate. (The two
+    remaining F.percentile sites are deliberate: q_price_quantiles
+    documents the approx trade; q_sketch_stats needs the exact
+    reference to validate the sketch.)"""
+    for q in (entrymod.q_price_outliers, entrymod.q_doc_length_winsor):
+        plan = explain_str(q(spark, sf_dir))
+        assert "percentile" not in plan.lower(), (
+            f"{q.__name__} plans a buffering percentile aggregate"
+        )
+
+
 def test_date_range_prunes_hive_partitions(spark, sf_dir, tmp_path):
     """read_date_range's half-open interval must reach the scan as
     directory-level PartitionFilters on a Hive-partitioned layout —

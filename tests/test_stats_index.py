@@ -130,3 +130,87 @@ def test_zorder_rejects_non_numeric_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="non-numeric"):
         write_zordered(df, str(tmp_path / "z"), ["name", "id"])
+
+
+def test_indexed_read_skips_files_and_applies_residual(spark, tmp_path):
+    """The first-class scan-path entry point (indexed_read): on a
+    z-ordered layout, a two-column range must skip files
+    (n_files_read < n_files_total) AND return exactly the full-scan
+    answer — the residual filter is applied inside the call, not left
+    to the caller."""
+    from etl_spark_spark.sinks.zorder import write_zordered
+    from etl_spark_spark.sources.stats_index import indexed_read
+
+    df = spark.range(64_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(1024)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1024)).alias("y"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["x", "y"], num_files=16, bits=8)
+
+    ranges = {"x": (0, 127), "y": (0, 127)}
+    scan = indexed_read(spark, path, ranges)
+    assert scan.n_files_total == 16
+    assert 1 <= scan.n_files_read < scan.n_files_total
+    want = df.filter(
+        F.col("x").between(0, 127) & F.col("y").between(0, 127)
+    ).agg(F.sum("v"), F.count("*")).collect()[0]
+    got = scan.df.agg(F.sum("v"), F.count("*")).collect()[0]
+    assert tuple(got) == tuple(want)
+    # residual filter must reach the kept-file parquet scan
+    from etl_spark_spark.plans import pushed_filters
+
+    pushed = " ".join(pushed_filters(scan.df))
+    assert "x" in pushed and "y" in pushed
+
+
+def test_read_date_range_indexed_prunes_and_is_exact(spark, tmp_path):
+    """S4 through the index: a range-sorted-by-date feed read via
+    read_date_range_indexed must skip out-of-window files and return
+    exactly read_date_range's half-open answer (end date exclusive at
+    the +1day boundary)."""
+    import datetime as dt
+
+    from etl_spark_spark.sinks.write import write_range_sorted
+    from etl_spark_spark.sources import table
+    from etl_spark_spark.sources.parquet import (
+        read_date_range,
+        read_date_range_indexed,
+    )
+
+    orders = table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_by_date")
+    write_range_sorted(orders, path, ["o_orderdate"], num_files=12)
+
+    start, end = dt.date(1995, 1, 1), dt.date(1995, 6, 30)
+    scan = read_date_range_indexed(spark, path, "o_orderdate", start, end)
+    assert scan.n_files_total == 12
+    assert 1 <= scan.n_files_read < scan.n_files_total
+    want = read_date_range(
+        spark.read.parquet(path), "o_orderdate", start, end
+    )
+    assert scan.df.count() == want.count() > 0
+    # half-open exactness: nothing at/after end+1day midnight
+    assert (
+        scan.df.filter(
+            F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp")
+        ).count()
+        == 0
+    )
+
+
+def test_indexed_read_empty_and_validation(spark, tmp_path):
+    from pytest import raises
+
+    from etl_spark_spark.sinks.write import write_range_sorted
+    from etl_spark_spark.sources.stats_index import indexed_read
+
+    df = spark.range(1_000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    path = str(tmp_path / "t")
+    write_range_sorted(df, path, ["id"], num_files=4)
+    scan = indexed_read(spark, path, {"id": (5_000, 6_000)})
+    assert scan.n_files_read == 0 and scan.df.count() == 0
+    assert [f.name for f in scan.df.schema.fields] == ["id", "v"]
+    with raises(ValueError, match="range"):
+        indexed_read(spark, path, {})
