@@ -353,15 +353,40 @@ def near_dup_minhash(
     signatures, so they collide in EVERY band and an uncollapsed run
     generates T^2/2 within-family candidates per T verbatim twins.
     Bit-identical to the uncollapsed computation — same-set pairs are
-    exactly jaccard 1.0 and always banded candidates."""
+    exactly jaccard 1.0 and always banded candidates. Verification
+    computes intersection COUNTS through :func:`pair_overlap_counts`
+    plus two narrow size joins (round-5) — no per-pair set arrays,
+    same scratch bound as neardup_prefix_jaccard/containment_pairs;
+    zero-intersection candidates drop out of the inner overlap join,
+    lossless for the validated threshold range (0, 1]."""
     _check_threshold(threshold)
     sh = shingle_set(df, id_col, shingles_col)
     reps_sh, members = collapse_identical_sets(sh, id_col)
     sig = minhash_signature(reps_sh, id_col, num_perms)
     cand = lsh_candidate_pairs(sig, id_col, num_perms, rows_per_band)
-    rep_pairs = jaccard_for_pairs(cand, reps_sh, id_col).filter(
-        F.col("jaccard") >= threshold
+    sizes = reps_sh.groupBy(id_col).agg(F.count("*").alias("__n_"))
+    ov = (
+        pair_overlap_counts(cand, reps_sh, id_col)
+        .join(
+            sizes.select(
+                F.col(id_col).alias("id_a"), F.col("__n_").alias("__na")
+            ).hint("merge"),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("id_b"), F.col("__n_").alias("__nb")
+            ).hint("merge"),
+            "id_b",
+        )
     )
+    rep_pairs = ov.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
     return expand_collapsed_pairs(
         rep_pairs, members, {"jaccard": F.lit(1.0)}
     ).filter(F.col("jaccard") >= threshold)
@@ -769,17 +794,56 @@ def simhash_near_dup(
     band_bits: int = 15,
     threshold: int = 10,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: band the simhash, bucket docs by
-    band value, generate candidate pairs INSIDE each bucket from a
-    sorted collect_list (higher-order pair expansion), verify hamming.
+    """SimHash near-duplicate pairs: band the simhash, bucket DISTINCT
+    simhash values by band value, generate candidate pairs INSIDE each
+    bucket from a sorted collect_list (higher-order pair expansion),
+    verify hamming, then expand value-level pairs back to doc pairs
+    output-linearly.
 
-    One simhash computation and one shuffle (the bucket groupBy) — a
-    band self-join would re-execute the simhash DAG for both sides.
-    Bucket sizes are bounded in practice (random 15-bit band values);
-    a pathological hot bucket would need salting like any hot key.
-    Returns (id_a, id_b, hamming) with id_a < id_b.
+    The distinct-value collapse (round-5, same preprocessing insight
+    as :func:`collapse_identical_sets`) is what makes this survive
+    duplicate-heavy corpora: docs with identical simhash collide in
+    EVERY band, so bucketing RAW docs makes the per-bucket pair array
+    — materialized as ONE row by the higher-order expansion — grow
+    quadratically with duplicate multiplicity. Measured at the 100x
+    verbatim-twin replica: the hottest bucket held 26,900 docs =
+    2.87B candidate pairs, a single 361M-struct array row, instant
+    8 GB heap death. Over distinct values the bucket width is bounded
+    by the corpus's simhash DIVERSITY (which replication does not
+    grow); identical-value pairs re-enter as hamming-0 expansions
+    through :func:`expand_collapsed_pairs` (a merge-hinted join — no
+    member arrays attached to pairs), and every doc pair inherits its
+    value pair's hamming unchanged, so the result is bit-identical to
+    the uncollapsed form.
+
+    One simhash computation, one distinct-value aggregate, one bucket
+    shuffle over values. Returns (id_a, id_b, hamming) with
+    id_a < id_b.
     """
-    sh = simhash(df, id_col, tokens_col)
+    if not 0 <= threshold <= SIMHASH_BITS:
+        raise ValueError(
+            f"hamming threshold must be in [0, {SIMHASH_BITS}], got {threshold}"
+        )
+    from pyspark.sql import Window
+
+    sh_docs = simhash(df, id_col, tokens_col)
+    # ONE shuffle for the whole collapse: a min-id window over the
+    # simhash partition tags every doc with its family representative
+    # (no collect_list, so no row widens with twin multiplicity; no
+    # rep re-join, which would shuffle the doc set a second time).
+    # Value groups are duplicate families — bounded like any groupBy
+    # on the same key would be.
+    tagged = sh_docs.withColumn(
+        "__rep", F.min(id_col).over(Window.partitionBy("simhash"))
+    )
+    members = tagged.select(
+        F.col("__rep").alias("__r"),
+        F.col(id_col).alias("__doc"),
+        F.lit(1).alias("__n"),
+    )
+    sh = tagged.filter(F.col(id_col) == F.col("__rep")).select(
+        F.col(id_col), "simhash"
+    )
     mask = (1 << band_bits) - 1
     bands = sh.select(
         F.col(id_col).alias("__id"),
@@ -815,8 +879,12 @@ def simhash_near_dup(
     ).select("p.*")
     # Filter BEFORE distinct: hamming is a function of the pair, so the
     # result is identical, but far-apart candidate pairs are dropped
-    # map-side instead of shuffling into the dedup exchange.
-    return (
+    # map-side instead of shuffling into the dedup exchange. The
+    # distinct runs at VALUE level (bounded by simhash diversity);
+    # doc-level pairs from the expansion are unique by construction
+    # (member sets are disjoint across values), so no corpus-sized
+    # dedup shuffle exists anywhere.
+    rep_pairs = (
         pairs.select(
             "id_a",
             "id_b",
@@ -824,6 +892,9 @@ def simhash_near_dup(
         )
         .filter(F.col("hamming") <= threshold)
         .distinct()
+    )
+    return expand_collapsed_pairs(
+        rep_pairs, members, {"hamming": F.lit(0)}
     )
 
 
@@ -985,24 +1056,40 @@ def containment_pairs(
     book has tiny Jaccard but containment 1.0). Candidates come from
     the same banded MinHash index as near_dup_minhash (min-wise hashing
     is still sensitive to the smaller side's shingles), verified with
-    exact set intersection via the collapsed-set ``pair_set_stats``
-    core (the prior pair-x-shingle join exploded |pairs| x
-    |shingles/doc| rows — the same shape that OOM'd jaccard_for_pairs
-    on the 100x twin replica). Candidates/verification run over
-    DISTINCT shingle sets only (see :func:`collapse_identical_sets`;
+    exact intersection COUNTS via :func:`pair_overlap_counts` (round-5
+    — the narrow candidate x posting core that closed
+    neardup_prefix_jaccard's 100x scratch DNF; the prior formulations
+    either exploded |pairs| x |shingles/doc| rows or attached both
+    KB-scale set arrays to every pair). Candidates/verification run
+    over DISTINCT shingle sets only (see :func:`collapse_identical_sets`;
     same-set pairs are exactly inter = n_a = n_b, containment 1.0).
     Returns (id_a, id_b, inter, n_a, n_b, containment) with
-    id_a < id_b. Disjoint candidate pairs carry containment 0.0 into
-    the threshold filter (pair_set_stats keeps every candidate row —
-    the round-4 contract change documented on ``jaccard_for_pairs``),
-    so they are dropped by any threshold in (0, 1]."""
+    id_a < id_b. Candidate pairs with EMPTY intersection never reach
+    the output (the overlap core's inner semantics) — lossless for
+    any threshold in (0, 1], which is validated."""
     _check_threshold(threshold)
     sh = shingle_set(df, id_col, shingles_col)
     reps_sh, members = collapse_identical_sets(sh, id_col)
     sig = minhash_signature(reps_sh, id_col, num_perms)
     cand = lsh_candidate_pairs(sig, id_col, num_perms, rows_per_band)
+    sizes = reps_sh.groupBy(id_col).agg(F.count("*").alias("__n_"))
+    ov = (
+        pair_overlap_counts(cand, reps_sh, id_col)
+        .join(
+            sizes.select(
+                F.col(id_col).alias("id_a"), F.col("__n_").alias("__na")
+            ).hint("merge"),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("id_b"), F.col("__n_").alias("__nb")
+            ).hint("merge"),
+            "id_b",
+        )
+    )
     # long casts keep the pre-refactor schema (count(*)-typed columns)
-    out = pair_set_stats(cand, reps_sh, id_col).select(
+    out = ov.select(
         "id_a",
         "id_b",
         F.col("__i").cast("long").alias("inter"),
