@@ -2860,6 +2860,102 @@ def q_indexed_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.df.select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (contrastive-training data prep): for each
+    probe vector (vec_id < 10), the top-5 most cosine-similar vectors
+    with a DIFFERENT label — near-miss negatives, the examples random
+    sampling almost never surfaces. Broadcast probes, one corpus scan,
+    label filter BEFORE the ranking window
+    (operators/similarity.py:hard_negatives). Scores ride the shared
+    left-to-right fold, so the oracle is bit-identical."""
+    from etl_spark_spark.operators.similarity import hard_negatives
+
+    emb = table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        "label", k=5,
+    )
+
+
+def q_emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier sweep: the 3 members least
+    cosine-similar to their own label's centroid — the mislabeled/
+    garbage-vector pass before training on labeled embeddings.
+    Centroids are per-dimension hash aggregates rounded to 6 decimals
+    BEFORE any distance math (quantizing away float-sum order), then
+    the member-centroid cosine runs the shared deterministic fold
+    (operators/similarity.py:label_centroid_outliers)."""
+    from etl_spark_spark.operators.similarity import label_centroid_outliers
+
+    emb = table(spark, sf_dir, "embeddings")
+    return label_centroid_outliers(emb, "vec_id", "embedding", "label", k=3)
+
+
+def q_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM scoring, one context order up from
+    doc_surprisal: mean add-1-smoothed BIGRAM surprisal per document
+    under corpus statistics — word-salad scores high even when its
+    unigram mix looks normal; templated text scores low. Milli-nat
+    integer output (operators/lm.py:bigram_surprisal)."""
+    from etl_spark_spark.operators.lm import bigram_surprisal
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_surprisal(docs, "doc_id", "text")
+
+
+def q_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup RESOLUTION: MinHash-LSH pairs (exact-verified
+    >= 0.5) -> connected components -> keep the LONGEST doc per
+    cluster (ties to the highest id) — the "which copy do we train
+    on" decision every curation pipeline makes after pair detection;
+    min-id canonicals (doc_exact_dedup) keep an arbitrary copy,
+    this keeps the most complete one. Singleton docs are their own
+    kept canonical, so the output is the full keep-list:
+    (cluster_id, kept_doc_id, n_members).
+
+    Scale: the pair stage is the collapsed banded-LSH path (sub-
+    quadratic, no set arrays); components propagate labels over
+    DISTINCT-SET rep pairs only (operators/neardup.py:
+    near_dup_clusters — the doc-level edge list is quadratic in twin
+    multiplicity and starved an 8 GB executor at the 100x replica;
+    the rep graph is diversity-sized and members inherit labels in one
+    join, provably the same clusters); the keep choice is one ranking
+    window per cluster (bounded groups). The oracle replays the
+    banded algorithm + a recursive reach CTE over DOC-level pairs +
+    the same window — value-hash equality at sf0.01 is exactly the
+    collapse-equivalence proof, checked every round."""
+    from etl_spark_spark.operators.neardup import near_dup_clusters
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    clusters = near_dup_clusters(
+        toks, "doc_id", word_shingles("t", 3), num_perms=8,
+        rows_per_band=2, threshold=0.5,
+    )
+    full = (
+        docs.select("doc_id", "n_chars")
+        .join(clusters.withColumnRenamed("doc_id", "__cd"),
+              F.col("doc_id") == F.col("__cd"), "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            # shingle-less docs (< 3 tokens) never enter the pair
+            # machinery; they are their own cluster
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").desc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        full.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("kept_doc_id"), "n_members")
+    )
+
+
 def q_events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-fill (last-observation-carried-forward): every event
     carries the user's most recent purchase value — the IGNORE NULLS
@@ -5087,6 +5183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_winsor": q_doc_length_winsor,
         "merge_upsert": q_merge_upsert,
         "indexed_zorder_scan": q_indexed_zorder_scan,
+        "emb_hard_negatives": q_emb_hard_negatives,
+        "emb_label_outliers": q_emb_label_outliers,
+        "doc_bigram_surprisal": q_doc_bigram_surprisal,
+        "cluster_canonicalize": q_cluster_canonicalize,
         "events_forward_fill": q_events_forward_fill,
         "split_leakage": q_split_leakage,
         "trade_pagerank": q_trade_pagerank,
@@ -5480,6 +5580,58 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+"""
+
+_CLUSTER_CANONICALIZE_SQL = f"""
+WITH RECURSIVE {_SHINGLES},
+sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+),
+fulls AS (
+    SELECT d.doc_id, d.n_chars,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT cluster_id, doc_id AS kept_doc_id, n_members FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id DESC
+           ) AS rn,
+           count(*) OVER (PARTITION BY cluster_id) AS n_members
+    FROM fulls
+) t WHERE rn = 1
 """
 
 _SPLIT_LEAKAGE_SQL = f"""
@@ -6993,6 +7145,56 @@ WHERE o_custkey BETWEEN 10 AND 100
   AND o_totalprice BETWEEN 50000.0 AND 150000.0
 """
 
+_EMB_HARD_NEGATIVES_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS cv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         {_DOT.format(a="qv", b="cv")}
+         / nullif(sqrt({_DOT.format(a="qv", b="qv")})
+                  * sqrt({_DOT.format(a="cv", b="cv")}), 0) AS cos_sim
+  FROM c, q WHERE neighbor_label != query_label
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim, rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+  ) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""
+
+_EMB_LABEL_OUTLIERS_SQL = f"""
+WITH cells AS (
+  SELECT label, unnest(range(len(embedding))) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+), cent_cells AS (
+  SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 6) AS c
+  FROM cells GROUP BY 1, 2
+), cent AS (
+  SELECT label, array_agg(c ORDER BY dim) AS cent
+  FROM cent_cells GROUP BY 1
+), scored AS (
+  SELECT e.label, e.vec_id,
+         {_DOT.format(a="e.embedding", b="cent")}
+         / nullif(sqrt({_DOT.format(a="e.embedding", b="e.embedding")})
+                  * sqrt({_DOT.format(a="cent", b="cent")}), 0)
+           AS cos_to_centroid
+  FROM embeddings e JOIN cent USING (label)
+)
+SELECT label, vec_id, cos_to_centroid, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY label ORDER BY cos_to_centroid ASC, vec_id
+  ) AS rank
+  FROM scored
+) t WHERE rank <= 3
+"""
+
 _EVENTS_FORWARD_FILL_SQL = """
 SELECT event_id, user_id, event_type,
        last_value(CASE WHEN event_type = 'purchase' THEN value END
@@ -7561,6 +7763,12 @@ def _surprisal_oracle() -> str:
     from etl_spark_spark.operators.lm import unigram_surprisal_sql
 
     return unigram_surprisal_sql("documents", "doc_id", "text")
+
+
+def _bigram_surprisal_oracle() -> str:
+    from etl_spark_spark.operators.lm import bigram_surprisal_sql
+
+    return bigram_surprisal_sql("documents", "doc_id", "text")
 
 
 _DUPLICATE_SPANS_SQL = """
@@ -8527,6 +8735,10 @@ def oracle_sql() -> dict[str, str]:
         "price_outliers": _PRICE_OUTLIERS_SQL,
         "bm25_search": _bm25_oracle(),
         "doc_surprisal": _surprisal_oracle(),
+        "doc_bigram_surprisal": _bigram_surprisal_oracle(),
+        "emb_hard_negatives": _EMB_HARD_NEGATIVES_SQL,
+        "emb_label_outliers": _EMB_LABEL_OUTLIERS_SQL,
+        "cluster_canonicalize": _CLUSTER_CANONICALIZE_SQL,
         "duplicate_spans": _DUPLICATE_SPANS_SQL,
         "mann_whitney_ab": _MANN_WHITNEY_AB_SQL,
         "supplier_reach_bfs": _SUPPLIER_REACH_BFS_SQL,

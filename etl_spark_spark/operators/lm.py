@@ -97,3 +97,118 @@ SELECT {id_col}, n_tokens, n_terms,
          AS mean_surprisal_milli
 FROM per_doc, tot
 """
+
+
+def bigram_surprisal(
+    docs: DataFrame, id_col: str, text_col: str, alpha: int = 1
+) -> DataFrame:
+    """Per-document mean BIGRAM surprisal in milli-nats under an
+    add-``alpha``-smoothed corpus bigram model — one context order up
+    from :func:`unigram_surprisal`, and the shape real CCNet/KenLM
+    scoring takes (condition on the previous token; repetitive
+    templated text scores LOW, shuffled-word salad scores HIGH even
+    when its unigram mix is normal).
+
+    Per bigram occurrence (u, v):
+    ``surprisal = ln(c_u + alpha*V) - ln(c_uv + alpha)`` where ``c_uv``
+    is the corpus bigram count, ``c_u`` the corpus count of u AS A
+    BIGRAM PREFIX, and ``V`` the corpus unigram vocabulary size (the
+    smoothing denominator). Integer count arithmetic everywhere; the
+    same milli-scaling contract as unigram_surprisal absorbs last-ulp
+    ``ln``/sum-order divergence.
+
+    Scale shape: bigram extraction is a map-side shingle; then two
+    hash aggregates (per-doc bigram counts, corpus bigram counts), one
+    join keyed by bigram, one join keyed by prefix token, and a 1-row
+    vocabulary count broadcast — the identical shuffle skeleton as the
+    unigram model, just keyed one order higher. Returns
+    (id_col, n_bigrams, n_distinct_bigrams, mean_surprisal_milli);
+    single-token docs (no bigrams) are absent by construction.
+    """
+    from ..functions.text import tokens, word_shingles
+
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    db = (
+        toks.select(
+            F.col(id_col), F.explode(word_shingles("__t", 2)).alias("__bg")
+        )
+        .groupBy(id_col, "__bg")
+        .agg(F.count("*").alias("__n_db"))
+    )
+    big = db.groupBy("__bg").agg(F.sum("__n_db").alias("__c_uv"))
+    prefix = big.select(
+        F.split(F.col("__bg"), " ").getItem(0).alias("__u"), "__c_uv"
+    ).groupBy("__u").agg(F.sum("__c_uv").alias("__c_u"))
+    vocab = (
+        toks.select(F.explode("__t").alias("__w"))
+        .agg(F.count_distinct("__w").alias("__v"))
+    )
+    scored = (
+        db.join(big.hint("merge"), "__bg")
+        .withColumn("__u", F.split(F.col("__bg"), " ").getItem(0))
+        .join(prefix.hint("merge"), "__u")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__s",
+            F.log(
+                (F.col("__c_u") + F.lit(alpha) * F.col("__v")).cast("double")
+            )
+            - F.log((F.col("__c_uv") + F.lit(alpha)).cast("double")),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__n_db").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_distinct_bigrams"),
+        F.round(
+            (
+                F.sum(F.col("__n_db").cast("double") * F.col("__s"))
+                / F.sum("__n_db").cast("double")
+            )
+            * 1000.0
+        )
+        .cast("long")
+        .alias("mean_surprisal_milli"),
+    )
+
+
+def bigram_surprisal_sql(
+    table: str, id_col: str, text_col: str, alpha: int = 1
+) -> str:
+    """DuckDB mirror of :func:`bigram_surprisal` (same tokenization as
+    unigram_surprisal_sql; bigram strings joined with one space)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         regexp_split_to_array(lower(trim({text_col})), '\\s+') AS t
+  FROM {table}
+), bg AS (
+  SELECT {id_col},
+         t[i] || ' ' || t[i + 1] AS bg
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+), db AS (
+  SELECT {id_col}, bg, count(*) AS n_db FROM bg GROUP BY 1, 2
+), big AS (
+  SELECT bg, sum(n_db) AS c_uv FROM db GROUP BY 1
+), prefix AS (
+  SELECT string_split(bg, ' ')[1] AS u, sum(c_uv) AS c_u
+  FROM big GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(t) AS w FROM toks)
+)
+SELECT d.{id_col},
+       CAST(sum(d.n_db) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(round(
+         sum(CAST(d.n_db AS DOUBLE)
+             * (ln(CAST(b.c_u + {alpha} * vocab.v AS DOUBLE))
+                - ln(CAST(g.c_uv + {alpha} AS DOUBLE))))
+         / sum(CAST(d.n_db AS DOUBLE)) * 1000.0) AS BIGINT)
+           AS mean_surprisal_milli
+FROM db d
+JOIN big g USING (bg)
+JOIN prefix b ON b.u = string_split(d.bg, ' ')[1]
+CROSS JOIN vocab
+GROUP BY 1
+"""

@@ -362,6 +362,25 @@ def near_dup_minhash(
     _check_threshold(threshold)
     sh = shingle_set(df, id_col, shingles_col)
     reps_sh, members = collapse_identical_sets(sh, id_col)
+    rep_pairs = _minhash_rep_pairs(
+        reps_sh, id_col, num_perms, rows_per_band, threshold
+    )
+    return expand_collapsed_pairs(
+        rep_pairs, members, {"jaccard": F.lit(1.0)}
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _minhash_rep_pairs(
+    reps_sh: DataFrame,
+    id_col: str,
+    num_perms: int,
+    rows_per_band: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared banded-LSH + exact-verify core over a COLLAPSED shingle
+    table: (id_a, id_b, jaccard >= threshold) between distinct-set
+    representatives. Verification via pair_overlap_counts + narrow
+    size joins — no set arrays (see that function's scale notes)."""
     sig = minhash_signature(reps_sh, id_col, num_perms)
     cand = lsh_candidate_pairs(sig, id_col, num_perms, rows_per_band)
     sizes = reps_sh.groupBy(id_col).agg(F.count("*").alias("__n_"))
@@ -380,16 +399,58 @@ def near_dup_minhash(
             "id_b",
         )
     )
-    rep_pairs = ov.select(
+    return ov.select(
         "id_a",
         "id_b",
         (
             F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
-    return expand_collapsed_pairs(
-        rep_pairs, members, {"jaccard": F.lit(1.0)}
-    ).filter(F.col("jaccard") >= threshold)
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: Column,
+    num_perms: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS (doc_id id_col, cluster_id = component
+    min id) from the banded MinHash pair pipeline — every doc in the
+    input appears, singletons as their own cluster.
+
+    The decisive scale property (round-5): connected components run at
+    DISTINCT-SET level, never over expanded doc pairs. Verbatim twins
+    make the doc-level edge list quadratic in duplicate multiplicity
+    (the 100x replica's 27.31M doc pairs = 54.6M directed edges
+    starved an 8 GB executor inside label propagation), but every twin
+    shares its representative's component by construction, so the
+    component graph only needs the ~diversity-sized rep pairs; members
+    then inherit labels through ONE join. The doc-level cluster_id
+    equals the rep-level one because each family's rep IS its min id
+    (collapse_identical_sets) — so this is bit-identical to clustering
+    the expanded pair set, at a 10^4x smaller iteration size on
+    twin-heavy corpora."""
+    from .graph import connected_components
+
+    _check_threshold(threshold)
+    sh = shingle_set(df, id_col, shingles_col)
+    reps_sh, members = collapse_identical_sets(sh, id_col)
+    rep_pairs = _minhash_rep_pairs(
+        reps_sh, id_col, num_perms, rows_per_band, threshold
+    ).select("id_a", "id_b")
+    comps = connected_components(
+        rep_pairs, "id_a", "id_b", max_rounds=max_rounds
+    )
+    return (
+        members.join(comps, members["__r"] == comps["node"], "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.coalesce("cluster_id", F.col("__r")).alias("cluster_id"),
+        )
+    )
 
 
 def signature_bands(

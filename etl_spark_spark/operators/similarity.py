@@ -1103,3 +1103,108 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id", "__neighbor_id_vec")
     )
     return _score_and_rank(cand, queries, id_col, vec_col, k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most cosine-similar corpus vectors with a DIFFERENT label —
+    the near-miss negatives that make embedding/retrieval training
+    converge (random negatives are trivially separable). Returns
+    (query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+    rank); ties break on neighbor id.
+
+    Scale shape: identical to :func:`cosine_topk` — the bounded query
+    set broadcasts, the corpus is scanned ONCE with the label filter
+    applied before ranking, and the per-query top-k is a
+    WindowGroupLimit-prunable ranking window. At 100 TB the cost is
+    one corpus scan per probe batch regardless of k."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            cosine("__qvec", "__cvec").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def label_centroid_outliers(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-label embedding outliers: the k members LEAST cosine-similar
+    to their own label's centroid — the mislabeled/garbage-vector sweep
+    a curation pipeline runs before training on labeled embeddings.
+    Returns (label, vec_id id_col, cos_to_centroid, rank) with rank 1 =
+    farthest from the centroid; ties break on id.
+
+    Determinism across engines: the centroid is computed per dimension
+    (explode → hash aggregate keyed (label, dim) — N x d narrow cell
+    rows, never a whole-vector reduce) and ROUNDED to 6 decimals
+    before any distance math, so the float-sum order sensitivity of
+    the mean is quantized away; the member-centroid cosine then runs
+    the shared left-to-right fold (functions.vectors) on identical
+    inputs in both engines. The tiny (label -> centroid array) table
+    broadcasts; the corpus is scanned once.
+    """
+    cells = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__x"),
+    )
+    cent = (
+        cells.groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("__x").cast("double")), 6).alias("__c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "__c"))),
+                lambda s: s["__c"],
+            ).alias("__cent")
+        )
+    )
+    scored = emb.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+    ).join(F.broadcast(cent), "label")
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_to_centroid").asc(), F.col(id_col)
+    )
+    return (
+        scored.select(
+            "label",
+            id_col,
+            cosine("__v", "__cent").alias("cos_to_centroid"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

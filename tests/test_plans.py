@@ -186,7 +186,11 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # term_pmi: crossJoin of the 1-row corpus doc-count total
     # neardup_eval: crossJoins of three 1-row pair-count aggregates
     # purchase_survival_km: crossJoin of the 1-row user-count total
+    # emb_hard_negatives: <=10-row broadcast probe set (cosine scan)
+    # doc_bigram_surprisal: crossJoin of the 1-row vocabulary count
     allowed_bnlj = {
+        "emb_hard_negatives",
+        "doc_bigram_surprisal",
         "basket_rules",
         "term_pmi",
         "neardup_eval",

@@ -302,3 +302,71 @@ def test_quantile_labels_whole_percent_float_jitter():
     assert _q_labels("q", (0.125, 0.999)) == ["q0_125", "q0_999"]
     with pytest.raises(ValueError, match="duplicate"):
         _q_labels("q", (0.25, 0.25))
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.operators.similarity import hard_negatives
+
+    rows = []
+    for i in range(40):
+        lab = i % 4
+        base = [1.0 if d == lab else 0.0 for d in range(4)]
+        base[(i * 7) % 4] += 0.1 * (i % 3)
+        rows.append((i, base, lab))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", "label", k=3
+    ).collect()
+    assert out, "no negatives returned"
+    assert all(r["neighbor_label"] != r["query_label"] for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == 3
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2, 3]
+        # descending similarity in rank order
+        srt = sorted(rs, key=lambda r: r["rank"])
+        sims = [r["cos_sim"] for r in srt]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_label_centroid_outliers_finds_planted_outlier(spark):
+    from etl_spark_spark.operators.similarity import label_centroid_outliers
+
+    rows = []
+    for lab in (0, 1):
+        axis = [1.0, 0.0] if lab == 0 else [0.0, 1.0]
+        for i in range(9):
+            v = [axis[0] + 0.01 * (i % 3), axis[1] + 0.01 * ((i + 1) % 3)]
+            rows.append((lab * 100 + i, v, lab))
+        # planted outlier: points the opposite way
+        rows.append((lab * 100 + 99, [-axis[0], -axis[1]], lab))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = label_centroid_outliers(emb, "vec_id", "embedding", "label", k=1).collect()
+    got = {r["label"]: r["vec_id"] for r in out}
+    assert got == {0: 99, 1: 199}, got
+    assert all(r["rank"] == 1 for r in out)
+
+
+def test_bigram_surprisal_flags_word_salad(spark):
+    """A document whose tokens are a corpus-typical phrase repeated
+    scores LOW mean bigram surprisal; a doc built from the same
+    unigrams in scrambled order (bigrams the corpus never produces)
+    scores HIGH — the context signal unigram surprisal cannot see."""
+    from etl_spark_spark.operators.lm import bigram_surprisal
+
+    phrase = "the cat sat on the mat"
+    docs = [(i, phrase) for i in range(20)]
+    docs.append((99, "mat the on cat the sat"))  # same unigrams, new bigrams
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["mean_surprisal_milli"]
+        for r in bigram_surprisal(df, "doc_id", "text").collect()
+    }
+    assert out[99] > out[0], out
+    # repeated docs identical by construction
+    assert out[0] == out[5] == out[19]
