@@ -3870,9 +3870,15 @@ def q_chi2_type_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cols_t), "variant")
         .crossJoin(F.broadcast(tot))
     )
-    num = dec(F.col("o") * F.col("N") - F.col("r") * F.col("c"))
-    contrib = (num * num).cast("double") / dec(
-        F.col("N") * F.col("r") * F.col("c")
+    # cast each FACTOR to decimal BEFORE multiplying: o*N and N*r*c in
+    # long overflow once counts reach ~1e7 (N*r*c ~ 1e21 at the 100x
+    # replica — found by the full-registry 100x sweep); decimal(38,0)
+    # products are exact to 1e38 and identical in value below that
+    num = dec(F.col("o")) * dec(F.col("N")) - dec(F.col("r")) * dec(
+        F.col("c")
+    )
+    contrib = (num * num).cast("double") / (
+        dec(F.col("N")) * dec(F.col("r")) * dec(F.col("c"))
     ).cast("double")
     folded = j.select(
         F.concat_ws("|", "event_type", "variant").alias("k"),

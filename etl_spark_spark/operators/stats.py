@@ -159,6 +159,13 @@ def mann_whitney_u(
     Returns one row: (n_a, n_b, u_a, tie_term, z) where u_a is the
     U statistic of variant A and z uses the tie-corrected variance
     sigma^2 = (na*nb/12)*((n+1) - T/(n*(n-1))), T = sum(t^3 - t).
+
+    Integer-range bound (documented, audited green at the 100x
+    replica): the long sufficient statistics are exact up to
+    ~2e9 rows per test (2*Ra ~ 2n^2 < 2^63) and tie groups up to
+    ~2e6 members (t^3 < 2^63). Beyond that, route the three sums
+    through decimal(38,0) and emit tie_term as decimal — the z
+    formula itself is unchanged.
     """
     is_a = F.col(variant_col) == F.lit(variant_a)
     dist = df.groupBy(value_col).agg(
