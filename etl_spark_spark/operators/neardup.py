@@ -200,6 +200,16 @@ def pair_overlap_counts(
 
     Inner semantics: pairs with EMPTY intersection do not appear —
     callers thresholding at a similarity > 0 lose nothing.
+
+    PRECONDITION (caller contract): ``pairs`` must be DISTINCT on
+    (id_a, id_b) — each duplicate pair row multiplies every matched
+    posting and silently over-counts __i. Every in-repo generator
+    satisfies this by construction (lsh_candidate_pairs and the
+    prefix-filter candidate path both end in .distinct()). The
+    operator does NOT re-dedupe defensively: pairs is the
+    pair-proportional side (10^8+ rows at corpus scale) and a second
+    distinct is a second full shuffle of it for zero information —
+    enforce uniqueness where the pairs are born, once.
     """
     f1 = F.xxhash64(F.col("shingle"))
     f2 = F.xxhash64(F.lit("pair-overlap#2"), F.col("shingle"))
@@ -419,7 +429,12 @@ def near_dup_clusters(
 ) -> DataFrame:
     """Near-duplicate CLUSTERS (doc_id id_col, cluster_id = component
     min id) from the banded MinHash pair pipeline — every doc in the
-    input appears, singletons as their own cluster.
+    input appears, singletons as their own cluster. That includes
+    docs whose shingle array is EMPTY (fewer tokens than the shingle
+    width): shingle_set/explode drops them from the pair pipeline, so
+    the tail left-join below re-attaches the full input id set and
+    coalesces them to self-clusters — callers get the documented
+    total contract without compensating.
 
     The decisive scale property (round-5): connected components run at
     DISTINCT-SET level, never over expanded doc pairs. Verbatim twins
@@ -444,11 +459,19 @@ def near_dup_clusters(
     comps = connected_components(
         rep_pairs, "id_a", "id_b", max_rounds=max_rounds
     )
-    return (
+    clustered = (
         members.join(comps, members["__r"] == comps["node"], "left")
         .select(
             F.col("__doc").alias(id_col),
             F.coalesce("cluster_id", F.col("__r")).alias("cluster_id"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(clustered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
         )
     )
 

@@ -1175,6 +1175,12 @@ def label_centroid_outliers(
     the shared left-to-right fold (functions.vectors) on identical
     inputs in both engines. The tiny (label -> centroid array) table
     broadcasts; the corpus is scanned once.
+
+    NULL ranking: cosine() returns NULL on a zero-norm vector or
+    centroid; Spark's bare ``asc`` sorts NULLs FIRST while DuckDB's
+    default is NULLS LAST, so the window orders ``asc_nulls_last``
+    and the oracle says NULLS LAST explicitly — a zero-norm
+    embedding ranks AFTER every finite cosine in both engines.
     """
     cells = emb.select(
         F.col(label_col).alias("label"),
@@ -1197,7 +1203,7 @@ def label_centroid_outliers(
         F.col(vec_col).alias("__v"),
     ).join(F.broadcast(cent), "label")
     w = Window.partitionBy("label").orderBy(
-        F.col("cos_to_centroid").asc(), F.col(id_col)
+        F.col("cos_to_centroid").asc_nulls_last(), F.col(id_col)
     )
     return (
         scored.select(

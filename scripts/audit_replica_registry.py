@@ -8,8 +8,8 @@ The flagship/pair-generator queries already have dedicated 100x audits
 buys is "no query anywhere in the registry goes super-linear or breaks
 at 10x", including the ~150 queries nobody hand-picked for auditing.
 
-Usage: python scripts/audit_replica_registry.py [replica_dir] [out_json] \
-           [--top N | query ...]
+Usage: python scripts/audit_replica_registry.py [replica_dir] [out_json]
+           [--top N] [query ...]
 Default: the full registry. ``--top N`` selects the N most expensive
 queries by 1x warm cost (the round-5 heavy-composite 100x pass);
 explicit names select exactly those. Queries run in ascending 1x-warm
@@ -19,6 +19,7 @@ are flushed after every query).
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -32,24 +33,37 @@ from etl_spark_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    replica_dir = args[0] if args else "/tmp/replica_rel10x"
-    out_path = args[1] if len(args) > 1 else "/tmp/replica_registry_audit.json"
-    rest = args[2:]
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("replica_dir", nargs="?", default="/tmp/replica_rel10x")
+    ap.add_argument(
+        "out_json", nargs="?", default="/tmp/replica_registry_audit.json"
+    )
+    ap.add_argument(
+        "--top", type=int, default=None, metavar="N",
+        help="audit only the N most expensive queries by 1x warm cost",
+    )
+    ap.add_argument(
+        "names", nargs="*", help="explicit query names (exactly these)"
+    )
+    ns = ap.parse_args()
+    if ns.top is not None and ns.top <= 0:
+        ap.error(f"--top must be positive, got {ns.top}")
+    replica_dir = ns.replica_dir
+    out_path = ns.out_json
     with open("bench_full.json") as f:
         warm_1x = json.load(f)["queries_warm"]
 
     spark = get_spark(app_name="replica-registry-audit")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
-    if rest and rest[0] == "--top":
+    if ns.top is not None:
         picked = sorted(queries, key=lambda n: -warm_1x.get(n, 0.0))
-        queries = {n: queries[n] for n in picked[: int(rest[1])]}
-    elif rest:
-        unknown = [n for n in rest if n not in queries]
+        queries = {n: queries[n] for n in picked[: ns.top]}
+    elif ns.names:
+        unknown = [n for n in ns.names if n not in queries]
         if unknown:
             raise SystemExit(f"unknown queries: {unknown}")
-        queries = {n: queries[n] for n in rest}
+        queries = {n: queries[n] for n in ns.names}
     order = sorted(queries, key=lambda n: warm_1x.get(n, 0.0))
 
     results: dict[str, dict] = {}
