@@ -2886,6 +2886,61 @@ def q_indexed_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.df.select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def q_production_daily_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PRODUCTION CYCLE end-to-end under one hash gate
+    (reference utils_superdesconto.py:62-66 + etl_job.py:79-85):
+
+    1. stage the POS feed z-ordered on (ship day, product) — the
+       OPTIMIZE ZORDER layout an ingested feed converges to;
+    2. two incremental runs (Jan 1995, then Feb 1995), each:
+       stats-index-pruned date-window read (only files overlapping the
+       window are OPENED — pinned n_files_read < n_files_total in
+       tests/test_daily_loop.py) → superdesconto transform (best
+       discounted sale per label + dimension joins, tagged with the
+       window) → COW versioned MERGE on etiqueta;
+    3. return the committed snapshot: Feb rows replaced matched
+       labels, unmatched Jan rows survive (src_window says which).
+
+    The oracle replays the same two windowed best-sale selections and
+    the MERGE expansion (window-2 rows UNION ALL anti-joined window-1
+    rows) in plain SQL — value-hash equality proves the z-order
+    rewrite, the file skip + residual filter, the transform, and the
+    MERGE are jointly lossless. Scale: every stage is the audited
+    scale path (pipelines/daily_loop.py docstring)."""
+    import datetime as dt
+
+    from etl_spark_spark.pipelines.daily_loop import run_daily_loop, stage_feed
+
+    root = _scratch_dir("production_loop")
+    feed = f"{root}/pos_feed"
+    target = f"{root}/best_sales"
+    stage_feed(spark, sf_dir, feed)
+    snap, _scans = run_daily_loop(
+        spark,
+        sf_dir,
+        feed,
+        target,
+        windows=[
+            (dt.date(1995, 1, 1), dt.date(1995, 1, 31), "w1"),
+            (dt.date(1995, 2, 1), dt.date(1995, 2, 28), "w2"),
+        ],
+    )
+    return snap.select(
+        "etiqueta",
+        "filial",
+        "cod_prod",
+        "periodo",
+        "venda",
+        "venda_desconto",
+        "perc_dsc_cupom",
+        "produto_nome",
+        "produto_marca",
+        "preco_tabela",
+        "fornecedor_nome",
+        "src_window",
+    )
+
+
 def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (contrastive-training data prep): for each
     probe vector (vec_id < 10), the top-5 most cosine-similar vectors
@@ -5222,6 +5277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_pit_dimension": q_orders_pit_dimension,
         "doc_length_winsor": q_doc_length_winsor,
         "merge_upsert": q_merge_upsert,
+        "production_daily_loop": q_production_daily_loop,
         "indexed_zorder_scan": q_indexed_zorder_scan,
         "emb_hard_negatives": q_emb_hard_negatives,
         "emb_label_outliers": q_emb_label_outliers,
@@ -7235,6 +7291,49 @@ SELECT label, vec_id, cos_to_centroid, rank FROM (
 ) t WHERE rank <= 3
 """
 
+def _windowed_best_sql(lo: str, hi: str, tag: str) -> str:
+    """One incremental window of the production loop: the windowed
+    best-discounted-sale-per-label selection (same ranking the
+    superdesconto oracle uses), tagged with its window. ``periodo`` is
+    the ISO date string of the sale, so BETWEEN on strings is the
+    date-window filter."""
+    return f"""
+  SELECT etiqueta, filial, cod_prod, periodo, venda, venda_desconto,
+         perc_dsc_cupom, '{tag}' AS src_window
+  FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY etiqueta
+        ORDER BY venda_desconto DESC, src_ordem, src_linha
+    ) AS rn
+    FROM cupom
+    WHERE periodo BETWEEN '{lo}' AND '{hi}'
+  ) t WHERE rn = 1
+"""
+
+
+_PRODUCTION_DAILY_LOOP_SQL = f"""
+WITH cupom AS ({_FEED_SQL.format(st="O")} UNION ALL {_FEED_SQL.format(st="F")}),
+w1 AS ({_windowed_best_sql("1995-01-01", "1995-01-31", "w1")}),
+w2 AS ({_windowed_best_sql("1995-02-01", "1995-02-28", "w2")}),
+-- MERGE ON etiqueta, whole-row replace + insert-unmatched expansion:
+-- window-2 rows win; window-1 rows survive only for untouched labels
+merged AS (
+  SELECT * FROM w2
+  UNION ALL
+  SELECT * FROM w1
+  WHERE NOT EXISTS (SELECT 1 FROM w2 WHERE w2.etiqueta = w1.etiqueta)
+)
+SELECT m.etiqueta, m.filial, m.cod_prod, m.periodo, m.venda,
+       m.venda_desconto, m.perc_dsc_cupom,
+       p.p_name AS produto_nome, p.p_brand AS produto_marca,
+       p.p_retailprice AS preco_tabela, s.s_name AS fornecedor_nome,
+       m.src_window
+FROM merged m
+JOIN part p ON m.cod_prod = p.p_partkey
+JOIN supplier s ON m.filial = s.s_suppkey
+"""
+
+
 _EVENTS_FORWARD_FILL_SQL = """
 SELECT event_id, user_id, event_type,
        last_value(CASE WHEN event_type = 'purchase' THEN value END
@@ -8720,6 +8819,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_pit_dimension": _ORDERS_PIT_DIMENSION_SQL,
         "doc_length_winsor": _DOC_LENGTH_WINSOR_SQL,
         "merge_upsert": _MERGE_UPSERT_SQL,
+        "production_daily_loop": _PRODUCTION_DAILY_LOOP_SQL,
         "indexed_zorder_scan": _INDEXED_ZORDER_SCAN_SQL,
         "events_forward_fill": _EVENTS_FORWARD_FILL_SQL,
         "split_leakage": _SPLIT_LEAKAGE_SQL,

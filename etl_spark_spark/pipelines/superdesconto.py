@@ -58,25 +58,16 @@ def _feed(lineitem: DataFrame, status: str) -> DataFrame:
     )
 
 
-def best_sale_pipeline(
-    spark: SparkSession,
-    sf_dir: str,
-    start: "dt.date | None" = None,
-    end: "dt.date | None" = None,
+def best_sale_transform(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
 ) -> DataFrame:
-    """Optionally windowed to [start, end] on the sale date BEFORE the
-    ranking — the reference's incremental runs enumerate only the
-    window's daily files (utils_superdesconto.py:62-66), so 'best sale
-    per label' means best WITHIN the window; the range predicate here
-    pushes down to the scan the same way."""
-    lineitem = table(spark, sf_dir, "lineitem")
-    if start is not None and end is not None:
-        lineitem = read_date_range(lineitem, "l_shipdate", start, end)
-    part = table(
-        spark, sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_retailprice"]
-    )
-    supplier = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
-
+    """The superdesconto TRANSFORM over an already-scanned feed — the
+    piece the reference re-runs every day on that day's files
+    (utils_superdesconto.py:88-99): two-feed split + canonical rename
+    + union, best-discounted sale per label, dimension joins. Factored
+    out of :func:`best_sale_pipeline` so the production daily loop
+    (incremental stats-index-pruned read → transform → versioned
+    MERGE) can feed it a pruned scan instead of a full table read."""
     cupom = union_strict(_feed(lineitem, "O"), _feed(lineitem, "F"))
     # top-1 per label as a max_by hash aggregate: map-side partial agg means
     # only ~one row per key per mapper is shuffled, vs a ranking window
@@ -105,3 +96,24 @@ def best_sale_pipeline(
         F.col("p_retailprice").alias("preco_tabela"),
         F.col("s_name").alias("fornecedor_nome"),
     )
+
+
+def best_sale_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    start: "dt.date | None" = None,
+    end: "dt.date | None" = None,
+) -> DataFrame:
+    """Optionally windowed to [start, end] on the sale date BEFORE the
+    ranking — the reference's incremental runs enumerate only the
+    window's daily files (utils_superdesconto.py:62-66), so 'best sale
+    per label' means best WITHIN the window; the range predicate here
+    pushes down to the scan the same way."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    if start is not None and end is not None:
+        lineitem = read_date_range(lineitem, "l_shipdate", start, end)
+    part = table(
+        spark, sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_retailprice"]
+    )
+    supplier = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return best_sale_transform(lineitem, part, supplier)
