@@ -6,12 +6,23 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with the noop sink (full execution, no
 write cost, nothing collected to the driver). One warmup of the smallest
 query amortizes JVM/codegen startup out of the numbers.
+
+Noise protocol (round 6): single warm runs on this box jitter up to
+±30% (occasionally 3x) per query, which round-over-round reads as fake
+regressions. ``--median3`` runs each query cold + THREE warm passes and
+reports the per-query MEDIAN warm time; ``--top20`` restricts the run
+to the 20 most expensive queries by the previous full run's warm cost
+(bench_full.json), so the stable protocol stays cheap enough to run
+every round. The no-flag default is byte-compatible with what the
+round driver expects.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -46,14 +57,37 @@ R1_QUERIES = frozenset(
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser(description="engine benchmark")
+    ap.add_argument(
+        "--median3",
+        action="store_true",
+        help="3 warm passes per query, report the median (noise protocol)",
+    )
+    ap.add_argument(
+        "--top20",
+        action="store_true",
+        help="only the 20 most expensive queries by the last full run's "
+        "warm cost (bench_full.json)",
+    )
+    args = ap.parse_args()
+    n_warm_runs = 3 if args.median3 else 1
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="etl-spark-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
+    if args.top20:
+        full = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        )
+        with open(full) as f:
+            prev_warm = json.load(f)["queries_warm"]
+        picked = sorted(queries, key=lambda n: -prev_warm.get(n, 0.0))[:20]
+        queries = {n: queries[n] for n in picked}
     # warmup: JVM + codegen + parquet footer caches
-    _force(queries["normalize_keys"](spark, sf_dir))
+    _force(entrymod.queries()["normalize_keys"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -72,6 +106,12 @@ def main() -> None:
             "n_queries": len(timings),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
+        if args.median3 or args.top20:
+            doc["protocol"] = {
+                "median3": args.median3,
+                "top20": args.top20,
+                "warm_runs": warm_runs,
+            }
         if partial:
             doc["partial"] = True
         return json.dumps(doc)
@@ -93,7 +133,11 @@ def main() -> None:
             "r1_subset_warm_sec": round(
                 sum(v for k, v in warm.items() if k in R1_QUERIES), 3
             ),
-            "full_detail": "bench_full.json",
+            "full_detail": (
+                "bench_median3.json"
+                if (args.median3 or args.top20)
+                else "bench_full.json"
+            ),
             "queries": {},
         }
         if partial:
@@ -112,22 +156,34 @@ def main() -> None:
         return json.dumps(doc)
 
     def _dump(partial: bool) -> None:
+        # protocol runs must not clobber bench_full.json — it is the
+        # full-registry warm baseline that --top20 selection and
+        # scripts/audit_replica_registry.py read
+        out = (
+            "bench_median3.json"
+            if (args.median3 or args.top20)
+            else "bench_full.json"
+        )
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "bench_full.json"),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), out),
             "w",
         ) as f:
             f.write(_line(partial) + "\n")
 
+    warm_runs: dict[str, list[float]] = {}
     for i, (name, fn) in enumerate(queries.items()):
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
-        # second run: plan/codegen compiled — the steady-state number a
-        # long-lived cluster sees
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        warm[name] = round(time.perf_counter() - t0, 3)
+        # warm run(s): plan/codegen compiled — the steady-state number a
+        # long-lived cluster sees; --median3 takes the median of three
+        runs = []
+        for _ in range(n_warm_runs):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        warm_runs[name] = runs
+        warm[name] = round(statistics.median(runs), 3)
         if (i + 1) % 25 == 0:
             # timeout insurance: a killed run still leaves a valid
             # (explicitly partial, tail-window-sized) JSON line as its
