@@ -2984,6 +2984,24 @@ def q_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(docs, "doc_id", "text")
 
 
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every document scored
+    by how much more likely its md5-hashed bigram buckets are under
+    the target-domain bag model (the ``source = 'src0'`` slice plays
+    the curated domain) than under the raw corpus — the "select crawl
+    that looks like the target" pass a 100 TB curation pipeline runs
+    before training. Hashed-bucket tables are constant-sized (≤ 65k
+    rows) whatever the corpus size; milli-nat quantization makes the
+    ln fold bit-stable cross-engine
+    (operators/lm.py:dsir_log_weights)."""
+    from etl_spark_spark.operators.lm import dsir_log_weights
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return dsir_log_weights(
+        docs, "doc_id", "text", F.col("source") == "src0"
+    )
+
+
 def q_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup RESOLUTION: MinHash-LSH pairs (exact-verified
     >= 0.5) -> connected components -> keep the LONGEST doc per
@@ -5278,6 +5296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_winsor": q_doc_length_winsor,
         "merge_upsert": q_merge_upsert,
         "production_daily_loop": q_production_daily_loop,
+        "doc_dsir_weights": q_doc_dsir_weights,
         "indexed_zorder_scan": q_indexed_zorder_scan,
         "emb_hard_negatives": q_emb_hard_negatives,
         "emb_label_outliers": q_emb_label_outliers,
@@ -7906,6 +7925,14 @@ def _surprisal_oracle() -> str:
     return unigram_surprisal_sql("documents", "doc_id", "text")
 
 
+def _dsir_weights_oracle() -> str:
+    from etl_spark_spark.operators.lm import dsir_log_weights_sql
+
+    return dsir_log_weights_sql(
+        "documents", "doc_id", "text", "source = 'src0'"
+    )
+
+
 def _bigram_surprisal_oracle() -> str:
     from etl_spark_spark.operators.lm import bigram_surprisal_sql
 
@@ -8878,6 +8905,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_oracle(),
         "doc_surprisal": _surprisal_oracle(),
         "doc_bigram_surprisal": _bigram_surprisal_oracle(),
+        "doc_dsir_weights": _dsir_weights_oracle(),
         "emb_hard_negatives": _EMB_HARD_NEGATIVES_SQL,
         "emb_label_outliers": _EMB_LABEL_OUTLIERS_SQL,
         "cluster_canonicalize": _CLUSTER_CANONICALIZE_SQL,

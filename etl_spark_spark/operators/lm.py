@@ -212,3 +212,136 @@ JOIN prefix b ON b.u = string_split(d.bg, ' ')[1]
 CROSS JOIN vocab
 GROUP BY 1
 """
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred,
+    n_hex: int = 4,
+    alpha: int = 1,
+) -> DataFrame:
+    """DSIR-style importance weights for domain-targeted data selection
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every document by how much more
+    likely its HASHED n-gram features are under a target-domain bag
+    model than under the raw-corpus model, then resample/top-k on the
+    weight. This is the standard "make 100 TB of crawl look like the
+    curated domain" selection pass.
+
+    Features are bigrams hashed to ``16**n_hex`` buckets via the
+    repo's cross-engine convention (first ``n_hex`` hex chars of md5 —
+    the bucket id stays a STRING, portable bit-for-bit to any
+    md5-bearing engine). Per bucket b with add-``alpha`` smoothing:
+
+        lr(b) = (ln(c_t[b]+α) − ln(N_t+α·B)) − (ln(c_s[b]+α) − ln(N_s+α·B))
+
+    where c_t/N_t count bigram occurrences in the TARGET slice
+    (``target_pred`` rows) and c_s/N_s over the whole corpus;
+    ``log_weight_milli = round(1000 · Σ_b n_doc[b] · lr(b))`` — the
+    module's milli-scaling contract absorbs last-ulp ``ln``/sum-order
+    divergence, so the oracle matches bit-for-bit.
+
+    Scale shape: one map-side explode + md5, three hash aggregates
+    (per-doc bucket counts, target bucket counts, corpus bucket
+    counts — the latter two are at most B ≈ 65k rows, broadcastable),
+    one 1-row totals broadcast, and a per-doc fold. Nothing is
+    pair-proportional; the bucket tables are CONSTANT-sized however
+    big the corpus. Docs with no bigrams are absent by construction.
+    Returns (id_col, n_bigrams, n_buckets, log_weight_milli).
+    """
+    from ..functions.text import word_shingles
+
+    B = 16 ** n_hex
+    toks = docs.select(
+        F.col(id_col),
+        F.coalesce(target_pred, F.lit(False)).alias("__is_t"),
+        tokens(text_col).alias("__t"),
+    )
+    feats = toks.select(
+        F.col(id_col),
+        "__is_t",
+        F.explode(word_shingles("__t", 2)).alias("__bg"),
+    ).select(
+        F.col(id_col),
+        "__is_t",
+        F.substring(F.md5("__bg"), 1, n_hex).alias("__b"),
+    )
+    per_doc = feats.groupBy(id_col, "__b").agg(F.count("*").alias("__n"))
+    corpus = feats.groupBy("__b").agg(
+        F.count("*").alias("__cs"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__ct"),
+    )
+    totals = corpus.agg(
+        F.sum("__cs").alias("__ns"), F.sum("__ct").alias("__nt")
+    )
+    lr = (
+        F.log((F.col("__ct") + F.lit(alpha)).cast("double"))
+        - F.log((F.col("__nt") + F.lit(alpha * B)).cast("double"))
+    ) - (
+        F.log((F.col("__cs") + F.lit(alpha)).cast("double"))
+        - F.log((F.col("__ns") + F.lit(alpha * B)).cast("double"))
+    )
+    scored = (
+        per_doc.join(F.broadcast(corpus), "__b")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("__lr", lr)
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__n").cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_buckets"),
+        F.round(
+            F.sum(F.col("__n").cast("double") * F.col("__lr")) * 1000.0
+        )
+        .cast("long")
+        .alias("log_weight_milli"),
+    )
+
+
+def dsir_log_weights_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    target_where: str,
+    n_hex: int = 4,
+    alpha: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`dsir_log_weights` — same tokenization,
+    same md5-prefix bucketing, same term-for-term ln arithmetic.
+    ``target_where`` is the SQL predicate defining the target slice."""
+    B = 16 ** n_hex
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         coalesce(({target_where}), false) AS is_t,
+         regexp_split_to_array(lower(trim({text_col})), '\\s+') AS t
+  FROM {table}
+), feats AS (
+  SELECT {id_col}, is_t,
+         substring(md5(t[i] || ' ' || t[i + 1]), 1, {n_hex}) AS b
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+), per_doc AS (
+  SELECT {id_col}, b, count(*) AS n FROM feats GROUP BY 1, 2
+), corpus AS (
+  SELECT b, count(*) AS cs,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+  FROM feats GROUP BY 1
+), totals AS (
+  SELECT sum(cs) AS ns, sum(ct) AS nt FROM corpus
+)
+SELECT d.{id_col},
+       CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(round(sum(CAST(d.n AS DOUBLE)
+           * ((ln(CAST(c.ct + {alpha} AS DOUBLE))
+               - ln(CAST(t.nt + {alpha * B} AS DOUBLE)))
+              - (ln(CAST(c.cs + {alpha} AS DOUBLE))
+                 - ln(CAST(t.ns + {alpha * B} AS DOUBLE)))))
+           * 1000.0) AS BIGINT) AS log_weight_milli
+FROM per_doc d
+JOIN corpus c USING (b)
+CROSS JOIN totals t
+GROUP BY 1
+"""
