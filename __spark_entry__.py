@@ -2984,6 +2984,38 @@ def q_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(docs, "doc_id", "text")
 
 
+def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the embedding corpus — the
+    sufficient-statistics pass before whitening/PCA/OPQ rotation
+    training. Components are fixed-point-quantized once (micro), all
+    sums integer-exact (decimal/HUGEINT), and each of the d(d+1)/2
+    upper-triangle cells ends in ONE IEEE division on identical exact
+    inputs — bit-stable under any partitioning, full value-hash
+    oracle. Cell products are generated map-side from each row's
+    array (no self-join) and combine into the constant-size cell
+    table before any exchange
+    (operators/stats.py:embedding_covariance)."""
+    from etl_spark_spark.operators.stats import embedding_covariance
+
+    emb = table(spark, sf_dir, "embeddings", columns=["embedding"])
+    return embedding_covariance(emb, "embedding")
+
+
+def q_emb_covariance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The covariance sufficient-statistics pass on the Arrow-blocked
+    scale path for transformer-scale d: one int64 matrix product per
+    Arrow batch inside mapInPandas emits d(d+1)/2 partial rows per
+    batch (instead of exploding n·d²/2 structs), decimal accumulation
+    on the Spark side keeps the same ≥10^12-row exactness bound, and
+    quantization stays a Spark expression so the result is
+    bit-identical to q:emb_covariance — both share one oracle
+    (operators/stats.py:embedding_covariance_blocked)."""
+    from etl_spark_spark.operators.stats import embedding_covariance_blocked
+
+    emb = table(spark, sf_dir, "embeddings", columns=["embedding"])
+    return embedding_covariance_blocked(emb, "embedding")
+
+
 def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): every document scored
     by how much more likely its md5-hashed bigram buckets are under
@@ -5297,6 +5329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "production_daily_loop": q_production_daily_loop,
         "doc_dsir_weights": q_doc_dsir_weights,
+        "emb_covariance": q_emb_covariance,
+        "emb_covariance_blocked": q_emb_covariance_blocked,
         "indexed_zorder_scan": q_indexed_zorder_scan,
         "emb_hard_negatives": q_emb_hard_negatives,
         "emb_label_outliers": q_emb_label_outliers,
@@ -7925,6 +7959,12 @@ def _surprisal_oracle() -> str:
     return unigram_surprisal_sql("documents", "doc_id", "text")
 
 
+def _emb_covariance_oracle() -> str:
+    from etl_spark_spark.operators.stats import embedding_covariance_sql
+
+    return embedding_covariance_sql("embeddings", "embedding")
+
+
 def _dsir_weights_oracle() -> str:
     from etl_spark_spark.operators.lm import dsir_log_weights_sql
 
@@ -8906,6 +8946,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_surprisal": _surprisal_oracle(),
         "doc_bigram_surprisal": _bigram_surprisal_oracle(),
         "doc_dsir_weights": _dsir_weights_oracle(),
+        "emb_covariance": _emb_covariance_oracle(),
+        "emb_covariance_blocked": _emb_covariance_oracle(),
         "emb_hard_negatives": _EMB_HARD_NEGATIVES_SQL,
         "emb_label_outliers": _EMB_LABEL_OUTLIERS_SQL,
         "cluster_canonicalize": _CLUSTER_CANONICALIZE_SQL,

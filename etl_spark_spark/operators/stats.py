@@ -388,3 +388,217 @@ def poisson_bootstrap_mean_ci(
     return totals.crossJoin(F.broadcast(ci)).select(
         "n", F.lit(b).alias("b_replicates"), "mean_value", "ci_lo", "ci_hi"
     )
+
+
+def embedding_covariance(
+    emb: DataFrame, vec_col: str, scale: int = 10**6
+) -> DataFrame:
+    """Exact distributed covariance matrix of an embedding column —
+    the sufficient-statistics pass before whitening / PCA / OPQ
+    rotation training (the IVF-PQ index in operators.similarity
+    consumes exactly this kind of second-moment estimate).
+
+    Determinism is the whole design: each component is quantized to
+    fixed point ONCE (``round(x·scale)`` — micro units by default),
+    then every sum is integer-exact (decimal(38,0)), so the statistics
+    are bit-identical under any partitioning, and the single final
+    division per cell is one IEEE op both engines perform on identical
+    exact inputs. A float-sum covariance would be accumulation-order-
+    dependent — unhashable cross-engine.
+
+    Output: one row per UPPER-TRIANGLE cell (dim_i <= dim_j):
+    (dim_i, dim_j, n, cov_q2) where cov_q2 is the covariance of the
+    QUANTIZED components: cov_q2 = (n·Σqiqj − Σqi·Σqj) / n² — divide
+    by scale² for raw units.
+
+    Scale shape: the d(d+1)/2 cell products are generated MAP-SIDE
+    from each row's array (nested transform over a slice — no self
+    join, no shuffle of row-level data) and combine into the
+    d(d+1)/2-row partial aggregate before any exchange, so the only
+    shuffled data is (cells × partitions) tiny rows. Bounds: |q| ≤
+    10^6ish ⇒ Σqiqj ≤ n·10^12 and n·Σqiqj ≤ n²·10^12 — exact in
+    decimal(38,0) past 10^12 rows. The map-side blowup is n·d²/2
+    narrow structs streamed straight into the hash agg — honest for
+    d ≤ a few hundred; for BERT-scale d use a mapInPandas partial
+    per partition (same output contract).
+    """
+    d = F.size(F.col(vec_col))
+    qarr = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(scale)).cast("long"),
+    )
+    # (i, j, qi*qj) for j >= i, built map-side from the array itself
+    pairs = F.flatten(
+        F.transform(
+            qarr,
+            lambda qi, i: F.transform(
+                F.slice(qarr, i + 1, d - i),
+                lambda qj, k: F.struct(
+                    i.alias("dim_i"),
+                    (i + k).alias("dim_j"),
+                    (qi * qj).cast("decimal(38,0)").alias("p"),
+                ),
+            ),
+        )
+    )
+    cells = (
+        emb.select(F.explode(pairs).alias("c"))
+        .select("c.dim_i", "c.dim_j", "c.p")
+        .groupBy("dim_i", "dim_j")
+        .agg(F.sum("p").alias("__spp"), F.count("*").alias("__n"))
+    )
+    sums = (
+        emb.select(F.posexplode(qarr).alias("dim", "q"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("__s"))
+    )
+    si = sums.select(F.col("dim").alias("dim_i"), F.col("__s").alias("__si"))
+    sj = sums.select(F.col("dim").alias("dim_j"), F.col("__s").alias("__sj"))
+    num = (
+        F.col("__n").cast("decimal(38,0)") * F.col("__spp")
+        - F.col("__si") * F.col("__sj")
+    )
+    return (
+        cells.join(F.broadcast(si), "dim_i")
+        .join(F.broadcast(sj), "dim_j")
+        .select(
+            "dim_i",
+            "dim_j",
+            F.col("__n").cast("long").alias("n"),
+            (
+                num.cast("double")
+                / (
+                    F.col("__n").cast("decimal(38,0)")
+                    * F.col("__n").cast("decimal(38,0)")
+                ).cast("double")
+            ).alias("cov_q2"),
+        )
+    )
+
+
+def embedding_covariance_sql(
+    table: str, vec_col: str, scale: int = 10**6
+) -> str:
+    """DuckDB mirror of :func:`embedding_covariance` — same
+    quantization, HUGEINT-exact sums, and the identical single final
+    division (VARCHAR route = correctly-rounded HUGEINT→DOUBLE)."""
+    return f"""
+WITH q AS (
+  SELECT list_transform({vec_col},
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale})
+                                  AS BIGINT)) AS qa
+  FROM {table}
+), cell AS (
+  SELECT i.i AS dim_i, j.j AS dim_j,
+         sum(CAST(qa[i.i + 1] AS HUGEINT) * qa[j.j + 1]) AS spp,
+         count(*) AS n
+  FROM q,
+       unnest(range(len(qa))) AS i(i),
+       unnest(range(len(qa))) AS j(j)
+  WHERE j.j >= i.i
+  GROUP BY 1, 2
+), s AS (
+  SELECT dim, sum(CAST(qv AS HUGEINT)) AS sv
+  FROM (
+    SELECT unnest(range(len(qa))) AS dim, unnest(qa) AS qv FROM q
+  ) GROUP BY 1
+)
+SELECT c.dim_i, c.dim_j, CAST(c.n AS BIGINT) AS n,
+       CAST(CAST(c.n * c.spp - si.sv * sj.sv AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(c.n AS HUGEINT) * c.n AS VARCHAR) AS DOUBLE)
+           AS cov_q2
+FROM cell c
+JOIN s si ON si.dim = c.dim_i
+JOIN s sj ON sj.dim = c.dim_j
+"""
+
+
+def embedding_covariance_blocked(
+    emb: DataFrame, vec_col: str, scale: int = 10**6
+) -> DataFrame:
+    """Arrow-blocked scale path of :func:`embedding_covariance` for
+    LARGE d — same output contract, same exact fixed-point statistics,
+    but the d(d+1)/2 cell products come from one int64 matrix product
+    per Arrow batch (numpy, O(rows·d²) flops) instead of exploding
+    n·d²/2 struct rows through the row pipeline. At transformer-scale
+    d (768+) the explode path materializes ~300k structs per row;
+    here a 10k-row batch does one (d,b)x(b,d) integer matmul and emits
+    d(d+1)/2 partial rows.
+
+    Bit-parity design: the QUANTIZATION stays a Spark expression
+    (identical F.round semantics to the exact operator and the SQL
+    oracle — Python-side rounding would re-open the half-even vs
+    half-up gap); numpy touches only exact int64 values. Per-batch
+    partials are bounded |spp| ≤ batch_rows·(scale·max|x|)² — with the
+    default ≤10k-row Arrow batches and |x| ≤ ~2 that is ≤ ~4e16, well
+    inside int64; cross-batch accumulation happens in decimal(38,0)
+    on the Spark side, so the global sums carry the same ≥10^12-row
+    exactness bound as the exact operator. Oracle: identical to
+    :func:`embedding_covariance_sql` (pinned equal by test and by the
+    registry gate).
+    """
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    qdf = emb.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(scale)).cast("long"),
+        ).alias("qa")
+    )
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arr = np.stack(pdf["qa"].to_numpy())  # (b, d) int64
+            g = arr.T.astype(np.int64) @ arr.astype(np.int64)
+            iu = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "dim_i": iu[0].astype("int32"),
+                    "dim_j": iu[1].astype("int32"),
+                    "spp": g[iu],
+                    "bn": np.full(len(iu[0]), len(arr), dtype="int64"),
+                }
+            )
+
+    cells = (
+        qdf.mapInPandas(
+            _partials, "dim_i int, dim_j int, spp long, bn long"
+        )
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.sum(F.col("spp").cast("decimal(38,0)")).alias("__spp"),
+            F.sum("bn").alias("__n"),
+        )
+    )
+    sums = (
+        qdf.select(F.posexplode("qa").alias("dim", "q"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("__s"))
+    )
+    si = sums.select(F.col("dim").alias("dim_i"), F.col("__s").alias("__si"))
+    sj = sums.select(F.col("dim").alias("dim_j"), F.col("__s").alias("__sj"))
+    num = (
+        F.col("__n").cast("decimal(38,0)") * F.col("__spp")
+        - F.col("__si") * F.col("__sj")
+    )
+    return (
+        cells.join(F.broadcast(si), "dim_i")
+        .join(F.broadcast(sj), "dim_j")
+        .select(
+            "dim_i",
+            "dim_j",
+            F.col("__n").cast("long").alias("n"),
+            (
+                num.cast("double")
+                / (
+                    F.col("__n").cast("decimal(38,0)")
+                    * F.col("__n").cast("decimal(38,0)")
+                ).cast("double")
+            ).alias("cov_q2"),
+        )
+    )

@@ -370,3 +370,50 @@ def test_bigram_surprisal_flags_word_salad(spark):
     assert out[99] > out[0], out
     # repeated docs identical by construction
     assert out[0] == out[5] == out[19]
+
+
+def test_embedding_covariance_blocked_equals_exact(spark, sf_dir):
+    """The Arrow-blocked covariance scale path must be BIT-identical
+    to the explode-based exact operator (same quantization expression,
+    integer-exact partials, one shared final division) — and a
+    hand-check pins the numbers against numpy int64 math."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.operators.stats import (
+        embedding_covariance,
+        embedding_covariance_blocked,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "embedding"
+    )
+    a = {
+        (r["dim_i"], r["dim_j"]): (r["n"], r["cov_q2"])
+        for r in embedding_covariance(emb, "embedding").collect()
+    }
+    b = {
+        (r["dim_i"], r["dim_j"]): (r["n"], r["cov_q2"])
+        for r in embedding_covariance_blocked(emb, "embedding").collect()
+    }
+    assert a == b  # bit-identical, not approx
+
+    # independent ground truth: quantize THROUGH SPARK (the parity-
+    # critical step), then exact integer covariance in numpy
+    q = np.stack(
+        emb.select(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+            ).alias("qa")
+        )
+        .toPandas()["qa"]
+        .to_numpy()
+    ).astype(object)  # python ints: no int64 overflow in the check
+    n = q.shape[0]
+    for (i, j) in [(0, 0), (0, 1), (3, 7)]:
+        num = n * int((q[:, i] * q[:, j]).sum()) - int(q[:, i].sum()) * int(
+            q[:, j].sum()
+        )
+        want = float(num) / float(n * n)
+        assert a[(i, j)][1] == want
