@@ -2984,6 +2984,20 @@ def q_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(docs, "doc_id", "text")
 
 
+def q_doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: the reproducible global training
+    order over the corpus — position = exact global rank under
+    md5(seed#doc_id), computed by the distributed prefix-sum rank
+    (256 parallel hash buckets + one 256-row offset window; no
+    single-task global sort). Re-runs, resumes, and other engines all
+    agree on what example N was; seed bumps give fresh epoch
+    permutations (operators/sampling.py:epoch_shuffle)."""
+    from etl_spark_spark.operators.sampling import epoch_shuffle
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    return epoch_shuffle(docs, "doc_id", seed=0)
+
+
 def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact covariance matrix of the embedding corpus — the
     sufficient-statistics pass before whitening/PCA/OPQ rotation
@@ -5331,6 +5345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": q_doc_dsir_weights,
         "emb_covariance": q_emb_covariance,
         "emb_covariance_blocked": q_emb_covariance_blocked,
+        "doc_epoch_shuffle": q_doc_epoch_shuffle,
         "indexed_zorder_scan": q_indexed_zorder_scan,
         "emb_hard_negatives": q_emb_hard_negatives,
         "emb_label_outliers": q_emb_label_outliers,
@@ -8948,6 +8963,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir_weights": _dsir_weights_oracle(),
         "emb_covariance": _emb_covariance_oracle(),
         "emb_covariance_blocked": _emb_covariance_oracle(),
+        "doc_epoch_shuffle": """
+SELECT CAST(row_number() OVER (
+           ORDER BY md5('0#' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS position,
+       doc_id, source
+FROM documents
+""",
         "emb_hard_negatives": _EMB_HARD_NEGATIVES_SQL,
         "emb_label_outliers": _EMB_LABEL_OUTLIERS_SQL,
         "cluster_canonicalize": _CLUSTER_CANONICALIZE_SQL,

@@ -277,3 +277,43 @@ def apportion_budget(
             + F.when(F.col("__rk") <= leftover, F.lit(1)).otherwise(F.lit(0))
         ).cast("long").alias("alloc"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str, seed: int = 0
+) -> DataFrame:
+    """Deterministic GLOBAL training order (epoch shuffle): every row
+    gets a 1-based ``position`` — its exact global rank under the
+    content-addressed key ``md5(seed '#' id)``. The property training
+    pipelines need from a shuffle is not randomness per se but a
+    reproducible, seed-switchable, uniformly-mixing total order
+    (re-runs and resumed jobs must agree on what example 3,817,244,112
+    was); an RNG-based shuffle has none of that across engines or
+    retries. A new ``seed`` is a fresh epoch permutation.
+
+    Scale shape: NO single-task global window — position comes from
+    the distributed prefix-sum decomposition (``windows.
+    scalable_running_sum``) bucketed by the first 2 hex chars of the
+    key (256 parallel buckets, monotone in the key order); the only
+    serial step is a 256-row bucket-offset window. Hash uniformity
+    also makes the buckets even — no skew by construction. Sources
+    interleave for free: a uniform hash order mixes strata without a
+    dedicated pass.
+    """
+    from .windows import scalable_running_sum
+
+    key = F.md5(
+        F.concat_ws("#", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    keyed = df.withColumn("__k", key).withColumn("__one", F.lit(1))
+    ranked = scalable_running_sum(
+        keyed,
+        F.substring(F.col("__k"), 1, 2),
+        [F.col("__k"), F.col(id_col)],
+        "__one",
+        out_col="position",
+    )
+    return ranked.select(
+        F.col("position").cast("long").alias("position"),
+        *[c for c in df.columns],
+    )
