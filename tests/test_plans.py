@@ -188,9 +188,11 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # purchase_survival_km: crossJoin of the 1-row user-count total
     # emb_hard_negatives: <=10-row broadcast probe set (cosine scan)
     # doc_bigram_surprisal: crossJoin of the 1-row vocabulary count
+    # doc_dsir_weights: crossJoin of the 1-row (N_s, N_t) totals
     allowed_bnlj = {
         "emb_hard_negatives",
         "doc_bigram_surprisal",
+        "doc_dsir_weights",
         "basket_rules",
         "term_pmi",
         "neardup_eval",

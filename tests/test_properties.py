@@ -206,3 +206,99 @@ def test_incremental_rollup_equals_recompute(spark, tmp_path_factory, v1, v2):
         for r in agg_snapshot(d2, ["grp"], measures).collect()
     }
     assert got == want
+
+
+def test_epoch_shuffle_is_seedwise_permutation(spark):
+    """epoch_shuffle emits exactly the positions 1..n (a permutation),
+    is invariant to input partitioning, and a different seed gives a
+    genuinely different order over the same id set."""
+    from etl_spark_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(0, 997).withColumnRenamed("id", "doc_id")
+
+    def order(seed, parts):
+        got = epoch_shuffle(df.repartition(parts), "doc_id", seed=seed)
+        rows = {r["position"]: r["doc_id"] for r in got.collect()}
+        assert sorted(rows) == list(range(1, 998))  # permutation
+        return tuple(rows[p] for p in sorted(rows))
+
+    a1 = order(0, 1)
+    a8 = order(0, 8)
+    assert a1 == a8  # partitioning-invariant
+    b = order(1, 8)
+    assert a1 != b  # seed switches the epoch permutation
+    assert sorted(a1) == sorted(b)  # over the same ids
+
+
+def test_dsir_weights_order_invariant_and_target_sensitive(spark):
+    """dsir_log_weights must not depend on row order/partitioning, and
+    docs matching the target slice's vocabulary must outweigh docs
+    made of out-of-target tokens."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.operators.lm import dsir_log_weights
+
+    rows = (
+        [(i, "alpha beta gamma delta", "t") for i in range(10)]
+        + [(100 + i, "alpha beta gamma epsilon", "s") for i in range(5)]
+        + [(200 + i, "zeta eta theta iota", "s") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    w1 = {
+        r["doc_id"]: r["log_weight_milli"]
+        for r in dsir_log_weights(
+            docs, "doc_id", "text", F.col("src") == "t"
+        ).collect()
+    }
+    w2 = {
+        r["doc_id"]: r["log_weight_milli"]
+        for r in dsir_log_weights(
+            docs.repartition(7).sort(F.col("doc_id").desc()),
+            "doc_id",
+            "text",
+            F.col("src") == "t",
+        ).collect()
+    }
+    assert w1 == w2  # partitioning/order-invariant, bit-stable
+    # target-shaped doc beats the out-of-target doc
+    assert w1[100] > w1[200]
+
+
+def test_embedding_covariance_matches_definition(spark):
+    """Covariance cells equal the exact integer definition computed in
+    unbounded Python ints, diagonals are non-negative, and the result
+    is partitioning-invariant."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from etl_spark_spark.operators.stats import embedding_covariance
+
+    vecs = [
+        [0.1, -0.2, 0.3],
+        [-0.05, 0.25, -0.15],
+        [0.2, 0.0, 0.05],
+        [-0.3, 0.1, 0.2],
+        [0.07, -0.07, 0.0],
+    ]
+    emb = spark.createDataFrame(
+        [(v,) for v in vecs], "embedding array<double>"
+    )
+    got = {
+        (r["dim_i"], r["dim_j"]): r["cov_q2"]
+        for r in embedding_covariance(emb, "embedding").collect()
+    }
+    got_re = {
+        (r["dim_i"], r["dim_j"]): r["cov_q2"]
+        for r in embedding_covariance(
+            emb.repartition(4), "embedding"
+        ).collect()
+    }
+    assert got == got_re
+    q = [[round(x * 10**6) for x in v] for v in vecs]
+    n = len(q)
+    for i in range(3):
+        for j in range(i, 3):
+            num = n * sum(r[i] * r[j] for r in q) - sum(
+                r[i] for r in q
+            ) * sum(r[j] for r in q)
+            assert got[(i, j)] == float(num) / float(n * n)
+        assert got[(i, i)] >= 0.0
