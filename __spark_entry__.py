@@ -2984,6 +2984,46 @@ def q_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(docs, "doc_id", "text")
 
 
+def q_doc_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix MATERIALIZATION — the step after q_doc_budget_mix's
+    arithmetic: Hamilton-apportion a 300-doc budget across
+    (source, lang) strata, then actually PICK each stratum's quota
+    (content-addressed md5 rank — reproducible, no RNG) and emit the
+    mix in its deterministic epoch order (epoch_shuffle position).
+    This is the complete "compose the training set" pass: exact
+    integer quotas that sum to the budget, engine-portable selection,
+    and a resumable global order, one hash gate over all three.
+
+    Scale: quota math runs on the strata table (rows = #strata); the
+    per-stratum pick is one ranking window partitioned by stratum
+    (each partition sorts only its stratum); the epoch order is the
+    bucketed prefix-sum rank — no single-task sort anywhere."""
+    from etl_spark_spark.operators.sampling import (
+        apportion_budget,
+        epoch_shuffle,
+    )
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    counts = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("stratum", F.concat_ws("|", "source", "lang"))
+    )
+    alloc = apportion_budget(counts, "stratum", "n_docs", 300).select(
+        "source", "lang", "alloc"
+    )
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    picked = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(alloc), ["source", "lang"])
+        .filter(F.col("rn") <= F.col("alloc"))
+        .select("doc_id", "source", "lang")
+    )
+    return epoch_shuffle(picked, "doc_id", seed=0)
+
+
 def q_doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle: the reproducible global training
     order over the corpus — position = exact global rank under
@@ -5346,6 +5386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_covariance": q_emb_covariance,
         "emb_covariance_blocked": q_emb_covariance_blocked,
         "doc_epoch_shuffle": q_doc_epoch_shuffle,
+        "doc_training_mix": q_doc_training_mix,
         "indexed_zorder_scan": q_indexed_zorder_scan,
         "emb_hard_negatives": q_emb_hard_negatives,
         "emb_label_outliers": q_emb_label_outliers,
@@ -8969,6 +9010,47 @@ SELECT CAST(row_number() OVER (
        ) AS BIGINT) AS position,
        doc_id, source
 FROM documents
+""",
+        "doc_training_mix": """
+WITH c AS (
+  SELECT source, lang, source || '|' || lang AS stratum,
+         count(*) AS n_docs
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT sum(n_docs) AS w FROM c),
+fl AS (
+  SELECT source, lang, stratum, n_docs,
+         (300 * n_docs) // w AS flr,
+         (300 * n_docs) % w AS rem
+  FROM c, tot
+),
+lo AS (SELECT 300 - sum(flr) AS leftover FROM fl),
+alloc AS (
+  SELECT source, lang,
+         flr + CASE WHEN row_number()
+                        OVER (ORDER BY rem DESC, stratum)
+                    <= (SELECT leftover FROM lo)
+               THEN 1 ELSE 0 END AS alloc
+  FROM fl
+),
+ranked AS (
+  SELECT d.doc_id, d.source, d.lang,
+         row_number() OVER (
+             PARTITION BY d.source, d.lang
+             ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS rn
+  FROM documents d
+),
+picked AS (
+  SELECT r.doc_id, r.source, r.lang
+  FROM ranked r JOIN alloc a USING (source, lang)
+  WHERE r.rn <= a.alloc
+)
+SELECT CAST(row_number() OVER (
+           ORDER BY md5('0#' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS position,
+       doc_id, source, lang
+FROM picked
 """,
         "emb_hard_negatives": _EMB_HARD_NEGATIVES_SQL,
         "emb_label_outliers": _EMB_LABEL_OUTLIERS_SQL,

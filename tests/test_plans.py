@@ -189,7 +189,10 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # emb_hard_negatives: <=10-row broadcast probe set (cosine scan)
     # doc_bigram_surprisal: crossJoin of the 1-row vocabulary count
     # doc_dsir_weights: crossJoin of the 1-row (N_s, N_t) totals
+    # doc_training_mix: apportion_budget's 1-row totals crossJoins,
+    #   replicated across the pick/order branches (strata-table-sized)
     allowed_bnlj = {
+        "doc_training_mix",
         "emb_hard_negatives",
         "doc_bigram_surprisal",
         "doc_dsir_weights",
