@@ -2778,15 +2778,29 @@ def _scratch_dir(name: str) -> str:
     import shutil
     import tempfile
 
+    import glob
+    import os
+
+    # reap leftovers from processes that died without atexit (SIGTERM
+    # from a timeout kill skips atexit): the owner pid is embedded in
+    # the dir name, so a dir whose pid is gone is garbage
+    for stale in glob.glob(f"{tempfile.gettempdir()}/spark_graft_*_p*"):
+        try:
+            pid = int(stale.rsplit("_p", 1)[1].split("_", 1)[0])
+            if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(stale, ignore_errors=True)
+        except (ValueError, IndexError):
+            pass
+
     root = _SCRATCH_DIRS.get(name)
     if root is None:
-        root = tempfile.mkdtemp(prefix=f"spark_graft_{name}_")
+        root = tempfile.mkdtemp(
+            prefix=f"spark_graft_{name}_p{os.getpid()}_"
+        )
         _SCRATCH_DIRS[name] = root
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     else:
         shutil.rmtree(root, ignore_errors=True)
-        import os
-
         os.makedirs(root, exist_ok=True)
     return root
 
@@ -2982,6 +2996,55 @@ def q_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     return bigram_surprisal(docs, "doc_id", "text")
+
+
+def q_text_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-format round trip under the hash gate: customer is
+    written to CSV and orders to JSON-lines (the two text formats a
+    real feed arrives in), read back through the engine's
+    schema-contract readers (``sources.text_formats`` — explicit
+    schema, no inference pass, malformed-row policy), joined, and
+    aggregated to per-(mktsegment, orderstatus) integer-cents revenue.
+    The oracle computes the same aggregate from the PARQUET originals,
+    so value-hash equality proves the CSV and JSONL write→read cycles
+    preserved every key, every double (shortest-roundtrip repr), and
+    every timestamp that survives into the result — quoting, NULL, or
+    type-inference drift anywhere breaks the gate. Scratch lives in
+    the per-process atexit-cleaned dir."""
+    from etl_spark_spark.sources.text_formats import read_csv, read_jsonl
+
+    root = _scratch_dir("text_formats")
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    cust.write.mode("overwrite").option("header", "true").csv(f"{root}/cust_csv")
+    orders.write.mode("overwrite").json(f"{root}/orders_jsonl")
+    cust_rt = read_csv(
+        spark,
+        f"{root}/cust_csv",
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+        mode="FAILFAST",
+    )
+    orders_rt = read_jsonl(
+        spark,
+        f"{root}/orders_jsonl",
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+        mode="FAILFAST",
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders_rt.filter(
+            F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+        )
+        .join(cust_rt, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(cents) / 100.0).alias("revenue"),
+        )
+    )
 
 
 def q_doc_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5387,6 +5450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_covariance_blocked": q_emb_covariance_blocked,
         "doc_epoch_shuffle": q_doc_epoch_shuffle,
         "doc_training_mix": q_doc_training_mix,
+        "text_formats_roundtrip": q_text_formats_roundtrip,
         "indexed_zorder_scan": q_indexed_zorder_scan,
         "emb_hard_negatives": q_emb_hard_negatives,
         "emb_label_outliers": q_emb_label_outliers,
@@ -9010,6 +9074,14 @@ SELECT CAST(row_number() OVER (
        ) AS BIGINT) AS position,
        doc_id, source
 FROM documents
+""",
+        "text_formats_roundtrip": """
+SELECT c_mktsegment, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+GROUP BY 1, 2
 """,
         "doc_training_mix": """
 WITH c AS (
