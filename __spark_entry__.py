@@ -2998,6 +2998,72 @@ def q_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(docs, "doc_id", "text")
 
 
+def q_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance under the hash gate: the
+    Jan-Feb 1995 orders⋈lineitem view is built by THREE insert
+    micro-batches through the bilinear delta rule
+    ΔV = ΔL⋈R_prev ∪ L_prev⋈ΔR ∪ ΔL⋈ΔR (streaming/join_mv.py) — the
+    view is never recomputed, each batch appends exactly its delta
+    partition. Batches slice the two sides INDEPENDENTLY (lineitem by
+    supplier mod 3, orders by customer mod 3) so ~2/3 of all matches
+    straddle batches — the cross-batch terms carry real weight. The
+    oracle is the plain one-shot join, so hash equality proves the
+    fold reconstructs it exactly."""
+    from etl_spark_spark.streaming.join_mv import (
+        apply_join_batch,
+        read_join_view,
+    )
+
+    root = _scratch_dir("join_mv")
+    li = table(
+        spark,
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).withColumnRenamed("l_orderkey", "orderkey")
+    orders = (
+        table(
+            spark,
+            sf_dir,
+            "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp"))
+        )
+        .withColumnRenamed("o_orderkey", "orderkey")
+        .drop("o_orderdate")
+    )
+    for b in range(3):
+        apply_join_batch(
+            li.filter(F.col("l_suppkey") % 3 == b),
+            orders.filter(F.col("o_custkey") % 3 == b),
+            b,
+            ["orderkey"],
+            f"{root}/state",
+        )
+    view = read_join_view(spark, f"{root}/state")
+    return view.select(
+        "orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
 def q_text_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-format round trip under the hash gate: customer is
     written to CSV and orders to JSON-lines (the two text formats a
@@ -5451,6 +5517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_epoch_shuffle": q_doc_epoch_shuffle,
         "doc_training_mix": q_doc_training_mix,
         "text_formats_roundtrip": q_text_formats_roundtrip,
+        "incremental_join_mv": q_incremental_join_mv,
         "indexed_zorder_scan": q_indexed_zorder_scan,
         "emb_hard_negatives": q_emb_hard_negatives,
         "emb_label_outliers": q_emb_label_outliers,
@@ -9074,6 +9141,15 @@ SELECT CAST(row_number() OVER (
        ) AS BIGINT) AS position,
        doc_id, source
 FROM documents
+""",
+        "incremental_join_mv": """
+SELECT l_orderkey AS orderkey, l_linenumber, l_suppkey,
+       o_custkey, o_orderstatus,
+       CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1995-03-01'
 """,
         "text_formats_roundtrip": """
 SELECT c_mktsegment, o_orderstatus,

@@ -85,3 +85,66 @@ def test_replay_is_fenced_and_crash_rewrite_recovers(spark, sf_dir, tmp_path):
     assert v0 == _rollup_dict(agg_snapshot(half_a, KEYS, MEASURES))
     apply_stream_batch(half_b, 1, KEYS, MEASURES, state)
     assert _rollup_dict(read_stream_rollup(spark, state)) == want
+
+
+def test_join_view_fold_equals_batch_join_and_replay_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Incremental join-view maintenance (streaming/join_mv.py): three
+    independently-sliced insert batches reconstruct the one-shot join
+    exactly (cross-batch matches included), and replaying a committed
+    batch changes nothing — the dynamic-partition-overwrite fence."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.sources import table
+    from etl_spark_spark.streaming.join_mv import (
+        apply_join_batch,
+        read_join_view,
+    )
+
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_suppkey"],
+    ).withColumnRenamed("l_orderkey", "k")
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+    ).withColumnRenamed("o_orderkey", "k")
+    state = str(tmp_path / "jv")
+
+    for b in range(3):
+        apply_join_batch(
+            li.filter(F.col("l_suppkey") % 3 == b),
+            orders.filter(F.col("o_custkey") % 3 == b),
+            b,
+            ["k"],
+            state,
+        )
+    got = read_join_view(spark, state)
+    want = li.join(orders, "k")
+    assert got.count() == want.count()
+    assert (
+        got.exceptAll(want.select(*got.columns)).count() == 0
+        and want.select(*got.columns).exceptAll(got).count() == 0
+    )
+    # cross-batch matches really occurred: the view is strictly bigger
+    # than the sum of the within-batch-only joins
+    within = sum(
+        li.filter(F.col("l_suppkey") % 3 == b)
+        .join(orders.filter(F.col("o_custkey") % 3 == b), "k")
+        .count()
+        for b in range(3)
+    )
+    assert got.count() > within
+
+    # replay of a committed middle batch: byte-identical partitions,
+    # view unchanged
+    apply_join_batch(
+        li.filter(F.col("l_suppkey") % 3 == 1),
+        orders.filter(F.col("o_custkey") % 3 == 1),
+        1,
+        ["k"],
+        state,
+    )
+    again = read_join_view(spark, state)
+    assert again.count() == want.count()
+    assert again.exceptAll(want.select(*again.columns)).count() == 0
