@@ -148,3 +148,61 @@ def test_join_view_fold_equals_batch_join_and_replay_is_idempotent(
     again = read_join_view(spark, state)
     assert again.count() == want.count()
     assert again.exceptAll(want.select(*again.columns)).count() == 0
+
+
+def test_bucketed_join_view_equals_plain_fold(spark, sf_dir, tmp_path):
+    """The bucketed scale form of join-view maintenance produces the
+    same view as the one-shot join, survives a replay, and leaves the
+    history side of its delta joins exchange-free (the whole point of
+    paying the bucketed write)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.sources import table
+    from etl_spark_spark.streaming.join_mv import apply_join_batch_bucketed
+
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_suppkey"],
+    ).withColumnRenamed("l_orderkey", "k")
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+    ).withColumnRenamed("o_orderkey", "k")
+    pfx = f"jv_test_{uuid.uuid4().hex[:8]}"
+    view = str(tmp_path / "view")
+    try:
+        for b in range(3):
+            apply_join_batch_bucketed(
+                li.filter(F.col("l_suppkey") % 3 == b),
+                orders.filter(F.col("o_custkey") % 3 == b),
+                b, ["k"], pfx, view,
+            )
+        got = spark.read.parquet(view).drop("__batch_id")
+        want = li.join(orders, "k")
+        assert got.count() == want.count()
+        assert got.exceptAll(want.select(*got.columns)).count() == 0
+
+        # replay batch 1: dynamic overwrite keeps everything identical
+        apply_join_batch_bucketed(
+            li.filter(F.col("l_suppkey") % 3 == 1),
+            orders.filter(F.col("o_custkey") % 3 == 1),
+            1, ["k"], pfx, view,
+        )
+        again = spark.read.parquet(view).drop("__batch_id")
+        assert again.count() == want.count()
+        assert again.exceptAll(want.select(*again.columns)).count() == 0
+
+        # plan: a merge-join of a delta against the bucketed history
+        # shuffles ONLY the delta — one Exchange in the whole plan
+        hist = spark.table(f"{pfx}_right").filter(
+            F.col("__batch_id") < 99
+        ).drop("__batch_id")
+        plan = (
+            li.hint("merge").join(hist, "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        for t in (f"{pfx}_left", f"{pfx}_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
