@@ -2998,6 +2998,51 @@ def q_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(docs, "doc_id", "text")
 
 
+def q_compacted_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE under the hash gate: run the merge_upsert MERGE
+    sequence, then COMPACT the committed snapshot (compact_table with
+    order_by — few range-clustered files sorted on the merge key,
+    published as one more CAS commit) and return the compacted
+    snapshot. The oracle is the same MERGE expansion as q_merge_upsert,
+    so hash equality proves compaction is row-for-row lossless while
+    the layout becomes stats-discriminating; the pre-compaction
+    version stays time-travelable and a racing merge makes the CAS
+    refuse (both pinned in tests/test_sinks.py). This is the
+    small-files maintenance pass every ingesting table needs — a
+    thousand tiny MERGE outputs otherwise destroy scan throughput."""
+    from etl_spark_spark.sinks.versioned import (
+        compact_table,
+        merge_into_versioned,
+        read_versioned,
+    )
+
+    cust = table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    target0 = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        "c_name",
+        cents.alias("acctbal_cents"),
+        F.lit(0).alias("batch"),
+    )
+    source = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_name",
+        (cents + F.lit(10_000)).alias("acctbal_cents"),
+        F.lit(1).alias("batch"),
+    )
+    root = _scratch_dir("compacted_snapshot")
+    merge_into_versioned(spark, target0, root, ["c_custkey"])
+    merge_into_versioned(spark, source, root, ["c_custkey"])
+    compact_table(
+        spark, root, target_file_bytes=32 * 1024, order_by=["c_custkey"]
+    )
+    return read_versioned(spark, root).select(
+        "c_custkey", "c_name", "acctbal_cents", "batch"
+    )
+
+
 def q_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental JOIN-view maintenance under the hash gate: the
     Jan-Feb 1995 orders⋈lineitem view is built by THREE insert
@@ -5518,6 +5563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_training_mix": q_doc_training_mix,
         "text_formats_roundtrip": q_text_formats_roundtrip,
         "incremental_join_mv": q_incremental_join_mv,
+        "compacted_snapshot": q_compacted_snapshot,
         "indexed_zorder_scan": q_indexed_zorder_scan,
         "emb_hard_negatives": q_emb_hard_negatives,
         "emb_label_outliers": q_emb_label_outliers,
@@ -9073,6 +9119,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_pit_dimension": _ORDERS_PIT_DIMENSION_SQL,
         "doc_length_winsor": _DOC_LENGTH_WINSOR_SQL,
         "merge_upsert": _MERGE_UPSERT_SQL,
+        # compaction is lossless by contract: same MERGE expansion
+        "compacted_snapshot": _MERGE_UPSERT_SQL,
         "production_daily_loop": _PRODUCTION_DAILY_LOOP_SQL,
         "indexed_zorder_scan": _INDEXED_ZORDER_SCAN_SQL,
         "events_forward_fill": _EVENTS_FORWARD_FILL_SQL,

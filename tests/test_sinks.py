@@ -780,3 +780,60 @@ def test_export_training_shards_manifest_reproducible(spark, tmp_path):
     # every shard directory exists and holds parquet
     back = spark.read.parquet(p1)
     assert back.count() == m1["total_rows"]
+
+
+def test_compact_table_clustered_layout_discriminates(spark, sf_dir, tmp_path):
+    """compact_table(order_by=...) range-clusters the rewrite: rows
+    stay bit-identical and the new files carry DISJOINT per-file
+    min/max ranges on the cluster key — the property that makes the
+    stats-index / row-group skippers actually skip."""
+    from pathlib import Path
+
+    from etl_spark_spark.sinks.versioned import (
+        committed_versions,
+        compact_table,
+        read_versioned,
+        write_version,
+    )
+    from etl_spark_spark.sources import table
+
+    cust = table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_acctbal"]
+    )
+    root = str(tmp_path / "t")
+    write_version(spark, cust.repartition(16), root)  # fragmented + unclustered
+    v0 = committed_versions(root)[-1]
+    v1 = compact_table(
+        spark, root, target_file_bytes=4 * 1024, order_by=["c_custkey"]
+    )
+    assert v1 > v0
+    got = read_versioned(spark, root)
+    assert got.count() == cust.count()
+    assert got.exceptAll(cust).count() == 0 and cust.exceptAll(got).count() == 0
+
+    def parquet_files(version):
+        vdir = Path(root) / "_v" / f"v{version:08d}"
+        d = vdir.resolve() if vdir.is_symlink() else vdir
+        return [p for p in d.iterdir() if p.suffix == ".parquet"]
+
+    assert len(parquet_files(v0)) == 16
+    files = parquet_files(v1)
+    assert 2 <= len(files) < 16
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        idx = [
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "c_custkey"
+        ][0]
+        lo = min(md.row_group(g).column(idx).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max
+                 for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo  # disjoint = stats actually discriminate
