@@ -2998,6 +2998,61 @@ def q_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(docs, "doc_id", "text")
 
 
+def q_join_mv_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view maintenance under UPDATES: batch 0 builds the Jan-Feb
+    1995 orders⋈lineitem view; batch 1 delivers a correction feed that
+    RETRACTS (mult -1) every order of custkey%5==0 customers and
+    re-inserts it with status 'X' — the Z-set encoding of an UPDATE
+    (streaming/join_mv.py:apply_join_batch_z). The consolidated view
+    must equal the join against the corrected final state, which is
+    exactly what the oracle computes (CASE-patched orders, COUNT(*) as
+    the row multiplicity) — hash equality proves retraction algebra,
+    the bilinear delta terms, and read-time consolidation jointly."""
+    from etl_spark_spark.streaming.join_mv import (
+        apply_join_batch_z,
+        read_join_view_z,
+    )
+
+    root = _scratch_dir("join_mv_z")
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    ).withColumnRenamed("l_orderkey", "orderkey")
+    orders = (
+        table(
+            spark, sf_dir, "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp"))
+        )
+        .withColumnRenamed("o_orderkey", "orderkey")
+        .drop("o_orderdate")
+    )
+    corrected = orders.filter(F.col("o_custkey") % 5 == 0)
+    retract = corrected.withColumn("__mult", F.lit(-1))
+    reinsert = corrected.withColumn(
+        "o_orderstatus", F.lit("X")
+    ).withColumn("__mult", F.lit(1))
+    empty_left = li.filter(F.lit(False))
+    state = f"{root}/state"
+    apply_join_batch_z(li, orders, 0, ["orderkey"], state)
+    apply_join_batch_z(
+        empty_left, retract.unionByName(reinsert), 1, ["orderkey"], state
+    )
+    view = read_join_view_z(spark, state)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return view.select(
+        "orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "o_orderstatus",
+        cents.alias("price_cents"),
+        F.col("mult").cast("long").alias("mult"),
+    )
+
+
 def q_compacted_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE under the hash gate: run the merge_upsert MERGE
     sequence, then COMPACT the committed snapshot (compact_table with
@@ -5564,6 +5619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_formats_roundtrip": q_text_formats_roundtrip,
         "incremental_join_mv": q_incremental_join_mv,
         "compacted_snapshot": q_compacted_snapshot,
+        "join_mv_retractions": q_join_mv_retractions,
         "indexed_zorder_scan": q_indexed_zorder_scan,
         "emb_hard_negatives": q_emb_hard_negatives,
         "emb_label_outliers": q_emb_label_outliers,
@@ -9189,6 +9245,22 @@ SELECT CAST(row_number() OVER (
        ) AS BIGINT) AS position,
        doc_id, source
 FROM documents
+""",
+        "join_mv_retractions": """
+WITH corrected AS (
+  SELECT o_orderkey AS orderkey, o_custkey,
+         CASE WHEN o_custkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1995-03-01'
+)
+SELECT l.l_orderkey AS orderkey, l.l_linenumber, c.o_custkey,
+       c.o_orderstatus,
+       CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents,
+       CAST(count(*) AS BIGINT) AS mult
+FROM lineitem l JOIN corrected c ON l.l_orderkey = c.orderkey
+GROUP BY 1, 2, 3, 4, 5
 """,
         "incremental_join_mv": """
 SELECT l_orderkey AS orderkey, l_linenumber, l_suppkey,

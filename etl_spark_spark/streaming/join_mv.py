@@ -172,3 +172,84 @@ def apply_join_batch_bucketed(
     _accumulate(bl, l_tbl)
     _accumulate(br, r_tbl)
     _append_partition(dv, batch_id, view_path)
+
+
+MULT_COL = "__mult"
+
+
+def apply_join_batch_z(
+    batch_left: DataFrame,
+    batch_right: DataFrame,
+    batch_id: int,
+    on: Sequence[str],
+    state_path: str,
+) -> None:
+    """Z-SET form of :func:`apply_join_batch`: batches carry a signed
+    multiplicity column ``__mult`` (+1 insert, -1 retraction; absent →
+    all +1), which upgrades the maintained join view from insert-only
+    to full UPDATE/DELETE support — an update is retract-old +
+    insert-new, the standard incremental-view-maintenance encoding
+    (DBSP / differential-dataflow Z-sets).
+
+    The bilinear delta rule is unchanged because join is bilinear over
+    signed multiplicities: joined mult = ml·mr, and
+    ΔV = ΔL⋈R_prev + L_prev⋈ΔR + ΔL⋈ΔR holds term-for-term with signs.
+    Nothing is consolidated on write (partitions stay append-only and
+    replay-idempotent exactly like the insert-only form);
+    :func:`read_join_view_z` consolidates at read time — group by the
+    row, sum multiplicities, keep positive. Retractions of
+    never-inserted rows simply leave non-positive sums (dropped), so
+    out-of-order correction feeds degrade gracefully.
+
+    Scale: identical shuffle shape to the insert-only form plus one
+    multiply; consolidation is one hash aggregate over the view. For
+    heavily-churned views, periodically rewrite the consolidated
+    result as a compacted baseline partition (same maintenance loop as
+    ``sinks.versioned.compact_table``)."""
+    spark = batch_left.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    on = list(on)
+
+    def _signed(df: DataFrame) -> DataFrame:
+        if MULT_COL not in df.columns:
+            df = df.withColumn(MULT_COL, F.lit(1).cast("long"))
+        return df.withColumn(MULT_COL, F.col(MULT_COL).cast("long"))
+
+    bl = _signed(batch_left).localCheckpoint()
+    br = _signed(batch_right).localCheckpoint()
+    l_path = f"{state_path}/left"
+    r_path = f"{state_path}/right"
+    v_path = f"{state_path}/view"
+    l_prev = _read_prior(spark, l_path, batch_id)
+    r_prev = _read_prior(spark, r_path, batch_id)
+
+    def _zjoin(a: DataFrame, b: DataFrame) -> DataFrame:
+        al = a.withColumnRenamed(MULT_COL, "__ml")
+        bm = b.withColumnRenamed(MULT_COL, "__mr")
+        return (
+            al.join(bm, on)
+            .withColumn(MULT_COL, F.col("__ml") * F.col("__mr"))
+            .drop("__ml", "__mr")
+        )
+
+    dv = _zjoin(bl, br)
+    if r_prev is not None:
+        dv = dv.unionByName(_zjoin(bl, r_prev))
+    if l_prev is not None:
+        dv = dv.unionByName(_zjoin(l_prev, br))
+
+    _append_partition(bl, batch_id, l_path)
+    _append_partition(br, batch_id, r_path)
+    _append_partition(dv, batch_id, v_path)
+
+
+def read_join_view_z(spark: SparkSession, state_path: str) -> DataFrame:
+    """Consolidated Z-set view: rows with their net positive
+    multiplicity as ``mult`` (retracted rows net to 0 and vanish)."""
+    raw = spark.read.parquet(f"{state_path}/view").drop("__batch_id")
+    cols = [c for c in raw.columns if c != MULT_COL]
+    return (
+        raw.groupBy(*cols)
+        .agg(F.sum(MULT_COL).alias("mult"))
+        .filter(F.col("mult") > 0)
+    )

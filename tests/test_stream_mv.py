@@ -206,3 +206,47 @@ def test_bucketed_join_view_equals_plain_fold(spark, sf_dir, tmp_path):
     finally:
         for t in (f"{pfx}_left", f"{pfx}_right"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_zset_join_view_updates_and_replay(spark, tmp_path):
+    """Z-set join maintenance: a retract+reinsert batch UPDATES the
+    view (old row nets to multiplicity 0 and vanishes, new row
+    appears), a retraction without history nets negative and is
+    dropped, and replaying the correction batch changes nothing."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.streaming.join_mv import (
+        apply_join_batch_z,
+        read_join_view_z,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, lv string"
+    )
+    right = spark.createDataFrame([(1, "old"), (2, "keep")], "k long, rv string")
+    state = str(tmp_path / "z")
+    apply_join_batch_z(left, right, 0, ["k"], state)
+
+    correction = spark.createDataFrame(
+        [(1, "old", -1), (1, "new", 1), (9, "ghost", -1)],
+        "k long, rv string, __mult long",
+    )
+    empty_left = left.filter(F.lit(False))
+    apply_join_batch_z(empty_left, correction, 1, ["k"], state)
+
+    rows = {
+        (r["k"], r["lv"], r["rv"]): r["mult"]
+        for r in read_join_view_z(spark, state).collect()
+    }
+    assert rows == {
+        (1, "a", "new"): 1,
+        (1, "b", "new"): 1,
+        (2, "c", "keep"): 1,
+    }  # 'old' netted to 0; ghost retraction dropped; update visible
+
+    apply_join_batch_z(empty_left, correction, 1, ["k"], state)  # replay
+    again = {
+        (r["k"], r["lv"], r["rv"]): r["mult"]
+        for r in read_join_view_z(spark, state).collect()
+    }
+    assert again == rows
