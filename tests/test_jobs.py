@@ -47,3 +47,25 @@ def test_ressarcimento_backfill_gate_and_modes(spark, sf_dir, tmp_path):
     )
     assert set(per_year) == {2024, 2025}
     assert per_year[2024] == per_year[2025] > 0
+
+
+def test_example_daily_job_runs_end_to_end(sf_dir, tmp_path):
+    """examples/daily_job.py (the reference-driver migration example)
+    must run green out of the box: window rollback applied, pruned
+    superdesconto MERGE committed, ressarcimento backfills written."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    out = str(tmp_path / "job")
+    r = subprocess.run(
+        [sys.executable, "examples/daily_job.py", sf_dir, out,
+         "--date", "1995-02-03"],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "window: 1995-01-01 .. 1995-02-03" in r.stdout  # rollback rule
+    assert "superdesconto: merged window" in r.stdout
+    assert (Path(out) / "best_sales" / "_v").exists()
+    assert (Path(out) / "ressarcimento_1995").exists()
