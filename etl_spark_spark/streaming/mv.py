@@ -56,10 +56,19 @@ def apply_stream_batch(
     measures: dict[str, tuple[str | None, str]],
     state_path: str,
 ) -> None:
-    """Fold ONE micro-batch (treated as inserts) into the rollup and
-    publish ``agg_v<batch_id>``. Replay-idempotent via the batch-id
-    fence; safe after crashes (torn directories carry no _SUCCESS and
-    are rewritten)."""
+    """Fold ONE micro-batch into the rollup and publish
+    ``agg_v<batch_id>``. Replay-idempotent via the batch-id fence;
+    safe after crashes (torn directories carry no _SUCCESS and are
+    rewritten).
+
+    Batch semantics: a plain batch is treated as INSERTS; a batch that
+    already carries a ``change_type`` column (insert/update/delete,
+    the ``snapshot_diff(include_old=True)`` CDC schema with
+    ``old_<col>`` twins) is folded as a full CDC delta — updates move
+    rows between groups and deletes retract them, so the maintained
+    rollup tracks a MUTATING source exactly (``operators.rollup.
+    apply_agg_delta`` semantics, group-key-changing updates included).
+    """
     state = Path(state_path)
     state.mkdir(parents=True, exist_ok=True)
     committed = _committed_versions(state)
@@ -71,7 +80,10 @@ def apply_stream_batch(
         agg = spark.read.parquet(str(state / f"{_PREFIX}{max(prev)}"))
     else:
         agg = agg_snapshot(batch_df.limit(0), list(keys), measures)
-    delta = batch_df.withColumn("change_type", F.lit("insert"))
+    if "change_type" in batch_df.columns:
+        delta = batch_df  # CDC feed: fold as-is (updates/deletes too)
+    else:
+        delta = batch_df.withColumn("change_type", F.lit("insert"))
     for _, (col, kind) in measures.items():
         if kind == "sum_cents" and f"old_{col}" not in delta.columns:
             delta = delta.withColumn(

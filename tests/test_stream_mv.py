@@ -250,3 +250,48 @@ def test_zset_join_view_updates_and_replay(spark, tmp_path):
         for r in read_join_view_z(spark, state).collect()
     }
     assert again == rows
+
+
+def test_stream_rollup_accepts_cdc_batches(spark, tmp_path):
+    """A micro-batch carrying change_type (the CDC schema) folds as
+    updates/deletes, not blind inserts: the maintained rollup equals a
+    recompute over the source's FINAL logical state, including a
+    group-key-changing update and a delete."""
+    from etl_spark_spark.operators.rollup import agg_snapshot
+    from etl_spark_spark.streaming.mv import (
+        apply_stream_batch,
+        read_stream_rollup,
+    )
+
+    keys = ["g"]
+    measures = {"cents": ("v", "sum_cents"), "n": (None, "count")}
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, g string, v double",
+    )
+    state = str(tmp_path / "mvcdc")
+    apply_stream_batch(base, 0, keys, measures, state)
+
+    # CDC batch: row 2 moves a -> b with a new value; row 3 deleted
+    cdc = spark.createDataFrame(
+        [
+            ("update", 2, "b", 25.0, "a", 20.0),
+            ("delete", 3, None, None, "b", 30.0),
+        ],
+        "change_type string, id long, g string, v double, "
+        "old_g string, old_v double",
+    )
+    apply_stream_batch(cdc, 1, keys, measures, state)
+
+    got = {
+        r["g"]: (r["cents"], r["n"])
+        for r in read_stream_rollup(spark, state).collect()
+    }
+    final = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0)], "id long, g string, v double"
+    )
+    want = {
+        r["g"]: (r["cents"], r["n"])
+        for r in agg_snapshot(final, keys, measures).collect()
+    }
+    assert got == want == {"a": (1000, 1), "b": (2500, 1)}
