@@ -2998,6 +2998,33 @@ def q_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(docs, "doc_id", "text")
 
 
+def q_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented distribution-drift monitor: one exact KS D per
+    event_type between the deterministic A/B user-hash halves of the
+    value distribution — the per-segment form of ks_test_ab that
+    catches a single feed shifting where the global statistic would
+    dilute it. Per-group CDFs are plain group-partitioned windows over
+    compact distributions (parallel by construction; no prefix-sum
+    machinery needed), integer counts + exact-int divisions only
+    (operators/stats.py:ks_drift_by_group)."""
+    from etl_spark_spark.operators.stats import ks_drift_by_group
+
+    ev = (
+        read_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8",
+                F.lit("A"),
+            ).otherwise(F.lit("B")).alias("variant"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return ks_drift_by_group(ev, ["event_type"], "cents", "variant")
+
+
 def q_join_mv_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-view maintenance under UPDATES: batch 0 builds the Jan-Feb
     1995 orders⋈lineitem view; batch 1 delivers a correction feed that
@@ -5620,6 +5647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join_mv": q_incremental_join_mv,
         "compacted_snapshot": q_compacted_snapshot,
         "join_mv_retractions": q_join_mv_retractions,
+        "ks_drift_by_type": q_ks_drift_by_type,
         "indexed_zorder_scan": q_indexed_zorder_scan,
         "emb_hard_negatives": q_emb_hard_negatives,
         "emb_label_outliers": q_emb_label_outliers,
@@ -9245,6 +9273,37 @@ SELECT CAST(row_number() OVER (
        ) AS BIGINT) AS position,
        doc_id, source
 FROM documents
+""",
+        "ks_drift_by_type": """
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), dist AS (
+  SELECT event_type, cents,
+         count(*) FILTER (variant = 'A') AS ca,
+         count(*) FILTER (variant <> 'A') AS cb
+  FROM d GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, cents,
+         sum(ca) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cuma,
+         sum(cb) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumb,
+         sum(ca) OVER (PARTITION BY event_type) AS na,
+         sum(cb) OVER (PARTITION BY event_type) AS nb
+  FROM dist
+)
+SELECT event_type,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+               - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS d_stat
+FROM cum GROUP BY 1
 """,
         "join_mv_retractions": """
 WITH corrected AS (
