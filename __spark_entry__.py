@@ -2783,13 +2783,24 @@ def _scratch_dir(name: str) -> str:
 
     # reap leftovers from processes that died without atexit (SIGTERM
     # from a timeout kill skips atexit): the owner pid is embedded in
-    # the dir name, so a dir whose pid is gone is garbage
+    # the dir name, so a dir whose pid is gone AND whose mtime is past
+    # the TTL is garbage. The TTL guards the PID-namespace hazard
+    # (ADVICE r6): in a container sharing /tmp, a live sibling's pid is
+    # absent from this namespace's /proc — age is the cross-namespace
+    # signal that nobody is mid-query in the dir.
+    import time
+
+    reap_ttl_sec = 3600.0
+    now = time.time()
     for stale in glob.glob(f"{tempfile.gettempdir()}/spark_graft_*_p*"):
         try:
             pid = int(stale.rsplit("_p", 1)[1].split("_", 1)[0])
-            if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            old = now - os.path.getmtime(stale) > reap_ttl_sec
+            if pid != os.getpid() and old and not os.path.exists(
+                f"/proc/{pid}"
+            ):
                 shutil.rmtree(stale, ignore_errors=True)
-        except (ValueError, IndexError):
+        except (ValueError, IndexError, OSError):
             pass
 
     root = _SCRATCH_DIRS.get(name)
@@ -9304,6 +9315,7 @@ SELECT event_type,
        max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
                - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS d_stat
 FROM cum GROUP BY 1
+HAVING max(na) > 0 AND max(nb) > 0
 """,
         "join_mv_retractions": """
 WITH corrected AS (

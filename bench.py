@@ -82,6 +82,12 @@ def main() -> None:
         full = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
         )
+        if not os.path.exists(full):
+            raise SystemExit(
+                "--top20 needs a prior full-registry run: "
+                f"{full} is missing — run `python bench.py` (no flags) "
+                "once to record the full warm baseline first"
+            )
         with open(full) as f:
             prev_warm = json.load(f)["queries_warm"]
         picked = sorted(queries, key=lambda n: -prev_warm.get(n, 0.0))[:20]

@@ -554,7 +554,24 @@ def embedding_covariance_blocked(
             if pdf.empty:
                 continue
             arr = np.stack(pdf["qa"].to_numpy())  # (b, d) int64
-            g = arr.T.astype(np.int64) @ arr.astype(np.int64)
+            # int64-overflow guard (ADVICE r6): a cell partial is
+            # bounded by rows * max|q|^2; past ~2^62 the matmul would
+            # wrap SILENTLY and break the bit-parity guarantee. For
+            # non-normalized corpora fall back to object-dtype
+            # (arbitrary-precision) accumulation — slower, still exact.
+            peak = float(np.abs(arr).max())
+            if peak * peak * len(arr) < float(2**62):
+                g = arr.T.astype(np.int64) @ arr.astype(np.int64)
+            else:
+                g = (arr.T.astype(object) @ arr.astype(object))
+                if np.abs(g).max() >= 2**63:
+                    raise ValueError(
+                        "embedding_covariance_blocked: quantized cell "
+                        f"partial exceeds int64 (max|q|={peak:.3g}, "
+                        f"rows={len(arr)}); lower `scale` so "
+                        "scale*max|x| fits the documented bound"
+                    )
+                g = g.astype(np.int64)
             iu = np.triu_indices(g.shape[0])
             yield pd.DataFrame(
                 {
@@ -627,7 +644,12 @@ def ks_drift_by_group(
     value distribution. Determinism: cumulative counts are integer
     sums; each D term is |exact-int/exact-int − exact-int/exact-int|,
     deterministic IEEE ops the oracle mirrors. Returns one row per
-    group: (*group_cols, n_a, n_b, d_stat).
+    group: (*group_cols, n_a, n_b, d_stat). Groups where either
+    variant is EMPTY are dropped: D is undefined with one empty sample
+    (0/0 division → NULL on Spark but +inf under IEEE engines — a
+    cross-engine divergence and a meaningless statistic, ADVICE r6);
+    callers monitoring for missing variants should count per-variant
+    rows separately.
     """
     keys = list(group_cols)
     is_a = F.col(variant_col) == F.lit(variant_a)
@@ -651,8 +673,15 @@ def ks_drift_by_group(
         F.col("__cuma").cast("double") / F.col("__na").cast("double")
         - F.col("__cumb").cast("double") / F.col("__nb").cast("double")
     )
-    return cum.groupBy(*keys).agg(
-        F.max("__na").cast("long").alias("n_a"),
-        F.max("__nb").cast("long").alias("n_b"),
-        F.max(d).alias("d_stat"),
+    # drop one-variant groups BEFORE the division (ANSI mode would
+    # raise on 0/0; __na/__nb are group constants so this row filter
+    # removes exactly the undefined groups)
+    return (
+        cum.filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+        .groupBy(*keys)
+        .agg(
+            F.max("__na").cast("long").alias("n_a"),
+            F.max("__nb").cast("long").alias("n_b"),
+            F.max(d).alias("d_stat"),
+        )
     )

@@ -39,15 +39,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence probe via the Hadoop FS API (works
+    for local paths and any configured object-store scheme)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def _read_prior(
     spark: SparkSession, path: str, batch_id: int
 ) -> DataFrame | None:
-    """History strictly BEFORE ``batch_id`` (replay-safe), or None if
-    the table does not exist yet."""
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
+    """History strictly BEFORE ``batch_id`` (replay-safe), or None ONLY
+    if the table does not exist yet. A read failure on an EXISTING path
+    (torn footer from a crashed attempt, transient FS error) must
+    propagate: silently treating it as empty history would drop the
+    ΔL⋈R_prev / L_prev⋈ΔR delta terms and permanently corrupt the
+    maintained view (ADVICE r6)."""
+    if not _path_exists(spark, path):
         return None
+    df = spark.read.parquet(path)
     df = df.filter(F.col("__batch_id") < F.lit(batch_id)).drop("__batch_id")
     return df
 
