@@ -2837,15 +2837,16 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     private temp table (idempotent across driver/bench/plan-snapshot
     invocations; the ~2k-row demo table lives in a per-process scratch
     dir that is wiped on reuse and removed at exit — see
-    ``_scratch_dir``). Scale note: the emulation rewrites only the
-    TARGET table (one anti-join + union, shuffle on the merge key);
-    a catalog MERGE (Delta/Iceberg) would rewrite matched files only —
-    the interface is swap-ready (ROADMAP.md), the query semantics are
-    identical."""
-    from etl_spark_spark.sinks.versioned import (
-        merge_into_versioned,
-        read_versioned,
-    )
+    ``_scratch_dir``). Round-7: the merges route through the
+    PLUGGABLE backend interface (sinks/catalog.py merge_into) — a
+    capability probe selects a real Delta/Iceberg ``MERGE INTO``
+    where the jars exist and the versioned-parquet COW emulation
+    here (this container has no catalog jars), so this oracle row
+    now gates the adapter itself, not just the fallback. Scale note:
+    the fallback rewrites only the TARGET table (one anti-join +
+    union, shuffle on the merge key); a catalog MERGE rewrites
+    matched files only — same semantics, different cost profile."""
+    from etl_spark_spark.sinks.catalog import merge_into, read_merged
 
     cust = table(
         spark, sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"]
@@ -2863,10 +2864,17 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cents + F.lit(10_000)).alias("acctbal_cents"),
         F.lit(1).alias("batch"),
     )
-    root = _scratch_dir("merge_upsert")
-    merge_into_versioned(spark, target0, root, ["c_custkey"])
-    merge_into_versioned(spark, source, root, ["c_custkey"])
-    return read_versioned(spark, root).select(
+    from etl_spark_spark.sinks.catalog import detect_backend
+
+    backend = detect_backend(spark)
+    if backend == "versioned_parquet":
+        target = _scratch_dir("merge_upsert")
+    else:  # catalog backends take a table identifier, not a path
+        target = "merge_upsert_demo"
+        spark.sql(f"DROP TABLE IF EXISTS {target}")  # idempotent rerun
+    merge_into(spark, target0, target, ["c_custkey"], backend=backend)
+    merge_into(spark, source, target, ["c_custkey"], backend=backend)
+    return read_merged(spark, target, backend=backend).select(
         "c_custkey", "c_name", "acctbal_cents", "batch"
     )
 

@@ -8,6 +8,13 @@ from .write import (
     write_zordered,
 )
 
+from .catalog import (
+    build_merge_sql,
+    detect_backend,
+    merge_into,
+    read_merged,
+)
+
 from .versioned import (
     current_version,
     list_versions,
@@ -25,4 +32,5 @@ __all__ = [
     "merge_into_versioned", "vacuum_versions", "current_version",
     "snapshot_diff",
     "list_versions",
+    "build_merge_sql", "detect_backend", "merge_into", "read_merged",
 ]
