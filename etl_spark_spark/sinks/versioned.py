@@ -9,16 +9,32 @@ expressed with filesystem primitives —
 
 - a writer stages data fully into a UNIQUE staging directory
   (``_v/.staging-{uuid}/``) that no reader ever resolves;
-- commit is ONE atomic put-if-absent: creating the version entry
-  ``_v/v{N:08d}`` as a symlink to the staging directory. Symlink
-  creation fails with EEXIST if the slot is taken, so two writers
-  racing for the same version number get exactly one winner — the
-  same compare-and-swap a real catalog performs on its commit log.
-  Because data is complete before the symlink exists, a version entry
-  either IS a full snapshot or does not exist; there is no
-  half-committed state to misread;
-- a crash before the symlink leaves an unreferenced staging directory
-  (invisible to readers; ``vacuum_versions`` sweeps it);
+- commit is ONE atomic put-if-absent of the version entry
+  ``_v/v{N:08d}``, in one of two interchangeable layouts:
+
+  * ``symlink`` — the entry is a symlink to the staging directory
+    (POSIX filesystems);
+  * ``marker``  — the entry is a small MANIFEST FILE whose content is
+    the staging directory name, published with hard-link-from-temp
+    (write the content to a hidden temp file, ``os.link`` it to the
+    entry name): the link is atomic put-if-absent AND the content is
+    complete before the name exists, so no reader can observe a
+    half-written pointer. This is the object-store shape — stores
+    without symlinks express the same commit as a conditional PUT
+    (S3 ``If-None-Match``, GCS ``ifGenerationMatch=0``) of the
+    manifest object; only :func:`_commit_entry` would change.
+
+  Either way creation fails with EEXIST if the slot is taken, so two
+  writers racing for the same version number get exactly one winner —
+  the same compare-and-swap a real catalog performs on its commit
+  log. Because data is complete before the entry exists, a version
+  entry either IS a full snapshot or does not exist; there is no
+  half-committed state to misread. The default layout is ``auto``:
+  probe symlink support once per table root and fall back to markers
+  where symlinks are unsupported; the two layouts coexist in one
+  table (readers resolve each entry by its own kind);
+- a crash before the commit entry leaves an unreferenced staging
+  directory (invisible to readers; ``vacuum_versions`` sweeps it);
 - committed = "the version entry exists as a symlink". The ``_current``
   manifest is kept as a monotonically-advancing hint (and for
   compatibility with tables written by the pre-CAS layout, whose
@@ -66,6 +82,72 @@ def _version_dir(path: str | Path, version: int) -> Path:
     return Path(path) / _VDIR / f"v{version:08d}"
 
 
+_LAYOUT_CACHE: dict[str, str] = {}
+
+
+def _pick_layout(root: Path, layout: str) -> str:
+    """Resolve ``layout='auto'`` by probing symlink support once per
+    table root (object-store FUSE mounts and some network filesystems
+    reject symlink creation — the marker protocol covers them)."""
+    if layout in ("symlink", "marker"):
+        return layout
+    if layout != "auto":
+        raise ValueError(f"layout must be auto|symlink|marker, got {layout!r}")
+    key = str(root)
+    cached = _LAYOUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    probe = root / _VDIR / f".probe-{uuid.uuid4().hex}"
+    try:
+        os.symlink(".", probe)
+        os.unlink(probe)
+        picked = "symlink"
+    except OSError:
+        picked = "marker"
+    _LAYOUT_CACHE[key] = picked
+    return picked
+
+
+def _commit_entry(
+    root: Path, version: int, staging_name: str, layout: str
+) -> None:
+    """Publish ``version`` -> ``staging_name`` with ONE atomic
+    put-if-absent; raises FileExistsError when the slot is taken
+    (the CAS losing side). ``marker`` writes the pointer content to a
+    hidden temp file first and hard-links it into place, so the entry
+    name never exists with incomplete content."""
+    entry = _version_dir(root, version)
+    if layout == "symlink":
+        os.symlink(staging_name, entry)
+        return
+    tmp = root / _VDIR / f".cmt-{uuid.uuid4().hex}"
+    tmp.write_text(staging_name + "\n")
+    try:
+        os.link(tmp, entry)
+    finally:
+        os.unlink(tmp)
+
+
+def _entry_target_name(entry: Path) -> str | None:
+    """The staging-directory name a committed entry points at, or None
+    for a legacy real-directory entry (which IS its own data dir)."""
+    if entry.is_symlink():
+        return os.readlink(entry)
+    if entry.is_file():
+        return entry.read_text().strip()
+    return None
+
+
+def _snapshot_data_dir(path: str | Path, version: int) -> Path:
+    """The directory holding a committed version's data files,
+    whichever entry layout committed it."""
+    entry = _version_dir(path, version)
+    target = _entry_target_name(entry)
+    if target is None:
+        return entry
+    return Path(path) / _VDIR / target
+
+
 def _manifest_version(path: str | Path) -> int | None:
     m = Path(path) / _MANIFEST
     if not m.exists():
@@ -86,7 +168,7 @@ def _advance_manifest(root: Path, version: int) -> None:
 
 def _is_committed(path: str | Path, version: int) -> bool:
     p = _version_dir(path, version)
-    if p.is_symlink():
+    if p.is_symlink() or p.is_file():
         return True  # CAS protocol: entry existence == committed
     if p.is_dir():
         # pre-CAS layout: real directory, committed only up to the
@@ -101,6 +183,7 @@ def _is_committed(path: str | Path, version: int) -> bool:
             v
             for v in list_versions(path)
             if _version_dir(path, v).is_symlink()
+            or _version_dir(path, v).is_file()
         ]
         return not links or version < links[0]
     return False
@@ -135,10 +218,16 @@ def write_version(
     path: str | Path,
     fmt: str = "parquet",
     expected_current: int | None | str = _ANY,
+    layout: str = "auto",
 ) -> int:
     """Commit ``df`` as the table's next version. Data lands fully in a
-    unique staging directory BEFORE the atomic symlink commit publishes
+    unique staging directory BEFORE the atomic commit entry publishes
     it; a crash before the commit leaves readers untouched.
+
+    ``layout`` picks the commit-entry protocol: ``'symlink'`` (POSIX),
+    ``'marker'`` (put-if-absent manifest file — the object-store-safe
+    shape), or ``'auto'`` (probe symlink support per table root, fall
+    back to markers). Layouts may be mixed within one table.
 
     ``expected_current`` selects the write mode:
 
@@ -152,6 +241,7 @@ def write_version(
     """
     root = Path(path)
     (root / _VDIR).mkdir(parents=True, exist_ok=True)
+    layout = _pick_layout(root, layout)
     staging = root / _VDIR / f".staging-{uuid.uuid4().hex}"
     df.write.format(fmt).mode("errorifexists").save(str(staging))
 
@@ -169,9 +259,9 @@ def write_version(
         while target in taken:
             target += 1
         try:
-            # atomic put-if-absent: relative link keeps the table
+            # atomic put-if-absent: relative pointer keeps the table
             # relocatable
-            os.symlink(staging.name, _version_dir(root, target))
+            _commit_entry(root, target, staging.name, layout)
         except FileExistsError:
             if cas:
                 shutil.rmtree(staging)
@@ -216,7 +306,7 @@ def read_versioned(
             f"version {v} under {path} is not a committed snapshot "
             "(orphaned or never written)"
         )
-    return spark.read.format(fmt).load(str(_version_dir(path, v)))
+    return spark.read.format(fmt).load(str(_snapshot_data_dir(path, v)))
 
 
 def merge_into_versioned(
@@ -375,7 +465,7 @@ def compact_table(
     cur = current_version(path)
     if cur is None:
         raise FileNotFoundError(f"versioned table {path} has no commits")
-    vdir = _version_dir(path, cur)
+    vdir = _snapshot_data_dir(path, cur)
     on_disk = sum(
         f.stat().st_size
         for f in Path(vdir).rglob("*")
@@ -409,17 +499,17 @@ def vacuum_versions(path: str | Path, keep: int = 1) -> list[int]:
     drop = (committed[:-keep] if len(committed) > keep else []) + uncommitted
     for v in drop:
         p = _version_dir(root, v)
-        if p.is_symlink():
-            tgt = (root / _VDIR / os.readlink(p)).resolve()
+        tgt_name = _entry_target_name(p)
+        if tgt_name is not None:
             os.unlink(p)
-            shutil.rmtree(tgt, ignore_errors=True)
+            shutil.rmtree(root / _VDIR / tgt_name, ignore_errors=True)
         else:
             shutil.rmtree(p)
     # sweep staging dirs no surviving version references
     referenced = {
-        os.readlink(_version_dir(root, v))
+        name
         for v in committed_versions(root)
-        if _version_dir(root, v).is_symlink()
+        if (name := _entry_target_name(_version_dir(root, v))) is not None
     }
     vroot = root / _VDIR
     for d in vroot.iterdir():
