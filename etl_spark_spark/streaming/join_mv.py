@@ -116,6 +116,47 @@ def read_join_view(spark: SparkSession, state_path: str) -> DataFrame:
     return spark.read.parquet(f"{state_path}/view").drop("__batch_id")
 
 
+def _bucket_manifest(location_root: str) -> str:
+    return f"{location_root}/_bucket_meta.json"
+
+
+def register_join_mv_tables(
+    spark: SparkSession, location_root: str
+) -> list[str]:
+    """Re-register the bucketed side tables in a NEW session's catalog
+    from the on-disk manifest ``_bucket_meta.json`` (written by
+    :func:`apply_join_batch_bucketed` when given ``location_root``).
+
+    This closes the shared-metastore gap: bucket metadata normally
+    lives only in the session catalog that ran ``saveAsTable``, so a
+    fresh session reading the same files would lose the bucketing and
+    pay a full history shuffle per delta join. The manifest records
+    (schema DDL, bucket columns, bucket count, location); registration
+    is a ``CREATE TABLE ... USING parquet CLUSTERED BY ... INTO n
+    BUCKETS LOCATION ...`` plus partition recovery — after it, the
+    delta-join plan is exchange-free on the history side again
+    (pinned by test). Idempotent: already-registered tables are
+    skipped. Returns the tables it created."""
+    import json
+
+    with open(_bucket_manifest(location_root)) as f:
+        meta = json.load(f)
+    created: list[str] = []
+    for tbl, info in meta["tables"].items():
+        if spark.catalog.tableExists(tbl):
+            continue
+        cluster = ", ".join(f"`{c}`" for c in info["bucket_cols"])
+        spark.sql(
+            f"CREATE TABLE {tbl} ({info['schema_ddl']}) USING parquet "
+            f"PARTITIONED BY (`__batch_id`) "
+            f"CLUSTERED BY ({cluster}) INTO {info['num_buckets']} BUCKETS "
+            f"LOCATION '{info['location']}'"
+        )
+        spark.catalog.recoverPartitions(tbl)
+        created.append(tbl)
+    return created
+
+
 def apply_join_batch_bucketed(
     batch_left: DataFrame,
     batch_right: DataFrame,
@@ -124,6 +165,7 @@ def apply_join_batch_bucketed(
     table_prefix: str,
     view_path: str,
     num_buckets: int = 32,
+    location_root: str | None = None,
 ) -> None:
     """SCALE form of :func:`apply_join_batch`: the accumulated sides
     live as BUCKETED catalog tables (hash-bucketed on the join key,
@@ -140,25 +182,63 @@ def apply_join_batch_bucketed(
     in both side tables and the view. First batch creates the tables
     (``bucketBy`` needs ``saveAsTable`` — bucket metadata cannot live
     on bare paths, which is exactly why the plain form can't have this
-    cost profile)."""
+    cost profile).
+
+    With ``location_root`` the side tables are EXTERNAL (data under
+    ``{location_root}/{table}``) and a ``_bucket_meta.json`` manifest
+    is maintained next to them, so a NEW session — a restarted driver,
+    another cluster — re-registers the bucketed sides with
+    :func:`register_join_mv_tables` and keeps the exchange-free
+    history plan. Without it, bucket metadata lives only in this
+    session's catalog (the round-6 limitation this closes)."""
     spark = batch_left.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     on = list(on)
     bl = batch_left.localCheckpoint()
     br = batch_right.localCheckpoint()
 
+    def _record_manifest(batch: DataFrame, tbl: str) -> None:
+        """Append this table to the location_root manifest so a fresh
+        session can re-register the bucketed side (tiny driver-side
+        JSON, rewritten atomically via os.replace)."""
+        import json
+        import os as _os
+
+        # data columns' DDL; the partition column is declared last so
+        # CREATE TABLE + recoverPartitions reproduce this exact layout
+        ddl = batch._jdf.schema().toDDL() + ", `__batch_id` BIGINT"
+        manifest = _bucket_manifest(location_root)
+        meta = {"tables": {}}
+        if _os.path.exists(manifest):
+            with open(manifest) as f:
+                meta = json.load(f)
+        meta["tables"][tbl] = {
+            "location": f"{location_root}/{tbl}",
+            "bucket_cols": on,
+            "num_buckets": num_buckets,
+            "schema_ddl": ddl,
+        }
+        tmp = f"{manifest}.tmp{batch_id}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        _os.replace(tmp, manifest)
+
     def _accumulate(batch: DataFrame, tbl: str) -> None:
         tagged = batch.withColumn(
             "__batch_id", F.lit(batch_id).cast("long")
         )
         if not spark.catalog.tableExists(tbl):
-            (
+            writer = (
                 tagged.write.format("parquet")
                 .partitionBy("__batch_id")
                 .bucketBy(num_buckets, *on)
                 .mode("overwrite")
-                .saveAsTable(tbl)
             )
+            if location_root is not None:
+                writer = writer.option("path", f"{location_root}/{tbl}")
+            writer.saveAsTable(tbl)
+            if location_root is not None:
+                _record_manifest(batch, tbl)
         else:
             cols = spark.table(tbl).columns  # insertInto is positional
             tagged.select(*cols).write.insertInto(tbl, overwrite=True)
@@ -184,6 +264,82 @@ def apply_join_batch_bucketed(
     _accumulate(bl, l_tbl)
     _accumulate(br, r_tbl)
     _append_partition(dv, batch_id, view_path)
+
+
+def run_stream_join_mv(
+    stream_df: DataFrame,
+    on: Sequence[str],
+    side_col: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    table_prefix: str,
+    view_path: str,
+    checkpoint_dir: str,
+    num_buckets: int = 32,
+    location_root: str | None = None,
+    watermark: tuple[str, str] | None = None,
+    query_name: str = "stream_join_mv",
+    timeout_sec: int = 120,
+) -> None:
+    """TRUE ``readStream`` entry point for join-view maintenance
+    (mirrors :func:`streaming.mv.run_stream_rollup`): drain a
+    multiplexed CDC-style stream — each row tagged ``side_col`` in
+    {'left','right'}, carrying the union of both sides' columns —
+    with an availableNow trigger, folding every micro-batch through
+    :func:`apply_join_batch_bucketed`.
+
+    Late data contract: the maintained join view is TOTAL, not
+    windowed — a batch whose rows are event-time late relative to
+    earlier batches still folds in via the same bilinear delta rule
+    (insert order never matters for ΔL⋈R_prev ∪ L_prev⋈ΔR ∪ ΔL⋈ΔR),
+    so the end state equals a batch join over everything delivered
+    INCLUDING late arrivals (pinned by test). ``watermark=(ts_col,
+    delay)`` is accepted for composition with upstream windowed
+    stages; it does not evict join-MV state — eviction policy for
+    unbounded sides belongs to a TTL'd variant, not silent drops.
+
+    Exactly-once: Structured Streaming's checkpoint makes delivery
+    at-least-once per batch id; the fold is replay-idempotent by
+    batch-id partition overwrite, so crash/replay cannot double-count
+    (same story as the batch entry points, pinned there)."""
+    on = list(on)
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+    if watermark is not None:
+        stream_df = stream_df.withWatermark(*watermark)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        bl = batch_df.filter(F.col(side_col) == "left").select(
+            *on, *left_cols
+        )
+        br = batch_df.filter(F.col(side_col) == "right").select(
+            *on, *right_cols
+        )
+        apply_join_batch_bucketed(
+            bl,
+            br,
+            batch_id,
+            on,
+            table_prefix,
+            view_path,
+            num_buckets=num_buckets,
+            location_root=location_root,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"stream '{query_name}' did not drain within {timeout_sec}s"
+            )
+    finally:
+        q.stop()
 
 
 MULT_COL = "__mult"

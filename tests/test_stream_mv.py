@@ -295,3 +295,185 @@ def test_stream_rollup_accepts_cdc_batches(spark, tmp_path):
         for r in agg_snapshot(final, keys, measures).collect()
     }
     assert got == want == {"a": (1000, 1), "b": (2500, 1)}
+
+
+def test_join_mv_bucket_metadata_survives_session_restart(
+    spark, sf_dir, tmp_path
+):
+    """Round-7: with location_root, the bucketed side tables are
+    EXTERNAL and described by an on-disk manifest, so a NEW session
+    (simulated by dropping the catalog entries — external data stays)
+    re-registers them with register_join_mv_tables and gets back
+    (a) the exact same history rows, (b) the exchange-free history
+    side of the delta join, (c) a continuing maintenance loop."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.sources import table
+    from etl_spark_spark.streaming.join_mv import (
+        apply_join_batch_bucketed,
+        register_join_mv_tables,
+    )
+
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_suppkey"],
+    ).withColumnRenamed("l_orderkey", "k")
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+    ).withColumnRenamed("o_orderkey", "k")
+    pfx = f"jv_meta_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "warehouse")
+    view = str(tmp_path / "view")
+    tables = (f"{pfx}_left", f"{pfx}_right")
+    try:
+        for b in range(2):
+            apply_join_batch_bucketed(
+                li.filter(F.col("l_suppkey") % 3 == b),
+                orders.filter(F.col("o_custkey") % 3 == b),
+                b, ["k"], pfx, view, location_root=loc,
+            )
+        before = {
+            t: spark.table(t).count() for t in tables
+        }
+        # "restart": the in-session catalog forgets the tables; the
+        # external data and the manifest survive on disk
+        for t in tables:
+            spark.sql(f"DROP TABLE {t}")
+            assert not spark.catalog.tableExists(t)
+        created = register_join_mv_tables(spark, loc)
+        assert sorted(created) == sorted(tables)
+        for t in tables:
+            assert spark.table(t).count() == before[t]
+
+        # the re-registered history side still joins exchange-free:
+        # only the delta shuffles
+        hist = spark.table(f"{pfx}_right").filter(
+            F.col("__batch_id") < 99
+        ).drop("__batch_id")
+        plan = (
+            li.hint("merge").join(hist, "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+
+        # maintenance continues across the restart: batch 2 folds in
+        # through the re-registered tables and the view equals the
+        # one-shot join over everything delivered
+        apply_join_batch_bucketed(
+            li.filter(F.col("l_suppkey") % 3 == 2),
+            orders.filter(F.col("o_custkey") % 3 == 2),
+            2, ["k"], pfx, view, location_root=loc,
+        )
+        got = spark.read.parquet(view).drop("__batch_id")
+        want = li.join(orders, "k")
+        assert got.count() == want.count()
+        assert got.exceptAll(want.select(*got.columns)).count() == 0
+
+        # idempotent: re-registering with tables present is a no-op
+        assert register_join_mv_tables(spark, loc) == []
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_readstream_join_mv_end_to_end_with_late_batch(spark, tmp_path):
+    """Round-7: true readStream -> apply_join_batch_bucketed ->
+    availableNow, two drains. The SECOND drain delivers an event-time
+    LATE batch (older ts than anything in the first drain, past the
+    declared watermark delay); the maintained view must still equal a
+    batch join over everything delivered — the join MV is total, and
+    the delta rule is order-independent."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.streaming.join_mv import run_stream_join_mv
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = (
+        "side string, k long, ts timestamp, lv string, rv string"
+    )
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            rows, schema
+        )
+
+    # drain 1: two files -> two micro-batches (maxFilesPerTrigger=1)
+    rows_df(
+        [
+            ("left", 1, None, "a1", None),
+            ("left", 2, None, "a2", None),
+            ("right", 1, None, None, "b1"),
+        ]
+    ).withColumn("ts", F.lit("2026-01-10 00:00:00").cast("timestamp")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(feed / "f0"))
+    rows_df(
+        [
+            ("right", 2, None, None, "b2"),
+            ("left", 1, None, "a3", None),
+        ]
+    ).withColumn("ts", F.lit("2026-01-11 00:00:00").cast("timestamp")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(feed / "f1"))
+
+    pfx = f"jv_stream_{uuid.uuid4().hex[:8]}"
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed) + "/*")
+        )
+        run_stream_join_mv(
+            stream,
+            ["k"],
+            "side",
+            ["ts", "lv"],
+            ["rv"],
+            pfx,
+            view,
+            ckpt,
+            watermark=("ts", "1 hour"),
+        )
+
+    try:
+        drain()
+        got1 = {
+            (r["k"], r["lv"], r["rv"])
+            for r in spark.read.parquet(view).collect()
+        }
+        assert got1 == {(1, "a1", "b1"), (1, "a3", "b1"), (2, "a2", "b2")}
+
+        # drain 2: ONE new file, event-time 5 days older than drain 1
+        # (far past the 1h watermark) — late rows must still fold in
+        rows_df(
+            [
+                ("right", 1, None, None, "late_b"),
+                ("left", 3, None, "late_a", None),
+                ("right", 3, None, None, "b3"),
+            ]
+        ).withColumn(
+            "ts", F.lit("2026-01-05 00:00:00").cast("timestamp")
+        ).coalesce(1).write.mode("overwrite").parquet(str(feed / "f2"))
+        drain()
+
+        got2 = {
+            (r["k"], r["lv"], r["rv"])
+            for r in spark.read.parquet(view).collect()
+        }
+        # end state == batch recompute over EVERYTHING delivered
+        assert got2 == got1 | {
+            (1, "a1", "late_b"),
+            (1, "a3", "late_b"),
+            (3, "late_a", "b3"),
+        }
+    finally:
+        for t in (f"{pfx}_left", f"{pfx}_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
