@@ -2879,6 +2879,83 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cast_decimal_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven Decimal/TimestampNTZ cast policy (SURVEY §2 F16,
+    reference etl_job.py:15-25) under the hash gate — the one §2 item
+    that previously had no oracle row because the fixtures carry no
+    DecimalType. The query STAGES a genuinely decimal-typed table
+    (cast lineitem money columns to DECIMAL(18,4)/DECIMAL(9,6), write
+    parquet, read back — the read schema IS decimal, asserted), then
+    applies the policy three ways:
+
+    - default: every decimal -> double (the reference's sink rule);
+    - ``to=DecimalType(38,6)``: exact-decimal retention branch,
+      emitted as a string so both engines pin the exact scaled digits;
+    - ``timestamp_ntz=True``: timestamps -> TimestampNTZ, emitted as
+      an ISO string (the repo's date-output convention).
+
+    The oracle reproduces each branch with plain casts on the source
+    rows, so the staged write/read roundtrip is proven value-lossless
+    and the policy semantics are pinned cross-engine."""
+    from etl_spark_spark.functions.nulls import cast_decimals
+
+    li = table(
+        spark,
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    ).filter(F.col("l_suppkey") <= 5)
+    staged = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price_dec"),
+        F.col("l_discount").cast("decimal(9,6)").alias("disc_dec"),
+        F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
+    )
+    root = _scratch_dir("cast_decimal")
+    path = f"{root}/staged"
+    staged.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    for c in ("price_dec", "disc_dec"):
+        if not isinstance(back.schema[c].dataType, T.DecimalType):
+            raise TypeError(
+                f"staging failed: {c} read back as "
+                f"{back.schema[c].dataType}, expected DecimalType"
+            )
+    # both policy modes CHAINED on one pipeline (no key join — the
+    # synthetic fixture's (orderkey, linenumber) is not unique):
+    # decimal(18,4) --exact policy--> decimal(38,6), freeze the exact
+    # branch as a string, then --default policy--> double + NTZ. The
+    # widening cast is exact, so the double branch equals casting the
+    # original decimals directly (what the oracle does).
+    exact = cast_decimals(back, to=T.DecimalType(38, 6))
+    if not isinstance(exact.schema["price_dec"].dataType, T.DecimalType):
+        raise TypeError("exact-retention policy lost the decimal type")
+    dbl = cast_decimals(
+        exact.withColumn(
+            "price_dec38", F.col("price_dec").cast("string")
+        ),
+        timestamp_ntz=True,
+    )
+    if not isinstance(dbl.schema["ship_ts"].dataType, T.TimestampNTZType):
+        raise TypeError("timestamp_ntz policy did not produce NTZ")
+    return dbl.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("price_dec").alias("price_double"),
+        F.col("disc_dec").alias("disc_double"),
+        "price_dec38",
+        F.date_format("ship_ts", "yyyy-MM-dd HH:mm:ss").alias("ship_ntz"),
+    )
+
+
 def q_indexed_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end z-order + stats-index scan path under the hash gate:
     write orders Morton-clustered on (o_custkey, o_totalprice)
@@ -5196,41 +5273,119 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the (threshold, recall) contract the tuned eval pins — banding is
+# DERIVED from these via the S-curve (plan_banding), not hand-picked
+_EVAL_THRESHOLDS = (0.5, 0.7, 0.8)
+_EVAL_TARGET_RECALL = 0.9
+_EVAL_MAX_PERMS = 64
+
+
 def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Operator-quality evaluation as a query: recall of the banded
-    MinHash-LSH near-dup detector against the EXACT Jaccard >= 0.5
-    ground truth (computed by the prefix-filtered exact join — proven
-    equal to brute force). One row: pair counts, true positives, and
-    exact-ratio recall/precision. The standard report a dedup pipeline
-    publishes before anyone trusts its banding parameters."""
+    """Operator-quality evaluation as a query (round-7 tuned form):
+    recall/precision of the banded MinHash-LSH detector against the
+    EXACT Jaccard ground truth, at thresholds {0.5, 0.7, 0.8}, with
+    banding AUTO-DERIVED per threshold from the (threshold,
+    target_recall=0.9) contract via the S-curve 1-(1-t^r)^b
+    (operators.neardup.plan_banding) — replacing the round-6 fixed
+    toy settings (8 perms / 2 rows, P(0.5)=0.68). One row per
+    threshold; the report a dedup pipeline publishes before anyone
+    trusts its banding. The exact side is computed ONCE at the lowest
+    threshold and filtered per row (prefix-filtered exact join —
+    proven equal to brute force; inherits the O(n^2) eval-only guard,
+    see q_neardup_recall_sampled for the scale path)."""
     from etl_spark_spark.operators.neardup import (
-        near_dup_minhash,
+        _minhash_rep_pairs,
+        collapse_identical_sets,
+        expand_collapsed_pairs,
+        minhash_signature,
+        plan_banding,
         prefix_filtered_jaccard_pairs,
+        shingle_set,
     )
 
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("t"))
     exact = prefix_filtered_jaccard_pairs(
-        toks, "doc_id", word_shingles("t", 3), threshold=0.5
-    ).select("id_a", "id_b")
-    lsh = near_dup_minhash(
-        toks, "doc_id", word_shingles("t", 3), num_perms=8,
-        rows_per_band=2, threshold=0.5,
-    ).select("id_a", "id_b")
-    tp = exact.join(lsh, ["id_a", "id_b"])
-    stats = exact.agg(F.count("*").alias("n_exact")).crossJoin(
-        lsh.agg(F.count("*").alias("n_lsh"))
-    ).crossJoin(tp.agg(F.count("*").alias("n_tp")))
-    return stats.select(
-        "n_exact",
-        "n_lsh",
-        "n_tp",
-        (F.col("n_tp").cast("double") / F.col("n_exact").cast("double")).alias(
-            "recall"
-        ),
-        (F.col("n_tp").cast("double") / F.col("n_lsh").cast("double")).alias(
-            "precision"
-        ),
+        toks, "doc_id", word_shingles("t", 3), threshold=min(_EVAL_THRESHOLDS)
+    ).select("id_a", "id_b", "jaccard").localCheckpoint()
+    # shared inputs, materialized once: the collapsed shingle table,
+    # the expansion table, and ONE signature at the max perm count —
+    # each threshold bands a PREFIX of the same mh columns (identical
+    # values to computing its own signature; the md5 pass — the
+    # dominant cost — is paid once, not per threshold)
+    plans = {
+        t: plan_banding(t, _EVAL_TARGET_RECALL, _EVAL_MAX_PERMS)
+        for t in _EVAL_THRESHOLDS
+    }
+    sh = shingle_set(toks, "doc_id", word_shingles("t", 3))
+    reps_sh, members = collapse_identical_sets(sh, "doc_id")
+    reps_sh = reps_sh.localCheckpoint()
+    members = members.localCheckpoint()
+    sig = minhash_signature(
+        reps_sh, "doc_id", max(np_ for np_, _ in plans.values())
+    ).localCheckpoint()
+    out = None
+    for t in _EVAL_THRESHOLDS:
+        num_perms, rows_per_band = plans[t]
+        ex_t = exact.filter(F.col("jaccard") >= t).select("id_a", "id_b")
+        rep_pairs = _minhash_rep_pairs(
+            reps_sh, "doc_id", num_perms, rows_per_band, t, sig=sig
+        )
+        lsh_t = (
+            expand_collapsed_pairs(rep_pairs, members, {"jaccard": F.lit(1.0)})
+            .filter(F.col("jaccard") >= t)
+            .select("id_a", "id_b")
+        )
+        tp = ex_t.join(lsh_t, ["id_a", "id_b"])
+        row = (
+            ex_t.agg(F.count("*").alias("n_exact"))
+            .crossJoin(lsh_t.agg(F.count("*").alias("n_lsh")))
+            .crossJoin(tp.agg(F.count("*").alias("n_tp")))
+            .select(
+                F.lit(int(round(t * 100))).cast("long").alias(
+                    "threshold_pct"
+                ),
+                F.lit(num_perms).cast("long").alias("num_perms"),
+                F.lit(rows_per_band).cast("long").alias("rows_per_band"),
+                "n_exact",
+                "n_lsh",
+                "n_tp",
+                (
+                    F.col("n_tp").cast("double")
+                    / F.col("n_exact").cast("double")
+                ).alias("recall"),
+                (
+                    F.col("n_tp").cast("double")
+                    / F.col("n_lsh").cast("double")
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def q_neardup_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall measurement that SCALES (round-7 judge task 5): the
+    ground-truth side is a deterministic 1/4 hash-sample of the exact
+    rep-level true pairs (operators.neardup.sampled_ground_truth_pairs
+    — pair generation streams through the sample filter, nothing
+    quadratic is materialized), so the recall report itself can
+    accompany the registry to corpus sizes where the exact eval's
+    O(n^2) guard raises. Detector side: auto-tuned banding at the
+    (0.5, 0.9) contract. One row: banding, sample modulus, sampled
+    true-pair count, detected count, recall estimate."""
+    from etl_spark_spark.operators.neardup import sampled_recall_report
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    return sampled_recall_report(
+        toks,
+        "doc_id",
+        word_shingles("t", 3),
+        threshold=0.5,
+        target_recall=_EVAL_TARGET_RECALL,
+        pair_mod=4,
+        max_perms=_EVAL_MAX_PERMS,
     )
 
 
@@ -5656,6 +5811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_pit_dimension": q_orders_pit_dimension,
         "doc_length_winsor": q_doc_length_winsor,
         "merge_upsert": q_merge_upsert,
+        "cast_decimal_policy": q_cast_decimal_policy,
         "production_daily_loop": q_production_daily_loop,
         "doc_dsir_weights": q_doc_dsir_weights,
         "emb_covariance": q_emb_covariance,
@@ -5742,6 +5898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "term_pmi": q_term_pmi,
         "neardup_eval": q_neardup_eval,
+        "neardup_recall_sampled": q_neardup_recall_sampled,
         "stock_balance_floor": q_stock_balance_floor,
         "purchase_survival_km": q_purchase_survival_km,
         "ab_logrank_test": q_ab_logrank_test,
@@ -7605,6 +7762,18 @@ SELECT doc_id, d.source, n_chars,
 FROM documents d JOIN bands b ON d.source = b.source
 """
 
+_CAST_DECIMAL_POLICY_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE)
+         AS price_double,
+       CAST(CAST(l_discount AS DECIMAL(9,6)) AS DOUBLE) AS disc_double,
+       CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(38,6))
+            AS VARCHAR) AS price_dec38,
+       strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+         AS ship_ntz
+FROM lineitem WHERE l_suppkey <= 5
+"""
+
 _MERGE_UPSERT_SQL = """
 WITH target AS (
   SELECT c_custkey, c_name,
@@ -8788,54 +8957,184 @@ LIMIT 50
 """
 
 
-_NEARDUP_EVAL_SQL_TMPL = """
-WITH {shingles},
+def _mh_cols_sql(num_perms: int) -> str:
+    """min-of-salted-md5 signature columns — the DuckDB mirror of
+    operators.neardup.minhash_signature at an arbitrary perm count."""
+    return ", ".join(
+        f"min(md5('{p}~' || s)) AS mh{p}" for p in range(num_perms)
+    )
+
+
+def _bands_sql_for(num_perms: int, rows_per_band: int, sig: str) -> str:
+    """Band/key rows for arbitrary (num_perms, rows_per_band) — the
+    mirror of operators.neardup.lsh_candidate_pairs' banding."""
+    parts = []
+    for b in range(num_perms // rows_per_band):
+        key = " || '#' || ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        parts.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM {sig}")
+    return " UNION ALL ".join(parts)
+
+
+def _neardup_eval_tuned_sql() -> str:
+    """Oracle for the tuned q_neardup_eval: one row per threshold in
+    _EVAL_THRESHOLDS, banding derived by the SAME plan_banding call the
+    Spark side uses (imported, not duplicated — the S-curve math is
+    pinned once). Exact ground truth computed once at the floor
+    threshold with its jaccard kept, filtered per row."""
+    from etl_spark_spark.operators.neardup import plan_banding
+
+    floor = min(_EVAL_THRESHOLDS)
+    blocks = []
+    selects = []
+    for t in _EVAL_THRESHOLDS:
+        np_, r = plan_banding(t, _EVAL_TARGET_RECALL, _EVAL_MAX_PERMS)
+        tag = int(round(t * 100))
+        blocks.append(
+            f"""
+sig_{tag} AS (SELECT doc_id, {_mh_cols_sql(np_)} FROM sh GROUP BY doc_id),
+bands_{tag} AS ({_bands_sql_for(np_, r, f'sig_{tag}')}),
+cand_{tag} AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands_{tag} a JOIN bands_{tag} b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+linter_{tag} AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand_{tag} c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+),
+lsh_{tag} AS (
+    SELECT i.id_a, i.id_b
+    FROM linter_{tag} i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= {t}
+),
+s_{tag} AS (
+  SELECT (SELECT count(*) FROM exact_pairs WHERE jaccard >= {t}) AS n_exact,
+         (SELECT count(*) FROM lsh_{tag}) AS n_lsh,
+         (SELECT count(*) FROM exact_pairs e
+            JOIN lsh_{tag} l ON l.id_a = e.id_a AND l.id_b = e.id_b
+            WHERE e.jaccard >= {t}) AS n_tp
+)"""
+        )
+        selects.append(
+            f"""
+SELECT CAST({tag} AS BIGINT) AS threshold_pct,
+       CAST({np_} AS BIGINT) AS num_perms,
+       CAST({r} AS BIGINT) AS rows_per_band,
+       CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
+       CAST(n_tp AS BIGINT) AS n_tp,
+       CAST(n_tp AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall,
+       CAST(n_tp AS DOUBLE) / CAST(n_lsh AS DOUBLE) AS precision
+FROM s_{tag}"""
+        )
+    return (
+        "WITH "
+        + _SHINGLES
+        + """,
 exact0 AS (
     SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
     FROM sh x JOIN sh y ON y.s = x.s AND x.doc_id < y.doc_id
     GROUP BY 1, 2
 ),
 exact_pairs AS (
-    SELECT e.id_a, e.id_b
+    SELECT e.id_a, e.id_b, e.inter / (sa.n + sb.n - e.inter) AS jaccard
     FROM exact0 e
     JOIN sizes sa ON sa.doc_id = e.id_a
     JOIN sizes sb ON sb.doc_id = e.id_b
-    WHERE e.inter / (sa.n + sb.n - e.inter) >= 0.5
+    WHERE e.inter / (sa.n + sb.n - e.inter) >= """
+        + str(floor)
+        + "),"
+        + ",".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+def _neardup_recall_sampled_sql() -> str:
+    """Oracle for q_neardup_recall_sampled: the identical collapse ->
+    hash-sample -> exact-verify -> tuned-LSH-compare pipeline in
+    DuckDB. The pair sample uses the same md5-hex->int64 hash as the
+    Spark side (_pair_hash), so the sample is the same set of pairs;
+    the collapse mirrors collapse_identical_sets (families keyed by
+    the full sorted shingle set, rep = min doc_id)."""
+    from etl_spark_spark.operators.neardup import plan_banding
+
+    np_, r = plan_banding(0.5, _EVAL_TARGET_RECALL, _EVAL_MAX_PERMS)
+    pair_mod = 4
+    return (
+        "WITH "
+        + _SHINGLES
+        + f""",
+setsig AS (
+  SELECT doc_id, md5(string_agg(s, chr(1) ORDER BY s)) AS fam
+  FROM sh GROUP BY doc_id
 ),
-sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
-bands AS ({bands}),
+reps AS (SELECT fam, min(doc_id) AS rid FROM setsig GROUP BY fam),
+rsh AS (SELECT s.doc_id, s.s FROM sh s JOIN reps r ON r.rid = s.doc_id),
+rsizes AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY doc_id),
+sampled AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rsh a JOIN rsh b ON b.s = a.s AND a.doc_id < b.doc_id
+  WHERE ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR) || '#'
+                            || CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % {pair_mod} = 0
+),
+tinter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM sampled c
+  JOIN rsh x ON x.doc_id = c.id_a
+  JOIN rsh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM tinter i
+  JOIN rsizes sa ON sa.doc_id = i.id_a
+  JOIN rsizes sb ON sb.doc_id = i.id_b
+  WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+),
+sig AS (SELECT doc_id, {_mh_cols_sql(np_)} FROM rsh GROUP BY doc_id),
+bands AS ({_bands_sql_for(np_, r, 'sig')}),
 cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ),
 linter AS (
-    SELECT c.id_a, c.id_b, count(*) AS inter
-    FROM cand c
-    JOIN sh x ON x.doc_id = c.id_a
-    JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
-    GROUP BY 1, 2
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN rsh x ON x.doc_id = c.id_a
+  JOIN rsh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY 1, 2
 ),
-lsh_pairs AS (
-    SELECT i.id_a, i.id_b
-    FROM linter i
-    JOIN sizes sa ON sa.doc_id = i.id_a
-    JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+detected AS (
+  SELECT i.id_a, i.id_b
+  FROM linter i
+  JOIN rsizes sa ON sa.doc_id = i.id_a
+  JOIN rsizes sb ON sb.doc_id = i.id_b
+  WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
 ),
 s AS (
-  SELECT (SELECT count(*) FROM exact_pairs) AS n_exact,
-         (SELECT count(*) FROM lsh_pairs) AS n_lsh,
-         (SELECT count(*) FROM exact_pairs e
-            JOIN lsh_pairs l ON l.id_a = e.id_a AND l.id_b = e.id_b)
-           AS n_tp
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM truth t
+            JOIN detected d ON d.id_a = t.id_a AND d.id_b = t.id_b)
+           AS n_hit
 )
-SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
-       CAST(n_tp AS BIGINT) AS n_tp,
-       CAST(n_tp AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall,
-       CAST(n_tp AS DOUBLE) / CAST(n_lsh AS DOUBLE) AS precision
+SELECT CAST({np_} AS BIGINT) AS num_perms,
+       CAST({r} AS BIGINT) AS rows_per_band,
+       CAST({pair_mod} AS BIGINT) AS pair_mod,
+       CAST(n_true AS BIGINT) AS n_true_sampled,
+       CAST(n_hit AS BIGINT) AS n_detected_of_sampled,
+       CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall_sampled
 FROM s
 """
+    )
 
 
 _STOCK_BALANCE_FLOOR_SQL = """
@@ -9222,6 +9521,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_pit_dimension": _ORDERS_PIT_DIMENSION_SQL,
         "doc_length_winsor": _DOC_LENGTH_WINSOR_SQL,
         "merge_upsert": _MERGE_UPSERT_SQL,
+        "cast_decimal_policy": _CAST_DECIMAL_POLICY_SQL,
         # compaction is lossless by contract: same MERGE expansion
         "compacted_snapshot": _MERGE_UPSERT_SQL,
         "production_daily_loop": _PRODUCTION_DAILY_LOOP_SQL,
@@ -9425,9 +9725,8 @@ FROM picked
         ),
         "basket_rules": _BASKET_RULES_SQL,
         "term_pmi": _TERM_PMI_SQL,
-        "neardup_eval": _NEARDUP_EVAL_SQL_TMPL.format(
-            shingles=_SHINGLES, mh=_MH_COLS, bands=_BANDS_SQL
-        ),
+        "neardup_eval": _neardup_eval_tuned_sql(),
+        "neardup_recall_sampled": _neardup_recall_sampled_sql(),
         "stock_balance_floor": _STOCK_BALANCE_FLOOR_SQL,
         "purchase_survival_km": _PURCHASE_SURVIVAL_KM_SQL,
         "ab_logrank_test": _AB_LOGRANK_TEST_SQL,

@@ -18,7 +18,10 @@ from .neardup import (
     near_dup_drop_ids,
     near_dup_minhash,
     ngram_jaccard_pairs,
+    plan_banding,
     prefix_filtered_jaccard_pairs,
+    sampled_ground_truth_pairs,
+    sampled_recall_report,
     signature_bands,
     simhash,
 )
@@ -123,6 +126,9 @@ __all__ = [
     "allocate_proportional",
     "exact_dedup",
     "near_dup_minhash",
+    "plan_banding",
+    "sampled_ground_truth_pairs",
+    "sampled_recall_report",
     "ngram_jaccard_pairs",
     "prefix_filtered_jaccard_pairs",
     "simhash",

@@ -121,6 +121,45 @@ def main() -> None:
     t_win = timeit(topk_window)
     t_partial = timeit(topk_partial)
 
+    # superdesconto's flagship shape (round-7 VERDICT task 7): top-1
+    # per zipf-hot key — the etiqueta barcode replica. The engine's
+    # max_by aggregate (top_one_per_group_agg, the exact operator the
+    # pipeline uses) vs the ranking-window form the reference's global
+    # sort implies. partial_max_by combines the hot key map-side, so
+    # the hot reducer receives ~one row per mapper; the window ships
+    # and sorts the hot key's full row set on one task.
+    from etl_spark_spark.operators.windows import top_one_per_group_agg
+
+    top1_order = F.struct(
+        F.col("v").alias("o1"), (-F.col("id")).alias("o2")
+    )
+
+    def top1_window():
+        w = Window.partitionBy("k").orderBy(F.desc("v"), F.asc("id"))
+        (
+            fact.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .agg(F.count("*"))
+            .collect()
+        )
+
+    def top1_maxby():
+        (
+            top_one_per_group_agg(fact, ["k"], top1_order)
+            .agg(F.count("*"))
+            .collect()
+        )
+
+    t_top1_win = timeit(top1_window)
+    t_top1_agg = timeit(top1_maxby)
+    # the plan property the pipeline relies on (also pinned by
+    # tests/test_plans.py::test_superdesconto_top1_partial_aggregates…)
+    plan = (
+        top_one_per_group_agg(fact, ["k"], top1_order)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_max_by" in plan, "max_by lost its partial aggregation"
+
     print("| shape | unsalted | salted | speedup |")
     print("|---|---|---|---|")
     print(
@@ -134,6 +173,11 @@ def main() -> None:
     print(
         f"| top-5 per key (window vs partial_topk) | {t_win:.2f} s | "
         f"{t_partial:.2f} s | {t_win / t_partial:.2f}x |"
+    )
+    print(
+        f"| superdesconto top-1 per etiqueta (window vs max_by agg, "
+        f"partial_max_by pinned) | {t_top1_win:.2f} s | "
+        f"{t_top1_agg:.2f} s | {t_top1_win / t_top1_agg:.2f}x |"
     )
 
 

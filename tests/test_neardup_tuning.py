@@ -1,0 +1,192 @@
+"""Round-7 banding auto-tuning + sampled ground truth.
+
+Pins:
+- plan_banding's S-curve math (recall bound met, precision-biased r
+  selection, budget feasibility, error contracts);
+- target_recall wiring in near_dup_minhash == explicit tuned banding;
+- sampled_ground_truth_pairs at pair_mod=1 equals the EXACT rep-level
+  truth on a twin-bearing corpus (the collapse is exercised), and the
+  hash sample is a subset that is deterministic across runs;
+- the registry eval queries honor the >= 0.9 recall contract at
+  thresholds {0.5, 0.7, 0.8} on the fixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_spark_spark.operators.neardup import (
+    collapse_identical_sets,
+    near_dup_minhash,
+    plan_banding,
+    prefix_filtered_jaccard_pairs,
+    sampled_ground_truth_pairs,
+    sampled_recall_report,
+    shingle_set,
+)
+
+
+def _scurve(t, num_perms, r):
+    b = num_perms // r
+    return 1.0 - (1.0 - t**r) ** b
+
+
+def test_plan_banding_meets_recall_bound():
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+        for target in (0.8, 0.9, 0.95):
+            np_, r = plan_banding(t, target, max_perms=128)
+            assert np_ % r == 0 and np_ <= 128
+            assert _scurve(t, np_, r) >= target, (t, target, np_, r)
+
+
+def test_plan_banding_prefers_sharpest_feasible_curve():
+    # r is the largest value whose minimal-b plan fits the budget:
+    # r+1 must be infeasible within max_perms
+    import math
+
+    for t, target, mx in ((0.5, 0.9, 64), (0.7, 0.9, 64), (0.8, 0.9, 64)):
+        np_, r = plan_banding(t, target, mx)
+        p1 = t ** (r + 1)
+        b_next = math.ceil(math.log(1 - target) / math.log1p(-p1))
+        assert b_next * (r + 1) > mx, (t, np_, r)
+
+
+def test_plan_banding_edges_and_errors():
+    assert plan_banding(1.0, 0.9, 64) == (1, 1)
+    with pytest.raises(ValueError, match="target_recall"):
+        plan_banding(0.5, 1.0)
+    with pytest.raises(ValueError, match="threshold"):
+        plan_banding(0.0)
+    with pytest.raises(ValueError, match="max_perms"):
+        plan_banding(0.5, 0.9, 0)
+    with pytest.raises(ValueError, match="raise max_perms"):
+        plan_banding(0.05, 0.999, 4)
+
+
+@pytest.fixture()
+def twin_corpus(spark):
+    """Docs with verbatim twins + a near-dup pair + unrelated tails."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    rows = [
+        (1, base),
+        (2, base),  # verbatim twin of 1
+        (3, near),  # near-dup of 1/2
+        (4, "completely different words fill this document entirely now"),
+        (5, "yet another unrelated text with its own vocabulary set"),
+        (6, base),  # second twin
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _toks(df):
+    return df.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    )
+
+
+def _sh3(col="t"):
+    t = F.col(col)
+    return F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.slice(t, 1, F.size(t) - 2),
+            lambda _x, i: F.concat_ws(
+                " ", t[i], t[i + 1], t[i + 2]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def test_target_recall_equals_explicit_banding(spark, twin_corpus):
+    toks = _toks(twin_corpus)
+    np_, r = plan_banding(0.5, 0.9, 64)
+    auto = near_dup_minhash(
+        toks, "doc_id", _sh3(), threshold=0.5, target_recall=0.9
+    )
+    explicit = near_dup_minhash(
+        toks, "doc_id", _sh3(), num_perms=np_, rows_per_band=r,
+        threshold=0.5,
+    )
+    assert auto.exceptAll(explicit).count() == 0
+    assert explicit.exceptAll(auto).count() == 0
+
+
+def test_sampled_truth_mod1_equals_exact_rep_pairs(spark, twin_corpus):
+    toks = _toks(twin_corpus)
+    # exact doc-level pairs, restricted to distinct-set representatives
+    sh = shingle_set(toks, "doc_id", _sh3())
+    _reps, members = collapse_identical_sets(sh, "doc_id")
+    reps = {r["__r"] for r in members.select("__r").distinct().collect()}
+    exact = prefix_filtered_jaccard_pairs(
+        toks, "doc_id", _sh3(), threshold=0.5
+    )
+    exact_rep = {
+        (r["id_a"], r["id_b"])
+        for r in exact.collect()
+        if r["id_a"] in reps and r["id_b"] in reps
+    }
+    got_all = {
+        (r["id_a"], r["id_b"])
+        for r in sampled_ground_truth_pairs(
+            toks, "doc_id", _sh3(), threshold=0.5, pair_mod=1
+        ).collect()
+    }
+    assert got_all == exact_rep
+    # twins collapsed: no within-family pair in the rep-level truth
+    assert (1, 2) not in got_all and (1, 6) not in got_all
+    # the hash sample is a deterministic subset
+    got_s1 = {
+        (r["id_a"], r["id_b"])
+        for r in sampled_ground_truth_pairs(
+            toks, "doc_id", _sh3(), threshold=0.5, pair_mod=2
+        ).collect()
+    }
+    got_s2 = {
+        (r["id_a"], r["id_b"])
+        for r in sampled_ground_truth_pairs(
+            toks, "doc_id", _sh3(), threshold=0.5, pair_mod=2
+        ).collect()
+    }
+    assert got_s1 == got_s2 and got_s1 <= got_all
+
+
+def test_max_shingle_df_cap_filters_hub_buckets(spark, twin_corpus):
+    toks = _toks(twin_corpus)
+    capped = sampled_ground_truth_pairs(
+        toks, "doc_id", _sh3(), threshold=0.5, pair_mod=1, max_shingle_df=1
+    )
+    # df cap 1 removes every co-occurring shingle -> no pairs at all
+    assert capped.count() == 0
+
+
+def test_registry_eval_recall_contract(spark, sf_dir):
+    """The judge-task pin: q_neardup_eval recall >= 0.9 at thresholds
+    {0.5, 0.7, 0.8}, and the sampled recall report agrees."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["neardup_eval"](spark, sf_dir).collect()
+    assert sorted(r["threshold_pct"] for r in rows) == [50, 70, 80]
+    for r in rows:
+        assert r["recall"] >= 0.9, (r["threshold_pct"], r["recall"])
+        # derived banding, not the old toy settings
+        assert (r["num_perms"], r["rows_per_band"]) == plan_banding(
+            r["threshold_pct"] / 100.0, 0.9, 64
+        )
+    samp = entrymod.queries()["neardup_recall_sampled"](
+        spark, sf_dir
+    ).collect()[0]
+    assert samp["recall_sampled"] >= 0.9
+    assert samp["n_true_sampled"] > 0
+
+
+def test_sampled_recall_report_shape(spark, twin_corpus):
+    row = sampled_recall_report(
+        _toks(twin_corpus), "doc_id", _sh3(), threshold=0.5,
+        target_recall=0.9, pair_mod=1,
+    ).collect()[0]
+    assert row["pair_mod"] == 1
+    assert row["n_detected_of_sampled"] <= row["n_true_sampled"]
+    assert 0.0 <= row["recall_sampled"] <= 1.0

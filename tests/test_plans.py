@@ -34,6 +34,21 @@ def test_superdesconto_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_superdesconto_top1_partial_aggregates_map_side(spark, sf_dir):
+    """Round-7 skew pin: the flagship's top-1-per-etiqueta must run as
+    a PARTIAL max_by hash aggregate before the exchange — a hot
+    barcode is then combined map-side (~1 survivor per key per mapper
+    crosses the shuffle) instead of flooding one reducer the way a
+    ranking window would. The zipf-replica numbers live in BASELINE.md
+    (scripts/bench_skew.py --etiqueta shape)."""
+    plan = explain_str(entrymod.q_superdesconto(spark, sf_dir))
+    assert "partial_max_by" in plan, (
+        "top-1 per etiqueta lost its map-side partial aggregation"
+    )
+    # and no ranking window anywhere in the flagship
+    assert "row_number" not in plan.lower()
+
+
 def test_equality_filter_pushed(spark, sf_dir):
     df = entrymod.q_events_props_map(spark, sf_dir)
     pushed = " ".join(pushed_filters(df))
@@ -199,6 +214,7 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
         "basket_rules",
         "term_pmi",
         "neardup_eval",
+        "neardup_recall_sampled",  # crossJoins of 1-row count aggregates
         "purchase_survival_km",
         "ab_logrank_test",
         "revenue_bootstrap_ci",
