@@ -795,6 +795,8 @@ def incremental_near_dup(
     num_perms: int = 8,
     rows_per_band: int = 2,
     min_est: float = 0.5,
+    target_recall: float | None = None,
+    max_perms: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-duplicate filtering of a new batch against the
     corpus already ingested — the ongoing-crawl pattern, where one-shot
@@ -828,9 +830,31 @@ def incremental_near_dup(
     colliding band buckets (persist the index bucketed by band key to
     make that side shuffle-free); verification joins move only
     candidate pairs. Nothing ever rescans the historical corpus text.
+
+    ``target_recall`` derives (num_perms, rows_per_band) from the
+    (min_est, target_recall) contract via :func:`plan_banding` — BUT
+    only on an empty index: the signature layout is persistent state,
+    so a fold that changes perm count mid-stream cannot band new
+    signatures against old ones. Re-deriving against an existing index
+    whose width differs raises; re-ingest to change the contract.
     """
     if not 0.0 < min_est <= 1.0:
         raise ValueError(f"min_est must be in (0, 1], got {min_est}")
+    if target_recall is not None:
+        num_perms, rows_per_band = plan_banding(
+            min_est, target_recall, max_perms
+        )
+        if index_signatures is not None:
+            index_width = sum(
+                1 for c in index_signatures.columns if c.startswith("mh")
+            )
+            if index_width != num_perms:
+                raise ValueError(
+                    f"derived banding wants {num_perms} perms but the "
+                    f"persistent index carries {index_width} — the "
+                    "signature layout is immutable state; re-ingest to "
+                    "change the (threshold, recall) contract"
+                )
     sh = shingle_set(batch, id_col, shingles_col)
     batch_sig = minhash_signature(sh, id_col, num_perms)
     sigcols = [f"mh{p}" for p in range(num_perms)]

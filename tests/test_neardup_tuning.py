@@ -190,3 +190,30 @@ def test_sampled_recall_report_shape(spark, twin_corpus):
     assert row["pair_mod"] == 1
     assert row["n_detected_of_sampled"] <= row["n_true_sampled"]
     assert 0.0 <= row["recall_sampled"] <= 1.0
+
+
+def test_incremental_near_dup_target_recall_contract(spark, twin_corpus):
+    """Derived banding applies on an empty index; re-deriving against a
+    persisted index of a different signature width must raise (the
+    layout is immutable state)."""
+    from etl_spark_spark.operators.neardup import incremental_near_dup
+
+    toks = _toks(twin_corpus)
+    kept, idx = incremental_near_dup(
+        toks, None, "doc_id", _sh3(), min_est=0.5, target_recall=0.9
+    )
+    np_, _r = plan_banding(0.5, 0.9, 64)
+    width = sum(1 for c in idx.columns if c.startswith("mh"))
+    assert width == np_
+    assert kept.count() >= 1
+    # same contract folds on
+    kept2, idx2 = incremental_near_dup(
+        toks.withColumn("doc_id", F.col("doc_id") + 100),
+        idx, "doc_id", _sh3(), min_est=0.5, target_recall=0.9,
+    )
+    assert kept2.count() == 0  # everything matches the ingested corpus
+    # a DIFFERENT derived width against the same index raises
+    with pytest.raises(ValueError, match="immutable state"):
+        incremental_near_dup(
+            toks, idx, "doc_id", _sh3(), min_est=0.8, target_recall=0.9
+        )
