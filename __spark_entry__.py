@@ -3287,6 +3287,93 @@ def q_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_mv_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL join-view maintenance with BOUNDED state under the
+    hash gate (round-7): views⋈purchases per user within a 1-hour
+    event-time band, folded as THREE time-ordered micro-batches
+    (10-day windows) through the banded delta rule
+    (streaming/join_mv.py apply_join_batch_temporal). Between batches
+    1 and 2 the maintenance loop EVICTS every accumulated-side
+    partition whose manifest max event time sits behind
+    watermark − band (evict_join_mv_state — whole-directory deletes,
+    the view untouched); the oracle is the one-shot banded join over
+    ALL events, so hash equality proves eviction dropped only state
+    that could never join again. This is the form whose state size
+    tracks the band window, not the stream's lifetime — the property
+    an unbounded 100 TB stream requires (the pure equi-join MV must
+    keep full history by construction)."""
+    from etl_spark_spark.streaming.join_mv import (
+        apply_join_batch_temporal,
+        evict_join_mv_state,
+    )
+
+    root = _scratch_dir("join_mv_temporal")
+    state = f"{root}/state"
+    ev = read_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cuts = ["2024-01-11", "2024-01-21"]
+    windows = [
+        (None, cuts[0]),
+        (cuts[0], cuts[1]),
+        (cuts[1], None),
+    ]
+
+    def _slice(df: DataFrame, ts: str, lo: str | None, hi: str | None):
+        out = df
+        if lo is not None:
+            out = out.filter(F.col(ts) >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            out = out.filter(F.col(ts) < F.lit(hi).cast("timestamp"))
+        return out
+
+    for b, (lo, hi) in enumerate(windows):
+        if b == 2:
+            # maintenance: batches 0-1 are checkpoint-committed; the
+            # watermark is ~Jan 20, so batch 0 (max ts < Jan 11) sits
+            # behind watermark − 1h and its partitions are dropped —
+            # bounded state, proven lossless by the oracle below
+            evicted = evict_join_mv_state(
+                state, band_seconds=3600, committed_below=2
+            )
+            if not {("left", 0), ("right", 0)} <= set(evicted):
+                raise AssertionError(
+                    f"expected batch-0 state eviction, got {evicted}"
+                )
+        apply_join_batch_temporal(
+            _slice(views, "view_ts", lo, hi),
+            _slice(purchases, "purchase_ts", lo, hi),
+            b,
+            ["user_id"],
+            "view_ts",
+            "purchase_ts",
+            band_seconds=3600,
+            state_path=state,
+        )
+    view = spark.read.parquet(f"{state}/view").drop("__batch_id")
+    return view.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_time"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_time"
+        ),
+        F.round(F.col("purchase_value") * 100)
+        .cast("long")
+        .alias("purchase_cents"),
+    )
+
+
 def q_text_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-format round trip under the hash gate: customer is
     written to CSV and orders to JSON-lines (the two text formats a
@@ -5820,6 +5907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_training_mix": q_doc_training_mix,
         "text_formats_roundtrip": q_text_formats_roundtrip,
         "incremental_join_mv": q_incremental_join_mv,
+        "join_mv_temporal": q_join_mv_temporal,
         "compacted_snapshot": q_compacted_snapshot,
         "join_mv_retractions": q_join_mv_retractions,
         "ks_drift_by_type": q_ks_drift_by_type,
@@ -9649,6 +9737,24 @@ SELECT l_orderkey AS orderkey, l_linenumber, l_suppkey,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderdate >= TIMESTAMP '1995-01-01'
   AND o_orderdate <  TIMESTAMP '1995-03-01'
+""",
+        "join_mv_temporal": """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, view_id, purchase_id,
+       strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_time,
+       strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+       CAST(round(purchase_value * 100) AS BIGINT) AS purchase_cents
+FROM v JOIN p ON p.user_id = v.user_id
+WHERE abs(epoch_us(view_ts) // 1000000
+          - epoch_us(purchase_ts) // 1000000) <= 3600
 """,
         "text_formats_roundtrip": """
 SELECT c_mktsegment, o_orderstatus,

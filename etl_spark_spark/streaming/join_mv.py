@@ -48,16 +48,36 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _has_batch_partitions(spark: SparkSession, path: str) -> bool:
+    """True iff the table directory contains at least one
+    ``__batch_id=*`` partition — an EXPLICIT emptiness probe (listing,
+    not exception-catching): a side whose every partition was evicted
+    (temporal form) is legitimately empty history, while a torn footer
+    inside an existing partition still propagates from the read."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(hpath):
+        if st.isDirectory() and st.getPath().getName().startswith(
+            "__batch_id="
+        ):
+            return True
+    return False
+
+
 def _read_prior(
     spark: SparkSession, path: str, batch_id: int
 ) -> DataFrame | None:
     """History strictly BEFORE ``batch_id`` (replay-safe), or None ONLY
-    if the table does not exist yet. A read failure on an EXISTING path
-    (torn footer from a crashed attempt, transient FS error) must
-    propagate: silently treating it as empty history would drop the
-    ΔL⋈R_prev / L_prev⋈ΔR delta terms and permanently corrupt the
-    maintained view (ADVICE r6)."""
+    if the table does not exist yet / holds no batch partitions (all
+    evicted). A read failure on an EXISTING partition (torn footer
+    from a crashed attempt, transient FS error) must propagate:
+    silently treating it as empty history would drop the ΔL⋈R_prev /
+    L_prev⋈ΔR delta terms and permanently corrupt the maintained view
+    (ADVICE r6)."""
     if not _path_exists(spark, path):
+        return None
+    if not _has_batch_partitions(spark, path):
         return None
     df = spark.read.parquet(path)
     df = df.filter(F.col("__batch_id") < F.lit(batch_id)).drop("__batch_id")
@@ -264,6 +284,206 @@ def apply_join_batch_bucketed(
     _accumulate(bl, l_tbl)
     _accumulate(br, r_tbl)
     _append_partition(dv, batch_id, view_path)
+
+
+def apply_join_batch_temporal(
+    batch_left: DataFrame,
+    batch_right: DataFrame,
+    batch_id: int,
+    on: Sequence[str],
+    ts_left: str,
+    ts_right: str,
+    band_seconds: int,
+    state_path: str,
+    delay_seconds: int = 0,
+) -> None:
+    """TEMPORAL (banded) join-view maintenance with BOUNDED state —
+    the form an unbounded stream actually needs at 100 TB. Join
+    condition: key equality AND ``|ts_left - ts_right| <=
+    band_seconds`` (the stream-stream interval join: views⋈purchases
+    within an hour, sensor⋈calibration within a day, ...).
+
+    Why the band changes everything: with a pure equi join, EVERY
+    historical row can match a future delta, so accumulated state must
+    grow forever (the plain :func:`apply_join_batch` contract). With a
+    band, a future row's event time is bounded below by the WATERMARK
+    (max event time seen, minus ``delay_seconds`` of allowed
+    lateness), so any history row older than ``watermark -
+    band_seconds`` can never join again — it is EVICTABLE, and state
+    size tracks the band + delay window, not the stream's lifetime.
+
+    Mechanics (same replay-idempotent layout as the equi form —
+    batch-id partitions, dynamic overwrite, strictly-earlier history
+    reads):
+
+    - each fold records its batch's max event ts in a tiny driver-side
+      manifest (``_ts_stats.json``, atomically replaced) — one number
+      per batch per side, the per-partition stat a table format would
+      keep in its metadata;
+    - history reads DO NOT re-filter by time (correctness never
+      depends on eviction; a row evicted early would be a bug, a row
+      evicted late is only storage);
+    - :func:`evict_join_mv_state` deletes whole batch partitions whose
+      manifest max ts is older than ``watermark - band - delay`` —
+      partition-level deletes, no rewrite, no read amplification.
+      Eviction is SAFE with respect to replay because Structured
+      Streaming replays only the last uncommitted batch: every batch
+      id <= the committed watermark is final, and a future batch's
+      rows all carry ts >= watermark - delay (late rows beyond
+      ``delay_seconds`` are the documented loss, exactly the
+      watermark contract of a stateful stream-stream join).
+
+    Rows on either side with NULL event time are rejected (they could
+    never be evicted and the band is undefined on them)."""
+    spark = batch_left.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    on = list(on)
+    if band_seconds < 0 or delay_seconds < 0:
+        raise ValueError("band_seconds/delay_seconds must be >= 0")
+
+    def _checked(df: DataFrame, ts: str) -> DataFrame:
+        n_null = df.filter(F.col(ts).isNull()).limit(1).count()
+        if n_null:
+            raise ValueError(
+                f"temporal join-MV rows must carry a non-null {ts!r} "
+                "event time (NULL rows are never evictable)"
+            )
+        return df.localCheckpoint()
+
+    bl = _checked(batch_left, ts_left)
+    br = _checked(batch_right, ts_right)
+    l_path = f"{state_path}/left"
+    r_path = f"{state_path}/right"
+    v_path = f"{state_path}/view"
+    l_prev = _read_prior(spark, l_path, batch_id)
+    r_prev = _read_prior(spark, r_path, batch_id)
+
+    band = F.abs(
+        F.col(ts_left).cast("long") - F.col(ts_right).cast("long")
+    ) <= F.lit(band_seconds)
+
+    def _bjoin(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, on).filter(band)
+
+    dv = _bjoin(bl, br)
+    if r_prev is not None:
+        dv = dv.unionByName(_bjoin(bl, r_prev))
+    if l_prev is not None:
+        dv = dv.unionByName(_bjoin(l_prev, br))
+
+    _append_partition(bl, batch_id, l_path)
+    _append_partition(br, batch_id, r_path)
+    _append_partition(dv, batch_id, v_path)
+    _record_ts_stats(
+        state_path,
+        batch_id,
+        {
+            "left": _max_ts_epoch(bl, ts_left),
+            "right": _max_ts_epoch(br, ts_right),
+        },
+    )
+
+
+def _max_ts_epoch(df: DataFrame, ts: str) -> int | None:
+    row = df.agg(F.max(F.col(ts).cast("long")).alias("m")).collect()[0]
+    return None if row["m"] is None else int(row["m"])
+
+
+def _ts_stats_path(state_path: str) -> str:
+    return f"{state_path}/_ts_stats.json"
+
+
+def _record_ts_stats(
+    state_path: str, batch_id: int, maxima: dict[str, int | None]
+) -> None:
+    """Per-batch max event time, one tiny JSON atomically replaced —
+    the partition-level stat eviction prunes on (a table format would
+    keep this in its manifest; replay of a batch overwrites its own
+    entry, matching the partition overwrite)."""
+    import json
+    import os
+
+    p = _ts_stats_path(state_path)
+    stats: dict = {"batches": {}}
+    if os.path.exists(p):
+        with open(p) as f:
+            stats = json.load(f)
+    entry = stats["batches"].setdefault(str(batch_id), {})
+    for side, m in maxima.items():
+        if m is not None:
+            entry[side] = m
+            # the stream's high-water mark is monotone and survives
+            # eviction tombstones (a watermark must never regress)
+            if m > stats.get("max_ts", m - 1):
+                stats["max_ts"] = m
+    tmp = f"{p}.tmp{batch_id}"
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=1)
+    os.replace(tmp, p)
+
+
+def stream_watermark(state_path: str, delay_seconds: int = 0) -> int | None:
+    """The temporal stream's watermark: max event time recorded across
+    all folded batches, minus the allowed lateness. None before any
+    fold."""
+    import json
+    import os
+
+    p = _ts_stats_path(state_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        stats = json.load(f)
+    if "max_ts" not in stats:
+        return None
+    return int(stats["max_ts"]) - delay_seconds
+
+
+def evict_join_mv_state(
+    state_path: str,
+    band_seconds: int,
+    delay_seconds: int = 0,
+    committed_below: int | None = None,
+) -> list[tuple[str, int]]:
+    """Drop accumulated-side batch partitions that can NEVER join a
+    future delta: a partition is evictable when its recorded max event
+    time < watermark - band - delay. Whole-directory deletes — no
+    rewrite. The VIEW is untouched (it is output, not join state).
+
+    ``committed_below``: only partitions with batch_id strictly below
+    this are considered (pass the streaming checkpoint's committed
+    batch id; an uncommitted batch could still replay and must keep
+    its pre-state readable). Returns [(side, batch_id)] evicted."""
+    import json
+    import os
+    import shutil
+
+    wm = stream_watermark(state_path, delay_seconds)
+    if wm is None:
+        return []
+    horizon = wm - band_seconds
+    p = _ts_stats_path(state_path)
+    with open(p) as f:
+        stats = json.load(f)
+    evicted: list[tuple[str, int]] = []
+    for bid_str, entry in sorted(stats["batches"].items(), key=lambda kv: int(kv[0])):
+        bid = int(bid_str)
+        if committed_below is not None and bid >= committed_below:
+            continue
+        for side in ("left", "right"):
+            m = entry.get(side)
+            if m is None or m >= horizon:
+                continue
+            part = f"{state_path}/{side}/__batch_id={bid}"
+            if os.path.isdir(part):
+                shutil.rmtree(part)
+                evicted.append((side, bid))
+            entry[side] = None  # tombstone: stat consumed
+    tmp = f"{p}.tmp-evict"
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=1)
+    os.replace(tmp, p)
+    return evicted
 
 
 def run_stream_join_mv(

@@ -477,3 +477,148 @@ def test_readstream_join_mv_end_to_end_with_late_batch(spark, tmp_path):
     finally:
         for t in (f"{pfx}_left", f"{pfx}_right"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_temporal_join_mv_bounded_state(spark, tmp_path):
+    """Banded delta joins with watermark eviction: time-ordered folds
+    equal the one-shot interval join, eviction physically drops
+    never-joinable partitions, and folding AFTER eviction still equals
+    the full recompute (eviction is lossless by the band argument)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.streaming.join_mv import (
+        apply_join_batch_temporal,
+        evict_join_mv_state,
+        stream_watermark,
+    )
+
+    def ts(day, hour, minute=0):
+        return f"2026-03-{day:02d} {hour:02d}:{minute:02d}:00"
+
+    left_rows = [
+        (1, 10, ts(1, 10)),   # batch 0
+        (1, 11, ts(1, 23)),   # batch 0, pairs with right across batches? no: day 1
+        (2, 12, ts(5, 9)),    # batch 1
+        (1, 13, ts(9, 12)),   # batch 2
+    ]
+    right_rows = [
+        (1, 20, ts(1, 10, 30)),  # batch 0: joins (1,10) within 1h
+        (2, 21, ts(5, 10)),      # batch 1: joins (2,12) within 1h
+        (1, 22, ts(9, 11, 30)),  # batch 2: joins (1,13) within 1h
+        (1, 23, ts(9, 14)),      # batch 2: outside the band of (1,13)
+    ]
+    L = spark.createDataFrame(left_rows, "k long, lid long, lts string").withColumn(
+        "lts", F.col("lts").cast("timestamp")
+    )
+    R = spark.createDataFrame(right_rows, "k long, rid long, rts string").withColumn(
+        "rts", F.col("rts").cast("timestamp")
+    )
+    state = str(tmp_path / "tj")
+    windows = [(1, 3), (3, 7), (7, 31)]
+    for b, (lo, hi) in enumerate(windows):
+        lw = L.filter(
+            (F.dayofmonth("lts") >= lo) & (F.dayofmonth("lts") < hi)
+        )
+        rw = R.filter(
+            (F.dayofmonth("rts") >= lo) & (F.dayofmonth("rts") < hi)
+        )
+        if b == 2:
+            # before the last fold: batches 0-1 committed, watermark is
+            # day 5 -> day-1 partitions are behind wm - band and drop
+            evicted = evict_join_mv_state(
+                state, band_seconds=3600, committed_below=2
+            )
+            assert ("left", 0) in evicted and ("right", 0) in evicted
+            assert not (
+                Path(state) / "left" / "__batch_id=0"
+            ).exists()
+        apply_join_batch_temporal(
+            lw, rw, b, ["k"], "lts", "rts", 3600, state
+        )
+
+    got = {
+        (r["lid"], r["rid"])
+        for r in spark.read.parquet(f"{state}/view").collect()
+    }
+    # one-shot banded recompute over everything delivered
+    want = {
+        (r["lid"], r["rid"])
+        for r in L.join(R, "k")
+        .filter(
+            F.abs(
+                F.col("lts").cast("long") - F.col("rts").cast("long")
+            )
+            <= 3600
+        )
+        .collect()
+    }
+    assert got == want == {(10, 20), (12, 21), (13, 22)}
+
+    # watermark is monotone and survived the eviction tombstones
+    wm = stream_watermark(state)
+    assert wm is not None and wm >= int(
+        L.agg(F.max(F.col("lts").cast("long"))).collect()[0][0]
+    )
+
+    # a second eviction pass is a no-op for already-dropped partitions
+    again = evict_join_mv_state(state, band_seconds=3600)
+    assert ("left", 0) not in again
+
+
+def test_temporal_join_mv_rejects_null_event_time(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.streaming.join_mv import apply_join_batch_temporal
+
+    L = spark.createDataFrame(
+        [(1, 1, None)], "k long, lid long, lts timestamp"
+    )
+    R = spark.createDataFrame(
+        [(1, 2, "2026-01-01 00:00:00")], "k long, rid long, rts string"
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-null"):
+        apply_join_batch_temporal(
+            L, R, 0, ["k"], "lts", "rts", 3600, str(tmp_path / "x")
+        )
+
+
+def test_temporal_join_mv_replay_idempotent(spark, tmp_path):
+    """Replaying a committed batch rewrites its own partitions with
+    identical content — the view is unchanged (same fence as the equi
+    form)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.streaming.join_mv import apply_join_batch_temporal
+
+    L = spark.createDataFrame(
+        [(1, 1, "2026-01-01 10:00:00"), (1, 2, "2026-01-02 10:00:00")],
+        "k long, lid long, lts string",
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    R = spark.createDataFrame(
+        [(1, 3, "2026-01-01 10:30:00"), (1, 4, "2026-01-02 10:30:00")],
+        "k long, rid long, rts string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    state = str(tmp_path / "rj")
+    b0l = L.filter(F.dayofmonth("lts") == 1)
+    b0r = R.filter(F.dayofmonth("rts") == 1)
+    apply_join_batch_temporal(b0l, b0r, 0, ["k"], "lts", "rts", 3600, state)
+    apply_join_batch_temporal(
+        L.filter(F.dayofmonth("lts") == 2),
+        R.filter(F.dayofmonth("rts") == 2),
+        1, ["k"], "lts", "rts", 3600, state,
+    )
+    before = sorted(
+        (r["lid"], r["rid"])
+        for r in spark.read.parquet(f"{state}/view").collect()
+    )
+    # replay batch 0
+    apply_join_batch_temporal(b0l, b0r, 0, ["k"], "lts", "rts", 3600, state)
+    after = sorted(
+        (r["lid"], r["rid"])
+        for r in spark.read.parquet(f"{state}/view").collect()
+    )
+    assert after == before == [(1, 3), (2, 4)]
