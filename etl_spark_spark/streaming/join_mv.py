@@ -562,6 +562,83 @@ def run_stream_join_mv(
         q.stop()
 
 
+def run_stream_join_mv_temporal(
+    stream_df: DataFrame,
+    on: Sequence[str],
+    side_col: str,
+    ts_col: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    band_seconds: int,
+    state_path: str,
+    checkpoint_dir: str,
+    delay_seconds: int = 0,
+    query_name: str = "stream_join_mv_temporal",
+    timeout_sec: int = 120,
+) -> None:
+    """readStream runner for the TEMPORAL join-MV: drain a multiplexed
+    left/right feed with availableNow, folding each micro-batch through
+    :func:`apply_join_batch_temporal` and running
+    :func:`evict_join_mv_state` after every fold (fenced to batches
+    strictly below the one just committed) — the complete bounded-state
+    maintenance loop: state is trimmed continuously as the watermark
+    advances, so a drain over months of stream keeps only the band +
+    delay window of accumulated sides on disk.
+
+    The stream's event-time column ``ts_col`` serves both sides (the
+    multiplexed feed carries one timestamp per row); rows are split by
+    ``side_col`` in {'left','right'} exactly as in
+    :func:`run_stream_join_mv`. Late rows beyond ``delay_seconds``
+    may fail to pair with already-evicted state — the standard
+    watermark loss contract, measurable here as view rows missing vs
+    an unbounded recompute (pinned by test both ways: within-delay
+    late data pairs, beyond-delay late data against evicted state
+    does not)."""
+    on = list(on)
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        bl = batch_df.filter(F.col(side_col) == "left").select(
+            *on, F.col(ts_col).alias("__ts_l"), *left_cols
+        )
+        br = batch_df.filter(F.col(side_col) == "right").select(
+            *on, F.col(ts_col).alias("__ts_r"), *right_cols
+        )
+        apply_join_batch_temporal(
+            bl,
+            br,
+            batch_id,
+            on,
+            "__ts_l",
+            "__ts_r",
+            band_seconds,
+            state_path,
+            delay_seconds=delay_seconds,
+        )
+        evict_join_mv_state(
+            state_path,
+            band_seconds,
+            delay_seconds=delay_seconds,
+            committed_below=batch_id,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"stream '{query_name}' did not drain within {timeout_sec}s"
+            )
+    finally:
+        q.stop()
+
+
 MULT_COL = "__mult"
 
 

@@ -622,3 +622,88 @@ def test_temporal_join_mv_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(f"{state}/view").collect()
     )
     assert after == before == [(1, 3), (2, 4)]
+
+
+def test_readstream_temporal_join_mv_evicts_and_honors_delay(
+    spark, tmp_path
+):
+    """The full bounded-state streaming loop: readStream drains
+    time-ordered files, eviction trims state after each fold, a
+    WITHIN-delay late row still pairs, and a BEYOND-delay late row
+    against evicted state does not (the watermark loss contract)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.streaming.join_mv import (
+        run_stream_join_mv_temporal,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = "side string, k long, ts timestamp, lp string, rp string"
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            rows, "side string, k long, ts string, lp string, rp string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(feed / name))
+
+    def t(day, hour, minute=0):
+        return f"2026-04-{day:02d} {hour:02d}:{minute:02d}:00"
+
+    # f0: day 1 — one in-band pair
+    write_file("f0", [
+        ("left", 1, t(1, 10), "L1", None),
+        ("right", 1, t(1, 10, 20), None, "R1"),
+    ])
+    # f1: day 8 — advances the watermark far past day 1 + band + delay
+    write_file("f1", [
+        ("left", 2, t(8, 9), "L2", None),
+        ("right", 2, t(8, 9, 30), None, "R2"),
+    ])
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed) + "/*")
+        )
+        run_stream_join_mv_temporal(
+            stream, ["k"], "side", "ts", ["lp"], ["rp"],
+            band_seconds=3600, state_path=state, checkpoint_dir=ckpt,
+            delay_seconds=7200,
+        )
+
+    drain()
+    # day-1 state is far behind watermark(day 8) - band - delay: evicted
+    l_parts = sorted(p.name for p in (Path(state) / "left").iterdir()
+                     if p.name.startswith("__batch_id="))
+    assert "__batch_id=0" not in l_parts
+    pairs = {
+        (r["k"], r["lp"], r["rp"])
+        for r in spark.read.parquet(f"{state}/view").collect()
+    }
+    assert pairs == {(1, "L1", "R1"), (2, "L2", "R2")}
+
+    # f2: a WITHIN-delay late right row (inside day 8's 2h lateness)
+    # pairs with the still-retained day-8 left; a BEYOND-delay one for
+    # k=1 finds its counterpart evicted and yields nothing
+    write_file("f2", [
+        ("right", 2, t(8, 8, 45), None, "R2_late_ok"),
+        ("right", 1, t(1, 10, 40), None, "R1_too_late"),
+    ])
+    drain()
+    pairs2 = {
+        (r["k"], r["lp"], r["rp"])
+        for r in spark.read.parquet(f"{state}/view").collect()
+    }
+    assert pairs2 == {
+        (1, "L1", "R1"),
+        (2, "L2", "R2"),
+        (2, "L2", "R2_late_ok"),
+    }
