@@ -65,6 +65,24 @@ def _has_batch_partitions(spark: SparkSession, path: str) -> bool:
     return False
 
 
+_COMPACT_MANIFEST = "_compact.json"
+
+
+def _compact_info(path: str) -> dict | None:
+    """The table's compaction manifest ({staging, min_batch}) or None.
+    Driver-side file next to the batch partitions; published with an
+    atomic replace, so it either names a COMPLETE consolidated staging
+    directory or does not exist."""
+    import json
+    import os
+
+    p = f"{path}/{_COMPACT_MANIFEST}"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def _read_prior(
     spark: SparkSession, path: str, batch_id: int
 ) -> DataFrame | None:
@@ -74,14 +92,115 @@ def _read_prior(
     from a crashed attempt, transient FS error) must propagate:
     silently treating it as empty history would drop the ΔL⋈R_prev /
     L_prev⋈ΔR delta terms and permanently corrupt the maintained view
-    (ADVICE r6)."""
+    (ADVICE r6).
+
+    Compaction-aware: when a ``_compact.json`` manifest exists, the
+    pre-``min_batch`` history comes from the consolidated staging
+    directory and only partitions >= min_batch are read from the
+    batch layout — leftover un-deleted old partitions (a crash between
+    manifest publish and cleanup) are invisible by the same filter.
+    Replaying a batch BELOW the compaction fence raises: the caller
+    promised those batches were checkpoint-committed when it
+    compacted."""
     if not _path_exists(spark, path):
         return None
-    if not _has_batch_partitions(spark, path):
-        return None
-    df = spark.read.parquet(path)
-    df = df.filter(F.col("__batch_id") < F.lit(batch_id)).drop("__batch_id")
-    return df
+    info = _compact_info(path)
+    parts = None
+    if _has_batch_partitions(spark, path):
+        parts = spark.read.parquet(path).withColumn(
+            "__batch_id", F.col("__batch_id").cast("long")
+        )
+    if info is None:
+        if parts is None:
+            return None
+        return parts.filter(
+            F.col("__batch_id") < F.lit(batch_id)
+        ).drop("__batch_id")
+    if batch_id < info["min_batch"]:
+        raise ValueError(
+            f"batch {batch_id} replays below the compaction fence "
+            f"{info['min_batch']} — compact only batches the stream "
+            "checkpoint has committed"
+        )
+    comp = spark.read.parquet(f"{path}/{info['staging']}")
+    if parts is not None:
+        live = parts.filter(
+            (F.col("__batch_id") >= F.lit(info["min_batch"]))
+            & (F.col("__batch_id") < F.lit(batch_id))
+        )
+        comp = comp.filter(
+            F.col("__batch_id") < F.lit(batch_id)
+        ).unionByName(live)
+    return comp.drop("__batch_id")
+
+
+def compact_join_mv_history(
+    spark: SparkSession,
+    state_path: str,
+    upto_batch_id: int,
+    sides: Sequence[str] = ("left", "right", "view"),
+) -> dict[str, int]:
+    """Consolidate every batch partition with ``__batch_id <
+    upto_batch_id`` into ONE staging directory per table — the
+    small-partitions maintenance op the append-only join-MV layout
+    needs: a year of 15-minute micro-batches is ~35k directories per
+    side, and every fold then pays listing + footer opens proportional
+    to the stream's LIFETIME; after compaction it pays O(window).
+
+    Crash-safe two-phase publish, per table:
+
+    1. write the consolidated rows (history < upto, retagged
+       ``__batch_id = upto_batch_id - 1`` as a data column) into a
+       hidden ``.compact-{uuid}`` directory readers never list;
+    2. atomically replace the ``_compact.json`` manifest to point at
+       it ({staging, min_batch}); from that instant readers take
+       pre-fence history from the staging dir and IGNORE partitions
+       below the fence — so the cleanup (3: delete old partitions +
+       superseded stagings) is lazy and idempotent, and a crash
+       between any two steps leaves every reader consistent.
+
+    FENCE CONTRACT (same as temporal eviction): pass an
+    ``upto_batch_id`` no greater than the stream checkpoint's lowest
+    possibly-replayable batch; replaying below the fence raises in
+    ``_read_prior`` instead of silently recomputing against
+    post-compaction state. Rows are preserved verbatim (concat, no
+    dedup), so the op is correct for the insert-only, Z-set, and
+    temporal layouts alike. Returns {table: rows_consolidated}."""
+    import json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    out: dict[str, int] = {}
+    for side in sides:
+        path = f"{state_path}/{side}"
+        if not os.path.isdir(path):
+            continue
+        prior = _read_prior(spark, path, upto_batch_id)
+        if prior is None:
+            continue
+        staged = prior.withColumn(
+            "__batch_id", F.lit(upto_batch_id - 1).cast("long")
+        )
+        name = f".compact-{_uuid.uuid4().hex}"
+        staged.write.mode("errorifexists").parquet(f"{path}/{name}")
+        old = _compact_info(path)
+        tmp = f"{path}/{_COMPACT_MANIFEST}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"staging": name, "min_batch": upto_batch_id}, f)
+        os.replace(tmp, f"{path}/{_COMPACT_MANIFEST}")
+        # lazy cleanup — readers already ignore everything below the
+        # fence, so deletion order cannot be observed
+        for entry in os.listdir(path):
+            full = f"{path}/{entry}"
+            if entry.startswith("__batch_id="):
+                bid = int(entry.split("=", 1)[1])
+                if bid < upto_batch_id:
+                    shutil.rmtree(full, ignore_errors=True)
+            elif entry.startswith(".compact-") and entry != name:
+                shutil.rmtree(full, ignore_errors=True)
+        out[side] = spark.read.parquet(f"{path}/{name}").count()
+    return out
 
 
 def _append_partition(df: DataFrame, batch_id: int, path: str) -> None:
@@ -131,9 +250,32 @@ def apply_join_batch(
     _append_partition(dv, batch_id, v_path)
 
 
+def _read_all(spark: SparkSession, path: str) -> DataFrame:
+    """Every row of a batch-partitioned state table, compaction-aware:
+    manifest staging (pre-fence history) ∪ partitions at/after the
+    fence."""
+    info = _compact_info(path)
+    parts = None
+    if _has_batch_partitions(spark, path):
+        parts = spark.read.parquet(path).withColumn(
+            "__batch_id", F.col("__batch_id").cast("long")
+        )
+    if info is None:
+        if parts is None:
+            return spark.read.parquet(path)  # surface the real error
+        return parts
+    comp = spark.read.parquet(f"{path}/{info['staging']}")
+    if parts is None:
+        return comp
+    return comp.unionByName(
+        parts.filter(F.col("__batch_id") >= F.lit(info["min_batch"]))
+    )
+
+
 def read_join_view(spark: SparkSession, state_path: str) -> DataFrame:
-    """The maintained view: every committed ΔV partition."""
-    return spark.read.parquet(f"{state_path}/view").drop("__batch_id")
+    """The maintained view: every committed ΔV partition (plus the
+    consolidated pre-fence history after a compaction)."""
+    return _read_all(spark, f"{state_path}/view").drop("__batch_id")
 
 
 def _bucket_manifest(location_root: str) -> str:
@@ -711,7 +853,7 @@ def apply_join_batch_z(
 def read_join_view_z(spark: SparkSession, state_path: str) -> DataFrame:
     """Consolidated Z-set view: rows with their net positive
     multiplicity as ``mult`` (retracted rows net to 0 and vanish)."""
-    raw = spark.read.parquet(f"{state_path}/view").drop("__batch_id")
+    raw = _read_all(spark, f"{state_path}/view").drop("__batch_id")
     cols = [c for c in raw.columns if c != MULT_COL]
     return (
         raw.groupBy(*cols)

@@ -707,3 +707,135 @@ def test_readstream_temporal_join_mv_evicts_and_honors_delay(
         (2, "L2", "R2"),
         (2, "L2", "R2_late_ok"),
     }
+
+
+def test_join_mv_history_compaction(spark, sf_dir, tmp_path):
+    """Compacting batches below the fence consolidates them into one
+    staging dir, deletes their partition dirs, leaves every read
+    identical, keeps the maintenance loop folding, and refuses a
+    replay below the fence."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.streaming.join_mv import (
+        apply_join_batch,
+        compact_join_mv_history,
+        read_join_view,
+    )
+    from etl_spark_spark.sources import table
+
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_suppkey"],
+    ).withColumnRenamed("l_orderkey", "k")
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+    ).withColumnRenamed("o_orderkey", "k")
+    state = str(tmp_path / "state")
+    for b in range(3):
+        apply_join_batch(
+            li.filter(F.col("l_suppkey") % 4 == b),
+            orders.filter(F.col("o_custkey") % 4 == b),
+            b, ["k"], state,
+        )
+    before = read_join_view(spark, state)
+    n_before = before.count()
+
+    rows = compact_join_mv_history(spark, state, upto_batch_id=2)
+    assert set(rows) == {"left", "right", "view"}
+    # old partition dirs physically gone, one hidden staging instead
+    for side in ("left", "right", "view"):
+        names = os.listdir(f"{state}/{side}")
+        assert not any(
+            n.startswith("__batch_id=") and int(n.split("=")[1]) < 2
+            for n in names
+        ), names
+        assert sum(1 for n in names if n.startswith(".compact-")) == 1
+
+    # reads identical through the manifest
+    assert read_join_view(spark, state).count() == n_before
+
+    # the loop continues: batch 3 folds against compacted history
+    apply_join_batch(
+        li.filter(F.col("l_suppkey") % 4 == 3),
+        orders.filter(F.col("o_custkey") % 4 == 3),
+        3, ["k"], state,
+    )
+    want = li.join(orders, "k")
+    got = read_join_view(spark, state)
+    assert got.count() == want.count()
+    assert got.exceptAll(want.select(*got.columns)).count() == 0
+
+    # replay of a committed batch AT/ABOVE the fence still works ...
+    apply_join_batch(
+        li.filter(F.col("l_suppkey") % 4 == 2),
+        orders.filter(F.col("o_custkey") % 4 == 2),
+        2, ["k"], state,
+    )
+    assert read_join_view(spark, state).count() == want.count()
+    # ... and below the fence raises instead of silently corrupting
+    with _pytest.raises(ValueError, match="compaction fence"):
+        apply_join_batch(
+            li.filter(F.col("l_suppkey") % 4 == 1),
+            orders.filter(F.col("o_custkey") % 4 == 1),
+            1, ["k"], state,
+        )
+
+    # re-compaction folds the previous staging forward
+    rows2 = compact_join_mv_history(spark, state, upto_batch_id=4)
+    assert read_join_view(spark, state).count() == want.count()
+
+
+def test_join_mv_compaction_crash_before_manifest_is_invisible(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the compactor between staging write and manifest publish:
+    readers see the original partitions; the orphan staging is swept
+    by the next successful compaction."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.streaming.join_mv import (
+        apply_join_batch,
+        compact_join_mv_history,
+        read_join_view,
+    )
+
+    L = spark.createDataFrame([(1, "a"), (2, "b")], "k long, lv string")
+    R = spark.createDataFrame([(1, "x"), (2, "y")], "k long, rv string")
+    state = str(tmp_path / "state")
+    apply_join_batch(L.filter("k = 1"), R.filter("k = 1"), 0, ["k"], state)
+    apply_join_batch(L.filter("k = 2"), R.filter("k = 2"), 1, ["k"], state)
+    n = read_join_view(spark, state).count()
+
+    real_replace = os.replace
+
+    def die(src, dst, **kw):
+        if "_compact.json" in str(dst):
+            raise RuntimeError("simulated crash before manifest publish")
+        return real_replace(src, dst, **kw)
+
+    monkeypatch.setattr(os, "replace", die)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        compact_join_mv_history(spark, state, upto_batch_id=2)
+    monkeypatch.undo()
+
+    # no manifest -> readers unchanged, partitions intact
+    assert read_join_view(spark, state).count() == n
+    assert os.path.isdir(f"{state}/left/__batch_id=0")
+    # orphan staging exists but is invisible (dot-dir)
+    orphans = [
+        x for x in os.listdir(f"{state}/left") if x.startswith(".compact-")
+    ]
+    assert orphans
+    # the next successful compaction supersedes and sweeps it
+    compact_join_mv_history(spark, state, upto_batch_id=2)
+    assert read_join_view(spark, state).count() == n
+    left_stagings = [
+        x for x in os.listdir(f"{state}/left") if x.startswith(".compact-")
+    ]
+    assert len(left_stagings) == 1
