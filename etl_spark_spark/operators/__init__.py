@@ -19,6 +19,7 @@ from .neardup import (
     near_dup_minhash,
     ngram_jaccard_pairs,
     plan_banding,
+    plan_simhash_bands,
     prefix_filtered_jaccard_pairs,
     sampled_ground_truth_pairs,
     sampled_recall_report,
@@ -127,6 +128,7 @@ __all__ = [
     "exact_dedup",
     "near_dup_minhash",
     "plan_banding",
+    "plan_simhash_bands",
     "sampled_ground_truth_pairs",
     "sampled_recall_report",
     "ngram_jaccard_pairs",

@@ -1141,6 +1141,64 @@ def prefix_filtered_jaccard_pairs(
     return expand_collapsed_pairs(rep_pairs, mem, {"jaccard": F.lit(1.0)})
 
 
+def plan_simhash_bands(
+    max_hamming: int,
+    total_bits: int = SIMHASH_BITS,
+    target_recall: float | None = None,
+) -> tuple[int, int]:
+    """Derive SimHash banding ``(num_bands, band_bits)`` from a hamming
+    threshold — the simhash counterpart of :func:`plan_banding`.
+
+    Default (``target_recall=None``) is the EXACT pigeonhole plan:
+    ``max_hamming + 1`` bands. A pair within hamming d flips at most d
+    bands, so with d+1 disjoint bands at least one band is untouched
+    and the pair is ALWAYS a candidate — recall 1.0 guaranteed, no
+    probability involved (the classical 'hamming <= k needs k+1
+    blocks' trick). The cost is shorter band keys (total_bits // b
+    bits), i.e. more candidates per bucket — precision paid for
+    certain recall, with verification still the cheap bit_count on
+    values already carried.
+
+    With ``target_recall`` set, picks the FEWEST bands whose
+    approximate recall at exactly ``max_hamming`` flips meets the
+    target — recall(d) ≈ 1-(1-(1-d/total)^r)^b with r = total//b
+    (independent-flip approximation; the pigeonhole bound d < b
+    short-circuits to exact 1.0). Fewer bands → longer keys → fewer
+    spurious candidates, the right trade when the corpus tolerates
+    bounded misses."""
+    if not 0 <= max_hamming <= total_bits:
+        raise ValueError(
+            f"max_hamming must be in [0, {total_bits}], got {max_hamming}"
+        )
+    if target_recall is None:
+        b = min(max_hamming + 1, total_bits)
+        r = total_bits // b
+        if r < 1:
+            raise ValueError(
+                f"cannot guarantee recall at hamming {max_hamming} with "
+                f"{total_bits} bits — bands would be empty"
+            )
+        return (b, r)
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError(
+            f"target_recall must be in (0, 1) or None, got {target_recall}"
+        )
+    p_bit = 1.0 - max_hamming / total_bits
+    for b in range(1, total_bits + 1):
+        r = total_bits // b
+        if r < 1:
+            break
+        if max_hamming < b:  # pigeonhole: exact recall 1.0
+            return (b, r)
+        recall = 1.0 - (1.0 - p_bit**r) ** b
+        if recall >= target_recall:
+            return (b, r)
+    raise ValueError(
+        f"no banding of {total_bits} bits reaches recall "
+        f"{target_recall} at hamming {max_hamming}"
+    )
+
+
 def simhash_near_dup(
     df: DataFrame,
     id_col: str,
@@ -1148,6 +1206,8 @@ def simhash_near_dup(
     num_bands: int = 4,
     band_bits: int = 15,
     threshold: int = 10,
+    target_recall: float | None = None,
+    exact_recall: bool = False,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: band the simhash, bucket DISTINCT
     simhash values by band value, generate candidate pairs INSIDE each
@@ -1174,10 +1234,22 @@ def simhash_near_dup(
     One simhash computation, one distinct-value aggregate, one bucket
     shuffle over values. Returns (id_a, id_b, hamming) with
     id_a < id_b.
-    """
+
+    Banding contract (round-7, mirroring the MinHash tuner):
+    ``exact_recall=True`` derives (num_bands, band_bits) from the
+    pigeonhole plan — recall 1.0 GUARANTEED at ``threshold`` (see
+    :func:`plan_simhash_bands`); ``target_recall`` derives the fewest
+    bands meeting that probabilistic floor. Either overrides the
+    hand-picked defaults."""
     if not 0 <= threshold <= SIMHASH_BITS:
         raise ValueError(
             f"hamming threshold must be in [0, {SIMHASH_BITS}], got {threshold}"
+        )
+    if exact_recall:
+        num_bands, band_bits = plan_simhash_bands(threshold)
+    elif target_recall is not None:
+        num_bands, band_bits = plan_simhash_bands(
+            threshold, target_recall=target_recall
         )
     from pyspark.sql import Window
 

@@ -159,6 +159,13 @@ def compact_join_mv_history(
        superseded stagings) is lazy and idempotent, and a crash
        between any two steps leaves every reader consistent.
 
+    READER CONTRACT: after a compaction, the pre-fence history lives
+    ONLY in the hidden staging dir + manifest — consumers MUST read
+    through :func:`read_join_view` / :func:`read_join_view_z` /
+    ``_read_prior`` (all manifest-aware); a raw
+    ``spark.read.parquet(path)`` silently loses the compacted history
+    because Spark readers skip dot-directories.
+
     FENCE CONTRACT (same as temporal eviction): pass an
     ``upto_batch_id`` no greater than the stream checkpoint's lowest
     possibly-replayable batch; replaying below the fence raises in

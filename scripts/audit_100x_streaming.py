@@ -115,22 +115,132 @@ def audit_dedup(spark, sf_dir: str, scale: str, results: list) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def audit_temporal(spark, sf_dir: str, scale: str, results: list) -> None:
+    """Round-7: temporal join-MV folds (views⋈purchases within 1h) as
+    SIX time-ordered 5-day windows with eviction between folds and one
+    history compaction midway — the full bounded-state maintenance
+    loop. Reports per-fold wall, partitions evicted, and validates the
+    final view against the one-shot banded join (eviction + compaction
+    losslessness at this scale, not just at test scale)."""
+    import os
+
+    from etl_spark_spark.sources import read_events
+    from etl_spark_spark.streaming.join_mv import (
+        apply_join_batch_temporal,
+        compact_join_mv_history,
+        evict_join_mv_state,
+        read_join_view,
+    )
+
+    ev = read_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    state = tempfile.mkdtemp(prefix="audit_tjoin_") + "/state"
+
+    def _parts(side):
+        p = f"{state}/{side}"
+        if not os.path.isdir(p):
+            return 0
+        return sum(1 for n in os.listdir(p) if n.startswith("__batch_id="))
+
+    try:
+        cuts = [f"2024-01-{d:02d}" for d in (6, 11, 16, 21, 26)]
+        windows = list(
+            zip([None] + cuts, cuts + [None])
+        )
+        for b, (lo, hi) in enumerate(windows):
+            v, p = views, purch
+            if lo:
+                v = v.filter(F.col("view_ts") >= F.lit(lo).cast("timestamp"))
+                p = p.filter(
+                    F.col("purchase_ts") >= F.lit(lo).cast("timestamp")
+                )
+            if hi:
+                v = v.filter(F.col("view_ts") < F.lit(hi).cast("timestamp"))
+                p = p.filter(
+                    F.col("purchase_ts") < F.lit(hi).cast("timestamp")
+                )
+            evicted = []
+            if b > 0:
+                evicted = evict_join_mv_state(
+                    state, 3600, committed_below=b
+                )
+            if b == 3:
+                compact_join_mv_history(spark, state, upto_batch_id=b)
+            t0 = time.perf_counter()
+            apply_join_batch_temporal(
+                v, p, b, ["user_id"], "view_ts", "purchase_ts", 3600, state
+            )
+            sec = round(time.perf_counter() - t0, 2)
+            results.append(
+                {
+                    "op": "temporal_join_mv",
+                    "scale": scale,
+                    "batch": b,
+                    "sec": sec,
+                    "evicted": len(evicted),
+                    "live_parts": _parts("left") + _parts("right"),
+                }
+            )
+            print(json.dumps(results[-1]), flush=True)
+        # exactness: maintained view == one-shot banded join (read
+        # through the manifest-aware reader — raw path reads lose the
+        # compacted pre-fence history by design)
+        got = read_join_view(spark, state).count()
+        want = (
+            views.join(purch, "user_id")
+            .filter(
+                F.abs(
+                    F.col("view_ts").cast("long")
+                    - F.col("purchase_ts").cast("long")
+                )
+                <= 3600
+            )
+            .count()
+        )
+        assert got == want, f"temporal view {got} != recompute {want}"
+        results.append(
+            {
+                "op": "temporal_join_mv",
+                "scale": scale,
+                "pairs": got,
+                "view_equals_recompute": True,
+            }
+        )
+        print(json.dumps(results[-1]), flush=True)
+    finally:
+        shutil.rmtree(state.rsplit("/", 1)[0], ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("replica_dir", nargs="?", default="/tmp/replica_100x")
     ap.add_argument("sf1_dir", nargs="?", default="/root/testdata/sf0.1")
-    ap.add_argument("--op", choices=["mv", "dedup", "both"], default="both")
+    ap.add_argument(
+        "--op",
+        choices=["mv", "dedup", "temporal", "both", "all"],
+        default="both",
+    )
     ns = ap.parse_args()
 
     spark = get_spark(app_name="audit-100x-streaming")
     spark.sparkContext.setLogLevel("ERROR")
     results: list = []
-    if ns.op in ("mv", "both"):
+    if ns.op in ("mv", "both", "all"):
         audit_mv(spark, ns.sf1_dir, "1x", results)
         audit_mv(spark, ns.replica_dir, "100x", results)
-    if ns.op in ("dedup", "both"):
+    if ns.op in ("dedup", "both", "all"):
         audit_dedup(spark, ns.sf1_dir, "1x", results)
         audit_dedup(spark, ns.replica_dir, "100x", results)
+    if ns.op in ("temporal", "all"):
+        audit_temporal(spark, ns.sf1_dir, "1x", results)
+        audit_temporal(spark, ns.replica_dir, "100x", results)
     print(json.dumps({"summary": results}), flush=True)
 
 

@@ -217,3 +217,48 @@ def test_incremental_near_dup_target_recall_contract(spark, twin_corpus):
         incremental_near_dup(
             toks, idx, "doc_id", _sh3(), min_est=0.8, target_recall=0.9
         )
+
+
+def test_plan_simhash_bands_math():
+    from etl_spark_spark.operators.neardup import plan_simhash_bands
+
+    # pigeonhole: d+1 bands, recall exact
+    assert plan_simhash_bands(10) == (11, 5)
+    assert plan_simhash_bands(3) == (4, 15)
+    assert plan_simhash_bands(0) == (1, 60)
+    # probabilistic: fewest bands meeting the floor; pigeonhole
+    # short-circuit when d < b
+    b, r = plan_simhash_bands(10, target_recall=0.9)
+    assert b * r <= 60 and r == 60 // b
+    p = 1 - 10 / 60
+    assert (10 < b) or (1 - (1 - p**r) ** b >= 0.9)
+    with pytest.raises(ValueError, match="max_hamming"):
+        plan_simhash_bands(61)
+    with pytest.raises(ValueError, match="target_recall"):
+        plan_simhash_bands(10, target_recall=1.5)
+
+
+def test_simhash_exact_recall_equals_brute_force(spark, twin_corpus):
+    """Pigeonhole banding must find EVERY pair within the hamming
+    threshold — compare against the all-pairs bit_count ground truth
+    on a small corpus (any corpus: the guarantee is structural)."""
+    from etl_spark_spark.operators.neardup import simhash, simhash_near_dup
+
+    toks = _toks(twin_corpus)
+    t = 20  # generous threshold so several pairs qualify
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup(
+            toks, "doc_id", F.col("t"), threshold=t, exact_recall=True
+        ).collect()
+    }
+    sh = simhash(toks, "doc_id", F.col("t"))
+    a = sh.selectExpr("doc_id AS id_a", "simhash AS sa")
+    b = sh.selectExpr("doc_id AS id_b", "simhash AS sb")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= t)
+        .collect()
+    }
+    assert banded == brute and brute  # non-vacuous
