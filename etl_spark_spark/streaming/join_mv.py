@@ -602,7 +602,10 @@ def evict_join_mv_state(
     ``committed_below``: only partitions with batch_id strictly below
     this are considered (pass the streaming checkpoint's committed
     batch id; an uncommitted batch could still replay and must keep
-    its pre-state readable). Returns [(side, batch_id)] evicted."""
+    its pre-state readable). Single-writer op: run from the same
+    maintenance loop that folds batches (as run_stream_join_mv_temporal
+    does), not concurrently with an in-flight fold — the manifest is a
+    read-modify-replace. Returns [(side, batch_id)] evicted."""
     import json
     import os
     import shutil
