@@ -741,6 +741,22 @@ def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(docs, "doc_id", tokens("text"), threshold=10)
 
 
+def q_neardup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup under the GUARANTEED-recall banding contract
+    (round-7): plan_simhash_bands' pigeonhole plan (threshold+1 = 11
+    bands of 5 bits) ensures every pair within hamming 10 is a banded
+    candidate, so after the bit_count verify the result provably
+    EQUALS brute force — which is exactly what the oracle computes
+    (all-pairs hamming join over the simhash values, no banding to
+    mirror). The banded plan still never materializes the quadratic
+    pair space on clustered corpora; the oracle side is only feasible
+    because the gate runs at fixture scale."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash_near_dup(
+        docs, "doc_id", tokens("text"), threshold=10, exact_recall=True
+    )
+
+
 def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (F.percentile — the sort-based exact
     form; both engines use linear interpolation so results are
@@ -5850,6 +5866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles": q_price_quantiles,
         "purchase_last_click": q_purchase_last_click,
         "neardup_simhash": q_neardup_simhash,
+        "neardup_simhash_exact": q_neardup_simhash_exact,
         "sketch_stats": q_sketch_stats,
         "error_context_views": q_error_context_views,
         "multimodal_frames": q_multimodal_frames,
@@ -6628,6 +6645,21 @@ pairs AS (
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 10
+"""
+
+# the exact-recall (pigeonhole-banded) detector provably equals brute
+# force, so its oracle IS the all-pairs hamming join — no banding to
+# mirror (feasible only at fixture scale; the Spark side stays banded)
+_NEARDUP_SIMHASH_EXACT_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM tok),
+s AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM s)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
 """
 
 _PRICE_QUANTILES_SQL = """
@@ -9569,6 +9601,7 @@ def oracle_sql() -> dict[str, str]:
         "price_quantiles": _PRICE_QUANTILES_SQL,
         "purchase_last_click": _PURCHASE_LAST_CLICK_SQL,
         "neardup_simhash": _NEARDUP_SIMHASH_SQL,
+        "neardup_simhash_exact": _NEARDUP_SIMHASH_EXACT_SQL,
         "error_context_views": _ERROR_CONTEXT_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         "user_value_trend": _USER_VALUE_TREND_SQL,
