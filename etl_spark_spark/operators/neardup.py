@@ -390,9 +390,14 @@ def plan_banding(
         p1 = threshold**r
         if p1 >= 1.0:  # threshold == 1.0: any single band suffices
             return (r, r) if r == 1 else (1, 1)
+        if p1 <= 0.0:
+            continue  # t^r underflowed to 0: no finite b can work
         # minimal b with 1 - (1 - p1)^b >= target_recall; log1p keeps
         # the denominator nonzero when t^r underflows 1-p1 to 1.0
-        b = math.ceil(math.log(1.0 - target_recall) / math.log1p(-p1))
+        need = math.log(1.0 - target_recall) / math.log1p(-p1)
+        if need > max_perms:  # also guards ceil() overflow on inf
+            continue
+        b = math.ceil(need)
         if b * r <= max_perms:
             return (b * r, r)
     raise ValueError(
@@ -1171,13 +1176,17 @@ def plan_simhash_bands(
             f"max_hamming must be in [0, {total_bits}], got {max_hamming}"
         )
     if target_recall is None:
-        b = min(max_hamming + 1, total_bits)
-        r = total_bits // b
-        if r < 1:
+        # the guarantee needs d+1 DISJOINT bands: at d == total_bits
+        # every bit may differ, every band is dirty, and NO banding
+        # has any recall — refuse rather than promise falsely
+        if max_hamming >= total_bits:
             raise ValueError(
                 f"cannot guarantee recall at hamming {max_hamming} with "
-                f"{total_bits} bits — bands would be empty"
+                f"{total_bits} bits — needs {max_hamming + 1} non-empty "
+                "bands"
             )
+        b = max_hamming + 1
+        r = total_bits // b
         return (b, r)
     if not (0.0 < target_recall < 1.0):
         raise ValueError(

@@ -262,3 +262,54 @@ def test_simhash_exact_recall_equals_brute_force(spark, twin_corpus):
         .collect()
     }
     assert banded == brute and brute  # non-vacuous
+
+
+# property tests: planner invariants must hold across the whole input
+# space, not just the registry's three thresholds
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    t=st.floats(min_value=0.05, max_value=0.99),
+    target=st.floats(min_value=0.5, max_value=0.99),
+    mx=st.integers(min_value=8, max_value=512),
+)
+def test_plan_banding_invariants(t, target, mx):
+    try:
+        np_, r = plan_banding(t, target, mx)
+    except ValueError as e:
+        assert "raise max_perms" in str(e)
+        return
+    assert 1 <= r <= np_ <= mx and np_ % r == 0
+    assert _scurve(t, np_, r) >= target
+    # monotone budget: a bigger budget never needs more perms at the
+    # same (threshold, recall) for the SAME r... but may pick a larger
+    # r; the invariant that always holds is feasibility
+    np2, r2 = plan_banding(t, target, mx * 2)
+    assert r2 >= r  # more budget -> at least as sharp a curve
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    d=st.integers(min_value=0, max_value=60),
+    target=st.one_of(st.none(), st.floats(min_value=0.5, max_value=0.99)),
+)
+def test_plan_simhash_bands_invariants(d, target):
+    from etl_spark_spark.operators.neardup import plan_simhash_bands
+
+    try:
+        b, r = plan_simhash_bands(d, target_recall=target)
+    except ValueError:
+        # legitimately infeasible: at d == total_bits every band can be
+        # dirty — the planner must REFUSE, never promise falsely
+        assert d >= 60
+        return
+    assert 1 <= b <= 60 and r == 60 // b and b * r <= 60
+    if target is None:
+        # pigeonhole: d flips dirty at most d of the b bands
+        assert b == d + 1
+    else:
+        p = 1 - d / 60
+        assert (d < b) or (1 - (1 - p**r) ** b >= target)
