@@ -2808,10 +2808,29 @@ def _scratch_dir(name: str) -> str:
 
     reap_ttl_sec = 3600.0
     now = time.time()
+
+    def _tree_mtime(path: str) -> float:
+        # a directory's own mtime only moves on DIRECT entry changes —
+        # a sibling process writing inside nested subdirs (one long
+        # query laying out table data) leaves the top-level mtime
+        # stale, so the liveness signal is the NEWEST mtime anywhere in
+        # the tree (ADVICE r7)
+        newest = os.path.getmtime(path)
+        for dirpath, _dirnames, filenames in os.walk(path):
+            try:
+                newest = max(newest, os.path.getmtime(dirpath))
+                for fn in filenames:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, fn))
+                    )
+            except OSError:
+                continue  # entry vanished mid-walk; other stats decide
+        return newest
+
     for stale in glob.glob(f"{tempfile.gettempdir()}/spark_graft_*_p*"):
         try:
             pid = int(stale.rsplit("_p", 1)[1].split("_", 1)[0])
-            old = now - os.path.getmtime(stale) > reap_ttl_sec
+            old = now - _tree_mtime(stale) > reap_ttl_sec
             if pid != os.getpid() and old and not os.path.exists(
                 f"/proc/{pid}"
             ):

@@ -88,7 +88,14 @@ _LAYOUT_CACHE: dict[str, str] = {}
 def _pick_layout(root: Path, layout: str) -> str:
     """Resolve ``layout='auto'`` by probing symlink support once per
     table root (object-store FUSE mounts and some network filesystems
-    reject symlink creation — the marker protocol covers them)."""
+    reject symlink creation — the marker protocol covers them).
+
+    The marker fallback's atomicity rests on ``os.link``, and
+    filesystems without symlinks frequently lack hard links too — so
+    the fallback is probed as well, BEFORE any staging data is written:
+    a store supporting neither fails fast here with a pointer at the
+    conditional-PUT note (module docstring) instead of surfacing a raw
+    OSError after a full staged write (ADVICE r7)."""
     if layout in ("symlink", "marker"):
         return layout
     if layout != "auto":
@@ -103,7 +110,24 @@ def _pick_layout(root: Path, layout: str) -> str:
         os.unlink(probe)
         picked = "symlink"
     except OSError:
-        picked = "marker"
+        src = root / _VDIR / f".probe-{uuid.uuid4().hex}"
+        dst = root / _VDIR / f".probe-{uuid.uuid4().hex}"
+        try:
+            src.write_text("probe\n")
+            os.link(src, dst)
+            os.unlink(dst)
+            picked = "marker"
+        except OSError as e:
+            raise OSError(
+                f"table root {root} supports neither symlinks nor hard "
+                "links, so no atomic put-if-absent commit is available "
+                "on this filesystem. On a real object store, express "
+                "the marker commit as a conditional PUT (S3 "
+                "If-None-Match / GCS ifGenerationMatch=0) of the "
+                "version manifest — see the module docstring."
+            ) from e
+        finally:
+            src.unlink(missing_ok=True)
     _LAYOUT_CACHE[key] = picked
     return picked
 
@@ -515,6 +539,13 @@ def vacuum_versions(path: str | Path, keep: int = 1) -> list[int]:
     for d in vroot.iterdir():
         if d.name.startswith(".staging-") and d.name not in referenced:
             shutil.rmtree(d, ignore_errors=True)
+        elif d.name.startswith(".cmt-") and d.is_file():
+            # a crash between the marker temp's write_text and its
+            # os.link orphans the hidden temp; committed entries are
+            # the LINKED names (v########), never the .cmt-* temp, so
+            # sweeping is always safe for completed commits — and
+            # vacuum already assumes no writer is in flight
+            d.unlink(missing_ok=True)
     return sorted(drop)
 
 

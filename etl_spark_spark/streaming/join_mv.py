@@ -68,6 +68,27 @@ def _has_batch_partitions(spark: SparkSession, path: str) -> bool:
 _COMPACT_MANIFEST = "_compact.json"
 
 
+def _require_local_state(path: str, op: str) -> None:
+    """The driver-side maintenance ops (manifest read-modify-replace,
+    partition directory deletes) use local-filesystem APIs (os/open/
+    shutil), while the data READ paths go through the Hadoop FS API and
+    work on any configured scheme. On an object-store ``state_path``
+    the maintenance ops would half-work — ``os.path.isdir`` is False
+    for URIs, so compaction silently no-ops and manifests land in the
+    wrong place (ADVICE r7). Refuse loudly instead: maintenance of a
+    non-local state table needs these ops routed through the Hadoop FS
+    API (or a table format's own maintenance), not a silent no-op."""
+    from urllib.parse import urlparse
+
+    if urlparse(path).scheme:
+        raise ValueError(
+            f"{op} uses local-filesystem maintenance APIs and requires "
+            f"a bare local state_path; got {path!r}. For object-store "
+            "state, run maintenance where the store is mounted locally "
+            "or use a table-format-native maintenance op."
+        )
+
+
 def _compact_info(path: str) -> dict | None:
     """The table's compaction manifest ({staging, min_batch}) or None.
     Driver-side file next to the batch partitions; published with an
@@ -172,14 +193,30 @@ def compact_join_mv_history(
     ``_read_prior`` instead of silently recomputing against
     post-compaction state. Rows are preserved verbatim (concat, no
     dedup), so the op is correct for the insert-only, Z-set, and
-    temporal layouts alike. Returns {table: rows_consolidated}."""
+    temporal layouts alike — EXCEPT that for a TEMPORAL layout
+    (``_ts_stats.json`` present) the accumulated left/right sides are
+    skipped automatically: their partitions are subject to
+    partition-level eviction, and consolidating them would make the
+    rows unevictable (only the never-evicted view is compacted).
+    Local-filesystem op: raises on an object-store ``state_path``.
+    Returns {table: rows_consolidated}."""
     import json
     import os
     import shutil
     import uuid as _uuid
 
+    _require_local_state(state_path, "compact_join_mv_history")
+    # Temporal layout: eviction deletes whole __batch_id partitions,
+    # but compaction retags pre-fence history into ONE staging dir —
+    # compacted accumulated-side rows would become permanently
+    # unevictable and the bounded-state guarantee would quietly stop
+    # applying (ADVICE r7). When a _ts_stats manifest marks the layout
+    # temporal, only the view (output, never evicted) is compacted.
+    temporal = os.path.exists(_ts_stats_path(state_path))
     out: dict[str, int] = {}
     for side in sides:
+        if temporal and side in ("left", "right"):
+            continue
         path = f"{state_path}/{side}"
         if not os.path.isdir(path):
             continue
@@ -489,6 +526,7 @@ def apply_join_batch_temporal(
     on = list(on)
     if band_seconds < 0 or delay_seconds < 0:
         raise ValueError("band_seconds/delay_seconds must be >= 0")
+    _require_local_state(state_path, "apply_join_batch_temporal")
 
     def _checked(df: DataFrame, ts: str) -> DataFrame:
         n_null = df.filter(F.col(ts).isNull()).limit(1).count()
@@ -600,23 +638,51 @@ def evict_join_mv_state(
     rewrite. The VIEW is untouched (it is output, not join state).
 
     ``committed_below``: only partitions with batch_id strictly below
-    this are considered (pass the streaming checkpoint's committed
-    batch id; an uncommitted batch could still replay and must keep
-    its pre-state readable). Single-writer op: run from the same
-    maintenance loop that folds batches (as run_stream_join_mv_temporal
-    does), not concurrently with an in-flight fold — the manifest is a
+    this are considered AND — critically — the eviction watermark is
+    computed from COMMITTED batches only (stats entries with
+    ``batch_id < committed_below``). An uncommitted batch could still
+    replay, and the replay's ``_read_prior`` must see the exact
+    pre-state the first attempt saw; letting the uncommitted batch's
+    own max event time advance the horizon would evict pre-state the
+    first attempt joined against, silently shrinking the replayed view
+    partition (standard stream-stream joins evict on the PREVIOUS
+    batch's watermark for exactly this reason; ADVICE r7). The
+    committed watermark stays monotone across eviction tombstones via
+    a ``committed_max_ts`` high-water mark in the manifest.
+
+    Single-writer op: run from the same maintenance loop that folds
+    batches (run_stream_join_mv_temporal runs it BEFORE each fold so
+    first run and replay of a batch observe identical pre-state), not
+    concurrently with an in-flight fold — the manifest is a
     read-modify-replace. Returns [(side, batch_id)] evicted."""
     import json
     import os
     import shutil
 
-    wm = stream_watermark(state_path, delay_seconds)
-    if wm is None:
-        return []
-    horizon = wm - band_seconds
+    _require_local_state(state_path, "evict_join_mv_state")
     p = _ts_stats_path(state_path)
+    if not os.path.exists(p):
+        return []
     with open(p) as f:
         stats = json.load(f)
+    if committed_below is None:
+        if "max_ts" not in stats:
+            return []
+        wm = int(stats["max_ts"]) - delay_seconds
+    else:
+        # committed-only watermark: max recorded event time over
+        # batches the checkpoint has committed, carried monotonically
+        # across tombstones so consumed stats never regress it
+        cand = [int(stats["committed_max_ts"])] if "committed_max_ts" in stats else []
+        for bid_str, entry in stats["batches"].items():
+            if int(bid_str) >= committed_below:
+                continue
+            cand.extend(m for m in (entry.get("left"), entry.get("right")) if m is not None)
+        if not cand:
+            return []
+        stats["committed_max_ts"] = max(cand)
+        wm = stats["committed_max_ts"] - delay_seconds
+    horizon = wm - band_seconds
     evicted: list[tuple[str, int]] = []
     for bid_str, entry in sorted(stats["batches"].items(), key=lambda kv: int(kv[0])):
         bid = int(bid_str)
@@ -749,8 +815,26 @@ def run_stream_join_mv_temporal(
     on = list(on)
     left_cols = list(left_cols)
     right_cols = list(right_cols)
+    last_bid: dict[str, int] = {}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        last_bid["bid"] = batch_id
+        # Evict BEFORE the fold, fenced to committed batches: batch_id
+        # itself is uncommitted until the checkpoint records it, so the
+        # eviction horizon must neither consider its partitions nor let
+        # its rows' event times advance the watermark — otherwise a
+        # crash between fold and commit would replay this batch against
+        # less history than the first attempt saw (ADVICE r7). Running
+        # eviction first (and committed-only inside evict_join_mv_state)
+        # makes first run and replay observe identical pre-state: a
+        # crashed attempt's own _ts_stats entry is excluded by the
+        # bid < committed_below fence, so re-running evicts nothing new.
+        evict_join_mv_state(
+            state_path,
+            band_seconds,
+            delay_seconds=delay_seconds,
+            committed_below=batch_id,
+        )
         bl = batch_df.filter(F.col(side_col) == "left").select(
             *on, F.col(ts_col).alias("__ts_l"), *left_cols
         )
@@ -768,12 +852,6 @@ def run_stream_join_mv_temporal(
             state_path,
             delay_seconds=delay_seconds,
         )
-        evict_join_mv_state(
-            state_path,
-            band_seconds,
-            delay_seconds=delay_seconds,
-            committed_below=batch_id,
-        )
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -789,6 +867,17 @@ def run_stream_join_mv_temporal(
             )
     finally:
         q.stop()
+    # the drain committed every batch (availableNow terminated cleanly),
+    # so the final batch's event times are now safely part of the
+    # committed watermark — one closing eviction trims state all the way
+    # to the current horizon without waiting for the next drain
+    if "bid" in last_bid:
+        evict_join_mv_state(
+            state_path,
+            band_seconds,
+            delay_seconds=delay_seconds,
+            committed_below=last_bid["bid"] + 1,
+        )
 
 
 MULT_COL = "__mult"

@@ -116,6 +116,80 @@ def test_merge_into_adapter_versioned_semantics(spark, tmp_path):
     ) == [2, 3, 4]
 
 
+def _parse_plan(spark, sql: str):
+    return spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+
+
+def test_generated_merge_parses_to_merge_into_table(spark):
+    """SQL-conformance evidence for the catalog backends, vendored for
+    a container without jars (the fetch was attempted: no network, no
+    local ivy/delta jars — see BASELINE.md round-8): Spark's OWN parser
+    turns every build_merge_sql variant into a MergeIntoTable logical
+    plan with exactly the intended clause structure. Delta and Iceberg
+    both consume this parse tree — the jars replace execution, not the
+    grammar — so a green parse + analyzer-boundary test (below) is the
+    strongest in-container proof the generated text is what a real
+    catalog would run."""
+    up = _parse_plan(
+        spark, build_merge_sql("tgt", "src", ["k1", "k2"], ["k1", "k2", "v"])
+    )
+    assert up.getClass().getSimpleName() == "MergeIntoTable"
+    assert up.matchedActions().size() == 1
+    m0 = up.matchedActions().apply(0)
+    assert m0.getClass().getSimpleName() == "UpdateAction"
+    # whole-row replace: one assignment per source column
+    assert m0.assignments().size() == 3
+    assert up.notMatchedActions().size() == 1
+    assert (
+        up.notMatchedActions().apply(0).getClass().getSimpleName()
+        == "InsertAction"
+    )
+
+    dl = _parse_plan(
+        spark,
+        build_merge_sql(
+            "tgt", "src", ["k"], ["k", "v"],
+            when_matched="delete", insert_unmatched=False,
+        ),
+    )
+    assert dl.getClass().getSimpleName() == "MergeIntoTable"
+    assert (
+        dl.matchedActions().apply(0).getClass().getSimpleName()
+        == "DeleteAction"
+    )
+    assert dl.notMatchedActions().size() == 0
+
+
+def test_generated_merge_reaches_row_level_capability_boundary(spark):
+    """Run the generated MERGE INTO for real against a genuine catalog
+    table: parsing AND analysis (table resolution, column resolution,
+    assignment typing) succeed, and execution stops at exactly the
+    point the catalog jars would take over — the v1 parquet table's
+    lack of row-level operations (UNSUPPORTED_FEATURE.TABLE_OPERATION).
+    Any defect in the generated text (bad quoting, misnamed column,
+    malformed clause) would surface as a ParseException or
+    AnalysisException BEFORE this error, so this pins the full
+    statement as executable-modulo-backend."""
+    tbl = "t_merge_conformance"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.createDataFrame([(1, 10)], "k int, v int").write.mode(
+        "overwrite"
+    ).saveAsTable(tbl)
+    spark.createDataFrame([(2, 20)], "k int, v int").createOrReplaceTempView(
+        "src_conformance"
+    )
+    sql = build_merge_sql(tbl, "src_conformance", ["k"], ["k", "v"])
+    try:
+        with pytest.raises(Exception) as exc:
+            spark.sql(sql)
+        msg = str(exc.value)
+        assert "MERGE INTO TABLE" in msg
+        assert "UNSUPPORTED_FEATURE.TABLE_OPERATION" in msg
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.catalog.dropTempView("src_conformance")
+
+
 def test_merge_into_delta_backend_when_jars_present(spark, tmp_path):
     """End-to-end catalog MERGE — runs only where Delta jars exist."""
     if not delta_available(spark):

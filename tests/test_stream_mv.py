@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_spark_spark.operators.rollup import agg_snapshot
@@ -839,3 +840,144 @@ def test_join_mv_compaction_crash_before_manifest_is_invisible(
         x for x in os.listdir(f"{state}/left") if x.startswith(".compact-")
     ]
     assert len(left_stagings) == 1
+
+def test_temporal_join_mv_checkpoint_restart_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """Kill-and-resume across a REAL checkpoint (verdict-r7 task 4),
+    on the exact ADVICE-r7 crash window: batch 1 carries both the
+    in-band partner for batch 0's history AND a row that advances the
+    stream's max event time far past batch 0 + band. The injected
+    crash lands AFTER the fold (state + _ts_stats written), BEFORE the
+    checkpoint commits — the worst replay window. The restarted runner
+    must replay batch 1 against the SAME pre-state (no eviction driven
+    by the uncommitted batch's stats) and converge to the one-shot
+    recompute, without duplicates."""
+    import etl_spark_spark.streaming.join_mv as JM
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = "side string, k long, ts timestamp, lp string, rp string"
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            rows, "side string, k long, ts string, lp string, rp string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(feed / name))
+
+    # batch 0: a lone left row, day 1
+    write_file("f0", [("left", 1, "2026-06-01 10:00:00", "L1", None)])
+    # batch 1: its in-band right partner + a day-30 watermark-advancer
+    write_file("f1", [
+        ("right", 1, "2026-06-01 10:30:00", None, "R1"),
+        ("right", 2, "2026-06-30 09:00:00", None, "R2"),
+    ])
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed) + "/*")
+        )
+        JM.run_stream_join_mv_temporal(
+            stream, ["k"], "side", "ts", ["lp"], ["rp"],
+            band_seconds=3600, state_path=state, checkpoint_dir=ckpt,
+        )
+
+    real_apply = JM.apply_join_batch_temporal
+    armed = {"on": True}
+
+    def crash_after_fold(bl, br, batch_id, *a, **kw):
+        real_apply(bl, br, batch_id, *a, **kw)
+        if batch_id == 1 and armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("injected crash after fold, before commit")
+
+    monkeypatch.setattr(JM, "apply_join_batch_temporal", crash_after_fold)
+    with pytest.raises((StreamingQueryException, RuntimeError)):
+        drain()
+    # the crashed attempt DID write batch 1's partitions and stats
+    assert (Path(state) / "view" / "__batch_id=1").exists()
+    assert (Path(state) / "left" / "__batch_id=0").exists()
+
+    # restart from the checkpoint through the pristine runner
+    monkeypatch.setattr(JM, "apply_join_batch_temporal", real_apply)
+    drain()
+
+    rows = spark.read.parquet(f"{state}/view").collect()
+    pairs = sorted((r["lp"], r["rp"]) for r in rows)
+    # one pair, present exactly ONCE: the replay neither lost the
+    # batch-0 history join (the ADVICE-r7 silent-loss window) nor
+    # double-counted it
+    assert pairs == [("L1", "R1")]
+
+
+def test_bucketed_join_mv_checkpoint_restart_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """Same kill-and-resume for the equi/bucketed readStream runner:
+    crash after the batch-1 fold, restart from the checkpoint, final
+    view == batch join over everything delivered (replay-idempotent
+    partition overwrite across a real process... process boundary is
+    the checkpoint; the session survives, the query does not)."""
+    import uuid
+
+    import etl_spark_spark.streaming.join_mv as JM
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    schema = "side string, k long, lv string, rv string"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(feed / name))
+
+    write_file("f0", [("left", 1, "a1", None), ("right", 2, None, "b2")])
+    write_file("f1", [("right", 1, None, "b1"), ("left", 2, "a2", None)])
+
+    pfx = f"jv_restart_{uuid.uuid4().hex[:8]}"
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed) + "/*")
+        )
+        JM.run_stream_join_mv(
+            stream, ["k"], "side", ["lv"], ["rv"], pfx, view, ckpt
+        )
+
+    real_apply = JM.apply_join_batch_bucketed
+    armed = {"on": True}
+
+    def crash_after_fold(bl, br, batch_id, *a, **kw):
+        real_apply(bl, br, batch_id, *a, **kw)
+        if batch_id == 1 and armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("injected crash after fold, before commit")
+
+    try:
+        monkeypatch.setattr(JM, "apply_join_batch_bucketed", crash_after_fold)
+        with pytest.raises((StreamingQueryException, RuntimeError)):
+            drain()
+        monkeypatch.setattr(JM, "apply_join_batch_bucketed", real_apply)
+        drain()
+        got = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in spark.read.parquet(view).drop("__batch_id").collect()
+        )
+        assert got == [(1, "a1", "b1"), (2, "a2", "b2")]
+    finally:
+        for t in (f"{pfx}_left", f"{pfx}_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
