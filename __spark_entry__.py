@@ -303,6 +303,28 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs under the heavy-bucket STAR
+    mitigation (bucket_cap=2): band buckets larger than the cap emit
+    hub->member candidates instead of all pairs, bounding the
+    quadratic blowup a near-identical boilerplate cluster causes (its
+    1-token-edit members have DISTINCT shingle sets — verbatim-twin
+    collapse cannot merge them — yet near-identical signatures put
+    them all in one bucket; measured in scripts/bench_neardup_boiler.py
+    and BASELINE.md round-8). The cap of 2 forces the star path on
+    this corpus's natural size-3 buckets, so the driver gate exercises
+    the mitigation, not just the passthrough. The oracle replays the
+    complete pipeline in SQL: identical-set collapse, banding, bucket
+    sizing + hub via window functions, capped candidate generation,
+    exact-Jaccard verify, and pair re-expansion."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    return near_dup_minhash(
+        toks, "doc_id", word_shingles("t", 3), num_perms=8,
+        rows_per_band=2, threshold=0.5, bucket_cap=2,
+    )
+
+
 def q_neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ground-truth all-pairs 3-gram Jaccard at >= 0.8."""
     docs = table(spark, sf_dir, "documents")
@@ -742,15 +764,17 @@ def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_neardup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup under the GUARANTEED-recall banding contract
-    (round-7): plan_simhash_bands' pigeonhole plan (threshold+1 = 11
-    bands of 5 bits) ensures every pair within hamming 10 is a banded
-    candidate, so after the bit_count verify the result provably
-    EQUALS brute force — which is exactly what the oracle computes
-    (all-pairs hamming join over the simhash values, no banding to
-    mirror). The banded plan still never materializes the quadratic
-    pair space on clustered corpora; the oracle side is only feasible
-    because the gate runs at fixture scale."""
+    """SimHash near-dup under the GUARANTEED-recall contract: the
+    multi-index probe plan (round-8, plan_simhash_probe — 4 bands of
+    15 bits probing all <=2-flip key variants, replacing round-7's
+    11x5-bit equality banding) ensures every pair within hamming 10 is
+    a candidate by pigeonhole, so after the bit_count verify the
+    result provably EQUALS brute force — which is exactly what the
+    oracle computes (all-pairs hamming join over the simhash values,
+    no index to mirror). The wide keys cut unrelated-value collisions
+    ~23x (BASELINE.md round-8) while never materializing the quadratic
+    pair space; the oracle side is only feasible because the gate runs
+    at fixture scale."""
     docs = table(spark, sf_dir, "documents")
     return simhash_near_dup(
         docs, "doc_id", tokens("text"), threshold=10, exact_recall=True
@@ -5851,6 +5875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_exact_dedup": q_doc_exact_dedup,
         "neardup_minhash": q_neardup_minhash,
+        "neardup_bucket_cap": q_neardup_bucket_cap,
         "neardup_ngram_jaccard": q_neardup_ngram_jaccard,
         "neardup_prefix_jaccard": q_neardup_prefix_jaccard,
         "doc_simhash": q_doc_simhash,
@@ -6346,6 +6371,65 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+"""
+
+_NEARDUP_BUCKET_CAP_SQL = f"""
+WITH {_SHINGLES},
+docsets AS (
+    SELECT doc_id, list_sort(list(s)) AS ss FROM sh GROUP BY doc_id
+),
+fam AS (
+    SELECT ss, min(doc_id) AS rep, list(doc_id) AS members_, len(ss) AS n
+    FROM docsets GROUP BY ss
+),
+mem AS (SELECT rep, unnest(members_) AS doc FROM fam),
+repsh AS (SELECT rep AS doc_id, unnest(ss) AS s FROM fam),
+sig AS (SELECT doc_id, {_MH_COLS} FROM repsh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+sized AS (
+    SELECT doc_id, band, key,
+           count(*) OVER (PARTITION BY band, key) AS bsz,
+           min(doc_id) OVER (PARTITION BY band, key) AS hub
+    FROM bands
+),
+cand AS (
+    SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE a.bsz <= 2 AND b.bsz <= 2
+        UNION ALL
+        SELECT hub AS id_a, doc_id AS id_b FROM sized
+        WHERE bsz > 2 AND doc_id != hub
+    )
+),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand c
+    JOIN repsh x ON x.doc_id = c.id_a
+    JOIN repsh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+),
+rsizes AS (SELECT rep, n FROM fam),
+verified AS (
+    SELECT i.id_a, i.id_b, i.inter / (sa.n + sb.n - i.inter) AS jaccard
+    FROM inter i
+    JOIN rsizes sa ON sa.rep = i.id_a
+    JOIN rsizes sb ON sb.rep = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+),
+cross_expanded AS (
+    SELECT least(ma.doc, mb.doc) AS id_a,
+           greatest(ma.doc, mb.doc) AS id_b, v.jaccard
+    FROM verified v
+    JOIN mem ma ON ma.rep = v.id_a
+    JOIN mem mb ON mb.rep = v.id_b
+),
+within_expanded AS (
+    SELECT a.doc AS id_a, b.doc AS id_b, 1.0 AS jaccard
+    FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc < b.doc
+)
+SELECT * FROM cross_expanded UNION ALL SELECT * FROM within_expanded
 """
 
 _CLUSTER_CANONICALIZE_SQL = f"""
@@ -9584,6 +9668,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _DOC_LANG_ID_SQL,
         "doc_exact_dedup": _DOC_EXACT_DEDUP_SQL,
         "neardup_minhash": _NEARDUP_MINHASH_SQL,
+        "neardup_bucket_cap": _NEARDUP_BUCKET_CAP_SQL,
         "doc_incremental_dedup": _DOC_INCREMENTAL_DEDUP_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
         "small_qty_revenue": _SMALL_QTY_REVENUE_SQL,

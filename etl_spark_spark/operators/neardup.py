@@ -19,7 +19,7 @@ Scale design notes (what changes at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint
@@ -65,9 +65,33 @@ def lsh_candidate_pairs(
     id_col: str,
     num_perms: int = 8,
     rows_per_band: int = 2,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Docs sharing any band of their signature -> candidate pairs
-    (id_a < id_b). Join happens only within band buckets."""
+    (id_a < id_b). Join happens only within band buckets.
+
+    ``bucket_cap`` is the heavy-bucket mitigation for NEAR-identical
+    skew (verdict-r7 task 3): identical-set collapse removes verbatim
+    twins, but a corpus-scale cluster of 1-token-edit boilerplate has
+    DISTINCT sets with near-identical signatures, so its members land
+    in the same band buckets and the within-bucket self-join goes
+    quadratic (T docs -> ~T^2/2 candidates per band; measured in
+    scripts/bench_neardup_boiler.py). With a cap, any bucket larger
+    than ``bucket_cap`` emits STAR pairs instead of all pairs — every
+    member paired with the bucket's min id — so its candidate volume
+    drops from m^2/2 to m-1 per band.
+
+    Contract change (documented, opt-in): within an over-cap bucket,
+    PAIR-level completeness degrades to hub-connectivity — a pair of
+    members both similar to each other but NOT to the hub (>= the
+    caller's verify threshold) can be missed. CLUSTER-level recall for
+    a genuine near-duplicate family is preserved whenever members
+    verify against the bucket hub (the 1-token-edit boilerplate case:
+    all members are mutually near-identical, so the star edges survive
+    exact verification and connected components are unchanged —
+    pinned by test and by the neardup_bucket_cap oracle row).
+    Precision is untouched: every emitted candidate still passes the
+    caller's exact verification."""
     bands = []
     for b in range(num_perms // rows_per_band):
         cols = [
@@ -79,6 +103,44 @@ def lsh_candidate_pairs(
     exploded = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bk")
     ).select(id_col, "bk.band", "bk.key")
+    if bucket_cap is not None:
+        if bucket_cap < 2:
+            raise ValueError(f"bucket_cap must be >= 2, got {bucket_cap}")
+        # one shuffle on (band, key): bucket size + hub (min id) as
+        # window aggregates — the heavy bucket IS one partition, and
+        # counting/min over it is linear
+        w = Window.partitionBy("band", "key")
+        sized = exploded.select(
+            F.col(id_col),
+            "band",
+            "key",
+            F.count("*").over(w).alias("__bsz"),
+            F.min(id_col).over(w).alias("__hub"),
+        )
+        small = sized.filter(F.col("__bsz") <= bucket_cap).drop(
+            "__bsz", "__hub"
+        )
+        a = small.alias("a")
+        b = small.alias("b")
+        all_pairs = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        star_pairs = (
+            sized.filter(
+                (F.col("__bsz") > bucket_cap)
+                & (F.col(id_col) != F.col("__hub"))
+            )
+            .select(
+                F.col("__hub").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+        return all_pairs.unionByName(star_pairs).distinct()
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -415,6 +477,7 @@ def near_dup_minhash(
     threshold: float = 0.5,
     target_recall: float | None = None,
     max_perms: int = 64,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate pairs with exact-Jaccard
     verification: (id_a, id_b, jaccard >= threshold).
@@ -435,7 +498,12 @@ def near_dup_minhash(
     passed num_perms/rows_per_band are ignored and
     :func:`plan_banding` sizes them so a pair at exactly ``threshold``
     is a candidate with probability >= target_recall (see its
-    docstring for the S-curve and the precision-biased selection)."""
+    docstring for the S-curve and the precision-biased selection).
+
+    ``bucket_cap`` enables the heavy-bucket star mitigation for
+    near-identical boilerplate clusters — see
+    :func:`lsh_candidate_pairs` for the exact (pair->cluster) contract
+    change it buys its m^2 -> m candidate reduction with."""
     _check_threshold(threshold)
     if target_recall is not None:
         num_perms, rows_per_band = plan_banding(
@@ -444,7 +512,8 @@ def near_dup_minhash(
     sh = shingle_set(df, id_col, shingles_col)
     reps_sh, members = collapse_identical_sets(sh, id_col)
     rep_pairs = _minhash_rep_pairs(
-        reps_sh, id_col, num_perms, rows_per_band, threshold
+        reps_sh, id_col, num_perms, rows_per_band, threshold,
+        bucket_cap=bucket_cap,
     )
     return expand_collapsed_pairs(
         rep_pairs, members, {"jaccard": F.lit(1.0)}
@@ -458,6 +527,7 @@ def _minhash_rep_pairs(
     rows_per_band: int,
     threshold: float,
     sig: DataFrame | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Shared banded-LSH + exact-verify core over a COLLAPSED shingle
     table: (id_a, id_b, jaccard >= threshold) between distinct-set
@@ -467,10 +537,13 @@ def _minhash_rep_pairs(
     ``sig`` lets a caller share ONE precomputed signature table across
     several banding configurations (mh columns beyond num_perms are
     ignored) — multi-threshold evals pay the md5 signature pass once
-    instead of per threshold."""
+    instead of per threshold. ``bucket_cap`` passes through to
+    :func:`lsh_candidate_pairs` (heavy-bucket star mitigation)."""
     if sig is None:
         sig = minhash_signature(reps_sh, id_col, num_perms)
-    cand = lsh_candidate_pairs(sig, id_col, num_perms, rows_per_band)
+    cand = lsh_candidate_pairs(
+        sig, id_col, num_perms, rows_per_band, bucket_cap=bucket_cap
+    )
     sizes = reps_sh.groupBy(id_col).agg(F.count("*").alias("__n_"))
     ov = (
         pair_overlap_counts(cand, reps_sh, id_col)
@@ -1208,6 +1281,59 @@ def plan_simhash_bands(
     )
 
 
+def plan_simhash_probe(
+    max_hamming: int,
+    total_bits: int = SIMHASH_BITS,
+    max_variants: int = 512,
+) -> tuple[int, int, int]:
+    """Plan the EXACT-recall simhash candidate index as (num_bands,
+    band_bits, probe_flips) for the multi-index probe join (Manku et
+    al.'s simhash dedup shape): split the fingerprint into ``b`` bands
+    of ``k`` bits; a pair within hamming ``d`` overall has SOME band
+    with at most ``t = floor(d/b)`` flipped bits (pigeonhole), so
+    probing every key within hamming ``t`` of a doc's band key —
+    ``v = sum_{i<=t} C(k, i)`` enumerated XOR masks — finds every
+    qualifying pair with CERTAINTY, no probability involved.
+
+    This generalizes the b = d+1 / t = 0 equality plan
+    (:func:`plan_simhash_bands`): spending ``v`` probe rows per band
+    buys ``k``-bit keys instead of ``total//(d+1)``-bit ones, and
+    candidate selectivity improves roughly as ``b*v / 2^k``. For
+    d=10 over 60 bits: the t=0 plan is 11 bands of 5 bits (any-band
+    collision odds ~11/32 ~ 0.34 between UNRELATED values); the chosen
+    t=2 plan is 4 bands of 15 bits probing 121 masks (odds
+    ~484/32768 ~ 0.015) — ~23x fewer spurious candidates for a
+    484-rows/doc narrow explode (measured: the registry's exact query
+    dropped 16.2 -> ~4 s single-warm at sf0.1, BASELINE.md round-8).
+
+    Selection: among band counts 1..d+1 whose variant count fits
+    ``max_variants`` (probe-volume budget), minimize the selectivity
+    ``b * v / 2^k``. b = d+1 (t=0, v=1) is always feasible, so the
+    planner never fails for d < total_bits."""
+    if not 0 <= max_hamming < total_bits:
+        raise ValueError(
+            f"max_hamming must be in [0, {total_bits}), got {max_hamming}"
+        )
+    if max_variants < 1:
+        raise ValueError(f"max_variants must be >= 1, got {max_variants}")
+    from math import comb
+
+    best: tuple[float, int, int, int] | None = None
+    for b in range(1, max_hamming + 2):
+        k = total_bits // b
+        if k < 1:
+            break
+        t = max_hamming // b
+        v = sum(comb(k, i) for i in range(min(t, k) + 1))
+        if v > max_variants:
+            continue
+        sel = b * v / float(1 << k)
+        if best is None or sel < best[0]:
+            best = (sel, b, k, t)
+    assert best is not None  # b = d+1 always fits (v = 1)
+    return best[1], best[2], best[3]
+
+
 def simhash_near_dup(
     df: DataFrame,
     id_col: str,
@@ -1245,18 +1371,22 @@ def simhash_near_dup(
     id_a < id_b.
 
     Banding contract (round-7, mirroring the MinHash tuner):
-    ``exact_recall=True`` derives (num_bands, band_bits) from the
-    pigeonhole plan — recall 1.0 GUARANTEED at ``threshold`` (see
-    :func:`plan_simhash_bands`); ``target_recall`` derives the fewest
-    bands meeting that probabilistic floor. Either overrides the
-    hand-picked defaults."""
+    ``exact_recall=True`` routes to the multi-index PROBE plan —
+    recall 1.0 GUARANTEED at ``threshold`` by the same pigeonhole
+    argument but with wide band keys + enumerated <=t-flip probe
+    masks instead of narrow-key equality (see
+    :func:`plan_simhash_probe`; round-8, replacing the 11x5-bit
+    equality plan whose 5-bit keys made ~34% of unrelated value pairs
+    candidates); ``target_recall`` derives the fewest bands meeting
+    that probabilistic floor. Either overrides the hand-picked
+    defaults."""
     if not 0 <= threshold <= SIMHASH_BITS:
         raise ValueError(
             f"hamming threshold must be in [0, {SIMHASH_BITS}], got {threshold}"
         )
     if exact_recall:
-        num_bands, band_bits = plan_simhash_bands(threshold)
-    elif target_recall is not None:
+        return _simhash_near_dup_probe(df, id_col, tokens_col, threshold)
+    if target_recall is not None:
         num_bands, band_bits = plan_simhash_bands(
             threshold, target_recall=target_recall
         )
@@ -1332,6 +1462,99 @@ def simhash_near_dup(
     return expand_collapsed_pairs(
         rep_pairs, members, {"hamming": F.lit(0)}
     )
+
+
+def _simhash_near_dup_probe(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    threshold: int,
+) -> DataFrame:
+    """EXACT-recall simhash near-dup via the multi-index probe join
+    (the plan :func:`plan_simhash_probe` derives): distinct simhash
+    values post each band's ``k``-bit key once; every value also
+    PROBES all keys within hamming ``t = floor(threshold/num_bands)``
+    of its own (the enumerated XOR masks, a narrow
+    ``num_bands x sum C(k,<=t)`` explode); an equi-join on
+    (band, key) generates candidates; ``bit_count`` verifies.
+
+    Recall 1.0 proof (pigeonhole, no probability): a qualifying pair
+    flips <= threshold bits total, so some band flipped <= t — the XOR
+    of that band's two keys is one of the enumerated masks, hence one
+    side's probe hits the other side's post exactly. Compared with the
+    round-7 equality plan (threshold+1 bands of total//(threshold+1)
+    bits), the keys are ~3x wider, so unrelated-value collisions drop
+    by orders of magnitude (d=10/60 bits: any-band collision odds
+    0.34 -> 0.015) and the candidate join never materializes per-bucket
+    pair arrays at all. Verbatim/same-simhash docs are collapsed to one
+    representative first and re-expanded output-linearly, exactly as in
+    :func:`simhash_near_dup`. Both join sides merge-hinted: the posting
+    tables are corpus-sized near-sequential longs that compress
+    misleadingly well (the AQE dynamic-broadcast hazard documented in
+    ``jaccard_for_pairs``)."""
+    from itertools import combinations
+
+    num_bands, band_bits, flips = plan_simhash_probe(threshold)
+    sh_docs = simhash(df, id_col, tokens_col)
+    tagged = sh_docs.withColumn(
+        "__rep", F.min(id_col).over(Window.partitionBy("simhash"))
+    )
+    members = tagged.select(
+        F.col("__rep").alias("__r"),
+        F.col(id_col).alias("__doc"),
+        F.lit(1).alias("__n"),
+    )
+    sh = tagged.filter(F.col(id_col) == F.col("__rep")).select(
+        F.col(id_col), "simhash"
+    )
+
+    mask = (1 << band_bits) - 1
+    posts = sh.select(
+        F.col(id_col).alias("__pid"),
+        F.col("simhash").alias("__psh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), band_bits * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__pid", "__psh", "bk.band", "bk.key")
+
+    xor_masks = [0]
+    for i in range(1, flips + 1):
+        for pos in combinations(range(band_bits), i):
+            xor_masks.append(sum(1 << p for p in pos))
+    mlit = F.array(*[F.lit(m).cast("long") for m in xor_masks])
+    probes = posts.select(
+        F.col("__pid").alias("__qid"),
+        F.col("__psh").alias("__qsh"),
+        "band",
+        F.explode(
+            F.transform(mlit, lambda m: F.col("key").bitwiseXOR(m))
+        ).alias("key"),
+    )
+    rep_pairs = (
+        probes.hint("merge")
+        .join(posts.hint("merge"), ["band", "key"])
+        .filter(F.col("__qid") < F.col("__pid"))
+        .select(
+            F.col("__qid").alias("id_a"),
+            F.col("__pid").alias("id_b"),
+            F.bit_count(
+                F.col("__qsh").bitwiseXOR(F.col("__psh"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= threshold)
+        .distinct()
+    )
+    return expand_collapsed_pairs(rep_pairs, members, {"hamming": F.lit(0)})
 
 
 def simhash(

@@ -313,3 +313,169 @@ def test_plan_simhash_bands_invariants(d, target):
     else:
         p = 1 - d / 60
         assert (d < b) or (1 - (1 - p**r) ** b >= target)
+
+# ---------------------------------------------------------------------------
+# Round-8: heavy-bucket star mitigation (bucket_cap) for near-identical skew
+
+
+def _boilerplate_corpus(spark, family=40, tails=10):
+    """A near-identical boilerplate family (1-token edits of one base,
+    DISTINCT shingle sets, so identical-set collapse does NOT merge
+    them) plus unrelated tail docs — the adversarial shape from
+    verdict-r7 task 3."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    ).split()
+    rows = []
+    for i in range(family):
+        toks = list(base)
+        toks[i % len(toks)] = f"edit{i}"
+        rows.append((i, " ".join(toks)))
+    for j in range(tails):
+        rows.append(
+            (1000 + j, " ".join(f"tail{j}w{k}" for k in range(30)))
+        )
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _components(pairs_rows):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs_rows:
+        a, b = find(r["id_a"]), find(r["id_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    return {x: find(x) for x in list(parent)}
+
+
+def test_bucket_cap_cuts_candidates_and_preserves_clusters(spark):
+    from etl_spark_spark.functions.text import word_shingles
+    from etl_spark_spark.operators.neardup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = _boilerplate_corpus(spark)
+    toks = _toks(docs)
+
+    def pairs(cap):
+        return near_dup_minhash(
+            toks, "doc_id", word_shingles("t", 3),
+            num_perms=8, rows_per_band=2, threshold=0.5, bucket_cap=cap,
+        )
+
+    uncapped = {(r["id_a"], r["id_b"]) for r in pairs(None).collect()}
+    capped_rows = pairs(8).collect()
+    capped = {(r["id_a"], r["id_b"]) for r in capped_rows}
+
+    # precision unchanged: every capped pair survives the same exact
+    # verification, and star candidates are a subset of all-pairs
+    assert capped <= uncapped
+    # the family is mutually near-identical -> hub edges verify, so the
+    # CLUSTER structure is identical (the cap's contract)
+    comp_u = _components(pairs(None).collect())
+    comp_c = _components(capped_rows)
+    fam = set(range(40))
+    assert {comp_u.get(d) for d in fam} == {0}
+    assert {comp_c.get(d) for d in fam} == {0}
+    # no tail doc is dragged into the family by the star edges
+    assert all(v not in fam or k < 1000 for k, v in comp_c.items())
+
+    # candidate volume: the family bucket goes m^2/2 -> m-1 per band
+    sh = shingle_set(toks, "doc_id", word_shingles("t", 3))
+    sig = minhash_signature(sh, "doc_id", 8)
+    n_uncapped = lsh_candidate_pairs(sig, "doc_id", 8, 2).count()
+    n_capped = lsh_candidate_pairs(
+        sig, "doc_id", 8, 2, bucket_cap=8
+    ).count()
+    assert n_capped < n_uncapped / 3, (n_capped, n_uncapped)
+
+
+def test_bucket_cap_validation_and_noop_below_cap(spark, twin_corpus):
+    from etl_spark_spark.functions.text import word_shingles
+
+    toks = _toks(twin_corpus)
+    with pytest.raises(ValueError, match="bucket_cap"):
+        near_dup_minhash(
+            toks, "doc_id", word_shingles("t", 3), bucket_cap=1
+        ).collect()
+    # a cap larger than every bucket is a bit-for-bit no-op
+    base = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in near_dup_minhash(
+            toks, "doc_id", word_shingles("t", 3), threshold=0.5
+        ).collect()
+    }
+    wide = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in near_dup_minhash(
+            toks, "doc_id", word_shingles("t", 3), threshold=0.5,
+            bucket_cap=1000,
+        ).collect()
+    }
+    assert base == wide
+
+
+# Round-8: multi-index probe plan for exact-recall simhash
+
+
+def test_plan_simhash_probe_math():
+    from math import comb
+
+    from etl_spark_spark.operators.neardup import plan_simhash_probe
+
+    b, k, t = plan_simhash_probe(10)
+    # the d=10/60-bit plan: 4 bands of 15 bits probing <=2 flips
+    assert (b, k, t) == (4, 15, 2)
+    # pigeonhole feasibility: flips per band bounded as planned
+    assert t == 10 // b and b * k <= 60
+    # the probe budget holds and beats the t=0 equality plan's
+    # selectivity by construction
+    v = sum(comb(k, i) for i in range(t + 1))
+    assert v <= 512
+    assert b * v / 2**k < 11 * 1 / 2**5
+    # edges
+    assert plan_simhash_probe(0) == (1, 60, 0)
+    b2, k2, t2 = plan_simhash_probe(59)
+    assert t2 == 59 // b2
+    with pytest.raises(ValueError):
+        plan_simhash_probe(60)
+    with pytest.raises(ValueError):
+        plan_simhash_probe(-1)
+
+
+def test_probe_plan_equals_equality_plan_pairs(spark, twin_corpus):
+    """The round-8 probe path and a brute-force hamming join agree
+    exactly on a twin-bearing corpus (collapse exercised both ways)."""
+    from etl_spark_spark.operators.neardup import simhash, simhash_near_dup
+
+    toks = _toks(twin_corpus)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup(
+            toks, "doc_id", F.col("t"), threshold=10, exact_recall=True
+        ).collect()
+    }
+    sh = simhash(toks, "doc_id", F.col("t"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 10)
+        .collect()
+    }
+    assert got == brute

@@ -480,3 +480,34 @@ def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
     assert "l_quantity" in pushed
     plan = explain_str(df, mode="simple")
     assert plan.count("Exchange") == 1
+
+
+def test_read_versioned_pushes_filters_and_prunes_columns(
+    spark, sf_dir, tmp_path
+):
+    """Round-8 (verdict task 7): the versioned store's read path is a
+    plain parquet scan of the committed snapshot, so Catalyst's
+    pushdown/pruning must survive the indirection — a filter+project
+    through read_versioned shows PushedFilters on the predicate column
+    and a ReadSchema narrowed to the projection."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.sinks.versioned import read_versioned, write_version
+
+    tbl = str(tmp_path / "vtbl")
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderstatus",
+    )
+    write_version(spark, src, tbl)
+    q = (
+        read_versioned(spark, tbl)
+        .filter(F.col("o_custkey") == 7)
+        .select("o_orderkey", "o_totalprice")
+    )
+    pushed = " ".join(pushed_filters(q))
+    assert "o_custkey" in pushed, f"filter not pushed: {pushed}"
+    scans = scan_schema_columns(q)
+    assert scans and all(
+        s <= {"o_orderkey", "o_totalprice", "o_custkey"} for s in scans
+    ), f"snapshot scan reads too much: {scans}"
