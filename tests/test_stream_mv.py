@@ -981,3 +981,51 @@ def test_bucketed_join_mv_checkpoint_restart_recovers(
     finally:
         for t in (f"{pfx}_left", f"{pfx}_right"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rollup_checkpoint_restart_fence_prevents_double_count(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Kill-and-resume for the rollup runner across a REAL checkpoint:
+    the injected crash lands AFTER batch 1's snapshot publishes (with
+    _SUCCESS) but BEFORE the checkpoint commits — the replay window
+    where a naive additive fold double-counts. The batch-id fence must
+    make the replay a no-op and the final rollup equal the batch
+    recompute."""
+    import etl_spark_spark.streaming.mv as MV
+    from pyspark.errors import StreamingQueryException
+
+    src = tmp_path / "src"
+    ev = _make_stream_dir(spark, sf_dir, src)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "chunk*"))
+        )
+        MV.run_stream_rollup(stream, KEYS, MEASURES, state, ckpt)
+
+    real_apply = MV.apply_stream_batch
+    armed = {"on": True}
+
+    def crash_after_publish(batch_df, batch_id, *a, **kw):
+        real_apply(batch_df, batch_id, *a, **kw)
+        if batch_id == 1 and armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("injected crash after publish, before commit")
+
+    monkeypatch.setattr(MV, "apply_stream_batch", crash_after_publish)
+    with pytest.raises((StreamingQueryException, RuntimeError)):
+        drain()
+    # the crashed attempt DID publish batch 1's committed snapshot
+    assert (Path(state) / "agg_v1" / "_SUCCESS").exists()
+
+    monkeypatch.setattr(MV, "apply_stream_batch", real_apply)
+    drain()
+
+    got = _rollup_dict(MV.read_stream_rollup(spark, state))
+    want = _rollup_dict(agg_snapshot(ev, KEYS, MEASURES))
+    assert got == want
