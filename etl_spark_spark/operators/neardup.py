@@ -744,6 +744,7 @@ def near_dup_clusters(
     max_rounds: int = 25,
     target_recall: float | None = None,
     max_perms: int = 64,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS (doc_id id_col, cluster_id = component
     min id) from the banded MinHash pair pipeline — every doc in the
@@ -768,7 +769,16 @@ def near_dup_clusters(
     twin-heavy corpora.
 
     ``target_recall`` derives the banding from the (threshold, recall)
-    contract exactly as in :func:`near_dup_minhash`."""
+    contract exactly as in :func:`near_dup_minhash`.
+
+    ``bucket_cap`` is the NATURAL home of the heavy-bucket star
+    mitigation (see :func:`lsh_candidate_pairs`): clustering consumes
+    only CONNECTIVITY, and the star keeps every over-cap bucket
+    connected through its hub — so a corpus-scale near-identical
+    boilerplate family still collapses to one cluster while the edge
+    list stays linear in the family instead of quadratic (its pairwise
+    completeness loss is invisible to connected components whenever
+    members verify against the hub; measured + pinned round-8)."""
     from .graph import connected_components
 
     _check_threshold(threshold)
@@ -779,7 +789,8 @@ def near_dup_clusters(
     sh = shingle_set(df, id_col, shingles_col)
     reps_sh, members = collapse_identical_sets(sh, id_col)
     rep_pairs = _minhash_rep_pairs(
-        reps_sh, id_col, num_perms, rows_per_band, threshold
+        reps_sh, id_col, num_perms, rows_per_band, threshold,
+        bucket_cap=bucket_cap,
     ).select("id_a", "id_b")
     comps = connected_components(
         rep_pairs, "id_a", "id_b", max_rounds=max_rounds

@@ -517,7 +517,11 @@ def apply_join_batch_temporal(
       id <= the committed watermark is final, and a future batch's
       rows all carry ts >= watermark - delay (late rows beyond
       ``delay_seconds`` are the documented loss, exactly the
-      watermark contract of a stateful stream-stream join).
+      watermark contract of a stateful stream-stream join). The
+      replay-facing subtlety — the uncommitted batch must neither be
+      considered for eviction NOR advance the eviction watermark — is
+      enforced by ``committed_below`` (see evict_join_mv_state;
+      ADVICE r7 fix, crash-replay pinned).
 
     Rows on either side with NULL event time are rejected (they could
     never be evicted and the band is undefined on them)."""

@@ -479,3 +479,30 @@ def test_probe_plan_equals_equality_plan_pairs(spark, twin_corpus):
         .collect()
     }
     assert got == brute
+
+
+def test_bucket_cap_clusters_equal_uncapped_on_boilerplate(spark):
+    """near_dup_clusters with the cap produces the SAME clustering as
+    without it on the boilerplate family — connectivity is all a
+    clustering consumes, and the star preserves it."""
+    from etl_spark_spark.functions.text import word_shingles
+    from etl_spark_spark.operators.neardup import near_dup_clusters
+
+    docs = _boilerplate_corpus(spark, family=30, tails=6)
+    toks = _toks(docs)
+
+    def clusters(cap):
+        return {
+            r["doc_id"]: r["cluster_id"]
+            for r in near_dup_clusters(
+                toks, "doc_id", word_shingles("t", 3),
+                threshold=0.5, bucket_cap=cap,
+            ).collect()
+        }
+
+    uncapped = clusters(None)
+    capped = clusters(8)
+    assert capped == uncapped
+    assert {capped[d] for d in range(30)} == {0}
+    # tails stay singletons
+    assert all(capped[1000 + j] == 1000 + j for j in range(6))
