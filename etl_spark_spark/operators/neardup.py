@@ -91,7 +91,14 @@ def lsh_candidate_pairs(
     exact verification and connected components are unchanged —
     pinned by test and by the neardup_bucket_cap oracle row).
     Precision is untouched: every emitted candidate still passes the
-    caller's exact verification."""
+    caller's exact verification. The documented boundary: a
+    CHAIN-shaped family (each doc similar only to its neighbors, never
+    to the bucket hub) fragments into finer clusters under the cap —
+    pinned by test as the explicit trade, not a surprise. At 100 TB,
+    reuse one materialized band table (:func:`signature_bands`, the
+    persistable layout) rather than recomputing the signature pipeline
+    per branch — the capped plan reads the banded side three times
+    (small-bucket self-join twice, star once)."""
     bands = []
     for b in range(num_perms // rows_per_band):
         cols = [

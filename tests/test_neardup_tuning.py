@@ -506,3 +506,46 @@ def test_bucket_cap_clusters_equal_uncapped_on_boilerplate(spark):
     assert {capped[d] for d in range(30)} == {0}
     # tails stay singletons
     assert all(capped[1000 + j] == 1000 + j for j in range(6))
+
+
+def test_bucket_cap_chain_boundary_refines_never_merges(spark):
+    """The DOCUMENTED failure mode of the star mitigation, pinned so it
+    stays an explicit trade: a CHAIN family (each doc similar to its
+    neighbors, never to the bucket hub) fragments into finer clusters
+    under a tight cap. The invariant that always holds — capped
+    candidate pairs are a subset of uncapped, so the capped clustering
+    REFINES the uncapped one (clusters split, never merge across)."""
+    from etl_spark_spark.functions.text import word_shingles
+    from etl_spark_spark.operators.neardup import near_dup_clusters
+
+    common = [f"common{i}" for i in range(30)]
+    stream = [f"tok{i}" for i in range(200)]
+    rows = [
+        (d, " ".join(common + stream[d * 4: d * 4 + 20]))
+        for d in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = _toks(docs)
+
+    def clusters(cap):
+        return {
+            r["doc_id"]: r["cluster_id"]
+            for r in near_dup_clusters(
+                toks, "doc_id", word_shingles("t", 3),
+                threshold=0.5, bucket_cap=cap,
+            ).collect()
+        }
+
+    unc = clusters(None)
+    capd = clusters(2)
+    # chain is one component uncapped; the tight cap fragments it
+    # (md5 banding is deterministic, so this fixture is stable)
+    assert len(set(unc.values())) == 1
+    assert len(set(capd.values())) == 3
+    # refinement: two docs the cap clusters together are ALWAYS
+    # together uncapped (capped pairs are a subset -> components only
+    # ever split, never merge across uncapped boundaries)
+    for a in range(12):
+        for b in range(12):
+            if capd[a] == capd[b]:
+                assert unc[a] == unc[b]
