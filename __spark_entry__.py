@@ -5438,11 +5438,20 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusts its banding. The exact side is computed ONCE at the lowest
     threshold and filtered per row (prefix-filtered exact join —
     proven equal to brute force; inherits the O(n^2) eval-only guard,
-    see q_neardup_recall_sampled for the scale path)."""
+    see q_neardup_recall_sampled for the scale path).
+
+    Round-8 cost fix (output bit-identical): per-threshold detector
+    verification used to re-run the pair_overlap_counts exact-Jaccard
+    join THREE times over the banded candidates — but the checkpointed
+    exact side already knows every pair's Jaccard at >= the lowest
+    threshold, and every eval threshold is >= it. Detector output is
+    therefore candidates ⋈ rep-level-exact (three cheap hash joins
+    against a small checkpointed table), with the same __i/(na+nb-i)
+    value carried through — the verify joins vanish from the plan."""
     from etl_spark_spark.operators.neardup import (
-        _minhash_rep_pairs,
         collapse_identical_sets,
         expand_collapsed_pairs,
+        lsh_candidate_pairs,
         minhash_signature,
         plan_banding,
         prefix_filtered_jaccard_pairs,
@@ -5465,17 +5474,32 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     sh = shingle_set(toks, "doc_id", word_shingles("t", 3))
     reps_sh, members = collapse_identical_sets(sh, "doc_id")
-    reps_sh = reps_sh.localCheckpoint()
     members = members.localCheckpoint()
     sig = minhash_signature(
         reps_sh, "doc_id", max(np_ for np_, _ in plans.values())
     ).localCheckpoint()
+    # rep-level exact pairs: the doc-level exact table restricted to
+    # family representatives (reps are members of their own families,
+    # so rep-rep pairs appear verbatim in the expanded exact output)
+    rep_ids = members.filter(F.col("__doc") == F.col("__r")).select(
+        F.col("__r").alias("__rid")
+    )
+    rep_exact = (
+        exact.join(
+            rep_ids.withColumnRenamed("__rid", "id_a"), "id_a"
+        )
+        .join(rep_ids.withColumnRenamed("__rid", "id_b"), "id_b")
+        .localCheckpoint()
+    )
     out = None
     for t in _EVAL_THRESHOLDS:
         num_perms, rows_per_band = plans[t]
         ex_t = exact.filter(F.col("jaccard") >= t).select("id_a", "id_b")
-        rep_pairs = _minhash_rep_pairs(
-            reps_sh, "doc_id", num_perms, rows_per_band, t, sig=sig
+        cand_t = lsh_candidate_pairs(
+            sig, "doc_id", num_perms, rows_per_band
+        )
+        rep_pairs = cand_t.join(
+            rep_exact.filter(F.col("jaccard") >= t), ["id_a", "id_b"]
         )
         lsh_t = (
             expand_collapsed_pairs(rep_pairs, members, {"jaccard": F.lit(1.0)})
