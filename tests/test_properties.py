@@ -302,3 +302,44 @@ def test_embedding_covariance_matches_definition(spark):
             ) * sum(r[j] for r in q)
             assert got[(i, j)] == float(num) / float(n * n)
         assert got[(i, i)] >= 0.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=59),
+    st.data(),
+)
+def test_simhash_probe_plan_pigeonhole_guarantee(d, data):
+    """Pure-math property of plan_simhash_probe (no Spark): for ANY
+    hamming budget d and ANY pair of 60-bit values within hamming d,
+    some band's keys differ by at most the planned probe_flips — i.e.
+    the enumerated XOR masks are guaranteed to connect the pair. Also
+    pins the plan's structural invariants (band coverage, probe
+    budget, t = d // b)."""
+    from math import comb
+
+    from etl_spark_spark.operators.neardup import plan_simhash_probe
+
+    b, k, t = plan_simhash_probe(d)
+    assert 1 <= b <= d + 1 and b * k <= 60 and t == d // b
+    assert sum(comb(k, i) for i in range(t + 1)) <= 512
+
+    # adversarial pair: x random, y = x with up to d flipped bits,
+    # positions chosen by hypothesis (including clustered-in-one-band)
+    x = data.draw(st.integers(min_value=0, max_value=(1 << 60) - 1))
+    n_flips = data.draw(st.integers(min_value=0, max_value=d))
+    positions = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=59),
+            min_size=n_flips, max_size=n_flips, unique=True,
+        )
+    )
+    y = x
+    for p in positions:
+        y ^= 1 << p
+    mask = (1 << k) - 1
+    band_flips = [
+        bin(((x >> (k * i)) ^ (y >> (k * i))) & mask).count("1")
+        for i in range(b)
+    ]
+    assert min(band_flips) <= t, (d, b, k, t, positions, band_flips)
