@@ -634,7 +634,6 @@ def sampled_ground_truth_pairs(
         raise ValueError(f"pair_mod must be >= 1, got {pair_mod}")
     sh = shingle_set(df, id_col, shingles_col)
     reps_sh, _members = collapse_identical_sets(sh, id_col)
-    post = reps_sh
     if max_shingle_df is not None:
         keep = (
             reps_sh.groupBy("shingle")
@@ -643,6 +642,30 @@ def sampled_ground_truth_pairs(
             .select("shingle")
         )
         post = reps_sh.join(keep.hint("merge"), "shingle")
+    else:
+        # round-8: generate candidates from PREFIX postings only (the
+        # AllPairs rule already carried by prefix_filtered_jaccard_
+        # pairs): under a global rarity order, J(x,y) >= t implies the
+        # two prefixes of length n - ceil(t*n) + 1 intersect, so the
+        # sample is IDENTICAL to the full-posting join while the
+        # frequent shingles that make the bucket join quadratic
+        # (sum df^2) never generate candidates. Only the uncapped path
+        # — max_shingle_df has its own documented posting semantics.
+        sizes_ = reps_sh.groupBy(id_col).agg(F.count("*").alias("__n"))
+        freq = reps_sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+        post = (
+            reps_sh.join(freq, "shingle")
+            .withColumn("__pos", F.row_number().over(w))
+            .join(sizes_, id_col)
+            .filter(
+                F.col("__pos")
+                <= F.col("__n")
+                - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+                + F.lit(1)
+            )
+            .select(id_col, "shingle")
+        )
     a = post.select(F.col(id_col).alias("id_a"), "shingle")
     b = post.select(F.col(id_col).alias("id_b"), "shingle")
     sampled = (
