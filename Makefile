@@ -7,13 +7,31 @@
 #   make plans     - regenerate tests/plan_snapshots.json (review the diff!)
 #   make bench     - bench.py at $SPARK_GRAFT_SF_DIR (default sf0.1)
 #   make check     - test + oracle (the full triple: plan gate runs inside pytest)
+#   make close     - the round-closing gate (see CLOSING PROTOCOL below)
+#
+# CLOSING PROTOCOL (added round 9 after the round-8 stale-snapshot slip:
+# the last source commit changed a query's join graph, plan_snapshots.json
+# was never refreshed, and the round shipped with test_plans.py red):
+#
+#   After the LAST source commit of a round, run `make close` on the final
+#   tree. ANY further source change — however small, including "just a
+#   comment in a query function" — restarts the checklist from the top.
+#   A gate run on commit N-1 does not certify commit N.
+#
+#   make close = full pytest (includes the plan-shape gate) + the full
+#   196-query oracle mirror at sf0.01. Bench is run separately per the
+#   median-of-3 protocol (BENCH_NOISE in BASELINE.md) when perf moved.
 
 PY ?= python
 
-.PHONY: check test oracle plans bench
+.PHONY: check test oracle plans bench close
 
 check: test oracle
 	@echo "CHECK GREEN: pytest + plan gate + full oracle mirror"
+
+close: check
+	@git status --short | grep -q . && echo "CLOSE: WARNING uncommitted changes present" || true
+	@echo "CLOSE GREEN on $$(git rev-parse --short HEAD): safe to end the round IFF no further source commits follow"
 
 test:
 	$(PY) -m pytest tests/ -q
