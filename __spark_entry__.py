@@ -2360,6 +2360,25 @@ def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_documents(docs)
 
 
+def q_doc_curation_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation composite on its PRODUCTION near-dup path: quality
+    gate -> exact dedup -> near-dup removal via MinHash(8)+LSH(4x2)
+    with the heavy-bucket STAR mitigation engaged (bucket_cap=2, so
+    this corpus's natural size->2 band buckets actually exercise the
+    star path, not the passthrough — the production default is 4096,
+    a no-op at organic dup rates; see curate_documents). The oracle
+    replays every stage in SQL: quality scoring, fingerprint dedup,
+    identical-shingle-set collapse, minhash banding, bucket sizing +
+    hub, capped candidate generation, exact-Jaccard verify at 0.8,
+    pair re-expansion, and the final drop-higher-id anti-join — so
+    the cap's (pair -> cluster) contract change is value-gated inside
+    the composite, not just in the isolated neardup_bucket_cap row."""
+    from etl_spark_spark.pipelines.curation import curate_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return curate_documents(docs, pair_stage="minhash", bucket_cap=2)
+
+
 def q_doc_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE end-to-end pipeline: curation (quality gate, exact dedup,
     near-dup removal) -> benchmark decontamination (bucket-'0' holdout)
@@ -2833,30 +2852,38 @@ def _scratch_dir(name: str) -> str:
     reap_ttl_sec = 3600.0
     now = time.time()
 
-    def _tree_mtime(path: str) -> float:
+    def _tree_is_live(path: str, deadline: float) -> bool:
         # a directory's own mtime only moves on DIRECT entry changes —
         # a sibling process writing inside nested subdirs (one long
         # query laying out table data) leaves the top-level mtime
         # stale, so the liveness signal is the NEWEST mtime anywhere in
-        # the tree (ADVICE r7)
-        newest = os.path.getmtime(path)
+        # the tree (ADVICE r7). The walk short-circuits on the FIRST
+        # entry newer than the deadline (the dir is provably live) so a
+        # large leftover table costs O(files) stats only when it is
+        # genuinely all-stale and about to be reaped anyway (ADVICE r8)
+        if os.path.getmtime(path) > deadline:
+            return True
         for dirpath, _dirnames, filenames in os.walk(path):
             try:
-                newest = max(newest, os.path.getmtime(dirpath))
+                if os.path.getmtime(dirpath) > deadline:
+                    return True
                 for fn in filenames:
-                    newest = max(
-                        newest, os.path.getmtime(os.path.join(dirpath, fn))
-                    )
+                    if (
+                        os.path.getmtime(os.path.join(dirpath, fn))
+                        > deadline
+                    ):
+                        return True
             except OSError:
                 continue  # entry vanished mid-walk; other stats decide
-        return newest
+        return False
 
     for stale in glob.glob(f"{tempfile.gettempdir()}/spark_graft_*_p*"):
         try:
             pid = int(stale.rsplit("_p", 1)[1].split("_", 1)[0])
-            old = now - _tree_mtime(stale) > reap_ttl_sec
-            if pid != os.getpid() and old and not os.path.exists(
-                f"/proc/{pid}"
+            if (
+                pid != os.getpid()
+                and not os.path.exists(f"/proc/{pid}")
+                and not _tree_is_live(stale, now - reap_ttl_sec)
             ):
                 shutil.rmtree(stale, ignore_errors=True)
         except (ValueError, IndexError, OSError):
@@ -5966,6 +5993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_curation": q_doc_curation,
+        "doc_curation_capped": q_doc_curation_capped,
         "doc_training_prep": q_doc_training_prep,
         "customer_order_gaps": q_customer_order_gaps,
         "customer_year_arrays": q_customer_year_arrays,
@@ -7672,7 +7700,7 @@ FROM spend
 WINDOW w AS (PARTITION BY n_name ORDER BY total_spend DESC, o_custkey)
 """
 
-_CURATION_CTES = rf"""stats AS (
+_CURATION_BASE_CTES = rf"""stats AS (
     SELECT doc_id, lang, text,
            len({_TOKS}) AS n_tokens,
            round(
@@ -7705,7 +7733,11 @@ sh0 AS (
     FROM toks
 ),
 sh AS (SELECT DISTINCT doc_id, s FROM sh0),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+_CURATION_CTES = (
+    _CURATION_BASE_CTES
+    + """,
 inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -7717,11 +7749,77 @@ neardup AS (
     JOIN sizes sb ON sb.doc_id = i.id_b
     WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.8
 )"""
+)
 
 _DOC_CURATION_SQL = f"""
 WITH {_CURATION_CTES}
 SELECT doc_id, lang, n_tokens, quality FROM canon
 WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+"""
+
+# The same composite on the production pair stage: minhash banding with
+# the bucket_cap=2 star mitigation engaged, threshold 0.8 — the capped
+# pipeline (collapse / band / size+hub / cap / verify / expand) is the
+# one _NEARDUP_BUCKET_CAP_SQL value-gates in isolation, here run over
+# the quality+dedup survivors (canon) inside the composite.
+_DOC_CURATION_CAPPED_SQL = f"""
+WITH {_CURATION_BASE_CTES},
+docsets AS (
+    SELECT doc_id, list_sort(list(s)) AS ss FROM sh GROUP BY doc_id
+),
+fam AS (
+    SELECT ss, min(doc_id) AS rep, list(doc_id) AS members_, len(ss) AS n
+    FROM docsets GROUP BY ss
+),
+mem AS (SELECT rep, unnest(members_) AS doc FROM fam),
+repsh AS (SELECT rep AS doc_id, unnest(ss) AS s FROM fam),
+sig AS (SELECT doc_id, {_MH_COLS} FROM repsh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+sized AS (
+    SELECT doc_id, band, key,
+           count(*) OVER (PARTITION BY band, key) AS bsz,
+           min(doc_id) OVER (PARTITION BY band, key) AS hub
+    FROM bands
+),
+cand AS (
+    SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE a.bsz <= 2 AND b.bsz <= 2
+        UNION ALL
+        SELECT hub AS id_a, doc_id AS id_b FROM sized
+        WHERE bsz > 2 AND doc_id != hub
+    )
+),
+pinter AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand c
+    JOIN repsh x ON x.doc_id = c.id_a
+    JOIN repsh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+),
+rsizes AS (SELECT rep, n FROM fam),
+verified AS (
+    SELECT i.id_a, i.id_b
+    FROM pinter i
+    JOIN rsizes sa ON sa.rep = i.id_a
+    JOIN rsizes sb ON sb.rep = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.8
+),
+dropped AS (
+    SELECT DISTINCT id_b FROM (
+        SELECT greatest(ma.doc, mb.doc) AS id_b
+        FROM verified v
+        JOIN mem ma ON ma.rep = v.id_a
+        JOIN mem mb ON mb.rep = v.id_b
+        UNION ALL
+        SELECT b.doc AS id_b
+        FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc < b.doc
+    )
+)
+SELECT doc_id, lang, n_tokens, quality FROM canon
+WHERE doc_id NOT IN (SELECT id_b FROM dropped)
 """
 
 _DOC_QUALITY_MODEL_SQL = rf"""
@@ -9753,6 +9851,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_spend_deciles": _CUSTOMER_SPEND_DECILES_SQL,
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,
         "doc_curation": _DOC_CURATION_SQL,
+        "doc_curation_capped": _DOC_CURATION_CAPPED_SQL,
         "doc_training_prep": _DOC_TRAINING_PREP_SQL,
         "customer_order_gaps": _CUSTOMER_ORDER_GAPS_SQL,
         "customer_year_arrays": _CUSTOMER_YEAR_ARRAYS_SQL,

@@ -33,6 +33,7 @@ from ..functions.text import (
 )
 from ..operators.neardup import (
     contamination_scores,
+    near_dup_minhash,
     ngram_jaccard_pairs,
     shingle_set,
 )
@@ -48,9 +49,32 @@ def curate_documents(
     min_tokens: int = 20,
     max_tokens: int = 10_000,
     jaccard_threshold: float = 0.8,
+    pair_stage: str = "exact",
+    num_perms: int = 8,
+    rows_per_band: int = 2,
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """Run the full curation pass; returns the curated corpus as
-    (id, lang, n_tokens, quality) with deterministic contents."""
+    (id, lang, n_tokens, quality) with deterministic contents.
+
+    ``pair_stage`` selects the near-dup pair generator:
+
+    - ``'exact'`` (default) — all-pairs n-gram Jaccard, the
+      bounded-corpus ground truth this composite is oracle-checked
+      with.
+    - ``'minhash'`` — the production scale path:
+      :func:`near_dup_minhash` (banded LSH, exact-Jaccard verified at
+      ``jaccard_threshold``) with the heavy-bucket star mitigation
+      ENGAGED by default (``bucket_cap=4096``). At organic duplicate
+      rates a 4096-cap is a no-op (band buckets are tiny), but a
+      boilerplate-heavy corpus — thousands of 1-token-edit variants
+      whose near-identical signatures land in ONE bucket that
+      verbatim-twin collapse cannot absorb — would otherwise generate
+      m^2/2 candidates per bucket (measured 3.6B on a 50k family,
+      scripts/bench_neardup_boiler.py); the cap bounds it to m-1 star
+      pairs per band. Pass ``bucket_cap=None`` to opt out. The pair
+      schema is identical, so the surrounding pipeline (drop the
+      higher id of each pair) is unchanged."""
     stats = docs.select(
         F.col(id_col),
         F.col("lang"),
@@ -75,14 +99,24 @@ def curate_documents(
     )
     # near-dup removal among survivors: drop the higher id of each pair
     toks = canon.select(F.col(id_col), tokens(text_col).alias("__t"))
-    # max_docs=None: the guard probe would execute the whole upstream
-    # quality+dedup lineage a second time just to count it; this
-    # composite is the documented small-corpus ground-truth pipeline
-    # (production-scale curation swaps in near_dup_minhash here)
-    pairs = ngram_jaccard_pairs(
-        toks, id_col, word_shingles("__t", 3),
-        threshold=jaccard_threshold, max_docs=None,
-    )
+    if pair_stage == "exact":
+        # max_docs=None: the guard probe would execute the whole
+        # upstream quality+dedup lineage a second time just to count
+        # it; this is the documented small-corpus ground-truth pipeline
+        pairs = ngram_jaccard_pairs(
+            toks, id_col, word_shingles("__t", 3),
+            threshold=jaccard_threshold, max_docs=None,
+        )
+    elif pair_stage == "minhash":
+        pairs = near_dup_minhash(
+            toks, id_col, word_shingles("__t", 3),
+            num_perms=num_perms, rows_per_band=rows_per_band,
+            threshold=jaccard_threshold, bucket_cap=bucket_cap,
+        )
+    else:
+        raise ValueError(
+            f"pair_stage must be 'exact' or 'minhash', got {pair_stage!r}"
+        )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return (
         canon.join(drop, id_col, "left_anti")
@@ -98,6 +132,8 @@ def curate_for_training(
     contamination_max: float = 0.2,
     eval_bucket: str = "0",
     decontam_shingle_n: int = 5,
+    pair_stage: str = "exact",
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """The complete corpus-to-training-chunks pass, every stage from
     this engine's primitives:
@@ -134,7 +170,10 @@ def curate_for_training(
     overlap alone can exceed any sane threshold and silently empty the
     training set.)
     """
-    curated = curate_documents(docs, id_col=id_col, text_col=text_col)
+    curated = curate_documents(
+        docs, id_col=id_col, text_col=text_col,
+        pair_stage=pair_stage, bucket_cap=bucket_cap,
+    )
     # Pin the curated ID SET (k ids — tiny at any corpus scale): it
     # feeds three downstream branches (corpus shingles, eval shingles,
     # the clean join), each of which would otherwise re-execute the

@@ -54,27 +54,38 @@ BASE = (
 )
 
 
-def corpus(spark, sf_dir: str, family: int):
-    """sf documents + a family of 1-token-edit boilerplate docs."""
+STOP_PREFIX = "the and of to in a is that it was for on with as by"
+
+
+def corpus(spark, sf_dir: str, family: int, quality_pass: bool = False):
+    """sf documents + a family of 1-token-edit boilerplate docs.
+
+    ``quality_pass=True`` prefixes every family doc with a fixed run of
+    English stopwords so the family SURVIVES curate_documents' quality
+    gate (stopword-ratio score) — required for the composite row, which
+    must exercise the capped near-dup stage, not watch the quality
+    filter delete the adversary. The prefix is identical across the
+    family, so the near-identical-signature skew is unchanged."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+        "doc_id", "lang", "text"
     )
     n_base = len(BASE.split())
-    fam = (
-        spark.range(family)
-        .select(
-            (F.col("id") + 10_000_000).alias("doc_id"),
-            F.concat_ws(
-                " ",
-                *[
-                    F.when(
-                        F.lit(i) == (F.col("id") % n_base),
-                        F.concat(F.lit("edit"), F.col("id").cast("string")),
-                    ).otherwise(F.lit(w))
-                    for i, w in enumerate(BASE.split())
-                ],
-            ).alias("text"),
-        )
+    body = F.concat_ws(
+        " ",
+        *[
+            F.when(
+                F.lit(i) == (F.col("id") % n_base),
+                F.concat(F.lit("edit"), F.col("id").cast("string")),
+            ).otherwise(F.lit(w))
+            for i, w in enumerate(BASE.split())
+        ],
+    )
+    if quality_pass:
+        body = F.concat(F.lit(STOP_PREFIX + " "), body)
+    fam = spark.range(family).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit("en").alias("lang"),
+        body.alias("text"),
     )
     return docs.unionByName(fam)
 
@@ -143,6 +154,26 @@ def main() -> None:
             f"| {int(stats['cap']):,} | {wu_s} | {wc:.1f} s ({nc} pairs) |",
             flush=True,
         )
+
+    # The production COMPOSITE under the same adversary: the full
+    # curate_documents pass (quality gate -> exact dedup -> near-dup
+    # removal) on its minhash scale path with bucket_cap engaged —
+    # round-9 wiring; the family is stopword-prefixed so it survives
+    # the quality gate and actually reaches the capped pair stage.
+    # Uncapped, the pair stage inside the composite is the same
+    # analytic T^2/2 blowup the first table quantifies.
+    from etl_spark_spark.pipelines.curation import curate_documents
+
+    print()
+    print("| T | composite capped wall | curated rows |")
+    print("|---|---|---|")
+    for T in sizes:
+        docs = corpus(spark, sf_dir, T, quality_pass=True)
+        t0 = time.time()
+        n = curate_documents(
+            docs, pair_stage="minhash", bucket_cap=CAP
+        ).count()
+        print(f"| {T} | {time.time() - t0:.1f} s | {n} |", flush=True)
 
 
 if __name__ == "__main__":
