@@ -43,7 +43,16 @@ expressed with filesystem primitives —
   a snapshot, even after later commits publish past it);
 - old versions stay readable (``read_versioned(path, version=...)``)
   until vacuumed — time travel for debugging/reproducibility, the
-  property training pipelines need most from a table format.
+  property training pipelines need most from a table format. A reader
+  racing vacuum: versions vacuum RETAINS (within ``keep``, and always
+  the current one) read completely and correctly throughout; a reader
+  that resolved a version vacuum then REMOVES either fails loudly on
+  its lazy scan or (if the filesystem let the opened scan finish)
+  returns the complete snapshot — never silent partial data — and
+  re-resolving that version post-vacuum raises FileNotFoundError
+  (pinned cross-process in tests/test_vacuum_reader.py). On a real
+  object store the same property falls out of delete-after-read
+  visibility; set ``keep`` to cover the longest-running reader.
 
 Concurrent writers: ``merge_into_versioned`` is a full optimistic-
 concurrency loop — read current version, compute the merge, commit
@@ -539,12 +548,14 @@ def vacuum_versions(path: str | Path, keep: int = 1) -> list[int]:
     for d in vroot.iterdir():
         if d.name.startswith(".staging-") and d.name not in referenced:
             shutil.rmtree(d, ignore_errors=True)
-        elif d.name.startswith(".cmt-") and d.is_file():
+        elif d.name.startswith((".cmt-", ".probe-")) and d.is_file():
             # a crash between the marker temp's write_text and its
             # os.link orphans the hidden temp; committed entries are
             # the LINKED names (v########), never the .cmt-* temp, so
             # sweeping is always safe for completed commits — and
-            # vacuum already assumes no writer is in flight
+            # vacuum already assumes no writer is in flight. Same for
+            # .probe-* layout-probe leftovers (a crash between the
+            # probe's write_text/os.link and its finally).
             d.unlink(missing_ok=True)
     return sorted(drop)
 

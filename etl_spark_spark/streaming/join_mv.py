@@ -159,7 +159,7 @@ def compact_join_mv_history(
     spark: SparkSession,
     state_path: str,
     upto_batch_id: int,
-    sides: Sequence[str] = ("left", "right", "view"),
+    sides: Sequence[str] | None = None,
 ) -> dict[str, int]:
     """Consolidate every batch partition with ``__batch_id <
     upto_batch_id`` into ONE staging directory per table — the
@@ -195,9 +195,11 @@ def compact_join_mv_history(
     dedup), so the op is correct for the insert-only, Z-set, and
     temporal layouts alike — EXCEPT that for a TEMPORAL layout
     (``_ts_stats.json`` present) the accumulated left/right sides are
-    skipped automatically: their partitions are subject to
-    partition-level eviction, and consolidating them would make the
-    rows unevictable (only the never-evicted view is compacted).
+    skipped automatically when ``sides`` is left at its default: their
+    partitions are subject to partition-level eviction, and
+    consolidating them would make the rows unevictable (only the
+    never-evicted view is compacted). EXPLICITLY passing a left/right
+    side on a temporal layout raises instead of silently no-oping.
     Local-filesystem op: raises on an object-store ``state_path``.
     Returns {table: rows_consolidated}."""
     import json
@@ -213,6 +215,23 @@ def compact_join_mv_history(
     # applying (ADVICE r7). When a _ts_stats manifest marks the layout
     # temporal, only the view (output, never evicted) is compacted.
     temporal = os.path.exists(_ts_stats_path(state_path))
+    explicit = sides is not None
+    if sides is None:
+        sides = ("left", "right", "view")
+    if explicit and temporal:
+        # an explicitly-requested evictable side must not silently
+        # no-op (same failure mode _require_local_state eliminates):
+        # the caller asked for work this layout forbids — say so.
+        blocked = [s for s in sides if s in ("left", "right")]
+        if blocked:
+            raise ValueError(
+                f"sides {blocked} were explicitly requested but this is "
+                "a temporal layout (_ts_stats.json present): the "
+                "accumulated left/right sides are partition-evicted and "
+                "compacting them would make their rows unevictable. "
+                "Compact only 'view', or omit sides for the automatic "
+                "skip."
+            )
     out: dict[str, int] = {}
     for side in sides:
         if temporal and side in ("left", "right"):
@@ -635,6 +654,8 @@ def evict_join_mv_state(
     band_seconds: int,
     delay_seconds: int = 0,
     committed_below: int | None = None,
+    *,
+    allow_uncommitted_watermark: bool = False,
 ) -> list[tuple[str, int]]:
     """Drop accumulated-side batch partitions that can NEVER join a
     future delta: a partition is evictable when its recorded max event
@@ -654,6 +675,13 @@ def evict_join_mv_state(
     committed watermark stays monotone across eviction tombstones via
     a ``committed_max_ts`` high-water mark in the manifest.
 
+    ``committed_below`` is effectively required: omitting it computes
+    the watermark from the GLOBAL max event time — including a crashed
+    uncommitted attempt's stats — which is replay-unsafe, so the call
+    refuses unless ``allow_uncommitted_watermark=True`` (legitimate
+    only when no fold can replay, e.g. after a clean availableNow
+    drain has stopped).
+
     Single-writer op: run from the same maintenance loop that folds
     batches (run_stream_join_mv_temporal runs it BEFORE each fold so
     first run and replay of a batch observe identical pre-state), not
@@ -664,6 +692,18 @@ def evict_join_mv_state(
     import shutil
 
     _require_local_state(state_path, "evict_join_mv_state")
+    if committed_below is None and not allow_uncommitted_watermark:
+        # the global max_ts includes a crashed UNCOMMITTED attempt's
+        # recorded stats, so an unfenced watermark can evict pre-state
+        # a replay of that attempt still needs — refusing by default
+        # makes the replay-unsafe mode an explicit opt-in (ADVICE r8)
+        raise ValueError(
+            "evict_join_mv_state needs committed_below (the stream "
+            "checkpoint's lowest possibly-replayable batch id) to "
+            "compute a replay-safe watermark. Pass "
+            "allow_uncommitted_watermark=True only when no fold can "
+            "replay (e.g. the stream is drained and stopped)."
+        )
     p = _ts_stats_path(state_path)
     if not os.path.exists(p):
         return []

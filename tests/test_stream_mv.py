@@ -564,7 +564,15 @@ def test_temporal_join_mv_bounded_state(spark, tmp_path):
     )
 
     # a second eviction pass is a no-op for already-dropped partitions
-    again = evict_join_mv_state(state, band_seconds=3600)
+    # (stream fully folded here, so the unfenced watermark is safe and
+    # must be explicitly opted into — the default now refuses)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="committed_below"):
+        evict_join_mv_state(state, band_seconds=3600)
+    again = evict_join_mv_state(
+        state, band_seconds=3600, allow_uncommitted_watermark=True
+    )
     assert ("left", 0) not in again
 
 
