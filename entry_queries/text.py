@@ -1,0 +1,3019 @@
+"""text queries split out of __spark_entry__.py (round 9) — see that module's docstring for the driver contract. Mechanically moved, text verbatim."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark_spark.functions.money import money_sum, money_sum_sql
+from etl_spark_spark.functions.normalize import (
+    _ACCENTS_DST,
+    _ACCENTS_SRC,
+    cnpj_normalize,
+    etiqueta,
+    strip_normalize,
+    upper_trim,
+)
+from etl_spark_spark.functions.text import (
+    LANG_PROFILES,
+    bpe_token_count,
+    bpe_token_count_sql,
+    dup_fraction,
+    fingerprint,
+    lang_id,
+    lang_scores,
+    punct_count,
+    quality_score,
+    stopword_hits,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from etl_spark_spark.functions.scrub import scrub_pii, scrub_pii_sql_stages
+from etl_spark_spark.operators.dedup import dedup_any, dedup_latest
+from etl_spark_spark.operators.multimodal import (
+    attach_media,
+    extract_features,
+    sample_frames,
+)
+from etl_spark_spark.operators.neardup import (
+    contamination_scores,
+    exact_dedup,
+    near_dup_minhash,
+    ngram_jaccard_pairs,
+    prefix_filtered_jaccard_pairs,
+    shingle_set,
+    simhash,
+    simhash_near_dup,
+)
+from etl_spark_spark.operators.fuzzy import fuzzy_join
+from etl_spark_spark.operators.quality import (
+    expectation_metrics,
+    fk_violation_count,
+    functional_dependencies,
+)
+from etl_spark_spark.operators.sampling import (
+    hash_bucket,
+    hash_split,
+    temperature_sample,
+    stratified_hash_sample,
+)
+from etl_spark_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_ivf_pq,
+    cosine_topk_lsh,
+)
+from etl_spark_spark.operators.reconcile import reconcile_full_outer
+from etl_spark_spark.operators.graph import connected_components
+from etl_spark_spark.operators.packing import pack_by_token_budget
+from etl_spark_spark.operators.windows import partial_topk, top_k_per_group
+from etl_spark_spark.functions.vectors import norm
+from etl_spark_spark.pipelines.ressarcimento import allocation_pipeline
+from etl_spark_spark.pipelines.superdesconto import best_sale_pipeline
+from etl_spark_spark.sources import read_events, table, year_range_filter
+from etl_spark_spark.streaming import sessionize_batch, sliding_agg, tumbling_agg
+
+from ._shared import *  # noqa: F401,F403
+
+
+
+# ---- extension operators: text analysis / dedup / similarity / events ----
+
+
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/punctuation/stopword counting + quality scoring (extension:
+    text analysis over documents)."""
+    docs = table(spark, sf_dir, "documents")
+    # counters cast to long: aligns pandas dtype with DuckDB's
+    # BIGINT-typed len()/count so the driver's value-hash sees
+    # identical representations
+    return docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").cast("long").alias("n_tokens"),
+        bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        punct_count("text").cast("long").alias("n_punct"),
+        stopword_hits("text", LANG_PROFILES["en"]).cast("long").alias("n_stop_en"),
+        quality_score("text", LANG_PROFILES["en"]).alias("quality"),
+    )
+
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic argmax priority."""
+    docs = table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_PROFILES],
+        lang_id("text").alias("pred_lang"),
+    )
+
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint (hash groupBy)."""
+    docs = table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands x 2) candidate pairs, exact-Jaccard
+    verified at >= 0.5."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    return near_dup_minhash(
+        toks, "doc_id", word_shingles("t", 3), num_perms=8,
+        rows_per_band=2, threshold=0.5,
+    )
+
+
+
+def q_neardup_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs under the heavy-bucket STAR
+    mitigation (bucket_cap=2): band buckets larger than the cap emit
+    hub->member candidates instead of all pairs, bounding the
+    quadratic blowup a near-identical boilerplate cluster causes (its
+    1-token-edit members have DISTINCT shingle sets — verbatim-twin
+    collapse cannot merge them — yet near-identical signatures put
+    them all in one bucket; measured in scripts/bench_neardup_boiler.py
+    and BASELINE.md round-8). The cap of 2 forces the star path on
+    this corpus's natural size-3 buckets, so the driver gate exercises
+    the mitigation, not just the passthrough. The oracle replays the
+    complete pipeline in SQL: identical-set collapse, banding, bucket
+    sizing + hub via window functions, capped candidate generation,
+    exact-Jaccard verify, and pair re-expansion."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    return near_dup_minhash(
+        toks, "doc_id", word_shingles("t", 3), num_perms=8,
+        rows_per_band=2, threshold=0.5, bucket_cap=2,
+    )
+
+
+
+def q_neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth all-pairs 3-gram Jaccard at >= 0.8."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    return ngram_jaccard_pairs(toks, "doc_id", word_shingles("t", 3), threshold=0.8)
+
+
+
+def q_neardup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard pairs at >= 0.7 via AllPairs/PPJoin prefix
+    filtering — identical result to the brute-force shingle join, but
+    candidates come only from each doc's rarest
+    ``n - ceil(t*n) + 1`` shingles plus a size-ratio filter, so the
+    frequent-shingle quadratic blowup never happens. The scalable
+    exact path (LSH is the approximate one)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    return prefix_filtered_jaccard_pairs(
+        toks, "doc_id", word_shingles("t", 3), threshold=0.7
+    )
+
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (single aggregate, no explosion per
+    bit)."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", tokens("text"))
+
+
+
+def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair detection: band the 60-bit simhash into
+    4x15-bit keys, join docs sharing any band, verify hamming distance
+    <= 10 with bit_count(xor). Banded detection guarantees recall only
+    for distance <= 3 (pigeonhole); the oracle implements the identical
+    banded algorithm so results match by construction."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash_near_dup(docs, "doc_id", tokens("text"), threshold=10)
+
+
+
+def q_neardup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup under the GUARANTEED-recall contract: the
+    multi-index probe plan (round-8, plan_simhash_probe — 4 bands of
+    15 bits probing all <=2-flip key variants, replacing round-7's
+    11x5-bit equality banding) ensures every pair within hamming 10 is
+    a candidate by pigeonhole, so after the bit_count verify the
+    result provably EQUALS brute force — which is exactly what the
+    oracle computes (all-pairs hamming join over the simhash values,
+    no index to mirror). The wide keys cut unrelated-value collisions
+    ~23x (BASELINE.md round-8) while never materializing the quadratic
+    pair space; the oracle side is only feasible because the gate runs
+    at fixture scale."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash_near_dup(
+        docs, "doc_id", tokens("text"), threshold=10, exact_recall=True
+    )
+
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact md5 fingerprint + a winnowing-style
+    rolling fingerprint (min over shingle hashes = 1-permutation
+    MinHash) + BPE-ish subtoken count (letter-runs / digit-runs /
+    single punctuation — a regex approximation of byte-pair
+    pre-tokenization)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "text",
+        tokens("text").alias("t"),
+    )
+    sh = word_shingles("t", 3)
+    min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return toks.select(
+        "doc_id",
+        fingerprint("text").alias("md5_fp"),
+        min_sh.alias("winnow_fp"),
+        F.regexp_count(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        ).cast("long").alias("n_subtokens"),
+    )
+
+
+
+def q_doc_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k per-group sampling: 5 docs per source,
+    chosen by content-addressed md5 order (seed-stable across runs and
+    cluster layouts). Planned as row_number + filter(rn <= k), which
+    Spark >= 3.5 executes with WindowGroupLimit — every map partition
+    pre-prunes to its local top-k per group BEFORE the exchange, so a
+    hot source ships ~n_mappers x k rows, not its full row count (the
+    measured winner over the two-phase aggregate form for plain
+    ranked top-k; see BASELINE.md skew bench). Plan gate pins the
+    WindowGroupLimit node."""
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    order = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(order.asc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+
+def q_doc_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency scoring (C4/Gopher-family quality signal with
+    CORPUS state): each document's distinct-bigram coverage against a
+    reference slice of the corpus (doc_id md5 bucket != '0', the same
+    deterministic split doc_training_prep uses). Integer/rational by
+    design — doc-frequency counts and one int/int division — so every
+    value hash-matches the SQL oracle; a log-prob LM score would be
+    accumulation-order and libm dependent."""
+    from etl_spark_spark.operators.corpus_stats import (
+        bigram_doc_frequency,
+        doc_bigram_novelty,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    ref_docs = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) != "0"
+    )
+    ref = bigram_doc_frequency(ref_docs, "doc_id", "t")
+    return doc_bigram_novelty(docs, "doc_id", "t", ref, min_df=2)
+
+
+
+def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split (md5 of the
+    doc id — reproducible across runs/engines/layouts, unlike
+    df.sample) rolled up per (split, lang). Assignment is one map-side
+    expression; the only shuffle is the final small aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, "doc_id", [("train", "d"), ("val", "f"), ("test", None)]
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling rates (domain rebalancing):
+    downsample dominant English hard, keep rare strata whole. Pure
+    map-side filter — zero shuffles, discarded rows never move."""
+    docs = table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": "40", "zh": "c0"},  # en ~25%, zh ~75%
+        default="ff",  # everything else ~99.6%
+    )
+    return kept.select("doc_id", "lang")
+
+
+
+def q_doc_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-stable (leakage-safe) split: hash the SOURCE, not the doc
+    id, so every doc of a crawl domain lands in the same split — near
+    dups cluster within domains, and splitting by doc id would leak
+    them across train/test. Same zero-shuffle map expression, coarser
+    key."""
+    docs = table(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, "source", [("train", "d"), ("val", "f"), ("test", None)]
+    )
+    return split.groupBy("source", "split").agg(F.count("*").alias("n_docs"))
+
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style quality rule):
+    duplicate-word and duplicate-3-gram fractions. Map-only — the token
+    and shingle arrays are materialized once per row (projection
+    barriers keep the split() from being re-inlined per element_at),
+    then counted; zero shuffles at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("__t"))
+    sh = t.select("doc_id", "__t", word_shingles("__t", 3).alias("__s"))
+    return sh.select(
+        "doc_id",
+        F.size("__t").cast("long").alias("n_words"),
+        F.size(F.array_distinct("__t")).cast("long").alias("n_uniq_words"),
+        F.size("__s").cast("long").alias("n_3grams"),
+        F.size(F.array_distinct("__s")).cast("long").alias("n_uniq_3grams"),
+        dup_fraction("__t").alias("dup_word_frac"),
+        dup_fraction("__s").alias("dup_3gram_frac"),
+    )
+
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents. The fixture corpus is synthetic
+    word salad with no PII, so the query first injects deterministic
+    PII (email/phone/card/IP, keyed off doc_id residues — the SQL
+    oracle injects the identical strings), then runs the staged
+    count-and-redact scrubber. Map-only at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    d.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 1,
+                F.concat(
+                    F.lit(" call +55 "),
+                    (d % 7000 + 3000).cast("string"),
+                    F.lit("-"),
+                    (d % 9000 + 1000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 2,
+                F.concat(
+                    F.lit(" card 4012-8888-8888-"),
+                    (d % 9000 + 1000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 3,
+                F.concat(
+                    F.lit(" from 10."),
+                    (d % 256).cast("string"),
+                    F.lit(".0."),
+                    (d % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("pii_text"),
+    )
+    scrubbed = scrub_pii(injected, "pii_text")
+    return scrubbed.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_cc",
+        "n_phone",
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
+        F.md5("clean_text").alias("clean_checksum"),
+    )
+
+
+
+def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (alpha=0.5) source rebalancing to a fixed
+    doc budget: rare crawl domains are upweighted vs proportional
+    sampling. Keep decision is integer cross-multiplied md5 selection
+    — bit-reproducible; see operators.sampling.temperature_sample."""
+    docs = table(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, "doc_id", "source", budget=150)
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    kcounts = kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept")
+    )
+    return counts.join(kcounts, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+
+def q_doc_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: every doc gets a seeded
+    content-addressed shuffle key (md5(seed#id)) — reshuffling is a
+    seed change, re-runs are reproducible, and the order is
+    layout-independent. The full-corpus materialization path is
+    sinks.write_range_sorted on the key (range exchange + local sort,
+    no global sort); this query form takes the first 20 docs, which
+    plans as TakeOrderedAndProject (no full sort either)."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("seed42#"), F.col("doc_id").cast("string")))
+    first = (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(20)
+    )
+    w = Window.orderBy("shuffle_key")
+    return first.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+
+
+
+def q_fuzzy_code_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: dirty record codes (one char deleted at a
+    doc_id-keyed position) matched back to the clean directory with a
+    prefix/suffix-blocked Levenshtein join — never all-pairs. The
+    DuckDB oracle IS the unblocked all-pairs ground truth, so a green
+    row also proves the blocking lost no distance-1 match (the
+    operator's completeness guarantee, operators/fuzzy.py)."""
+    docs = table(spark, sf_dir, "documents")
+    clean = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12).alias("code"),
+    )
+    dirty = clean.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("dirty_id"),
+        F.expr(
+            "concat(substring(code, 1, CAST(doc_id % 8 + 2 AS INT)), "
+            "substring(code, CAST(doc_id % 8 + 4 AS INT), 12))"
+        ).alias("dirty_code"),
+    )
+    pairs = fuzzy_join(
+        dirty, clean, "dirty_id", "dirty_code", "doc_id", "code", max_dist=1
+    )
+    enc = F.col("distance") * 10000000 + F.col("doc_id")
+    return (
+        pairs.groupBy("dirty_id", "dirty_code")
+        .agg(
+            F.count("*").cast("long").alias("n_matches"),
+            F.min(enc).alias("__best"),
+        )
+        .select(
+            "dirty_id",
+            "dirty_code",
+            "n_matches",
+            F.expr("__best DIV 10000000").cast("long").alias("best_distance"),
+            (F.col("__best") % 10000000).cast("long").alias("best_match_id"),
+        )
+    )
+
+
+
+def q_doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (cap docs per crawl domain) via the SKEW-SAFE
+    two-phase top-k aggregate: longest 5 docs per source, ties to the
+    smaller doc_id. No ranking window — a hot source never lands on one
+    task; phase 2 merges at most n_salts*k rows per source."""
+    docs = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    order = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+    return partial_topk(docs, ["source"], order, k=5, n_salts=8)
+
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 whitespace tokens by frequency (ties
+    to the lexicographically smaller token). Explode + map-side partial
+    count + TakeOrderedAndProject — the wordcount shape that scales."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: hold out the md5-bucket-'f' docs as
+    the eval set, score every remaining doc by the fraction of its
+    distinct 3-gram shingles that appear anywhere in the eval set.
+    The eval shingle set rides a broadcast-able equi-join (benchmarks
+    are MBs, corpora TBs) — the corpus is scanned once, no all-pairs."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    pairs = shingle_set(toks, "doc_id", word_shingles("t", 3))
+    is_eval = hash_bucket("doc_id", 1) == "f"
+    scored = contamination_scores(
+        pairs.filter(~is_eval), pairs.filter(is_eval), "doc_id"
+    )
+    return scored.select(
+        "doc_id", "n_shingles", "n_hits", "contamination"
+    )
+
+
+
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: per-source deterministic doc layout, each doc
+    assigned to the 256-BPE-token training chunk its start offset falls
+    in. Window cumsum scoped to the shard — shards pack in parallel,
+    nothing globally ordered."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", bpe_token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_by_token_budget(
+        docs, ["source"], "doc_id", "n_tokens", budget=256
+    )
+
+
+
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 distinguishing terms by the rational tf/df score
+    (chosen over tf*ln(N/df) so the ordering is a single IEEE division
+    — bit-identical across engines; same ranking intent: frequent in
+    the doc, rare in the corpus). Two hash aggregates + a bounded
+    per-doc window."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    scored = tf.join(dfq, "token").withColumn(
+        "score", F.col("tf") / F.col("doc_freq")
+    )
+    top = top_k_per_group(
+        scored, ["doc_id"], [F.desc("score"), F.asc("token")], k=3
+    )
+    return top.select("doc_id", "token", "tf", "doc_freq", "score")
+
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: exact n-gram-Jaccard pairs (>=0.8)
+    -> connected components via distributed min-label propagation ->
+    (doc_id, cluster_id = component min id). The iterative step every
+    dedup pipeline needs between "pairs found" and "canonicals kept";
+    oracle is a DuckDB recursive CTE over the same pair set, so even
+    the ITERATIVE operator is hash-checked, not rows-only."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    pairs = ngram_jaccard_pairs(toks, "doc_id", word_shingles("t", 3), threshold=0.8)
+    comps = connected_components(pairs, "id_a", "id_b")
+    return comps.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+
+def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (fastText-style hashed-n-gram
+    logistic classifier, pyspark.ml): weak-label every document with
+    the deterministic heuristic, train distributed L-BFGS, re-score
+    the corpus with the model. The raw probability is a trained-model
+    float (treeAggregate sum order) and not SQL-expressible, so the
+    query emits the driver-hashable derived form: one row per document
+    with the SQL-derivable weak label plus ``model_agrees``
+    (prediction == weak label — the trained model separates the
+    fixture with min |p-0.5| margin ~0.35, so the boolean is stable
+    across partitionings). Held-out generalization is pinned in
+    tests."""
+    from etl_spark_spark.functions.text import LANG_PROFILES
+    from etl_spark_spark.operators.classify import (
+        score_quality,
+        train_quality_model,
+        weak_quality_label,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "weak_label", weak_quality_label("text", LANG_PROFILES["en"])
+    )
+    model = train_quality_model(labeled, "text", "weak_label")
+    scored = score_quality(model, labeled, "text")
+    return scored.select(
+        "doc_id",
+        "weak_label",
+        (F.col("quality_pred") == F.col("weak_label")).alias("model_agrees"),
+    )
+
+
+
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingestion: the corpus arrives as three
+    id-ordered batches, each filtered against the signature index of
+    everything seen so far (the ongoing-crawl pattern — historical text
+    is never rescanned, only its compact minhash index). Because the
+    batch fold provably equals the one-shot estimator pass, the oracle
+    is the one-shot SQL over the whole corpus."""
+    from etl_spark_spark.functions.text import tokens, word_shingles
+    from etl_spark_spark.operators.neardup import incremental_near_dup
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    bounds = [(0, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi + 1)]
+    index = None
+    kept_parts = []
+    for lo, up in bounds:
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+        ).withColumn("t", tokens("text"))
+        kept, index = incremental_near_dup(
+            batch, index, "doc_id", word_shingles("t", 3)
+        )
+        # materialize the index between folds, as a real ingestion
+        # pipeline does by persisting it (streaming/dedup.py writes it
+        # as parquet): without this each fold re-derives the whole
+        # index lineage and the plan re-scans every earlier batch
+        index = index.localCheckpoint()
+        kept_parts.append(kept.select("doc_id", "source"))
+    out = kept_parts[0]
+    for part in kept_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for RAG / long-context training: 32-token
+    windows advancing by 24 (8-token overlap). Expression-only
+    (sequence + posexplode + slice), map-side row multiplication, no
+    shuffle."""
+    from etl_spark_spark.functions.text import tokens
+    from etl_spark_spark.operators.packing import chunk_by_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    return chunk_by_tokens(toks, "doc_id", "t", chunk_tokens=32, overlap=8)
+
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    draw 50 documents with probability proportional to length
+    (n_chars), content-addressed so the draw is engine-reproducible.
+    Plan is map-only + TakeOrderedAndProject — no global sort."""
+    from etl_spark_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return weighted_sample_without_replacement(docs, "doc_id", "n_chars", k=50)
+
+
+
+def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation composite: quality gate ->
+    exact dedup (keep min id per fingerprint) -> near-dup removal
+    (drop the higher id of each >=0.8 3-gram-Jaccard pair among
+    survivors). The whole multi-stage pipeline is oracle-checked as one
+    unit — the SQL mirror recomputes every stage on the same rules."""
+    from etl_spark_spark.pipelines.curation import curate_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return curate_documents(docs)
+
+
+
+def q_doc_curation_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation composite on its PRODUCTION near-dup path: quality
+    gate -> exact dedup -> near-dup removal via MinHash(8)+LSH(4x2)
+    with the heavy-bucket STAR mitigation engaged (bucket_cap=2, so
+    this corpus's natural size->2 band buckets actually exercise the
+    star path, not the passthrough — the production default is 4096,
+    a no-op at organic dup rates; see curate_documents). The oracle
+    replays every stage in SQL: quality scoring, fingerprint dedup,
+    identical-shingle-set collapse, minhash banding, bucket sizing +
+    hub, capped candidate generation, exact-Jaccard verify at 0.8,
+    pair re-expansion, and the final drop-higher-id anti-join — so
+    the cap's (pair -> cluster) contract change is value-gated inside
+    the composite, not just in the isolated neardup_bucket_cap row."""
+    from etl_spark_spark.pipelines.curation import curate_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return curate_documents(docs, pair_stage="minhash", bucket_cap=2)
+
+
+
+def q_doc_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end pipeline: curation (quality gate, exact dedup,
+    near-dup removal) -> benchmark decontamination (bucket-'0' holdout)
+    -> content-addressed train/val/test split -> per-(split, source)
+    sequence packing into 256-BPE-token chunks. One oracle checks the
+    whole composite bit-for-bit, so a regression in ANY stage surfaces
+    here even if the stage's own query still passes."""
+    from etl_spark_spark.pipelines.curation import curate_for_training
+
+    docs = table(spark, sf_dir, "documents")
+    return curate_for_training(docs)
+
+
+
+def q_doc_length_winsor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — the standard outlier-taming step
+    before length-based curation thresholds: clamp each document's
+    length to its SOURCE's [p05, p95] band. The bands run through
+    exact_group_quantiles (hash agg to the per-(source, n_chars)
+    distribution, window over that COMPACT distribution) rather than
+    F.percentile, whose TypedImperativeAggregate buffers every group
+    value in the aggregation buffer — ~5 sources x billions of rows at
+    100x is an executor-OOM aggregate; the distribution form shrinks
+    to distinct lengths first. Discrete-quantile semantics (smallest v
+    with cum >= ceil(q*n)), same as price_outliers; the tiny band
+    table broadcasts back onto the fact and the clamp itself is pure
+    codegen (no second shuffle of the fact)."""
+    from etl_spark_spark.operators.stats import exact_group_quantiles
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    bands = exact_group_quantiles(
+        docs, ["source"], "n_chars", qs=(0.05, 0.95)
+    ).select(
+        "source",
+        F.col("q5").cast("double").alias("p05"),
+        F.col("q95").cast("double").alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("n_chars").cast("double"), F.col("p05")), F.col("p95"))
+    return (
+        docs.join(F.broadcast(bands), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            clamped.alias("winsorized"),
+            (
+                (F.col("n_chars") < F.col("p05"))
+                | (F.col("n_chars") > F.col("p95"))
+            ).alias("was_clipped"),
+        )
+    )
+
+
+
+def q_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM scoring, one context order up from
+    doc_surprisal: mean add-1-smoothed BIGRAM surprisal per document
+    under corpus statistics — word-salad scores high even when its
+    unigram mix looks normal; templated text scores low. Milli-nat
+    integer output (operators/lm.py:bigram_surprisal)."""
+    from etl_spark_spark.operators.lm import bigram_surprisal
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_surprisal(docs, "doc_id", "text")
+
+
+
+def q_doc_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix MATERIALIZATION — the step after q_doc_budget_mix's
+    arithmetic: Hamilton-apportion a 300-doc budget across
+    (source, lang) strata, then actually PICK each stratum's quota
+    (content-addressed md5 rank — reproducible, no RNG) and emit the
+    mix in its deterministic epoch order (epoch_shuffle position).
+    This is the complete "compose the training set" pass: exact
+    integer quotas that sum to the budget, engine-portable selection,
+    and a resumable global order, one hash gate over all three.
+
+    Scale: quota math runs on the strata table (rows = #strata); the
+    per-stratum pick is one ranking window partitioned by stratum
+    (each partition sorts only its stratum); the epoch order is the
+    bucketed prefix-sum rank — no single-task sort anywhere."""
+    from etl_spark_spark.operators.sampling import (
+        apportion_budget,
+        epoch_shuffle,
+    )
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    counts = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("stratum", F.concat_ws("|", "source", "lang"))
+    )
+    alloc = apportion_budget(counts, "stratum", "n_docs", 300).select(
+        "source", "lang", "alloc"
+    )
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    picked = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(alloc), ["source", "lang"])
+        .filter(F.col("rn") <= F.col("alloc"))
+        .select("doc_id", "source", "lang")
+    )
+    return epoch_shuffle(picked, "doc_id", seed=0)
+
+
+
+def q_doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: the reproducible global training
+    order over the corpus — position = exact global rank under
+    md5(seed#doc_id), computed by the distributed prefix-sum rank
+    (256 parallel hash buckets + one 256-row offset window; no
+    single-task global sort). Re-runs, resumes, and other engines all
+    agree on what example N was; seed bumps give fresh epoch
+    permutations (operators/sampling.py:epoch_shuffle)."""
+    from etl_spark_spark.operators.sampling import epoch_shuffle
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    return epoch_shuffle(docs, "doc_id", seed=0)
+
+
+
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every document scored
+    by how much more likely its md5-hashed bigram buckets are under
+    the target-domain bag model (the ``source = 'src0'`` slice plays
+    the curated domain) than under the raw corpus — the "select crawl
+    that looks like the target" pass a 100 TB curation pipeline runs
+    before training. Hashed-bucket tables are constant-sized (≤ 65k
+    rows) whatever the corpus size; milli-nat quantization makes the
+    ln fold bit-stable cross-engine
+    (operators/lm.py:dsir_log_weights)."""
+    from etl_spark_spark.operators.lm import dsir_log_weights
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return dsir_log_weights(
+        docs, "doc_id", "text", F.col("source") == "src0"
+    )
+
+
+
+def q_cluster_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup RESOLUTION: MinHash-LSH pairs (exact-verified
+    >= 0.5) -> connected components -> keep the LONGEST doc per
+    cluster (ties to the highest id) — the "which copy do we train
+    on" decision every curation pipeline makes after pair detection;
+    min-id canonicals (doc_exact_dedup) keep an arbitrary copy,
+    this keeps the most complete one. Singleton docs are their own
+    kept canonical, so the output is the full keep-list:
+    (cluster_id, kept_doc_id, n_members).
+
+    Scale: the pair stage is the collapsed banded-LSH path (sub-
+    quadratic, no set arrays); components propagate labels over
+    DISTINCT-SET rep pairs only (operators/neardup.py:
+    near_dup_clusters — the doc-level edge list is quadratic in twin
+    multiplicity and starved an 8 GB executor at the 100x replica;
+    the rep graph is diversity-sized and members inherit labels in one
+    join, provably the same clusters); the keep choice is one ranking
+    window per cluster (bounded groups). The oracle replays the
+    banded algorithm + a recursive reach CTE over DOC-level pairs +
+    the same window — value-hash equality at sf0.01 is exactly the
+    collapse-equivalence proof, checked every round."""
+    from etl_spark_spark.operators.neardup import near_dup_clusters
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    clusters = near_dup_clusters(
+        toks, "doc_id", word_shingles("t", 3), num_perms=8,
+        rows_per_band=2, threshold=0.5,
+    )
+    full = (
+        docs.select("doc_id", "n_chars")
+        .join(clusters.withColumnRenamed("doc_id", "__cd"),
+              F.col("doc_id") == F.col("__cd"), "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            # shingle-less docs (< 3 tokens) never enter the pair
+            # machinery; they are their own cluster
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").desc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        full.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("kept_doc_id"), "n_members")
+    )
+
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: near-dup pairs (MinHash+LSH,
+    exact-Jaccard verified >= 0.5) whose members landed in DIFFERENT
+    content-addressed splits — the pairs an eval-set decontamination
+    pass must remove before benchmark numbers mean anything. Split
+    membership is recomputed from each pair id as a pure expression
+    (the same md5 rule hash_split uses), so the audit adds ZERO joins
+    on top of the LSH pair generation — at 100 TB the pair set is the
+    small output, and nothing rejoins the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    pairs = near_dup_minhash(
+        toks, "doc_id", word_shingles("t", 3), num_perms=8,
+        rows_per_band=2, threshold=0.5,
+    )
+
+    def split_of(c: str):
+        b = F.substring(F.md5(F.col(c).cast("string")), 1, 1)
+        return (
+            F.when(b < "d", F.lit("train"))
+            .when(b < "f", F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    return (
+        pairs.withColumn("split_a", split_of("id_a"))
+        .withColumn("split_b", split_of("id_b"))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
+
+def q_doc_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact training-mix apportionment: a 200-doc sample budget split
+    across (source, lang) strata by largest-remainder (Hamilton)
+    apportionment — integer allocations that sum EXACTLY to the budget
+    (probabilistic temperature sampling can't promise that), remainder
+    ties broken on the stratum key. All integer arithmetic; the window
+    runs over the strata table, never the corpus."""
+    from etl_spark_spark.operators.sampling import apportion_budget
+
+    docs = table(spark, sf_dir, "documents", columns=["source", "lang"])
+    counts = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("stratum", F.concat_ws("|", "source", "lang"))
+    )
+    return apportion_budget(counts, "stratum", "n_docs", 200).select(
+        "source", "lang", "n_docs", "alloc"
+    )
+
+
+
+def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: per-class support / true-positives /
+    predicted-count, precision, recall and F1 of the stopword-profile
+    language identifier against the corpus's ``lang`` labels. Three
+    hash aggregates + a full-outer join on the class; the ratios are
+    exact integer/integer IEEE divisions mirrored by the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("lang").alias("actual"), lang_id("text").alias("pred")
+    )
+    act = d.groupBy("actual").agg(
+        F.count("*").alias("support"),
+        F.count(F.when(F.col("pred") == F.col("actual"), 1)).alias("tp"),
+    )
+    pred = d.groupBy(F.col("pred").alias("actual")).agg(
+        F.count("*").alias("pred_n")
+    )
+    j = act.join(pred, "actual", "full").select(
+        F.col("actual").alias("lang"),
+        F.coalesce("support", F.lit(0)).alias("support"),
+        F.coalesce("tp", F.lit(0)).alias("tp"),
+        F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
+    )
+    prec = F.when(
+        F.col("pred_n") > 0,
+        F.col("tp").cast("double") / F.col("pred_n").cast("double"),
+    )
+    rec = F.when(
+        F.col("support") > 0,
+        F.col("tp").cast("double") / F.col("support").cast("double"),
+    )
+    return j.select(
+        "lang",
+        "support",
+        "tp",
+        "pred_n",
+        prec.alias("prec"),
+        rec.alias("rec"),
+        F.when(
+            prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec)
+        ).alias("f1"),
+    )
+
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction over the corpus: per mid-frequency
+    term (2 <= df <= 40), the document frequency, total term count,
+    and the sorted posting list serialized as CSV (arrays leave as
+    strings — the driver canonicalizer can't sort list cells). Explode
+    + two hash aggregates; posting lists stay bounded by the df cap."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    per_doc = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings_csv"),
+        )
+        .filter((F.col("df") >= 2) & (F.col("df") <= 40))
+    )
+
+
+
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Lucene's default scorer) for a literal
+    query over the corpus — curation forensics ("which docs dominate
+    this query?"). Map-only tf via array filters (no explode), 1-row
+    corpus-stats broadcast, TakeOrderedAndProject top-k; scores are
+    micro-scaled ints so JVM-vs-libm ln ulp noise can't break the
+    oracle (operators/retrieval.py)."""
+    from etl_spark_spark.operators.retrieval import bm25_topk
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=15)
+
+
+
+_BM25_TERMS = ["hash", "join", "stream"]
+
+
+
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: mean unigram surprisal of every
+    document under token statistics trained on the corpus itself —
+    high = gibberish/OCR noise, low = boilerplate. Milli-nat integer
+    output (operators/lm.py)."""
+    from etl_spark_spark.operators.lm import unigram_surprisal
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_surprisal(docs, "doc_id", "text")
+
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication audit (suffix-array-dedup stand-in):
+    per doc, the fraction of its 8-token spans shared with other docs —
+    the boilerplate/templated-spam strip signal. Spans travel as md5
+    digests only (operators/neardup.py:duplicate_span_stats)."""
+    from etl_spark_spark.operators.neardup import duplicate_span_stats
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tok = docs.select("doc_id", tokens("text").alias("__tok"))
+    return duplicate_span_stats(tok, "doc_id", word_shingles("__tok", 8))
+
+
+
+def q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy profile of categorical columns across two tables
+    (order status/priority, document lang/source) — the degenerate-
+    feature / label-drift screen. One unpivot scan per table, micro-nat
+    integer entropy (functions/profile.py:categorical_entropy)."""
+    from etl_spark_spark.functions.profile import categorical_entropy
+
+    orders = table(
+        spark, sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"]
+    )
+    docs = table(spark, sf_dir, "documents", columns=["lang", "source"])
+    return categorical_entropy(
+        orders, ["o_orderstatus", "o_orderpriority"]
+    ).unionByName(categorical_entropy(docs, ["lang", "source"]))
+
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search ("hash join" as ADJACENT tokens —
+    what bag-of-words BM25 can't distinguish from scattered terms):
+    per-row window test over the token array, map-only, no shuffle
+    (operators/retrieval.py:phrase_occurrences)."""
+    from etl_spark_spark.operators.retrieval import phrase_occurrences
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    tok = docs.select("doc_id", tokens("text").alias("__tok"))
+    return tok.select(
+        "doc_id",
+        phrase_occurrences("__tok", ["hash", "join"]).alias("n_occ"),
+    ).filter(F.col("n_occ") > 0)
+
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): six
+    greedy merges learned over the distinct-word frequency table —
+    per round one bigram hash aggregate and ONE driver row (the argmax
+    pair). The oracle replays the identical recurrence as chained SQL
+    stages: same tie-break, same literal-replace merge semantics, so
+    the learned merge table matches exactly."""
+    from etl_spark_spark.operators.bpe import train_bpe
+
+    docs = table(spark, sf_dir, "documents", columns=["text"])
+    merges = train_bpe(docs, "text", n_merges=6)
+    rows = [
+        (i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply BPE token budgeting: per document, the token
+    count under the 6-merge tokenizer learned from this corpus. Merges
+    apply to the DISTINCT-WORD table (each word tokenized once); docs
+    join their words and sum — explode + word-keyed join + per-doc
+    aggregate (operators/bpe.py:bpe_token_counts)."""
+    from etl_spark_spark.operators.bpe import bpe_token_counts
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_token_counts(docs, "doc_id", "text", n_merges=6)
+
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT dedup (|A∩B| / min(|A|,|B|) >= 0.7): catches
+    "one doc mostly quoted inside another", which symmetric Jaccard
+    misses. Same banded MinHash candidate index as neardup_minhash,
+    exact-intersection verified (operators/neardup.py:containment_pairs)."""
+    from etl_spark_spark.operators.neardup import containment_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    return containment_pairs(
+        toks, "doc_id", word_shingles("t", 3), num_perms=8,
+        rows_per_band=2, threshold=0.7,
+    )
+
+
+
+def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional term associations: pointwise mutual information
+    ln(c_ab·N / (df_a·df_b)) for mid-frequency term pairs co-occurring
+    in >= 3 documents — the query-expansion / related-terms primitive.
+    df band (5..50) bounds the self-join fanout exactly like the
+    co-purchase projections; PMI is micro-scaled (ln ulp rule,
+    ORACLE_NOTES.md)."""
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    dt = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).distinct()
+    dfc = dt.groupBy("term").agg(F.count("*").alias("df"))
+    totals = dt.agg(F.countDistinct("doc_id").alias("__n"))
+    # corpus-relative band (integer comparison, no float threshold):
+    # drop near-ubiquitous terms (df > 90% of docs) and hapaxes
+    mid = (
+        dfc.crossJoin(F.broadcast(totals))
+        .filter((F.col("df") >= 2) & (F.col("df") * 10 <= F.col("__n") * 9))
+        .select("term", "df")
+    )
+    dtm = dt.join(F.broadcast(mid), "term")
+    a, b = dtm.alias("a"), dtm.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    pmi = F.log(
+        (F.col("c_ab") * F.col("__n")).cast("double")
+        / (F.col("df_a") * F.col("df_b")).cast("double")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(totals))
+        .select(
+            "term_a",
+            "term_b",
+            "c_ab",
+            "df_a",
+            "df_b",
+            F.round(pmi * 1e6).cast("long").alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "term_a", "term_b")
+        .limit(50)
+    )
+
+
+
+# the (threshold, recall) contract the tuned eval pins — banding is
+# DERIVED from these via the S-curve (plan_banding), not hand-picked
+_EVAL_THRESHOLDS = (0.5, 0.7, 0.8)
+
+_EVAL_TARGET_RECALL = 0.9
+
+_EVAL_MAX_PERMS = 64
+
+
+
+def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-quality evaluation as a query (round-7 tuned form):
+    recall/precision of the banded MinHash-LSH detector against the
+    EXACT Jaccard ground truth, at thresholds {0.5, 0.7, 0.8}, with
+    banding AUTO-DERIVED per threshold from the (threshold,
+    target_recall=0.9) contract via the S-curve 1-(1-t^r)^b
+    (operators.neardup.plan_banding) — replacing the round-6 fixed
+    toy settings (8 perms / 2 rows, P(0.5)=0.68). One row per
+    threshold; the report a dedup pipeline publishes before anyone
+    trusts its banding. The exact side is computed ONCE at the lowest
+    threshold and filtered per row (prefix-filtered exact join —
+    proven equal to brute force; inherits the O(n^2) eval-only guard,
+    see q_neardup_recall_sampled for the scale path).
+
+    Round-8 cost fix (output bit-identical): per-threshold detector
+    verification used to re-run the pair_overlap_counts exact-Jaccard
+    join THREE times over the banded candidates — but the checkpointed
+    exact side already knows every pair's Jaccard at >= the lowest
+    threshold, and every eval threshold is >= it. Detector output is
+    therefore candidates ⋈ rep-level-exact (three cheap hash joins
+    against a small checkpointed table), with the same __i/(na+nb-i)
+    value carried through — the verify joins vanish from the plan."""
+    from etl_spark_spark.operators.neardup import (
+        collapse_identical_sets,
+        expand_collapsed_pairs,
+        lsh_candidate_pairs,
+        minhash_signature,
+        plan_banding,
+        prefix_filtered_jaccard_pairs,
+        shingle_set,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    exact = prefix_filtered_jaccard_pairs(
+        toks, "doc_id", word_shingles("t", 3), threshold=min(_EVAL_THRESHOLDS)
+    ).select("id_a", "id_b", "jaccard").localCheckpoint()
+    # shared inputs, materialized once: the collapsed shingle table,
+    # the expansion table, and ONE signature at the max perm count —
+    # each threshold bands a PREFIX of the same mh columns (identical
+    # values to computing its own signature; the md5 pass — the
+    # dominant cost — is paid once, not per threshold)
+    plans = {
+        t: plan_banding(t, _EVAL_TARGET_RECALL, _EVAL_MAX_PERMS)
+        for t in _EVAL_THRESHOLDS
+    }
+    sh = shingle_set(toks, "doc_id", word_shingles("t", 3))
+    reps_sh, members = collapse_identical_sets(sh, "doc_id")
+    members = members.localCheckpoint()
+    sig = minhash_signature(
+        reps_sh, "doc_id", max(np_ for np_, _ in plans.values())
+    ).localCheckpoint()
+    # rep-level exact pairs: the doc-level exact table restricted to
+    # family representatives (reps are members of their own families,
+    # so rep-rep pairs appear verbatim in the expanded exact output)
+    rep_ids = members.filter(F.col("__doc") == F.col("__r")).select(
+        F.col("__r").alias("__rid")
+    )
+    rep_exact = (
+        exact.join(
+            rep_ids.withColumnRenamed("__rid", "id_a"), "id_a"
+        )
+        .join(rep_ids.withColumnRenamed("__rid", "id_b"), "id_b")
+        .localCheckpoint()
+    )
+    out = None
+    for t in _EVAL_THRESHOLDS:
+        num_perms, rows_per_band = plans[t]
+        ex_t = exact.filter(F.col("jaccard") >= t).select("id_a", "id_b")
+        cand_t = lsh_candidate_pairs(
+            sig, "doc_id", num_perms, rows_per_band
+        )
+        rep_pairs = cand_t.join(
+            rep_exact.filter(F.col("jaccard") >= t), ["id_a", "id_b"]
+        )
+        lsh_t = (
+            expand_collapsed_pairs(rep_pairs, members, {"jaccard": F.lit(1.0)})
+            .filter(F.col("jaccard") >= t)
+            .select("id_a", "id_b")
+        )
+        tp = ex_t.join(lsh_t, ["id_a", "id_b"])
+        row = (
+            ex_t.agg(F.count("*").alias("n_exact"))
+            .crossJoin(lsh_t.agg(F.count("*").alias("n_lsh")))
+            .crossJoin(tp.agg(F.count("*").alias("n_tp")))
+            .select(
+                F.lit(int(round(t * 100))).cast("long").alias(
+                    "threshold_pct"
+                ),
+                F.lit(num_perms).cast("long").alias("num_perms"),
+                F.lit(rows_per_band).cast("long").alias("rows_per_band"),
+                "n_exact",
+                "n_lsh",
+                "n_tp",
+                (
+                    F.col("n_tp").cast("double")
+                    / F.col("n_exact").cast("double")
+                ).alias("recall"),
+                (
+                    F.col("n_tp").cast("double")
+                    / F.col("n_lsh").cast("double")
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+
+def q_neardup_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall measurement that SCALES (round-7 judge task 5): the
+    ground-truth side is a deterministic 1/4 hash-sample of the exact
+    rep-level true pairs (operators.neardup.sampled_ground_truth_pairs
+    — pair generation streams through the sample filter, nothing
+    quadratic is materialized), so the recall report itself can
+    accompany the registry to corpus sizes where the exact eval's
+    O(n^2) guard raises. Detector side: auto-tuned banding at the
+    (0.5, 0.9) contract. One row: banding, sample modulus, sampled
+    true-pair count, detected count, recall estimate."""
+    from etl_spark_spark.operators.neardup import sampled_recall_report
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    return sampled_recall_report(
+        toks,
+        "doc_id",
+        word_shingles("t", 3),
+        threshold=0.5,
+        target_recall=_EVAL_TARGET_RECALL,
+        pair_mod=4,
+        max_perms=_EVAL_MAX_PERMS,
+    )
+
+
+
+def q_doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter (Rae et al. 2021, arXiv:2112.11446
+    §A1.1, public method): the published corpus quality heuristics as
+    per-rule boolean flags plus the composite keep decision. Every
+    ratio threshold is cross-multiplied into an integer inequality, so
+    flags are bit-reproducible across engines (extension: corpus
+    quality filtering; complements the continuous quality_score)."""
+    from functools import reduce
+
+    from etl_spark_spark.functions.text import (
+        gopher_rule_counters,
+        gopher_rule_flags,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    counters = gopher_rule_counters("text")
+    n_stop = stopword_hits("text", LANG_PROFILES["en"]).cast("long")
+    flags = gopher_rule_flags(counters, n_stop)
+    keep = reduce(lambda a, b: a & b, flags.values())
+    return docs.select(
+        "doc_id",
+        "source",
+        *[v.alias(k) for k, v in counters.items()],
+        n_stop.alias("n_stop"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram per source — the corpus
+    length-distribution profile every mixing decision starts from.
+    Buckets come from the binary-representation length (exact integer
+    path in both engines; floor(log2(x)) through doubles could flip at
+    boundaries)."""
+    docs = table(spark, sf_dir, "documents")
+    n = token_count("text").cast("long")
+    base = docs.select("source", n.alias("__n"))
+    bucket = (F.length(F.conv(F.col("__n").cast("string"), 10, 2)) - 1).cast(
+        "int"
+    )
+    return (
+        base.groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("__n").alias("min_tokens"),
+            F.max("__n").alias("max_tokens"),
+            F.sum("__n").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 3-gram contamination matrix: distinct shared
+    shingles per source pair, with per-source vocabulary sizes
+    (extension: corpus curation — the 'how much does crawl A duplicate
+    corpus B' audit run before setting mixing weights). Shingle-keyed
+    join, per-group fanout bounded by the source count
+    (operators/corpus_stats.py:source_shingle_overlap)."""
+    from etl_spark_spark.operators.corpus_stats import source_shingle_overlap
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("source", tokens("text").alias("t"))
+    return source_shingle_overlap(t, "source", word_shingles("t", 3))
+
+
+
+# -- extension oracles (documents / embeddings / events) --------------------
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+_EN_PAT = r"\b(the|a|and|of|to)\b"
+
+
+_DOC_TEXT_STATS_SQL = rf"""
+WITH base AS (
+    SELECT doc_id, lang, text,
+           len({_TOKS}) AS n_tokens,
+           len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+               AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+           len(regexp_extract_all(lower(trim(text)), '{_EN_PAT}')) AS n_stop_en
+    FROM documents
+)
+SELECT doc_id, lang, n_tokens, n_bpe_tokens, n_punct, n_stop_en,
+       round(
+           least(1.0, (CAST(n_stop_en AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0)
+           * (1.0 - least(1.0, (CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 10.0)),
+       6) AS quality
+FROM base
+"""
+
+
+_LANGS = ["en", "es", "fr", "de", "zh"]
+
+_LANG_PATS = {
+    "en": r"\b(the|a|and|of|to)\b",
+    "es": r"\b(el|la|de|que|y)\b",
+    "fr": r"\b(le|la|et|les|des)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+}
+
+
+
+def _lang_case_sql() -> str:
+    whens = []
+    for lang in _LANGS[:-1]:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in _LANGS if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{_LANGS[-1]}' END"
+
+
+
+_DOC_LANG_ID_SQL = (
+    "WITH scored AS (SELECT doc_id, lang, "
+    + ", ".join(
+        rf"len(regexp_extract_all(lower(trim(text)), '{_LANG_PATS[lang]}')) AS score_{lang}"
+        for lang in _LANGS[:-1]
+    )
+    + r", len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS score_zh"
+    + " FROM documents) SELECT doc_id, lang, "
+    + ", ".join(f"score_{lang}" for lang in _LANGS)
+    + f", {_lang_case_sql()} AS pred_lang FROM scored"
+)
+
+
+_LANG_ID_EVAL_SQL = f"""
+WITH lang_scored AS ({_DOC_LANG_ID_SQL}),
+a AS (
+  SELECT lang AS lang_c, CAST(count(*) AS BIGINT) AS support,
+         CAST(count(*) FILTER (pred_lang = lang) AS BIGINT) AS tp
+  FROM lang_scored GROUP BY 1
+),
+p AS (
+  SELECT pred_lang AS lang_c, CAST(count(*) AS BIGINT) AS pred_n
+  FROM lang_scored GROUP BY 1
+),
+j AS (
+  SELECT coalesce(a.lang_c, p.lang_c) AS lang,
+         coalesce(support, 0) AS support,
+         coalesce(tp, 0) AS tp,
+         coalesce(pred_n, 0) AS pred_n
+  FROM a FULL OUTER JOIN p ON a.lang_c = p.lang_c
+),
+m AS (
+  SELECT lang, support, tp, pred_n,
+         CASE WHEN pred_n > 0
+              THEN CAST(tp AS DOUBLE) / CAST(pred_n AS DOUBLE) END AS prec,
+         CASE WHEN support > 0
+              THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END AS rec
+  FROM j
+)
+SELECT lang, support, tp, pred_n, prec, rec,
+       CASE WHEN prec + rec > 0
+            THEN 2.0 * prec * rec / (prec + rec) END AS f1
+FROM m
+"""
+
+
+_DOC_EXACT_DEDUP_SQL = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+_SHINGLES = rf"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh0 AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE []::VARCHAR[] END) AS s
+    FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+_MH_COLS = ", ".join(
+    f"min(md5('{p}~' || s)) AS mh{p}" for p in range(8)
+)
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, mh{2*b} || '#' || mh{2*b+1} AS key FROM sig"
+    for b in range(4)
+)
+
+
+_NEARDUP_MINHASH_SQL = f"""
+WITH {_SHINGLES},
+sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.inter / (sa.n + sb.n - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+"""
+
+
+_NEARDUP_BUCKET_CAP_SQL = f"""
+WITH {_SHINGLES},
+docsets AS (
+    SELECT doc_id, list_sort(list(s)) AS ss FROM sh GROUP BY doc_id
+),
+fam AS (
+    SELECT ss, min(doc_id) AS rep, list(doc_id) AS members_, len(ss) AS n
+    FROM docsets GROUP BY ss
+),
+mem AS (SELECT rep, unnest(members_) AS doc FROM fam),
+repsh AS (SELECT rep AS doc_id, unnest(ss) AS s FROM fam),
+sig AS (SELECT doc_id, {_MH_COLS} FROM repsh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+sized AS (
+    SELECT doc_id, band, key,
+           count(*) OVER (PARTITION BY band, key) AS bsz,
+           min(doc_id) OVER (PARTITION BY band, key) AS hub
+    FROM bands
+),
+cand AS (
+    SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE a.bsz <= 2 AND b.bsz <= 2
+        UNION ALL
+        SELECT hub AS id_a, doc_id AS id_b FROM sized
+        WHERE bsz > 2 AND doc_id != hub
+    )
+),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand c
+    JOIN repsh x ON x.doc_id = c.id_a
+    JOIN repsh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+),
+rsizes AS (SELECT rep, n FROM fam),
+verified AS (
+    SELECT i.id_a, i.id_b, i.inter / (sa.n + sb.n - i.inter) AS jaccard
+    FROM inter i
+    JOIN rsizes sa ON sa.rep = i.id_a
+    JOIN rsizes sb ON sb.rep = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+),
+cross_expanded AS (
+    SELECT least(ma.doc, mb.doc) AS id_a,
+           greatest(ma.doc, mb.doc) AS id_b, v.jaccard
+    FROM verified v
+    JOIN mem ma ON ma.rep = v.id_a
+    JOIN mem mb ON mb.rep = v.id_b
+),
+within_expanded AS (
+    SELECT a.doc AS id_a, b.doc AS id_b, 1.0 AS jaccard
+    FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc < b.doc
+)
+SELECT * FROM cross_expanded UNION ALL SELECT * FROM within_expanded
+"""
+
+
+_CLUSTER_CANONICALIZE_SQL = f"""
+WITH RECURSIVE {_SHINGLES},
+sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+),
+fulls AS (
+    SELECT d.doc_id, d.n_chars,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT cluster_id, doc_id AS kept_doc_id, n_members FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id DESC
+           ) AS rn,
+           count(*) OVER (PARTITION BY cluster_id) AS n_members
+    FROM fulls
+) t WHERE rn = 1
+"""
+
+
+_SPLIT_LEAKAGE_SQL = f"""
+WITH {_SHINGLES},
+sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+),
+verified AS (
+    SELECT i.id_a, i.id_b, i.inter / (sa.n + sb.n - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+)
+SELECT id_a, id_b,
+       CASE WHEN substring(md5(CAST(id_a AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+            WHEN substring(md5(CAST(id_a AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+            ELSE 'test' END AS split_a,
+       CASE WHEN substring(md5(CAST(id_b AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+            WHEN substring(md5(CAST(id_b AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+            ELSE 'test' END AS split_b,
+       jaccard
+FROM verified
+WHERE (CASE WHEN substring(md5(CAST(id_a AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+            WHEN substring(md5(CAST(id_a AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+            ELSE 'test' END)
+   <> (CASE WHEN substring(md5(CAST(id_b AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+            WHEN substring(md5(CAST(id_b AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+            ELSE 'test' END)
+"""
+
+
+_DOC_INCREMENTAL_DEDUP_SQL = f"""
+WITH {_SHINGLES},
+sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.id_a, c.id_b,
+           ((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END)) / 8.0 AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+),
+dropped AS (SELECT DISTINCT id_b FROM est WHERE est_jaccard >= 0.5)
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+"""
+
+
+
+_NEARDUP_NGRAM_SQL = f"""
+WITH {_SHINGLES},
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.inter / (sa.n + sb.n - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.8
+"""
+
+
+# prefix filtering is a candidate-pruning strategy only: the qualifying
+# pair set is EXACTLY the brute-force join's, so the oracle is the same
+# shape at the operator's threshold (0.7)
+_NEARDUP_PREFIX_SQL = f"""
+WITH {_SHINGLES},
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.inter / (sa.n + sb.n - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.7
+"""
+
+
+_DOC_SIMHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM tok),
+s AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM s
+"""
+
+
+_NEARDUP_SIMHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM tok),
+s AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM s),
+bands AS (
+    SELECT doc_id, simhash, b AS band,
+           (simhash >> (15 * b)) & 32767 AS key
+    FROM sh, unnest([0, 1, 2, 3]) AS u(b)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 10
+"""
+
+
+# the exact-recall (pigeonhole-banded) detector provably equals brute
+# force, so its oracle IS the all-pairs hamming join — no banding to
+# mirror (feasible only at fixture scale; the Spark side stays banded)
+_NEARDUP_SIMHASH_EXACT_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM tok),
+s AS (SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM s)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+"""
+
+
+_DOC_FINGERPRINTS_SQL = rf"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS md5_fp,
+       list_min(list_transform(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE []::VARCHAR[] END,
+           s -> md5(s))) AS winnow_fp,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
+FROM toks
+"""
+
+
+_DOC_GROUP_SAMPLE_SQL = """
+SELECT doc_id, source, rn FROM (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS rn
+    FROM documents
+) t WHERE rn <= 5
+"""
+
+
+_DOC_BIGRAM_NOVELTY_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg0 AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])
+                  ELSE []::VARCHAR[] END) AS bigram
+    FROM toks
+),
+bg AS (SELECT DISTINCT doc_id, bigram FROM bg0),
+ref AS (
+    SELECT bigram, count(*) AS df FROM bg
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+    GROUP BY 1
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN r.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+       CAST(sum(coalesce(r.df, 0)) AS BIGINT) AS sum_df,
+       CAST(sum(CASE WHEN r.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS known_ratio
+FROM bg b LEFT JOIN ref r USING (bigram)
+GROUP BY b.doc_id
+"""
+
+
+_BUCKET1 = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+
+_BUCKET2 = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+
+_DOC_SPLIT_COUNTS_SQL = f"""
+SELECT CASE WHEN {_BUCKET1} < 'd' THEN 'train'
+            WHEN {_BUCKET1} < 'f' THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+_DOC_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CASE lang WHEN 'en' THEN {_BUCKET2} < '40'
+                WHEN 'zh' THEN {_BUCKET2} < 'c0'
+                ELSE {_BUCKET2} < 'ff' END
+"""
+
+
+_DOC_GROUP_SPLIT_SQL = """
+SELECT source,
+       CASE WHEN substring(md5(source), 1, 1) < 'd' THEN 'train'
+            WHEN substring(md5(source), 1, 1) < 'f' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+_DOC_REPETITION_SQL = rf"""
+WITH base AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+    SELECT doc_id, t,
+           CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END AS s
+    FROM base
+)
+SELECT doc_id,
+       len(t)::BIGINT AS n_words,
+       len(list_distinct(t))::BIGINT AS n_uniq_words,
+       len(s)::BIGINT AS n_3grams,
+       len(list_distinct(s))::BIGINT AS n_uniq_3grams,
+       round(CASE WHEN len(t) > 0
+                  THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                             / CAST(len(t) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_word_frac,
+       round(CASE WHEN len(s) > 0
+                  THEN 1.0 - CAST(len(list_distinct(s)) AS DOUBLE)
+                             / CAST(len(s) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_3gram_frac
+FROM sh
+"""
+
+
+_DOC_PII_SCRUB_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR
+                      || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 1 THEN ' call +55 '
+                      || (doc_id % 7000 + 3000)::VARCHAR || '-'
+                      || (doc_id % 9000 + 1000)::VARCHAR ELSE '' END
+         || CASE WHEN doc_id % 5 = 2 THEN ' card 4012-8888-8888-'
+                      || (doc_id % 9000 + 1000)::VARCHAR ELSE '' END
+         || CASE WHEN doc_id % 7 = 3 THEN ' from 10.'
+                      || (doc_id % 256)::VARCHAR || '.0.'
+                      || (doc_id % 100)::VARCHAR ELSE '' END
+         AS pii_text
+  FROM documents
+),
+{scrub_pii_sql_stages("pii_text", "injected")}
+SELECT doc_id, n_email, n_ipv4, n_cc, n_phone,
+       length(clean_text)::BIGINT AS n_chars_clean,
+       md5(clean_text) AS clean_checksum
+FROM pii_s4
+"""
+
+
+_SOURCE_MIX_SAMPLE_SQL = """
+WITH counts AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS w
+  FROM counts
+), t AS (
+  SELECT source, n_docs, w, CAST(sum(w) OVER () AS BIGINT) AS tot FROM w
+), kept AS (
+  SELECT d.source
+  FROM documents d JOIN t ON d.source = t.source
+  WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT)::HUGEINT
+          * t.tot::HUGEINT * t.n_docs::HUGEINT
+        < 150::HUGEINT * t.w::HUGEINT * 16777216::HUGEINT
+), kc AS (
+  SELECT source, count(*)::BIGINT AS n_kept FROM kept GROUP BY source
+)
+SELECT t.source, t.n_docs, coalesce(kc.n_kept, 0)::BIGINT AS n_kept
+FROM t LEFT JOIN kc USING (source)
+"""
+
+
+_DOC_CHUNKS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+st AS (
+  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(s // 24 AS BIGINT) AS chunk_no,
+       array_to_string(list_slice(t, s + 1, least(s + 32, len(t))), ' ')
+           AS chunk_text,
+       CAST(least(s + 32, len(t)) - s AS BIGINT) AS n_chunk_tokens
+FROM st
+"""
+
+
+_DOC_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, source, n_chars::BIGINT AS n_chars
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+ORDER BY pow(
+    ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE) + 1.0)
+        / 1152921504606846977.0,
+    1.0 / n_chars::DOUBLE) DESC
+LIMIT 50
+"""
+
+
+
+_DOC_SHUFFLE_ORDER_SQL = """
+WITH first20 AS (
+  SELECT doc_id, md5('seed42#' || doc_id::VARCHAR) AS shuffle_key
+  FROM documents ORDER BY shuffle_key LIMIT 20
+)
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key) AS BIGINT) AS rank
+FROM first20
+"""
+
+
+_FUZZY_CODE_MATCH_SQL = """
+WITH clean AS (
+  SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 12) AS code FROM documents
+), dirty AS (
+  SELECT doc_id AS dirty_id,
+         substr(code, 1, (doc_id % 8 + 2)::INT)
+           || substr(code, (doc_id % 8 + 4)::INT, 12) AS dirty_code
+  FROM clean WHERE doc_id % 5 = 0
+), pairs AS (
+  SELECT d.dirty_id, d.dirty_code, c.doc_id,
+         levenshtein(d.dirty_code, c.code) AS dist
+  FROM dirty d CROSS JOIN clean c
+  WHERE levenshtein(d.dirty_code, c.code) <= 1
+)
+SELECT dirty_id, dirty_code, count(*)::BIGINT AS n_matches,
+       (min(dist * 10000000 + doc_id) // 10000000)::BIGINT AS best_distance,
+       (min(dist * 10000000 + doc_id) % 10000000)::BIGINT AS best_match_id
+FROM pairs GROUP BY dirty_id, dirty_code
+"""
+
+
+_DOC_SOURCE_CAP_SQL = """
+SELECT source, doc_id, n_chars
+FROM (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= 5
+"""
+
+
+_VOCAB_TOPK_SQL = f"""
+SELECT t AS token, count(*) AS n
+FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+GROUP BY 1
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+
+_DOC_DECONTAMINATE_SQL = rf"""
+WITH {_SHINGLES},
+ev AS (SELECT DISTINCT s FROM sh WHERE {_BUCKET1} = 'f'),
+corpus AS (SELECT doc_id, s FROM sh WHERE {_BUCKET1} <> 'f'),
+sizes2 AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+hits AS (
+    SELECT c.doc_id, count(*) AS n_hits
+    FROM corpus c JOIN ev ON c.s = ev.s
+    GROUP BY 1
+)
+SELECT s2.doc_id,
+       s2.n_shingles,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) / s2.n_shingles AS contamination
+FROM sizes2 s2 LEFT JOIN hits h USING (doc_id)
+"""
+
+
+_DOC_PACK_SQL = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST({bpe_token_count_sql('text')} AS BIGINT) AS n_tokens
+    FROM documents
+), o AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS pack_offset
+    FROM t
+)
+SELECT doc_id, source, n_tokens, pack_offset,
+       CAST(pack_offset // 256 AS BIGINT) AS pack_id
+FROM o
+"""
+
+
+_DOC_TOP_TERMS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+s AS (
+    SELECT t.doc_id, t.token, t.tf, d.doc_freq,
+           t.tf / d.doc_freq AS score,
+           row_number() OVER (PARTITION BY t.doc_id
+                              ORDER BY t.tf / d.doc_freq DESC, t.token) AS rn
+    FROM tf t JOIN dfq d USING (token)
+)
+SELECT doc_id, token, tf, doc_freq, score
+FROM s
+WHERE rn <= 3
+"""
+
+
+_NEARDUP_CLUSTERS_SQL = rf"""
+WITH RECURSIVE {_SHINGLES},
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.8
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach
+GROUP BY a
+"""
+
+
+_CURATION_BASE_CTES = rf"""stats AS (
+    SELECT doc_id, lang, text,
+           len({_TOKS}) AS n_tokens,
+           round(
+             least(1.0, (CAST(len(regexp_extract_all(lower(trim(text)), '{_EN_PAT}')) AS DOUBLE)
+                         / CAST(len({_TOKS}) AS DOUBLE)) * 5.0)
+             * (1.0 - least(1.0, (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                                  / CAST(length(text) AS DOUBLE)) * 10.0)),
+           6) AS quality
+    FROM documents
+),
+kept AS (
+    SELECT * FROM stats
+    WHERE quality >= 0.15 AND n_tokens BETWEEN 20 AND 10000
+),
+canon AS (
+    SELECT k.* FROM kept k
+    JOIN (
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keep_id
+        FROM kept GROUP BY 1
+    ) m ON k.doc_id = m.keep_id
+),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM canon),
+sh0 AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE []::VARCHAR[] END) AS s
+    FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+
+_CURATION_CTES = (
+    _CURATION_BASE_CTES
+    + """,
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+neardup AS (
+    SELECT DISTINCT i.id_b FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.8
+)"""
+)
+
+
+_DOC_CURATION_SQL = f"""
+WITH {_CURATION_CTES}
+SELECT doc_id, lang, n_tokens, quality FROM canon
+WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+"""
+
+
+# The same composite on the production pair stage: minhash banding with
+# the bucket_cap=2 star mitigation engaged, threshold 0.8 — the capped
+# pipeline (collapse / band / size+hub / cap / verify / expand) is the
+# one _NEARDUP_BUCKET_CAP_SQL value-gates in isolation, here run over
+# the quality+dedup survivors (canon) inside the composite.
+_DOC_CURATION_CAPPED_SQL = f"""
+WITH {_CURATION_BASE_CTES},
+docsets AS (
+    SELECT doc_id, list_sort(list(s)) AS ss FROM sh GROUP BY doc_id
+),
+fam AS (
+    SELECT ss, min(doc_id) AS rep, list(doc_id) AS members_, len(ss) AS n
+    FROM docsets GROUP BY ss
+),
+mem AS (SELECT rep, unnest(members_) AS doc FROM fam),
+repsh AS (SELECT rep AS doc_id, unnest(ss) AS s FROM fam),
+sig AS (SELECT doc_id, {_MH_COLS} FROM repsh GROUP BY doc_id),
+bands AS ({_BANDS_SQL}),
+sized AS (
+    SELECT doc_id, band, key,
+           count(*) OVER (PARTITION BY band, key) AS bsz,
+           min(doc_id) OVER (PARTITION BY band, key) AS hub
+    FROM bands
+),
+cand AS (
+    SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE a.bsz <= 2 AND b.bsz <= 2
+        UNION ALL
+        SELECT hub AS id_a, doc_id AS id_b FROM sized
+        WHERE bsz > 2 AND doc_id != hub
+    )
+),
+pinter AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand c
+    JOIN repsh x ON x.doc_id = c.id_a
+    JOIN repsh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+),
+rsizes AS (SELECT rep, n FROM fam),
+verified AS (
+    SELECT i.id_a, i.id_b
+    FROM pinter i
+    JOIN rsizes sa ON sa.rep = i.id_a
+    JOIN rsizes sb ON sb.rep = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.8
+),
+dropped AS (
+    SELECT DISTINCT id_b FROM (
+        SELECT greatest(ma.doc, mb.doc) AS id_b
+        FROM verified v
+        JOIN mem ma ON ma.rep = v.id_a
+        JOIN mem mb ON mb.rep = v.id_b
+        UNION ALL
+        SELECT b.doc AS id_b
+        FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc < b.doc
+    )
+)
+SELECT doc_id, lang, n_tokens, quality FROM canon
+WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+"""
+
+
+_DOC_QUALITY_MODEL_SQL = rf"""
+SELECT doc_id,
+       CAST((round(
+             least(1.0, (CAST(len(regexp_extract_all(lower(trim(text)), '{_EN_PAT}')) AS DOUBLE)
+                         / CAST(len({_TOKS}) AS DOUBLE)) * 5.0)
+             * (1.0 - least(1.0, (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                                  / CAST(length(text) AS DOUBLE)) * 10.0)),
+           6) >= 0.15) AS DOUBLE) AS weak_label,
+       true AS model_agrees
+FROM documents
+"""
+
+
+_DOC_TRAINING_PREP_SQL = f"""
+WITH {_CURATION_CTES},
+cur AS (
+    SELECT doc_id FROM canon
+    WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+),
+toks5 AS (SELECT doc_id, {_TOKS} AS t FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM cur)),
+shd0 AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 5
+                  THEN list_transform(range(1, len(t) - 3),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            || ' ' || t[i+3] || ' ' || t[i+4])
+                  ELSE []::VARCHAR[] END) AS s
+    FROM toks5
+),
+sh2 AS (SELECT DISTINCT doc_id, s FROM shd0),
+ev AS (SELECT DISTINCT s FROM sh2 WHERE {_BUCKET1} = '0'),
+corpus AS (SELECT doc_id, s FROM sh2 WHERE {_BUCKET1} <> '0'),
+csizes AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY 1),
+hits AS (
+    SELECT c.doc_id, count(*) AS h
+    FROM corpus c JOIN ev ON c.s = ev.s
+    GROUP BY 1
+),
+contaminated AS (
+    SELECT cs.doc_id FROM csizes cs JOIN hits h USING (doc_id)
+    WHERE h.h / cs.n >= 0.2
+),
+clean AS (
+    SELECT d.doc_id, d.source, d.text
+    FROM documents d JOIN cur USING (doc_id)
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> '0'
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+splitd AS (
+    SELECT doc_id, source,
+           CASE WHEN {_BUCKET1} < 'd' THEN 'train'
+                WHEN {_BUCKET1} < 'f' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST({bpe_token_count_sql('text')} AS BIGINT) AS n_tokens
+    FROM clean
+),
+packed AS (
+    SELECT doc_id, source, split, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY split, source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS pack_offset
+    FROM splitd
+)
+SELECT doc_id, source, split, n_tokens, pack_offset,
+       CAST(pack_offset // 256 AS BIGINT) AS pack_id
+FROM packed
+"""
+
+
+_DOC_LENGTH_WINSOR_SQL = """
+WITH dist AS (
+  SELECT source, n_chars AS v, count(*) AS c
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT source, v, c,
+         sum(c) OVER (PARTITION BY source ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY source) AS n
+  FROM dist
+), bands AS (
+  SELECT source,
+         CAST(min(CASE WHEN cum >= ceil(0.05 * n) THEN v END) AS DOUBLE) AS p05,
+         CAST(min(CASE WHEN cum >= ceil(0.95 * n) THEN v END) AS DOUBLE) AS p95
+  FROM cum GROUP BY 1
+)
+SELECT doc_id, d.source, n_chars,
+       least(greatest(CAST(n_chars AS DOUBLE), p05), p95) AS winsorized,
+       (n_chars < p05 OR n_chars > p95) AS was_clipped
+FROM documents d JOIN bands b ON d.source = b.source
+"""
+
+
+_DOC_BUDGET_MIX_SQL = """
+WITH c AS (
+  SELECT source, lang, source || '|' || lang AS stratum,
+         count(*) AS n_docs
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT sum(n_docs) AS w FROM c),
+fl AS (
+  SELECT source, lang, stratum, n_docs,
+         (200 * n_docs) // w AS flr,
+         (200 * n_docs) % w AS rem
+  FROM c, tot
+),
+lo AS (SELECT 200 - sum(flr) AS leftover FROM fl)
+SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(flr + CASE WHEN row_number()
+                           OVER (ORDER BY rem DESC, stratum)
+                       <= (SELECT leftover FROM lo)
+                  THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM fl
+"""
+
+
+_INVERTED_INDEX_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+pd AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf,
+         array_to_string(list_sort(list(doc_id)), ',') AS postings_csv
+  FROM pd GROUP BY term
+)
+SELECT * FROM agg WHERE df BETWEEN 2 AND 40
+"""
+
+
+
+def _bm25_oracle() -> str:
+    from etl_spark_spark.operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql("documents", "doc_id", "text", _BM25_TERMS, k=15)
+
+
+
+def _surprisal_oracle() -> str:
+    from etl_spark_spark.operators.lm import unigram_surprisal_sql
+
+    return unigram_surprisal_sql("documents", "doc_id", "text")
+
+
+
+def _dsir_weights_oracle() -> str:
+    from etl_spark_spark.operators.lm import dsir_log_weights_sql
+
+    return dsir_log_weights_sql(
+        "documents", "doc_id", "text", "source = 'src0'"
+    )
+
+
+
+def _bigram_surprisal_oracle() -> str:
+    from etl_spark_spark.operators.lm import bigram_surprisal_sql
+
+    return bigram_surprisal_sql("documents", "doc_id", "text")
+
+
+
+_DUPLICATE_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 8
+                THEN list_transform(range(1, len(t) - 6),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                          t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                          t[i+6] || ' ' || t[i+7])
+                ELSE []::VARCHAR[] END) AS s
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, md5(s) AS h FROM sh0
+), sizes AS (
+  SELECT d.doc_id, count(sh.h) AS n_spans
+  FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+  GROUP BY 1
+), dfc AS (
+  SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), shared AS (
+  SELECT sh.doc_id, count(*) AS n_shared
+  FROM sh JOIN dfc USING (h) GROUP BY 1
+)
+SELECT s.doc_id, CAST(s.n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(x.n_shared, 0) AS BIGINT) AS n_shared,
+       CASE WHEN s.n_spans > 0
+            THEN CAST(coalesce(x.n_shared, 0) AS DOUBLE)
+                 / CAST(s.n_spans AS DOUBLE)
+            ELSE 0.0 END AS shared_frac
+FROM sizes s LEFT JOIN shared x ON x.doc_id = s.doc_id
+"""
+
+
+
+def _entropy_col_sql(col: str, tbl: str) -> str:
+    return f"""
+SELECT '{col}' AS column_name, CAST(sum(c) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(round((ln(CAST(sum(c) AS DOUBLE))
+                   - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                     / CAST(sum(c) AS DOUBLE)) * 1e6) AS BIGINT)
+         AS entropy_micro
+FROM (SELECT CAST({col} AS VARCHAR) AS v, count(*) AS c
+      FROM {tbl} GROUP BY 1)"""
+
+
+
+_COLUMN_ENTROPY_SQL = " UNION ALL ".join(
+    [
+        _entropy_col_sql("o_orderstatus", "orders"),
+        _entropy_col_sql("o_orderpriority", "orders"),
+        _entropy_col_sql("lang", "documents"),
+        _entropy_col_sql("source", "documents"),
+    ]
+)
+
+
+
+def _phrase_search_oracle() -> str:
+    from etl_spark_spark.operators.retrieval import phrase_occurrences_sql
+
+    hit = phrase_occurrences_sql("t", ["hash", "join"])
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, CAST({hit} AS INTEGER) AS n_occ FROM toks
+)
+SELECT doc_id, n_occ FROM c WHERE n_occ > 0
+"""
+
+
+
+def _bpe_merges_oracle() -> str:
+    from etl_spark_spark.operators.bpe import train_bpe_sql
+
+    return train_bpe_sql("documents", "text", n_merges=6)
+
+
+
+def _bpe_token_counts_oracle() -> str:
+    from etl_spark_spark.operators.bpe import bpe_token_counts_sql
+
+    return bpe_token_counts_sql("documents", "doc_id", "text", n_merges=6)
+
+
+
+_DOC_CONTAINMENT_SQL_TMPL = """
+WITH {shingles},
+sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i.inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+         AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.7
+"""
+
+
+
+_TERM_PMI_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+  )
+), dfc AS (
+  SELECT term, count(*) AS df FROM dt GROUP BY 1
+), tot AS (
+  SELECT count(DISTINCT doc_id) AS n FROM dt
+), mid AS (
+  SELECT term, df FROM dfc, tot WHERE df >= 2 AND df * 10 <= n * 9
+), dtm AS (
+  SELECT dt.doc_id, dt.term, m.df FROM dt JOIN mid m USING (term)
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         a.df AS df_a, b.df AS df_b, count(*) AS c_ab
+  FROM dtm a JOIN dtm b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3
+)
+SELECT term_a, term_b, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+       CAST(round(ln(CAST(c_ab * n AS DOUBLE)
+                     / CAST(df_a * df_b AS DOUBLE)) * 1e6) AS BIGINT)
+         AS pmi_micro
+FROM pairs, tot
+ORDER BY pmi_micro DESC, term_a, term_b
+LIMIT 50
+"""
+
+
+
+def _mh_cols_sql(num_perms: int) -> str:
+    """min-of-salted-md5 signature columns — the DuckDB mirror of
+    operators.neardup.minhash_signature at an arbitrary perm count."""
+    return ", ".join(
+        f"min(md5('{p}~' || s)) AS mh{p}" for p in range(num_perms)
+    )
+
+
+
+def _bands_sql_for(num_perms: int, rows_per_band: int, sig: str) -> str:
+    """Band/key rows for arbitrary (num_perms, rows_per_band) — the
+    mirror of operators.neardup.lsh_candidate_pairs' banding."""
+    parts = []
+    for b in range(num_perms // rows_per_band):
+        key = " || '#' || ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        parts.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM {sig}")
+    return " UNION ALL ".join(parts)
+
+
+
+def _neardup_eval_tuned_sql() -> str:
+    """Oracle for the tuned q_neardup_eval: one row per threshold in
+    _EVAL_THRESHOLDS, banding derived by the SAME plan_banding call the
+    Spark side uses (imported, not duplicated — the S-curve math is
+    pinned once). Exact ground truth computed once at the floor
+    threshold with its jaccard kept, filtered per row."""
+    from etl_spark_spark.operators.neardup import plan_banding
+
+    floor = min(_EVAL_THRESHOLDS)
+    blocks = []
+    selects = []
+    for t in _EVAL_THRESHOLDS:
+        np_, r = plan_banding(t, _EVAL_TARGET_RECALL, _EVAL_MAX_PERMS)
+        tag = int(round(t * 100))
+        blocks.append(
+            f"""
+sig_{tag} AS (SELECT doc_id, {_mh_cols_sql(np_)} FROM sh GROUP BY doc_id),
+bands_{tag} AS ({_bands_sql_for(np_, r, f'sig_{tag}')}),
+cand_{tag} AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands_{tag} a JOIN bands_{tag} b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+linter_{tag} AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand_{tag} c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+),
+lsh_{tag} AS (
+    SELECT i.id_a, i.id_b
+    FROM linter_{tag} i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.inter / (sa.n + sb.n - i.inter) >= {t}
+),
+s_{tag} AS (
+  SELECT (SELECT count(*) FROM exact_pairs WHERE jaccard >= {t}) AS n_exact,
+         (SELECT count(*) FROM lsh_{tag}) AS n_lsh,
+         (SELECT count(*) FROM exact_pairs e
+            JOIN lsh_{tag} l ON l.id_a = e.id_a AND l.id_b = e.id_b
+            WHERE e.jaccard >= {t}) AS n_tp
+)"""
+        )
+        selects.append(
+            f"""
+SELECT CAST({tag} AS BIGINT) AS threshold_pct,
+       CAST({np_} AS BIGINT) AS num_perms,
+       CAST({r} AS BIGINT) AS rows_per_band,
+       CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
+       CAST(n_tp AS BIGINT) AS n_tp,
+       CAST(n_tp AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall,
+       CAST(n_tp AS DOUBLE) / CAST(n_lsh AS DOUBLE) AS precision
+FROM s_{tag}"""
+        )
+    return (
+        "WITH "
+        + _SHINGLES
+        + """,
+exact0 AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+    FROM sh x JOIN sh y ON y.s = x.s AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+exact_pairs AS (
+    SELECT e.id_a, e.id_b, e.inter / (sa.n + sb.n - e.inter) AS jaccard
+    FROM exact0 e
+    JOIN sizes sa ON sa.doc_id = e.id_a
+    JOIN sizes sb ON sb.doc_id = e.id_b
+    WHERE e.inter / (sa.n + sb.n - e.inter) >= """
+        + str(floor)
+        + "),"
+        + ",".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+
+def _neardup_recall_sampled_sql() -> str:
+    """Oracle for q_neardup_recall_sampled: the identical collapse ->
+    hash-sample -> exact-verify -> tuned-LSH-compare pipeline in
+    DuckDB. The pair sample uses the same md5-hex->int64 hash as the
+    Spark side (_pair_hash), so the sample is the same set of pairs;
+    the collapse mirrors collapse_identical_sets (families keyed by
+    the full sorted shingle set, rep = min doc_id)."""
+    from etl_spark_spark.operators.neardup import plan_banding
+
+    np_, r = plan_banding(0.5, _EVAL_TARGET_RECALL, _EVAL_MAX_PERMS)
+    pair_mod = 4
+    return (
+        "WITH "
+        + _SHINGLES
+        + f""",
+setsig AS (
+  SELECT doc_id, md5(string_agg(s, chr(1) ORDER BY s)) AS fam
+  FROM sh GROUP BY doc_id
+),
+reps AS (SELECT fam, min(doc_id) AS rid FROM setsig GROUP BY fam),
+rsh AS (SELECT s.doc_id, s.s FROM sh s JOIN reps r ON r.rid = s.doc_id),
+rsizes AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY doc_id),
+sampled AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rsh a JOIN rsh b ON b.s = a.s AND a.doc_id < b.doc_id
+  WHERE ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR) || '#'
+                            || CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % {pair_mod} = 0
+),
+tinter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM sampled c
+  JOIN rsh x ON x.doc_id = c.id_a
+  JOIN rsh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM tinter i
+  JOIN rsizes sa ON sa.doc_id = i.id_a
+  JOIN rsizes sb ON sb.doc_id = i.id_b
+  WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+),
+sig AS (SELECT doc_id, {_mh_cols_sql(np_)} FROM rsh GROUP BY doc_id),
+bands AS ({_bands_sql_for(np_, r, 'sig')}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+linter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN rsh x ON x.doc_id = c.id_a
+  JOIN rsh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY 1, 2
+),
+detected AS (
+  SELECT i.id_a, i.id_b
+  FROM linter i
+  JOIN rsizes sa ON sa.doc_id = i.id_a
+  JOIN rsizes sb ON sb.doc_id = i.id_b
+  WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+),
+s AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM truth t
+            JOIN detected d ON d.id_a = t.id_a AND d.id_b = t.id_b)
+           AS n_hit
+)
+SELECT CAST({np_} AS BIGINT) AS num_perms,
+       CAST({r} AS BIGINT) AS rows_per_band,
+       CAST({pair_mod} AS BIGINT) AS pair_mod,
+       CAST(n_true AS BIGINT) AS n_true_sampled,
+       CAST(n_hit AS BIGINT) AS n_detected_of_sampled,
+       CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall_sampled
+FROM s
+"""
+    )
+
+
+_DOC_GOPHER_FILTER_SQL = rf"""
+WITH base AS (
+    SELECT doc_id, source,
+           CAST(len({_TOKS}) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(lower(trim(text)), '\s', '', 'g'))
+                AS BIGINT) AS word_chars,
+           CAST(len(list_filter({_TOKS}, w -> regexp_matches(w, '[a-z]')))
+                AS BIGINT) AS alpha_words,
+           CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+               AS symbols,
+           CAST(len(regexp_extract_all(lower(trim(text)), '{_EN_PAT}'))
+                AS BIGINT) AS n_stop
+    FROM documents
+), flagged AS (
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+               AS r_word_len,
+           (5 * alpha_words >= 4 * n_words) AS r_alpha,
+           (10 * symbols <= n_words) AS r_symbol,
+           (n_stop >= 2) AS r_stop
+    FROM base
+)
+SELECT doc_id, source, n_words, word_chars, alpha_words, symbols, n_stop,
+       r_word_count, r_word_len, r_alpha, r_symbol, r_stop,
+       (r_word_count AND r_word_len AND r_alpha AND r_symbol AND r_stop)
+           AS keep
+FROM flagged
+"""
+
+
+_DOC_LENGTH_HISTOGRAM_SQL = rf"""
+WITH base AS (
+    SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+)
+SELECT source,
+       CAST(length(bin(n)) - 1 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n) AS min_tokens,
+       max(n) AS max_tokens,
+       CAST(sum(n) AS BIGINT) AS sum_tokens
+FROM base
+GROUP BY 1, 2
+"""
+
+
+_SOURCE_OVERLAP_SQL = rf"""
+WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+sh0 AS (
+    SELECT source,
+           unnest(CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE []::VARCHAR[] END) AS s
+    FROM toks
+),
+sh AS (SELECT DISTINCT source, s FROM sh0),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh a JOIN sh b USING (s)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, na.n AS n_a, nb.n AS n_b
+FROM pairs
+JOIN sizes na ON pairs.source_a = na.source
+JOIN sizes nb ON pairs.source_b = nb.source
+"""
+
+
+__all__ = [
+    'q_doc_text_stats',
+    'q_doc_lang_id',
+    'q_doc_exact_dedup',
+    'q_neardup_minhash',
+    'q_neardup_bucket_cap',
+    'q_neardup_ngram_jaccard',
+    'q_neardup_prefix_jaccard',
+    'q_doc_simhash',
+    'q_neardup_simhash',
+    'q_neardup_simhash_exact',
+    'q_doc_fingerprints',
+    'q_doc_group_sample',
+    'q_doc_bigram_novelty',
+    'q_doc_split_counts',
+    'q_doc_stratified_sample',
+    'q_doc_group_split',
+    'q_doc_repetition',
+    'q_doc_pii_scrub',
+    'q_source_mix_sample',
+    'q_doc_shuffle_order',
+    'q_fuzzy_code_match',
+    'q_doc_source_cap',
+    'q_vocab_topk',
+    'q_doc_decontaminate',
+    'q_doc_pack',
+    'q_doc_top_terms',
+    'q_neardup_clusters',
+    'q_doc_quality_model',
+    'q_doc_incremental_dedup',
+    'q_doc_chunks',
+    'q_doc_weighted_sample',
+    'q_doc_curation',
+    'q_doc_curation_capped',
+    'q_doc_training_prep',
+    'q_doc_length_winsor',
+    'q_doc_bigram_surprisal',
+    'q_doc_training_mix',
+    'q_doc_epoch_shuffle',
+    'q_doc_dsir_weights',
+    'q_cluster_canonicalize',
+    'q_split_leakage',
+    'q_doc_budget_mix',
+    'q_lang_id_eval',
+    'q_inverted_index',
+    'q_bm25_search',
+    '_BM25_TERMS',
+    'q_doc_surprisal',
+    'q_duplicate_spans',
+    'q_column_entropy',
+    'q_phrase_search',
+    'q_bpe_merges',
+    'q_bpe_token_counts',
+    'q_doc_containment',
+    'q_term_pmi',
+    '_EVAL_THRESHOLDS',
+    '_EVAL_TARGET_RECALL',
+    '_EVAL_MAX_PERMS',
+    'q_neardup_eval',
+    'q_neardup_recall_sampled',
+    'q_doc_gopher_filter',
+    'q_doc_length_histogram',
+    'q_source_overlap',
+    '_TOKS',
+    '_EN_PAT',
+    '_DOC_TEXT_STATS_SQL',
+    '_LANGS',
+    '_LANG_PATS',
+    '_lang_case_sql',
+    '_DOC_LANG_ID_SQL',
+    '_LANG_ID_EVAL_SQL',
+    '_DOC_EXACT_DEDUP_SQL',
+    '_SHINGLES',
+    '_MH_COLS',
+    '_BANDS_SQL',
+    '_NEARDUP_MINHASH_SQL',
+    '_NEARDUP_BUCKET_CAP_SQL',
+    '_CLUSTER_CANONICALIZE_SQL',
+    '_SPLIT_LEAKAGE_SQL',
+    '_DOC_INCREMENTAL_DEDUP_SQL',
+    '_NEARDUP_NGRAM_SQL',
+    '_NEARDUP_PREFIX_SQL',
+    '_DOC_SIMHASH_SQL',
+    '_NEARDUP_SIMHASH_SQL',
+    '_NEARDUP_SIMHASH_EXACT_SQL',
+    '_DOC_FINGERPRINTS_SQL',
+    '_DOC_GROUP_SAMPLE_SQL',
+    '_DOC_BIGRAM_NOVELTY_SQL',
+    '_BUCKET1',
+    '_BUCKET2',
+    '_DOC_SPLIT_COUNTS_SQL',
+    '_DOC_STRATIFIED_SAMPLE_SQL',
+    '_DOC_GROUP_SPLIT_SQL',
+    '_DOC_REPETITION_SQL',
+    '_DOC_PII_SCRUB_SQL',
+    '_SOURCE_MIX_SAMPLE_SQL',
+    '_DOC_CHUNKS_SQL',
+    '_DOC_WEIGHTED_SAMPLE_SQL',
+    '_DOC_SHUFFLE_ORDER_SQL',
+    '_FUZZY_CODE_MATCH_SQL',
+    '_DOC_SOURCE_CAP_SQL',
+    '_VOCAB_TOPK_SQL',
+    '_DOC_DECONTAMINATE_SQL',
+    '_DOC_PACK_SQL',
+    '_DOC_TOP_TERMS_SQL',
+    '_NEARDUP_CLUSTERS_SQL',
+    '_CURATION_BASE_CTES',
+    '_CURATION_CTES',
+    '_DOC_CURATION_SQL',
+    '_DOC_CURATION_CAPPED_SQL',
+    '_DOC_QUALITY_MODEL_SQL',
+    '_DOC_TRAINING_PREP_SQL',
+    '_DOC_LENGTH_WINSOR_SQL',
+    '_DOC_BUDGET_MIX_SQL',
+    '_INVERTED_INDEX_SQL',
+    '_bm25_oracle',
+    '_surprisal_oracle',
+    '_dsir_weights_oracle',
+    '_bigram_surprisal_oracle',
+    '_DUPLICATE_SPANS_SQL',
+    '_entropy_col_sql',
+    '_COLUMN_ENTROPY_SQL',
+    '_phrase_search_oracle',
+    '_bpe_merges_oracle',
+    '_bpe_token_counts_oracle',
+    '_DOC_CONTAINMENT_SQL_TMPL',
+    '_TERM_PMI_SQL',
+    '_mh_cols_sql',
+    '_bands_sql_for',
+    '_neardup_eval_tuned_sql',
+    '_neardup_recall_sampled_sql',
+    '_DOC_GOPHER_FILTER_SQL',
+    '_DOC_LENGTH_HISTOGRAM_SQL',
+    '_SOURCE_OVERLAP_SQL',
+]
