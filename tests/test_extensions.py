@@ -485,6 +485,39 @@ def test_doc_curation_invariants(spark, sf_dir):
         )
 
 
+def test_curation_default_bucket_cap_is_noop_at_organic_rates(
+    spark, sf_dir
+):
+    """The production pair stage ships with bucket_cap=4096 by default;
+    at organic duplicate rates every band bucket is far below the cap,
+    so the capped pipeline must produce BIT-IDENTICAL output to the
+    uncapped one (the star rewrite only engages above the cap). Also
+    pins that an engaged tiny cap still keeps the composite's drop-set
+    semantics (every kept doc is no pair's id_b)."""
+    from etl_spark_spark.pipelines.curation import curate_documents
+
+    docs = table(spark, sf_dir, "documents")
+    kw = dict(min_quality=0.05, min_tokens=5, pair_stage="minhash")
+    capped = sorted(
+        map(tuple, curate_documents(docs, **kw).collect())
+    )  # default cap=4096
+    uncapped = sorted(
+        map(tuple, curate_documents(docs, bucket_cap=None, **kw).collect())
+    )
+    assert capped == uncapped and capped
+    # an engaged tiny cap emits a SUBSET of the uncapped pair set
+    # (m-1 star pairs instead of m^2/2), so its drop set can only
+    # shrink: the kept corpus is a superset of the default-cap one
+    tiny = {
+        r.doc_id for r in curate_documents(docs, bucket_cap=2, **kw).collect()
+    }
+    assert tiny >= {r[0] for r in capped}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pair_stage"):
+        curate_documents(docs, pair_stage="bogus")
+
+
 def test_multimodal_feature_plumbing(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").limit(20)
     media = attach_media(docs, "doc_id", "text", "text/plain")
