@@ -2882,6 +2882,67 @@ JOIN sizes nb ON pairs.source_b = nb.source
 """
 
 
+def q_doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL over the corpus (the edit
+    counterpart of q:duplicate_spans' audit): every 8-token window
+    shared by >= 2 documents survives only in its minimum-id owner;
+    every other document drops the covered tokens. The distributed
+    stand-in for suffix-array exact-substring dedup (Lee et al. 2022)
+    — windows travel as md5 digests + int positions, one uniform-key
+    hash aggregate, one digest join back, coverage explode bounded by
+    8x the duplicated non-owned instances, and the rebuild is a JVM
+    higher-order filter over the original token array. The oracle
+    replays ownership, coverage union, and the positional rebuild."""
+    from etl_spark_spark.operators.neardup import strip_duplicate_spans
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return strip_duplicate_spans(
+        docs, "doc_id", tokens("text"), span_n=8, min_docs=2
+    )
+
+
+_DOC_SPAN_SCRUB_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sp0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 8
+                THEN list_transform(range(1, len(t) - 6),
+                     i -> {'p': i,
+                           'h': md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                                    t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                                    t[i+6] || ' ' || t[i+7])})
+                ELSE [] END) AS s
+  FROM toks
+), sp AS (
+  SELECT doc_id, s.p AS p, s.h AS h FROM sp0
+), own AS (
+  SELECT h, min(doc_id) AS owner FROM sp
+  GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), covpos AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT sp.doc_id AS doc_id, unnest(range(sp.p, sp.p + 8)) AS pos
+    FROM sp JOIN own USING (h) WHERE sp.doc_id <> own.owner
+  )
+), cova AS (
+  SELECT doc_id, list(pos) AS cv FROM covpos GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(clean) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(clean, ' '), '') AS text_clean
+FROM (
+  SELECT toks.doc_id, toks.t,
+         list_filter(list_transform(range(1, len(toks.t) + 1),
+             i -> CASE WHEN list_contains(coalesce(c.cv, []::BIGINT[]), i)
+                  THEN NULL ELSE toks.t[i] END),
+             x -> x IS NOT NULL) AS clean
+  FROM toks LEFT JOIN cova c USING (doc_id)
+)
+"""
+
+
 __all__ = [
     'q_doc_text_stats',
     'q_doc_lang_id',
@@ -3016,4 +3077,6 @@ __all__ = [
     '_DOC_GOPHER_FILTER_SQL',
     '_DOC_LENGTH_HISTOGRAM_SQL',
     '_SOURCE_OVERLAP_SQL',
+    'q_doc_span_scrub',
+    '_DOC_SPAN_SCRUB_SQL',
 ]

@@ -1812,3 +1812,105 @@ def containment_pairs(
             "containment": F.lit(1.0),
         },
     )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    span_n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the edit counterpart of
+    :func:`duplicate_span_stats` (which only audits): every ``span_n``
+    consecutive-token window occurring in >= ``min_docs`` distinct
+    documents is owned by the minimum-id document containing it; every
+    OTHER document drops the tokens that window covers. This is the
+    distributed stand-in for suffix-array exact-substring dedup
+    ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022): boilerplate passages, templated spam, and
+    verbatim quotations survive in exactly one place in the corpus.
+
+    Semantics (deterministic under any partitioning): token position
+    ``p`` of document ``d`` is removed iff SOME duplicated window
+    covering ``p`` exists in ``d`` and ``d`` is not that window's
+    owner. Overlapping duplicated windows union their coverage. A
+    window repeated only WITHIN one document is not duplicated
+    (df counts distinct docs); an owner keeps every occurrence of its
+    windows. Documents shorter than ``span_n`` tokens are untouched.
+
+    Scale shape: windows travel as md5 digests + int positions, never
+    text; one hash-aggregate per digest (uniform keys), one join back
+    on digest, and the coverage explode is ``span_n`` x the number of
+    duplicated NON-OWNED window instances — output-bounded, no
+    quadratic anywhere. The rebuild is a JVM higher-order filter over
+    the original token array (no Python, no re-tokenization).
+
+    Returns (id_col, n_tokens, n_removed, text_clean) where
+    ``text_clean`` is the surviving tokens joined by single spaces.
+    """
+    if span_n < 1:
+        raise ValueError(f"span_n must be >= 1, got {span_n}")
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (a span duplicated across at least "
+            f"two documents), got {min_docs}"
+        )
+    base = docs.select(F.col(id_col), tokens_col.alias("__t"))
+    spans = base.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(__t) >= {span_n} THEN "
+                f"transform(sequence(1, size(__t) - {span_n} + 1), "
+                f"i -> md5(array_join(slice(__t, i, {span_n}), ' '))) "
+                "ELSE array() END"
+            )
+        ).alias("__p0", "__h"),
+    ).select(id_col, (F.col("__p0") + 1).alias("__start"), "__h")
+    dup = (
+        spans.groupBy("__h")
+        .agg(
+            F.countDistinct(id_col).alias("__df"),
+            F.min(id_col).alias("__owner"),
+        )
+        .filter(F.col("__df") >= min_docs)
+        .select("__h", "__owner")
+    )
+    covered = (
+        spans.join(dup, "__h")
+        .filter(F.col(id_col) != F.col("__owner"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("__start"),
+                    F.col("__start") + F.lit(span_n - 1),
+                )
+            ).alias("__pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__cov"))
+    )
+    return (
+        base.join(covered, id_col, "left")
+        .withColumn(
+            "__cov", F.coalesce("__cov", F.expr("array()"))
+        )
+        .withColumn(
+            "__clean",
+            F.expr(
+                "filter(transform(__t, (x, i) -> "
+                "IF(array_contains(__cov, i + 1), NULL, x)), "
+                "x -> x IS NOT NULL)"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__t").cast("long").alias("n_tokens"),
+            (F.size("__t") - F.size("__clean")).cast("long").alias(
+                "n_removed"
+            ),
+            F.array_join("__clean", " ").alias("text_clean"),
+        )
+    )
