@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_surprisal": q_doc_surprisal,
         "duplicate_spans": q_duplicate_spans,
         "doc_span_scrub": q_doc_span_scrub,
+        "doc_span_scrub_global": q_doc_span_scrub_global,
         "mann_whitney_ab": q_mann_whitney_ab,
         "supplier_reach_bfs": q_supplier_reach_bfs,
         "column_entropy": q_column_entropy,
@@ -607,6 +608,7 @@ FROM picked
         "cluster_canonicalize": _CLUSTER_CANONICALIZE_SQL,
         "duplicate_spans": _DUPLICATE_SPANS_SQL,
         "doc_span_scrub": _DOC_SPAN_SCRUB_SQL,
+        "doc_span_scrub_global": _DOC_SPAN_SCRUB_GLOBAL_SQL,
         "mann_whitney_ab": _MANN_WHITNEY_AB_SQL,
         "supplier_reach_bfs": _SUPPLIER_REACH_BFS_SQL,
         "column_entropy": _COLUMN_ENTROPY_SQL,

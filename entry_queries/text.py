@@ -2943,6 +2943,65 @@ FROM (
 """
 
 
+def q_doc_span_scrub_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lee-et-al ExactSubstr semantics: every 8-token window with
+    >= 2 occurrences ANYWHERE (intra- or cross-document) survives only
+    at its lexicographically first (doc id, position) occurrence —
+    repeats inside the originating document are scrubbed too, unlike
+    q:doc_span_scrub's conservative owner-keeps-all scope. The oracle
+    replays the keep-first rule with a row_number over (window hash)
+    ordered by (doc id, position)."""
+    from etl_spark_spark.operators.neardup import strip_duplicate_spans
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return strip_duplicate_spans(
+        docs, "doc_id", tokens("text"), span_n=8, scope="first-occurrence"
+    )
+
+
+_DOC_SPAN_SCRUB_GLOBAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sp0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 8
+                THEN list_transform(range(1, len(t) - 6),
+                     i -> {'p': i,
+                           'h': md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                                    t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                                    t[i+6] || ' ' || t[i+7])})
+                ELSE [] END) AS s
+  FROM toks
+), sp AS (
+  SELECT doc_id, s.p AS p, s.h AS h FROM sp0
+), ranked AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+  FROM sp
+), covpos AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(range(p, p + 8)) AS pos
+    FROM ranked WHERE rn > 1
+  )
+), cova AS (
+  SELECT doc_id, list(pos) AS cv FROM covpos GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(clean) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(clean, ' '), '') AS text_clean
+FROM (
+  SELECT toks.doc_id, toks.t,
+         list_filter(list_transform(range(1, len(toks.t) + 1),
+             i -> CASE WHEN list_contains(coalesce(c.cv, []::BIGINT[]), i)
+                  THEN NULL ELSE toks.t[i] END),
+             x -> x IS NOT NULL) AS clean
+  FROM toks LEFT JOIN cova c USING (doc_id)
+)
+"""
+
+
 __all__ = [
     'q_doc_text_stats',
     'q_doc_lang_id',
@@ -3079,4 +3138,6 @@ __all__ = [
     '_SOURCE_OVERLAP_SQL',
     'q_doc_span_scrub',
     '_DOC_SPAN_SCRUB_SQL',
+    'q_doc_span_scrub_global',
+    '_DOC_SPAN_SCRUB_GLOBAL_SQL',
 ]

@@ -1820,6 +1820,7 @@ def strip_duplicate_spans(
     tokens_col: Column,
     span_n: int = 8,
     min_docs: int = 2,
+    scope: str = "cross-doc",
 ) -> DataFrame:
     """Exact-substring span REMOVAL — the edit counterpart of
     :func:`duplicate_span_stats` (which only audits): every ``span_n``
@@ -1833,11 +1834,24 @@ def strip_duplicate_spans(
 
     Semantics (deterministic under any partitioning): token position
     ``p`` of document ``d`` is removed iff SOME duplicated window
-    covering ``p`` exists in ``d`` and ``d`` is not that window's
-    owner. Overlapping duplicated windows union their coverage. A
-    window repeated only WITHIN one document is not duplicated
-    (df counts distinct docs); an owner keeps every occurrence of its
-    windows. Documents shorter than ``span_n`` tokens are untouched.
+    covering ``p`` exists in ``d`` and that occurrence is not the
+    window's kept one. Overlapping duplicated windows union their
+    coverage. Documents shorter than ``span_n`` tokens are untouched.
+    ``scope`` picks which occurrences are kept:
+
+    - ``'cross-doc'`` (default): a window is duplicated iff it appears
+      in >= ``min_docs`` DISTINCT documents; the minimum-id document
+      owns it and keeps EVERY occurrence (intra-doc repeats of a
+      cross-doc window survive in the owner; windows repeated only
+      within one document are not duplicated at all). The
+      conservative production setting: never edits a document that
+      originated a passage.
+    - ``'first-occurrence'``: full Lee-et-al ExactSubstr semantics —
+      a window with >= 2 occurrences TOTAL (intra- or cross-document)
+      keeps only its lexicographically first occurrence
+      (min (doc id, start position)); every other occurrence is
+      covered, including repeats inside the owner and windows
+      repeated only within one document. ``min_docs`` is ignored.
 
     Scale shape: windows travel as md5 digests + int positions, never
     text; one hash-aggregate per digest (uniform keys), one join back
@@ -1851,7 +1865,11 @@ def strip_duplicate_spans(
     """
     if span_n < 1:
         raise ValueError(f"span_n must be >= 1, got {span_n}")
-    if min_docs < 2:
+    if scope not in ("cross-doc", "first-occurrence"):
+        raise ValueError(
+            f"scope must be 'cross-doc' or 'first-occurrence', got {scope!r}"
+        )
+    if scope == "cross-doc" and min_docs < 2:
         raise ValueError(
             f"min_docs must be >= 2 (a span duplicated across at least "
             f"two documents), got {min_docs}"
@@ -1868,18 +1886,43 @@ def strip_duplicate_spans(
             )
         ).alias("__p0", "__h"),
     ).select(id_col, (F.col("__p0") + 1).alias("__start"), "__h")
-    dup = (
-        spans.groupBy("__h")
-        .agg(
-            F.countDistinct(id_col).alias("__df"),
-            F.min(id_col).alias("__owner"),
+    if scope == "first-occurrence":
+        # keep only the lexicographically first (doc id, start)
+        # occurrence of any window with >= 2 TOTAL occurrences;
+        # min(struct) is order-independent, so still deterministic
+        first = (
+            spans.groupBy("__h")
+            .agg(
+                F.count("*").alias("__n_occ"),
+                F.min(
+                    F.struct(
+                        F.col(id_col).alias("i"),
+                        F.col("__start").alias("s"),
+                    )
+                ).alias("__first"),
+            )
+            .filter(F.col("__n_occ") >= 2)
+            .select("__h", "__first")
         )
-        .filter(F.col("__df") >= min_docs)
-        .select("__h", "__owner")
-    )
+        doomed = spans.join(first, "__h").filter(
+            (F.col(id_col) != F.col("__first.i"))
+            | (F.col("__start") != F.col("__first.s"))
+        )
+    else:
+        dup = (
+            spans.groupBy("__h")
+            .agg(
+                F.countDistinct(id_col).alias("__df"),
+                F.min(id_col).alias("__owner"),
+            )
+            .filter(F.col("__df") >= min_docs)
+            .select("__h", "__owner")
+        )
+        doomed = spans.join(dup, "__h").filter(
+            F.col(id_col) != F.col("__owner")
+        )
     covered = (
-        spans.join(dup, "__h")
-        .filter(F.col(id_col) != F.col("__owner"))
+        doomed
         .select(
             id_col,
             F.explode(

@@ -109,6 +109,25 @@ def test_deterministic_under_repartition(spark):
         assert by_id[i][2] == 10
 
 
+def test_first_occurrence_scope_scrubs_intra_doc_repeats(spark):
+    """scope='first-occurrence' (full Lee-et-al ExactSubstr): only the
+    lexicographically first (doc, position) occurrence of a repeated
+    window survives — including repeats INSIDE one document, which the
+    cross-doc scope deliberately keeps."""
+    doc = "solo " + BOILER.replace("tonight", "nightly")
+    rows = [(9, doc + " " + BOILER.replace("tonight", "nightly"))]
+    cross = _run(spark, rows, span_n=8)
+    assert cross[9].n_removed == 0  # intra-doc only: cross-doc keeps
+    first = _run(spark, rows, span_n=8, scope="first-occurrence")
+    assert first[9].n_removed == 10  # exactly the second copy
+    assert first[9].text_clean == doc
+    # cross-doc case: the owner's own repeat is ALSO scrubbed under
+    # first-occurrence (kept under cross-doc)
+    rows2 = [(1, BOILER), (5, BOILER + " " + BOILER)]
+    fo = _run(spark, rows2, span_n=8, scope="first-occurrence")
+    assert fo[1].n_removed == 0 and fo[5].n_removed == 20
+
+
 def test_param_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="span_n"):
@@ -117,3 +136,12 @@ def test_param_validation(spark):
         strip_duplicate_spans(
             df, "doc_id", F.split("text", " "), min_docs=1
         )
+    with pytest.raises(ValueError, match="scope"):
+        strip_duplicate_spans(
+            df, "doc_id", F.split("text", " "), scope="bogus"
+        )
+    # min_docs is ignored (not validated) under first-occurrence scope
+    strip_duplicate_spans(
+        df, "doc_id", F.split("text", " "),
+        min_docs=1, scope="first-occurrence",
+    )
