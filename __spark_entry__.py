@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hard_negatives": q_emb_hard_negatives,
         "emb_label_outliers": q_emb_label_outliers,
         "doc_bigram_surprisal": q_doc_bigram_surprisal,
+        "doc_kn_perplexity": q_doc_kn_perplexity,
+        "bloom_snapshot_dedup": q_bloom_snapshot_dedup,
+        "cms_term_counts": q_cms_term_counts,
         "cluster_canonicalize": q_cluster_canonicalize,
         "events_forward_fill": q_events_forward_fill,
         "split_leakage": q_split_leakage,
@@ -469,6 +472,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_oracle(),
         "doc_surprisal": _surprisal_oracle(),
         "doc_bigram_surprisal": _bigram_surprisal_oracle(),
+        "doc_kn_perplexity": _kn_perplexity_oracle(),
+        "bloom_snapshot_dedup": _bloom_snapshot_oracle(),
+        "cms_term_counts": _cms_term_counts_oracle(),
         "doc_dsir_weights": _dsir_weights_oracle(),
         "emb_covariance": _emb_covariance_oracle(),
         "emb_covariance_blocked": _emb_covariance_oracle(),

@@ -791,6 +791,147 @@ def q_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(docs, "doc_id", "text")
 
 
+_BLOOM_M = 1 << 22  # 4M bits = 66k words; ~0 FP up to ~500k history keys
+_BLOOM_K = 5
+
+
+def q_bloom_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup via a Bloom filter — the O(batch) answer to
+    "is this new document already in the 100 TB history?" that the
+    per-batch anti-join (O(history) shuffle every time) cannot give.
+    History = even doc_ids, new batch = odd; key = content fingerprint
+    (md5 of normalized text). Emits per new doc the bloom verdict, the
+    exact membership (for false-positive accounting), and the
+    false_positive flag; false NEGATIVES are structurally impossible
+    (the unit suite pins that on planted collisions). Everything
+    md5-derived, so the oracle rebuilds the identical bitmap
+    (operators/bloom.py)."""
+    from etl_spark_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    key = F.md5(F.lower(F.trim(F.col("text"))))
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).withColumn("__k", key)
+    bloom = bloom_build(
+        hist.select(key.alias("k")), "k", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    probed = bloom_probe(
+        new, bloom, F.col("__k"), m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    hist_keys = hist.select(key.alias("__hk")).distinct()
+    return (
+        probed.join(
+            hist_keys, probed["__k"] == hist_keys["__hk"], "left"
+        )
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.col("__hk").isNotNull().alias("exact_dup"),
+            (F.col("bloom_hit") & F.col("__hk").isNull()).alias(
+                "false_positive"
+            ),
+        )
+    )
+
+
+_CMS_W, _CMS_D, _CMS_TOPK = 1024, 3, 50
+
+
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimates — constant state per
+    group vs the vocabulary-size exact aggregate. Builds one sketch PER
+    SOURCE, merges them cell-wise into the corpus sketch (the operation
+    that makes CMS deployable: per-day/per-shard sketches fold), then
+    point-estimates the top-50 exact terms and emits est vs exact. The
+    oracle builds the corpus grid DIRECTLY, so the value-hash match is
+    a standing proof that merged-per-group == one-shot (sums are
+    associative). overcount >= 0 is the CMS guarantee; its magnitude
+    is the eps*N collision term (operators/sketches.py)."""
+    from etl_spark_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = table(
+        spark, sf_dir, "documents", columns=["doc_id", "text", "source"]
+    )
+    occ = docs.select(
+        "source", F.explode(tokens("text")).alias("term")
+    )
+    per_source = cms_build(
+        occ, "term", width=_CMS_W, depth=_CMS_D, group_cols=["source"]
+    )
+    merged = per_source.groupBy("row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    exact = occ.groupBy("term").agg(F.count("*").alias("exact_n"))
+    probes = exact.orderBy(
+        F.col("exact_n").desc(), F.col("term")
+    ).limit(_CMS_TOPK)
+    est = cms_estimate(
+        merged, probes.select("term"), "term", width=_CMS_W, depth=_CMS_D
+    )
+    return est.join(exact, "term").select(
+        "term",
+        "exact_n",
+        "est",
+        (F.col("est") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+def _cms_term_counts_oracle() -> str:
+    from etl_spark_spark.operators.sketches import cms_build_sql_cte
+
+    ctes = cms_build_sql_cte(
+        "SELECT term FROM "
+        "(SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) "
+        "AS term FROM documents)",
+        _CMS_W,
+        _CMS_D,
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT term, {r} AS row, "
+        f"('0x' || substr(md5('cms{r}~' || term), 1, 15))::BIGINT "
+        f"% {_CMS_W} AS bucket FROM probes"
+        for r in range(_CMS_D)
+    )
+    return f"""
+WITH {ctes},
+exact AS (
+  SELECT term, count(*) AS exact_n FROM occ_cms GROUP BY 1
+), probes AS (
+  SELECT term FROM exact ORDER BY exact_n DESC, term LIMIT {_CMS_TOPK}
+), pc AS ({probe_cells}),
+est AS (
+  SELECT p.term, min(coalesce(c.cnt, 0)) AS est
+  FROM pc p LEFT JOIN cms c USING (row, bucket)
+  GROUP BY 1
+)
+SELECT e.term, x.exact_n, e.est, e.est - x.exact_n AS overcount
+FROM est e JOIN exact x USING (term)
+"""
+
+
+def q_doc_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CCNet quality-filter shape: train an interpolated
+    KNESER-NEY bigram model on the trusted slice (lang='en' — the
+    stand-in for "KenLM trained on Wikipedia") and score EVERY
+    document against it. Cross-lingual docs surface as high surprisal
+    with many unseen histories; templated English scores low. Strictly
+    stronger smoothing than q_doc_bigram_surprisal's add-1 (continuation
+    -fertility mass redistribution, Kneser-Ney 1995 / Chen & Goodman
+    D=0.75). Milli-nat integer output; exact-count train statistics
+    (operators/lm.py:kn_bigram_surprisal)."""
+    from etl_spark_spark.operators.lm import kn_bigram_surprisal
+
+    docs = table(
+        spark, sf_dir, "documents", columns=["doc_id", "text", "lang"]
+    )
+    train = docs.filter(F.col("lang") == F.lit("en")).select(
+        "doc_id", "text"
+    )
+    return kn_bigram_surprisal(
+        docs.select("doc_id", "text"), train, "doc_id", "text"
+    )
+
+
 
 def q_doc_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix MATERIALIZATION — the step after q_doc_budget_mix's
@@ -2474,6 +2615,53 @@ def _bigram_surprisal_oracle() -> str:
     return bigram_surprisal_sql("documents", "doc_id", "text")
 
 
+def _bloom_snapshot_oracle() -> str:
+    from etl_spark_spark.operators.bloom import WORD_BITS, bloom_sql_ctes
+
+    ctes = bloom_sql_ctes(
+        "SELECT md5(lower(trim(text))) AS key FROM documents "
+        "WHERE doc_id % 2 = 0",
+        _BLOOM_M,
+        _BLOOM_K,
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT doc_id, key, ('0x' || substr(md5('bf{i}~' || key), 1, 15))"
+        f"::BIGINT % {_BLOOM_M} AS pos FROM new"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+WITH {ctes},
+new AS (
+  SELECT doc_id, md5(lower(trim(text))) AS key
+  FROM documents WHERE doc_id % 2 = 1
+), probes AS ({probe_union}),
+hits AS (
+  SELECT p.doc_id,
+         bool_and(b.bits IS NOT NULL
+                  AND ((b.bits >> CAST(p.pos % {WORD_BITS} AS INT)) & 1) = 1)
+           AS bloom_hit
+  FROM probes p LEFT JOIN bloom b ON b.word = p.pos // {WORD_BITS}
+  GROUP BY 1
+), hk AS (
+  SELECT DISTINCT key FROM hk_bloom
+)
+SELECT n.doc_id, h.bloom_hit,
+       (hk.key IS NOT NULL) AS exact_dup,
+       (h.bloom_hit AND hk.key IS NULL) AS false_positive
+FROM new n
+JOIN hits h USING (doc_id)
+LEFT JOIN hk ON hk.key = n.key
+"""
+
+
+def _kn_perplexity_oracle() -> str:
+    from etl_spark_spark.operators.lm import kn_bigram_surprisal_sql
+
+    return kn_bigram_surprisal_sql(
+        "documents", "doc_id", "text", "lang = 'en'"
+    )
+
+
 
 _DUPLICATE_SPANS_SQL = """
 WITH toks AS (
@@ -3039,6 +3227,12 @@ __all__ = [
     'q_doc_training_prep',
     'q_doc_length_winsor',
     'q_doc_bigram_surprisal',
+    'q_doc_kn_perplexity',
+    '_kn_perplexity_oracle',
+    'q_bloom_snapshot_dedup',
+    '_bloom_snapshot_oracle',
+    'q_cms_term_counts',
+    '_cms_term_counts_oracle',
     'q_doc_training_mix',
     'q_doc_epoch_shuffle',
     'q_doc_dsir_weights',

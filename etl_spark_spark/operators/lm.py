@@ -345,3 +345,200 @@ JOIN corpus c USING (b)
 CROSS JOIN totals t
 GROUP BY 1
 """
+
+
+def kn_bigram_surprisal(
+    docs_score: DataFrame,
+    docs_train: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document mean bigram surprisal in milli-nats under an
+    INTERPOLATED KNESER-NEY bigram model trained on a separate slice —
+    the real CCNet recipe (train KenLM on a trusted corpus, score the
+    crawl; here the model order is 2 and the engine mechanics are the
+    point). Reference scope: the etl-spark reference has no LM scoring;
+    this is a §7 LLM-pipeline extension alongside
+    :func:`bigram_surprisal` (add-1), which KN strictly improves on:
+    add-1 hammers frequent-but-narrow histories, KN discounts by a
+    constant and redistributes mass by CONTINUATION fertility (how many
+    distinct histories a word follows), the published fix for exactly
+    that failure (Kneser & Ney 1995).
+
+    For a scored bigram occurrence (u, v) with train statistics
+    c(u,v), c(u) = Σ_v c(u,v), N1+(u,·) = |{v : c(u,v)>0}|,
+    N1+(·,v) = |{u : c(u,v)>0}|, B = |{(u,v) : c(u,v)>0}|, V = train
+    vocabulary size, and discount D = 0.75 (Chen & Goodman's default;
+    exactly representable in binary):
+
+      Pcont(v) = (N1+(·,v) + 1) / (B + V + 1)     -- add-1-smoothed
+      P(v|u)   = max(c(u,v) - D, 0)/c(u)
+                 + D·N1+(u,·)/c(u) · Pcont(v)      if c(u) > 0
+      P(v|u)   = Pcont(v)                          if u unseen (full
+                                                     backoff, λ = 1)
+
+    The +1/+V+1 smoothing of the continuation distribution is the OOV
+    escape (classic KN assigns unseen v probability 0); it reduces to
+    textbook KN up to the normalizer and keeps every P strictly
+    positive. Surprisal = -ln P, mean-weighted by occurrence count,
+    emitted milli-scaled (same rung-4 contract as bigram_surprisal:
+    ~1e-9 accumulated ln/sum-order error vs the 1e-3 quantum).
+
+    Scale shape: train stats are three hash aggregates over the train
+    bigram table (c_uv; per-prefix c_u+N1+fw; per-suffix N1+bw) plus a
+    1-row (B, V) broadcast; scoring is the per-doc bigram aggregate
+    left-joined to those tables on bigram / prefix / suffix. No
+    windows, nothing quadratic, nothing driver-side; identical shuffle
+    skeleton to bigram_surprisal plus one extra keyed join.
+
+    Returns (id_col, n_bigrams, n_unseen_hist, n_unseen_bigram,
+    kn_surprisal_milli); docs with <2 tokens are absent by
+    construction.
+    """
+    from ..functions.text import tokens, word_shingles
+
+    def _bigrams(docs: DataFrame) -> DataFrame:
+        toks = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+        return toks.select(
+            F.col(id_col), F.explode(word_shingles("__t", 2)).alias("__bg")
+        )
+
+    train_occ = _bigrams(docs_train)
+    train_bg = train_occ.groupBy("__bg").agg(F.count("*").alias("__c_uv"))
+    split_u = F.split(F.col("__bg"), " ").getItem(0)
+    split_v = F.split(F.col("__bg"), " ").getItem(1)
+    prefix = (
+        train_bg.select(split_u.alias("__u"), "__c_uv")
+        .groupBy("__u")
+        .agg(
+            F.sum("__c_uv").alias("__c_u"),
+            F.count("*").alias("__n1fw"),
+        )
+    )
+    suffix = (
+        train_bg.select(split_v.alias("__v"))
+        .groupBy("__v")
+        .agg(F.count("*").alias("__n1bw"))
+    )
+    consts = train_bg.agg(F.count("*").alias("__b")).crossJoin(
+        docs_train.select(
+            F.explode(tokens(text_col)).alias("__w")
+        ).agg(F.count_distinct("__w").alias("__vv"))
+    )
+
+    db = (
+        _bigrams(docs_score)
+        .groupBy(id_col, "__bg")
+        .agg(F.count("*").alias("__n_db"))
+    )
+    joined = (
+        db.join(train_bg.hint("merge"), "__bg", "left")
+        .withColumn("__u", split_u)
+        .withColumn("__v", split_v)
+        .join(prefix.hint("merge"), "__u", "left")
+        .join(suffix.hint("merge"), "__v", "left")
+        .crossJoin(F.broadcast(consts))
+    )
+    # IEEE expression tree mirrored operator-for-operator in
+    # kn_bigram_surprisal_sql -- do not reassociate on one side only.
+    pcont = (F.coalesce(F.col("__n1bw"), F.lit(0)) + F.lit(1)).cast(
+        "double"
+    ) / (F.col("__b") + F.col("__vv") + F.lit(1)).cast("double")
+    seen = F.greatest(
+        F.coalesce(F.col("__c_uv"), F.lit(0)).cast("double") - F.lit(0.75),
+        F.lit(0.0),
+    ) / F.col("__c_u").cast("double") + F.lit(0.75) * F.col("__n1fw").cast(
+        "double"
+    ) / F.col("__c_u").cast("double") * pcont
+    p = F.when(F.col("__c_u").isNull(), pcont).otherwise(seen)
+    scored = joined.withColumn("__s", -F.log(p))
+    return scored.groupBy(id_col).agg(
+        F.sum("__n_db").cast("long").alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("__c_u").isNull(), F.col("__n_db")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_unseen_hist"),
+        F.sum(
+            F.when(F.col("__c_uv").isNull(), F.col("__n_db")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_unseen_bigram"),
+        F.round(
+            (
+                F.sum(F.col("__n_db").cast("double") * F.col("__s"))
+                / F.sum("__n_db").cast("double")
+            )
+            * 1000.0
+        )
+        .cast("long")
+        .alias("kn_surprisal_milli"),
+    )
+
+
+def kn_bigram_surprisal_sql(
+    table: str, id_col: str, text_col: str, train_where: str
+) -> str:
+    """DuckDB mirror of :func:`kn_bigram_surprisal`: train slice =
+    ``WHERE {train_where}`` of the same table, score slice = the whole
+    table; identical tokenization and the identical IEEE expression
+    tree (greatest / two divisions / interpolation, same
+    parenthesization and operator order)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         coalesce(({train_where}), false) AS is_train,
+         regexp_split_to_array(lower(trim({text_col})), '\\s+') AS t
+  FROM {table}
+), occ AS (
+  SELECT {id_col}, is_train, t[i] || ' ' || t[i + 1] AS bg
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+), train_bg AS (
+  SELECT bg, count(*) AS c_uv FROM occ WHERE is_train GROUP BY 1
+), prefix AS (
+  SELECT string_split(bg, ' ')[1] AS u, sum(c_uv) AS c_u,
+         count(*) AS n1fw
+  FROM train_bg GROUP BY 1
+), suffix AS (
+  SELECT string_split(bg, ' ')[2] AS v, count(*) AS n1bw
+  FROM train_bg GROUP BY 1
+), consts AS (
+  SELECT (SELECT count(*) FROM train_bg) AS b,
+         (SELECT count(DISTINCT w)
+          FROM (SELECT unnest(t) AS w FROM toks WHERE is_train)) AS vv
+), db AS (
+  SELECT {id_col}, bg, count(*) AS n_db FROM occ GROUP BY 1, 2
+), scored AS (
+  SELECT d.{id_col}, d.n_db, g.c_uv, p.c_u,
+         -ln(CASE WHEN p.c_u IS NULL
+              THEN CAST(coalesce(s.n1bw, 0) + 1 AS DOUBLE)
+                   / CAST(c.b + c.vv + 1 AS DOUBLE)
+              ELSE greatest(CAST(coalesce(g.c_uv, 0) AS DOUBLE) - 0.75,
+                            0.0)
+                   / CAST(p.c_u AS DOUBLE)
+                   + 0.75 * CAST(p.n1fw AS DOUBLE)
+                     / CAST(p.c_u AS DOUBLE)
+                     * (CAST(coalesce(s.n1bw, 0) + 1 AS DOUBLE)
+                        / CAST(c.b + c.vv + 1 AS DOUBLE))
+              END) AS s
+  FROM db d
+  LEFT JOIN train_bg g USING (bg)
+  LEFT JOIN prefix p ON p.u = string_split(d.bg, ' ')[1]
+  LEFT JOIN suffix s ON s.v = string_split(d.bg, ' ')[2]
+  CROSS JOIN consts c
+)
+SELECT {id_col},
+       CAST(sum(n_db) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN c_u IS NULL THEN n_db ELSE 0 END) AS BIGINT)
+         AS n_unseen_hist,
+       CAST(sum(CASE WHEN c_uv IS NULL THEN n_db ELSE 0 END) AS BIGINT)
+         AS n_unseen_bigram,
+       CAST(round(sum(CAST(n_db AS DOUBLE) * s)
+                  / sum(CAST(n_db AS DOUBLE)) * 1000.0) AS BIGINT)
+         AS kn_surprisal_milli
+FROM scored
+GROUP BY 1
+"""

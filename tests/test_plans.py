@@ -203,6 +203,7 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # purchase_survival_km: crossJoin of the 1-row user-count total
     # emb_hard_negatives: <=10-row broadcast probe set (cosine scan)
     # doc_bigram_surprisal: crossJoin of the 1-row vocabulary count
+    # doc_kn_perplexity: crossJoin of the 1-row (B, V) model totals
     # doc_dsir_weights: crossJoin of the 1-row (N_s, N_t) totals
     # doc_training_mix: apportion_budget's 1-row totals crossJoins,
     #   replicated across the pick/order branches (strata-table-sized)
@@ -210,6 +211,7 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
         "doc_training_mix",
         "emb_hard_negatives",
         "doc_bigram_surprisal",
+        "doc_kn_perplexity",
         "doc_dsir_weights",
         "basket_rules",
         "term_pmi",

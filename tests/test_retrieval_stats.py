@@ -417,3 +417,83 @@ def test_embedding_covariance_blocked_equals_exact(spark, sf_dir):
         )
         want = float(num) / float(n * n)
         assert a[(i, j)][1] == want
+
+
+def test_kn_bigram_surprisal_matches_brute_force(spark):
+    """Pin interpolated-KN semantics against a tiny hand-replayable
+    model: train stats computed in pure Python from the train slice,
+    every scored bigram's P replayed with the same D=0.75 formula
+    (including both OOV branches), milli-rounded identically."""
+    from etl_spark_spark.operators.lm import kn_bigram_surprisal
+
+    train_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog"),
+    ]
+    score_rows = train_rows + [
+        (4, "the cat sat"),          # all bigrams seen
+        (5, "zz cat sat"),           # unseen history 'zz'
+        (6, "the zebra sat"),        # seen history, unseen bigram+word
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    score = spark.createDataFrame(score_rows, "doc_id long, text string")
+
+    # brute-force model from the train slice
+    def toks(t):
+        return t.lower().strip().split()
+
+    from collections import Counter
+
+    c_uv: Counter = Counter()
+    vocab = set()
+    for _, t in train_rows:
+        ws = toks(t)
+        vocab.update(ws)
+        for u, v in zip(ws, ws[1:]):
+            c_uv[(u, v)] += 1
+    c_u: Counter = Counter()
+    n1fw: Counter = Counter()
+    n1bw: Counter = Counter()
+    for (u, v), c in c_uv.items():
+        c_u[u] += c
+        n1fw[u] += 1
+        n1bw[v] += 1
+    B, V = len(c_uv), len(vocab)
+
+    def p(u, v):
+        pcont = (n1bw.get(v, 0) + 1) / (B + V + 1)
+        if u not in c_u:
+            return pcont
+        return (
+            max(c_uv.get((u, v), 0) - 0.75, 0.0) / c_u[u]
+            + 0.75 * n1fw[u] / c_u[u] * pcont
+        )
+
+    expect = {}
+    for did, t in score_rows:
+        ws = toks(t)
+        bgs = list(zip(ws, ws[1:]))
+        s = sum(-math.log(p(u, v)) for u, v in bgs) / len(bgs)
+        expect[did] = (
+            len(bgs),
+            sum(1 for u, _ in bgs if u not in c_u),
+            sum(1 for b in bgs if b not in c_uv),
+            round(s * 1000),
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["n_unseen_hist"],
+            r["n_unseen_bigram"],
+            r["kn_surprisal_milli"],
+        )
+        for r in kn_bigram_surprisal(
+            score, train, "doc_id", "text"
+        ).collect()
+    }
+    assert got == expect
+    # sanity direction: the OOV-history doc is more surprising than the
+    # all-seen doc
+    assert got[5][3] > got[4][3]
