@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kn_perplexity": q_doc_kn_perplexity,
         "bloom_snapshot_dedup": q_bloom_snapshot_dedup,
         "cms_term_counts": q_cms_term_counts,
+        "emb_jl_projection": q_emb_jl_projection,
+        "doc_ccnet_buckets": q_doc_ccnet_buckets,
+        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "cluster_canonicalize": q_cluster_canonicalize,
         "events_forward_fill": q_events_forward_fill,
         "split_leakage": q_split_leakage,
@@ -475,6 +478,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_kn_perplexity": _kn_perplexity_oracle(),
         "bloom_snapshot_dedup": _bloom_snapshot_oracle(),
         "cms_term_counts": _cms_term_counts_oracle(),
+        "emb_jl_projection": _jl_projection_oracle(),
+        "doc_ccnet_buckets": _ccnet_buckets_oracle(),
+        "doc_decontaminate_bloom": _DOC_DECONTAMINATE_SQL,
         "doc_dsir_weights": _dsir_weights_oracle(),
         "emb_covariance": _emb_covariance_oracle(),
         "emb_covariance_blocked": _emb_covariance_oracle(),

@@ -409,6 +409,33 @@ def q_emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_JL_OUT_DIM, _JL_IN_DIM = 16, 64
+
+
+def q_emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss +-1 projection of the 64-dim embeddings
+    to 16 exact int64 coordinates — the dimensionality-reduction step
+    before cheap ANN/cluster passes. MAP-ONLY (zero shuffle, zero
+    joins): each row folds its own array against sign literals derived
+    from md5, so the oracle regenerates the identical matrix and the
+    hash gate compares exact integers
+    (operators/projection.py:jl_project)."""
+    from etl_spark_spark.operators.projection import jl_project
+
+    emb = table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return jl_project(
+        emb, "vec_id", "embedding", out_dim=_JL_OUT_DIM, dim=_JL_IN_DIM
+    )
+
+
+def _jl_projection_oracle() -> str:
+    from etl_spark_spark.operators.projection import jl_project_sql
+
+    return jl_project_sql(
+        "embeddings", "vec_id", "embedding", _JL_OUT_DIM, _JL_IN_DIM
+    )
+
+
 def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact covariance matrix of the embedding corpus — the
     sufficient-statistics pass before whitening/PCA/OPQ rotation
@@ -769,6 +796,8 @@ __all__ = [
     'q_emb_hard_negatives',
     'q_emb_label_outliers',
     'q_emb_covariance',
+    'q_emb_jl_projection',
+    '_jl_projection_oracle',
     'q_emb_covariance_blocked',
     'q_media_phash_pairs',
     'q_knn_label_accuracy',

@@ -545,6 +545,29 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_doc_decontaminate through the Bloom-prefilter scale path: the
+    eval shingle set becomes a 2^20-bit bitmap and only bloom-surviving
+    corpus shingles reach the exact join — the plan for when the eval
+    side is too big to broadcast (multi-benchmark suites). Bloom
+    filters cannot miss a member, so this is bit-identical to the
+    unfiltered operator; the oracle IS the exact decontamination SQL,
+    making the losslessness a standing value-hash proof."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    pairs = shingle_set(toks, "doc_id", word_shingles("t", 3))
+    is_eval = hash_bucket("doc_id", 1) == "f"
+    scored = contamination_scores(
+        pairs.filter(~is_eval),
+        pairs.filter(is_eval),
+        "doc_id",
+        bloom_bits=1 << 20,
+    )
+    return scored.select(
+        "doc_id", "n_shingles", "n_hits", "contamination"
+    )
+
+
 def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: per-source deterministic doc layout, each doc
     assigned to the 256-BPE-token training chunk its start offset falls
@@ -907,6 +930,39 @@ est AS (
 SELECT e.term, x.exact_n, e.est, e.est - x.exact_n AS overcount
 FROM est e JOIN exact x USING (term)
 """
+
+
+def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's final output: every document bucketed head/middle/tail
+    BY LANGUAGE on its Kneser-Ney surprisal (head = the third of each
+    language's corpus the reference model finds most natural — what
+    CCNet keeps for training). Tercile edges are exact integer
+    ceilings over the per-language score distribution
+    (operators/stats.py:integer_tercile_buckets) on top of
+    q_doc_kn_perplexity's model; ties share buckets, reproducibly."""
+    from etl_spark_spark.operators.lm import kn_bigram_surprisal
+    from etl_spark_spark.operators.stats import integer_tercile_buckets
+
+    docs = table(
+        spark, sf_dir, "documents", columns=["doc_id", "text", "lang"]
+    )
+    train = docs.filter(F.col("lang") == F.lit("en")).select(
+        "doc_id", "text"
+    )
+    kn = kn_bigram_surprisal(
+        docs.select("doc_id", "text"), train, "doc_id", "text"
+    )
+    scored = kn.select("doc_id", "kn_surprisal_milli").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    # the tercile operator references `scored` twice (distribution +
+    # final join); at replica scale AQE loses the exchange reuse and
+    # the KN subtree runs twice — checkpoint once (same pattern as
+    # neardup_eval's shared exact side; measured 23 s -> ~12 s at 50x)
+    scored = scored.localCheckpoint(eager=True)
+    return integer_tercile_buckets(
+        scored, ["lang"], "kn_surprisal_milli"
+    ).select("doc_id", "lang", "kn_surprisal_milli", "bucket")
 
 
 def q_doc_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2662,6 +2718,38 @@ def _kn_perplexity_oracle() -> str:
     )
 
 
+def _ccnet_buckets_oracle() -> str:
+    from etl_spark_spark.operators.lm import kn_bigram_surprisal_sql
+
+    kn = kn_bigram_surprisal_sql("documents", "doc_id", "text", "lang = 'en'")
+    return f"""
+WITH kn AS ({kn}),
+scored AS (
+  SELECT k.doc_id, d.lang, k.kn_surprisal_milli AS v
+  FROM kn k JOIN documents d USING (doc_id)
+), dist AS (
+  SELECT lang, v, count(*) AS c FROM scored GROUP BY 1, 2
+), cum AS (
+  SELECT lang, v, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM dist
+), edges AS (
+  SELECT lang,
+         min(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS e1,
+         min(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS e2
+  FROM cum GROUP BY 1
+)
+SELECT s.doc_id, s.lang, s.v AS kn_surprisal_milli,
+       CASE WHEN s.v <= e.e1 THEN 'head'
+            WHEN s.v <= e.e2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN edges e USING (lang)
+"""
+
+
 
 _DUPLICATE_SPANS_SQL = """
 WITH toks AS (
@@ -3215,6 +3303,7 @@ __all__ = [
     'q_doc_source_cap',
     'q_vocab_topk',
     'q_doc_decontaminate',
+    'q_doc_decontaminate_bloom',
     'q_doc_pack',
     'q_doc_top_terms',
     'q_neardup_clusters',
@@ -3233,6 +3322,8 @@ __all__ = [
     '_bloom_snapshot_oracle',
     'q_cms_term_counts',
     '_cms_term_counts_oracle',
+    'q_doc_ccnet_buckets',
+    '_ccnet_buckets_oracle',
     'q_doc_training_mix',
     'q_doc_epoch_shuffle',
     'q_doc_dsir_weights',

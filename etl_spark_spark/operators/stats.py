@@ -685,3 +685,62 @@ def ks_drift_by_group(
             F.max(d).alias("d_stat"),
         )
     )
+
+
+def integer_tercile_buckets(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    bucket_col: str = "bucket",
+    labels: Sequence[str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """Per-group tercile bucketing with EXACT integer targets — the
+    CCNet head/middle/tail split (documents bucketed by LM perplexity
+    per language). exact_group_quantiles requires binary-fraction qs
+    (1/3 is not one), so the tercile edges use pure integer ceilings:
+    edge1 = smallest v with cum >= (n+2) div 3  (= ceil(n/3)),
+    edge2 = smallest v with cum >= (2n+2) div 3 (= ceil(2n/3)),
+    bucket = labels[0] if v <= edge1, labels[1] if v <= edge2, else
+    labels[2]. Ties share a value and therefore a bucket — groups
+    split |head| <= |middle| <= ... only up to tie mass, exactly
+    reproducible in ANSI SQL.
+
+    Scale: one hash aggregate to the per-(group, value) distribution,
+    windows over that compact distribution (not the rows), and a
+    broadcast-size edge table joined back — same skeleton as
+    exact_group_quantiles.
+    """
+    keys = list(group_cols)
+    dist = df.groupBy(*keys, value_col).agg(F.count("*").alias("__c"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*keys)
+    cum = dist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(wg)
+    )
+    edges = cum.groupBy(*keys).agg(
+        F.min(
+            F.when(
+                F.col("__cum") >= F.expr("(__n + 2) div 3"), F.col(value_col)
+            )
+        ).alias("__e1"),
+        F.min(
+            F.when(
+                F.col("__cum") >= F.expr("(2 * __n + 2) div 3"),
+                F.col(value_col),
+            )
+        ).alias("__e2"),
+    )
+    return (
+        df.join(edges, keys)
+        .withColumn(
+            bucket_col,
+            F.when(F.col(value_col) <= F.col("__e1"), F.lit(labels[0]))
+            .when(F.col(value_col) <= F.col("__e2"), F.lit(labels[1]))
+            .otherwise(F.lit(labels[2])),
+        )
+        .drop("__e1", "__e2")
+    )

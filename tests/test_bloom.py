@@ -92,3 +92,39 @@ def test_validation(spark):
         bloom_build(_hist(spark, ["x"]), "k", m_bits=0, k=3)
     with pytest.raises(ValueError):
         bloom_build(_hist(spark, ["x"]), "k", m_bits=64, k=0)
+
+
+def test_inline_probe_equals_join_probe(spark):
+    """bloom_probe_inline (broadcast dense bitmap, map-only) gives the
+    identical verdict to bloom_probe (the join path) on every probe —
+    including false positives."""
+    from etl_spark_spark.operators.bloom import bloom_probe_inline
+
+    m, k = 256, 3
+    members = [f"m{i}" for i in range(30)]
+    probes = members[:5] + [f"q{i}" for i in range(40)]
+    bloom = bloom_build(_hist(spark, members), "k", m_bits=m, k=k)
+    join_v = {
+        r["k"]: r["bloom_hit"]
+        for r in bloom_probe(
+            _hist(spark, probes), bloom, "k", m_bits=m, k=k
+        ).collect()
+    }
+    inline_v = {
+        r["k"]: r["bloom_hit"]
+        for r in bloom_probe_inline(
+            _hist(spark, probes), bloom, "k", m_bits=m, k=k
+        ).collect()
+    }
+    assert inline_v == join_v
+
+
+def test_inline_probe_size_guard(spark):
+    from etl_spark_spark.operators.bloom import bloom_probe_inline
+    import pytest
+
+    bloom = bloom_build(_hist(spark, ["x"]), "k", m_bits=64, k=2)
+    with pytest.raises(ValueError):
+        bloom_probe_inline(
+            _hist(spark, ["x"]), bloom, "k", m_bits=1 << 30, k=2
+        )

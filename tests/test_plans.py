@@ -204,6 +204,10 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # emb_hard_negatives: <=10-row broadcast probe set (cosine scan)
     # doc_bigram_surprisal: crossJoin of the 1-row vocabulary count
     # doc_kn_perplexity: crossJoin of the 1-row (B, V) model totals
+    # doc_decontaminate_bloom: crossJoin of the broadcast 1-row dense
+    #   bitmap (bloom_probe_inline)
+    # (doc_ccnet_buckets runs the same KN totals behind an eager
+    #  localCheckpoint, so its visible plan has no BNLJ to allow)
     # doc_dsir_weights: crossJoin of the 1-row (N_s, N_t) totals
     # doc_training_mix: apportion_budget's 1-row totals crossJoins,
     #   replicated across the pick/order branches (strata-table-sized)
@@ -212,6 +216,7 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
         "emb_hard_negatives",
         "doc_bigram_surprisal",
         "doc_kn_perplexity",
+        "doc_decontaminate_bloom",
         "doc_dsir_weights",
         "basket_rules",
         "term_pmi",

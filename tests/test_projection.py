@@ -1,0 +1,95 @@
+"""Semantics pins for operators/projection.py (JL +-1 projection) and
+operators/stats.py:integer_tercile_buckets."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from etl_spark_spark.operators.projection import (
+    jl_project,
+    jl_signs,
+)
+
+
+def test_matches_numpy_replay(spark):
+    """Projected coordinates equal a pure-Python replay: quantize each
+    component, dot with the md5-derived sign rows."""
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(4)]
+        for r in jl_project(df, "vec_id", "v", out_dim=4, dim=8).collect()
+    }
+    signs = jl_signs(8, 4)
+
+    def q(x):
+        # HALF_UP like Spark's BigDecimal round (away from zero)
+        return int(math.floor(abs(x) * 10**6 + 0.5)) * (1 if x >= 0 else -1)
+
+    for i, v in rows:
+        expect = [sum(s * q(x) for s, x in zip(signs[j], v)) for j in range(4)]
+        assert out[i] == expect
+
+
+def test_distance_preservation_on_average(spark):
+    """The JL property (sanity, not a proof): squared projected
+    distances, rescaled by 1/k, concentrate near the true squared
+    distances — mean ratio within [0.5, 2] for k=16 on random pairs."""
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    proj = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(16)]
+        for r in jl_project(df, "vec_id", "v", out_dim=16, dim=32).collect()
+    }
+    ratios = []
+    for a in range(0, 20, 2):
+        b = a + 1
+        true = sum(
+            (x - y) ** 2 for x, y in zip(rows[a][1], rows[b][1])
+        ) * (10**6) ** 2
+        got = sum(
+            (pa - pb) ** 2 for pa, pb in zip(proj[a], proj[b])
+        ) / 16.0
+        ratios.append(got / true)
+    mean = sum(ratios) / len(ratios)
+    assert 0.5 < mean < 2.0, f"JL distance ratio off: {mean}"
+
+
+def test_jl_validation_and_dim_inference(spark):
+    df = spark.createDataFrame([(1, [0.5, -0.5])], "vec_id long, v array<double>")
+    with pytest.raises(ValueError):
+        jl_project(df, "vec_id", "v", out_dim=0)
+    # dim inferred from first row
+    r = jl_project(df, "vec_id", "v", out_dim=2).collect()[0]
+    signs = jl_signs(2, 2)
+    assert [r["p0"], r["p1"]] == [
+        signs[0][0] * 500000 - signs[0][1] * 500000,
+        signs[1][0] * 500000 - signs[1][1] * 500000,
+    ]
+
+
+def test_integer_tercile_buckets_with_ties(spark):
+    from etl_spark_spark.operators.stats import integer_tercile_buckets
+
+    # group g: values 1,1,1,2,3,3 (n=6): e1 = smallest v with cum >=
+    # ceil(6/3)=2 -> 1; e2 = cum >= ceil(12/3)=4 -> 2.
+    rows = [("g", v) for v in [1, 1, 1, 2, 3, 3]] + [("h", 10)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = integer_tercile_buckets(df, ["g"], "v").collect()
+    got = {}
+    for r in out:
+        got.setdefault((r["g"], r["v"]), set()).add(r["bucket"])
+    assert got[("g", 1)] == {"head"}   # all ties share the bucket
+    assert got[("g", 2)] == {"middle"}
+    assert got[("g", 3)] == {"tail"}
+    # single-value group: e1 = e2 = 10, everything head
+    assert got[("h", 10)] == {"head"}
