@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_jl_projection": q_emb_jl_projection,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
+        "hll_distinct_tokens": q_hll_distinct_tokens,
+        "part_kcore": q_part_kcore,
         "cluster_canonicalize": q_cluster_canonicalize,
         "events_forward_fill": q_events_forward_fill,
         "split_leakage": q_split_leakage,
@@ -481,6 +483,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_jl_projection": _jl_projection_oracle(),
         "doc_ccnet_buckets": _ccnet_buckets_oracle(),
         "doc_decontaminate_bloom": _DOC_DECONTAMINATE_SQL,
+        "hll_distinct_tokens": _hll_distinct_oracle(),
+        "part_kcore": _part_kcore_oracle(),
         "doc_dsir_weights": _dsir_weights_oracle(),
         "emb_covariance": _emb_covariance_oracle(),
         "emb_covariance_blocked": _emb_covariance_oracle(),

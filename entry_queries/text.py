@@ -932,6 +932,95 @@ FROM est e JOIN exact x USING (term)
 """
 
 
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog distinct-token counts per source + the
+    cell-wise MERGE of all 20 per-source sketches as an 'ALL' row —
+    unlike approx_count_distinct's opaque engine sketch (q_sketch_stats
+    can only derived-check it), every register and the final estimate
+    here are bit-identical cross-engine, so the oracle hash-matches
+    the ESTIMATES themselves. est_milli lands within ~2%/sqrt-band of
+    exact_distinct (visible in the output); merge(max per bucket) ==
+    one-shot is what the ALL row proves on real data
+    (operators/sketches.py:hll_cells/hll_estimate)."""
+    from etl_spark_spark.operators.sketches import hll_cells, hll_estimate
+
+    docs = table(spark, sf_dir, "documents", columns=["text", "source"])
+    # 3-gram shingles, not unigrams: the synthetic corpus has a ~31
+    # word vocabulary (degenerate for a 1024-register sketch) but tens
+    # of thousands of distinct shingles — exercises the raw-estimate
+    # branch per source AND the merged row
+    toks = docs.select("source", tokens("text").alias("t"))
+    occ = toks.select(
+        "source", F.explode(word_shingles("t", 3)).alias("term")
+    )
+    cells = hll_cells(occ, "term", group_cols=["source"])
+    per_source = hll_estimate(cells, group_cols=["source"])
+    merged = cells.groupBy("bucket").agg(
+        F.max("m_rank").alias("m_rank")
+    ).withColumn("source", F.lit("ALL"))
+    all_row = hll_estimate(merged, group_cols=["source"])
+    exact = occ.groupBy("source").agg(
+        F.count_distinct("term").alias("exact_distinct")
+    ).unionByName(
+        occ.agg(F.count_distinct("term").alias("exact_distinct"))
+        .withColumn("source", F.lit("ALL"))
+    )
+    return (
+        per_source.unionByName(all_row)
+        .join(exact, "source")
+        .select("source", "n_buckets_used", "est_milli", "exact_distinct")
+    )
+
+
+def _hll_distinct_oracle() -> str:
+    from etl_spark_spark.operators.sketches import (
+        hll_sql_estimate_exprs,
+        hll_sql_rank_case,
+    )
+
+    e = hll_sql_estimate_exprs()
+    rank = hll_sql_rank_case("(h60 // 1024)")
+    return f"""
+WITH toks AS (
+  SELECT source,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), occ AS (
+  SELECT source, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS term
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+), h AS (
+  SELECT source,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h60
+  FROM occ
+), cells AS (
+  SELECT source, h60 % 1024 AS bucket,
+         max({rank}) AS m_rank
+  FROM h GROUP BY 1, 2
+), allcells AS (
+  SELECT 'ALL' AS source, bucket, max(m_rank) AS m_rank
+  FROM cells GROUP BY 2
+), united AS (
+  SELECT * FROM cells UNION ALL SELECT * FROM allcells
+), agg AS (
+  SELECT source, count(*) AS n_buckets_used,
+         {e['s']} AS s_scaled
+  FROM united GROUP BY 1
+), est AS (
+  SELECT source, n_buckets_used,
+         CAST(round(({e['est']}) * 1000.0) AS BIGINT) AS est_milli
+  FROM agg
+), exact AS (
+  SELECT source, count(DISTINCT term) AS exact_distinct
+  FROM occ GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', count(DISTINCT term) FROM occ
+)
+SELECT e.source, e.n_buckets_used, e.est_milli, x.exact_distinct
+FROM est e JOIN exact x USING (source)
+"""
+
+
 def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's final output: every document bucketed head/middle/tail
     BY LANGUAGE on its Kneser-Ney surprisal (head = the third of each
@@ -3324,6 +3413,8 @@ __all__ = [
     '_cms_term_counts_oracle',
     'q_doc_ccnet_buckets',
     '_ccnet_buckets_oracle',
+    'q_hll_distinct_tokens',
+    '_hll_distinct_oracle',
     'q_doc_training_mix',
     'q_doc_epoch_shuffle',
     'q_doc_dsir_weights',

@@ -132,3 +132,126 @@ cells_{name} AS ({rows}),
   SELECT {gc}row, bucket, count(*) AS cnt
   FROM cells_{name} GROUP BY ALL
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: cells and estimates bit-identical across engines
+# ---------------------------------------------------------------------------
+
+HLL_B = 10                   # 2^10 = 1024 buckets
+HLL_M = 1 << HLL_B
+HLL_W_BITS = 60 - HLL_B      # rank domain: 50-bit suffix
+HLL_RANK_MAX = HLL_W_BITS + 1  # w == 0 -> rank 51
+# Flajolet et al. bias constant for m >= 128, embedded as the SAME
+# python-computed literal in both engines (ORACLE_NOTES rung 5)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_cells(
+    occurrences: DataFrame,
+    key: Column | str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """HLL register table (group_cols..., bucket, m_rank): bucket =
+    low 10 bits of the 60-bit md5 hash, m_rank = max over keys of
+    (leading zeros of the 50-bit suffix + 1). Unlike the engine's
+    approx_count_distinct sketch (opaque, engine-specific), every cell
+    here is an exact integer any engine reproduces — so sketches can
+    be stored, shipped cross-system, and MERGED (max per bucket) with
+    a hash-exact oracle. Rank is a generated 50-branch comparison
+    chain (no log2 — IEEE log of a power boundary is not guaranteed
+    exact cross-engine)."""
+    key = F.col(key) if isinstance(key, str) else key
+    group_cols = list(group_cols or [])
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    w = F.expr(f"__h div {HLL_M}")
+    rank = F.lit(HLL_RANK_MAX)
+    # build WHEN chain from smallest threshold up so the final object
+    # checks largest first (when() prepends)
+    for r in range(HLL_W_BITS, 0, -1):
+        rank = F.when(
+            F.col("__w") >= F.lit(1 << (HLL_W_BITS - r)), F.lit(r)
+        ).otherwise(rank)
+    cells = occurrences.select(
+        *group_cols, h.alias("__h")
+    ).select(
+        *group_cols,
+        (F.col("__h") % HLL_M).alias("bucket"),
+        w.alias("__w"),
+    ).select(*group_cols, "bucket", rank.alias("__rank"))
+    return cells.groupBy(*group_cols, "bucket").agg(
+        F.max("__rank").alias("m_rank")
+    )
+
+
+def hll_estimate(
+    cells: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Cardinality estimate per group from an :func:`hll_cells` table:
+    (group_cols..., n_buckets_used, est_milli).
+
+    Exact-arithmetic shape (cross-engine bit-identical): the register
+    sum Σ 2^-M is scaled by 2^51 into one exact int64 (absent buckets
+    contribute 2^51 each; max total 2^61), the raw estimate is then
+    alpha·m²·2^51 / S — a python-literal numerator (a power-of-two
+    multiple of alpha, exactly representable) over one correctly
+    rounded int64->double cast and one division. Linear-counting
+    correction (E <= 2.5m with empty buckets) uses ln(m/V) — 1-ulp
+    engine drift absorbed by the milli quantization (rung 4)."""
+    group_cols = list(group_cols or [])
+    agg = cells.groupBy(*group_cols).agg(
+        F.count("*").alias("n_buckets_used"),
+        F.sum(
+            F.expr(f"shiftleft(1L, {HLL_RANK_MAX} - m_rank)")
+        ).alias("__s_present"),
+    )
+    s = (
+        F.col("__s_present")
+        + (F.lit(HLL_M) - F.col("n_buckets_used"))
+        * F.lit(1 << HLL_RANK_MAX).cast("long")
+    )
+    numer = F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_RANK_MAX))
+    raw = numer / s.cast("double")
+    v = F.lit(HLL_M) - F.col("n_buckets_used")
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(HLL_M).cast("double") / v.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0), lc
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "n_buckets_used",
+        F.round(est * F.lit(1000.0)).cast("long").alias("est_milli"),
+    )
+
+
+def hll_sql_rank_case(w_expr: str) -> str:
+    """The 50-branch rank CASE mirrored in SQL (largest first, same
+    order as the Spark WHEN chain)."""
+    branches = "\n    ".join(
+        f"WHEN {w_expr} >= {1 << (HLL_W_BITS - r)} THEN {r}"
+        for r in range(1, HLL_W_BITS + 1)
+    )
+    return f"CASE {branches}\n    ELSE {HLL_RANK_MAX} END"
+
+
+def hll_sql_estimate_exprs() -> dict[str, str]:
+    """SQL fragments mirroring :func:`hll_estimate`, to compose into a
+    grouped SELECT over a cells CTE with columns (bucket, m_rank):
+    returns {'s': ..., 'est': ...} where `s` aggregates and `est` is
+    the final expression over aliases n_buckets_used / s_scaled."""
+    numer = repr(HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_RANK_MAX))
+    return {
+        "s": (
+            f"sum(1::BIGINT << ({HLL_RANK_MAX} - m_rank)) "
+            f"+ ({HLL_M} - count(*)) * {1 << HLL_RANK_MAX}::BIGINT"
+        ),
+        "est": (
+            f"CASE WHEN {numer} / CAST(s_scaled AS DOUBLE) <= {2.5 * HLL_M!r} "
+            f"AND ({HLL_M} - n_buckets_used) > 0 "
+            f"THEN {float(HLL_M)!r} * ln(CAST({HLL_M} AS DOUBLE) "
+            f"/ CAST({HLL_M} - n_buckets_used AS DOUBLE)) "
+            f"ELSE {numer} / CAST(s_scaled AS DOUBLE) END"
+        ),
+    }

@@ -84,3 +84,58 @@ def test_validation(spark):
         cms_build(_occ_df(spark, ["x"]), "term", width=0)
     with pytest.raises(ValueError):
         cms_build(_occ_df(spark, ["x"]), "term", width=8, depth=0)
+
+
+def _hll_py_cells(keys):
+    import hashlib
+
+    from etl_spark_spark.operators.sketches import (
+        HLL_M,
+        HLL_RANK_MAX,
+        HLL_W_BITS,
+    )
+
+    cells = {}
+    for key in keys:
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        b, w = h % HLL_M, h // HLL_M
+        rank = HLL_RANK_MAX if w == 0 else HLL_W_BITS - w.bit_length() + 1
+        cells[b] = max(cells.get(b, 0), rank)
+    return cells
+
+
+def test_hll_cells_match_python_replay(spark):
+    from etl_spark_spark.operators.sketches import hll_cells
+
+    keys = [f"key-{i}" for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys * 2], "term string")
+    got = {
+        r["bucket"]: r["m_rank"] for r in hll_cells(df, "term").collect()
+    }
+    assert got == _hll_py_cells(keys)  # duplicates don't move registers
+
+
+def test_hll_estimate_within_bound_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.operators.sketches import hll_cells, hll_estimate
+
+    a = [f"a{i}" for i in range(3000)]
+    b = [f"b{i}" for i in range(2000)]
+    df = spark.createDataFrame(
+        [("A", k) for k in a] + [("B", k) for k in b], "g string, term string"
+    )
+    cells = hll_cells(df, "term", group_cols=["g"])
+    est = {
+        r["g"]: r["est_milli"] / 1000.0
+        for r in hll_estimate(cells, group_cols=["g"]).collect()
+    }
+    # 1024 registers -> sigma ~3.2%; assert a generous 5-sigma band
+    assert abs(est["A"] / 3000 - 1) < 0.16
+    assert abs(est["B"] / 2000 - 1) < 0.16
+    # merged sketch == one-shot sketch over the union (disjoint keys)
+    merged = cells.groupBy("bucket").agg(F.max("m_rank").alias("m_rank"))
+    one_shot = hll_cells(df.select("term"), "term")
+    assert {
+        (r["bucket"], r["m_rank"]) for r in merged.collect()
+    } == {(r["bucket"], r["m_rank"]) for r in one_shot.collect()}

@@ -497,3 +497,34 @@ def test_kn_bigram_surprisal_matches_brute_force(spark):
     # sanity direction: the OOV-history doc is more surprising than the
     # all-seen doc
     assert got[5][3] > got[4][3]
+
+
+def test_k_core_peels_to_known_core(spark):
+    """Hand-checkable graph: a 4-clique with pendant chains — the
+    3-core is exactly the clique; k=5 empties the graph; k=1 keeps
+    everything. Convergence guard raises when max_iters is too low."""
+    from etl_spark_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a != b]
+    pendants = [("a", "e"), ("e", "a"), ("e", "f"), ("f", "e")]
+    edges = spark.createDataFrame(
+        clique + pendants, "src string, dst string"
+    )
+    core3 = {
+        (r["node"], r["degree"]) for r in k_core(edges, k=3).collect()
+    }
+    assert core3 == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
+    assert k_core(edges, k=5).count() == 0
+    assert k_core(edges, k=1).count() == 6  # nothing peeled
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_core(edges, k=0)
+    # chain of length 3 peels one node per round from each end: with
+    # max_iters=1 the 2-core of a path graph can't converge
+    path = [("p1", "p2"), ("p2", "p1"), ("p2", "p3"), ("p3", "p2"),
+            ("p3", "p4"), ("p4", "p3"), ("p4", "p5"), ("p5", "p4")]
+    pdf = spark.createDataFrame(path, "src string, dst string")
+    with pytest.raises(RuntimeError):
+        k_core(pdf, k=2, max_iters=1)
