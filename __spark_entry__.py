@@ -233,6 +233,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "part_kcore": q_part_kcore,
+        "hll_stream_fold": q_hll_stream_fold,
+        "hll_source_overlap": q_hll_source_overlap,
+        "psi_drift_ab": q_psi_drift_ab,
+        "schema_evolution_scan": q_schema_evolution_scan,
         "cluster_canonicalize": q_cluster_canonicalize,
         "events_forward_fill": q_events_forward_fill,
         "split_leakage": q_split_leakage,
@@ -485,6 +489,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate_bloom": _DOC_DECONTAMINATE_SQL,
         "hll_distinct_tokens": _hll_distinct_oracle(),
         "part_kcore": _part_kcore_oracle(),
+        "hll_stream_fold": _hll_distinct_oracle(),
+        "hll_source_overlap": _hll_source_overlap_oracle(),
+        "psi_drift_ab": _psi_drift_oracle(),
+        "schema_evolution_scan": _SCHEMA_EVOLUTION_SQL,
         "doc_dsir_weights": _dsir_weights_oracle(),
         "emb_covariance": _emb_covariance_oracle(),
         "emb_covariance_blocked": _emb_covariance_oracle(),

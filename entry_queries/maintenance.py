@@ -1010,7 +1010,71 @@ FROM lineitem GROUP BY 1
 """
 
 
+
+def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on the scan path: two parquet generations of a
+    feed — gen=1 written before a column existed, gen=2 with the new
+    ``channel`` column — read back as ONE dataset via partition
+    discovery + mergeSchema. This is the lakehouse reality the fixed
+    fixtures cannot show (producers add columns; history does not get
+    rewritten): the merged read must surface the union schema, old
+    rows as NULL channel, with partition pruning still live. Staged
+    in-query under _scratch_dir (cast_decimal_policy's pattern); the
+    oracle replays the same split + derivation from the source rows,
+    so the staged write -> evolved read roundtrip is value-lossless
+    under the hash gate."""
+    orders = table(
+        spark,
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.when(F.col("o_orderpriority") < F.lit("3"), F.lit("online"))
+        .otherwise(F.lit("store"))
+        .alias("channel"),
+    )
+    root = _scratch_dir("schema_evolution")
+    gen1.write.mode("overwrite").parquet(f"{root}/feed/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{root}/feed/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{root}/feed")
+    if "channel" not in back.columns or "gen" not in back.columns:
+        raise RuntimeError(
+            f"mergeSchema lost columns: {back.columns}"
+        )
+    return back.groupBy("gen", "channel").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("price_cents").alias("cents_sum"),
+    )
+
+
+_SCHEMA_EVOLUTION_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CASE WHEN o_orderkey % 2 = 1 THEN
+           CASE WHEN o_orderpriority < '3' THEN 'online' ELSE 'store' END
+         END AS channel,
+         CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS gen
+  FROM orders
+)
+SELECT gen, channel, count(*) AS n_orders,
+       CAST(sum(price_cents) AS BIGINT) AS cents_sum
+FROM src GROUP BY 1, 2
+"""
+
+
 __all__ = [
+    'q_schema_evolution_scan',
+    '_SCHEMA_EVOLUTION_SQL',
     'q_scd2_customer_history',
     'q_orders_pit_dimension',
     '_SCRATCH_DIRS',

@@ -1869,6 +1869,91 @@ def q_ks_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_psi_drift_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the A/B
+    user-hash cohorts — the banked-score drift convention (PSI > 0.2
+    = retrain alarm) completing the monitoring trio next to
+    chi2_type_variant (categorical) and ks_test_ab (max CDF gap).
+    Bin edges are cohort A's deciles with pure integer targets; both
+    cohorts count into those fixed bins; the 10-term Σ(Δp·ln ratio)
+    is milli-quantized (operators/stats.py:psi_drift)."""
+    from etl_spark_spark.operators.stats import psi_drift
+
+    ev = read_events(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            F.lit("A"),
+        ).otherwise(F.lit("B")).alias("variant"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return psi_drift(ev, ["event_type"], "cents", "variant")
+
+
+def _psi_drift_oracle() -> str:
+    edges = ",\n         ".join(
+        f"min(CASE WHEN cum >= ({i} * n + 9) // 10 THEN cents END) AS e{i}"
+        for i in range(1, 10)
+    )
+    bin_case = "CASE " + " ".join(
+        f"WHEN cents <= e{i} THEN {i}" for i in range(1, 10)
+    ) + " ELSE 10 END"
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), ref AS (SELECT * FROM ev WHERE variant = 'A'),
+cur AS (SELECT * FROM ev WHERE variant <> 'A'),
+dist AS (
+  SELECT event_type, cents, count(*) AS c FROM ref GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, cents, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM dist
+), edges AS (
+  SELECT event_type,
+         {edges}
+  FROM cum GROUP BY 1
+), ca AS (
+  SELECT r.event_type, {bin_case} AS bin, count(*) AS ca
+  FROM ref r JOIN edges USING (event_type) GROUP BY 1, 2
+), cb AS (
+  SELECT r.event_type, {bin_case} AS bin, count(*) AS cb
+  FROM cur r JOIN edges USING (event_type) GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, unnest(range(1, 11)) AS bin FROM edges
+), binned AS (
+  SELECT s.event_type, s.bin,
+         coalesce(a.ca, 0) + 1 AS a,
+         coalesce(b.cb, 0) + 1 AS b
+  FROM spine s
+  LEFT JOIN ca a ON a.event_type = s.event_type AND a.bin = s.bin
+  LEFT JOIN cb b ON b.event_type = s.event_type AND b.bin = s.bin
+), totals AS (
+  SELECT event_type, sum(a) AS na, sum(b) AS nb
+  FROM binned GROUP BY 1
+)
+SELECT b.event_type,
+       CAST(max(t.na) - 10 AS BIGINT) AS n_ref,
+       CAST(max(t.nb) - 10 AS BIGINT) AS n_cur,
+       CAST(round(sum(
+         (CAST(b.a AS DOUBLE) / CAST(t.na AS DOUBLE)
+          - CAST(b.b AS DOUBLE) / CAST(t.nb AS DOUBLE))
+         * ln(CAST(b.a * t.nb AS DOUBLE) / CAST(b.b * t.na AS DOUBLE))
+       ) * 1000.0) AS BIGINT) AS psi_milli
+FROM binned b JOIN totals t USING (event_type)
+GROUP BY 1
+"""
+
+
 def q_pyds_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read through the custom Python DataSource (partition-parallel
     pure-Python reader, sources/pydatasource.py): 5000 synthetic rows
@@ -4403,6 +4488,8 @@ __all__ = [
     'q_trade_pagerank',
     'q_part_kcore',
     '_part_kcore_oracle',
+    'q_psi_drift_ab',
+    '_psi_drift_oracle',
     'q_supplier_co_purchase',
     'q_supplier_triangles',
     'q_global_spend_rank',

@@ -954,6 +954,14 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(word_shingles("t", 3)).alias("term")
     )
     cells = hll_cells(occ, "term", group_cols=["source"])
+    return _hll_assemble(occ, cells)
+
+
+def _hll_assemble(occ, cells) -> DataFrame:
+    """Shared tail of the HLL queries: per-source estimates + the
+    max-merged ALL row, joined to exact distinct counts."""
+    from etl_spark_spark.operators.sketches import hll_estimate
+
     per_source = hll_estimate(cells, group_cols=["source"])
     merged = cells.groupBy("bucket").agg(
         F.max("m_rank").alias("m_rank")
@@ -970,6 +978,191 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "source")
         .select("source", "n_buckets_used", "est_milli", "exact_distinct")
     )
+
+
+def q_hll_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch maintenance: the corpus arrives as three
+    id-ordered batches and the HLL register table is FOLDED per batch
+    (max-merge into the running state, checkpointed between folds —
+    the pattern a foreachBatch maintenance job runs, same discipline
+    as q_doc_incremental_dedup). The oracle is the ONE-SHOT sketch SQL
+    (identical to q_hll_distinct_tokens), so the value-hash match is a
+    standing proof that per-batch register folding loses nothing —
+    what makes HLL deployable as continuously-maintained state."""
+    from etl_spark_spark.operators.sketches import hll_cells
+
+    docs = table(
+        spark, sf_dir, "documents", columns=["doc_id", "text", "source"]
+    )
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    bounds = [(0, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi + 1)]
+    state = None
+    for lo, up in bounds:
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+        ).select("source", tokens("text").alias("t"))
+        occ_b = batch.select(
+            "source", F.explode(word_shingles("t", 3)).alias("term")
+        )
+        cells_b = hll_cells(occ_b, "term", group_cols=["source"])
+        if state is None:
+            state = cells_b
+        else:
+            state = (
+                state.unionByName(cells_b)
+                .groupBy("source", "bucket")
+                .agg(F.max("m_rank").alias("m_rank"))
+            )
+        state = state.localCheckpoint(eager=True)
+    toks = docs.select("source", tokens("text").alias("t"))
+    occ = toks.select(
+        "source", F.explode(word_shingles("t", 3)).alias("term")
+    )
+    return _hll_assemble(occ, state)
+
+
+def q_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH SET ALGEBRA: pairwise distinct-shingle overlap between
+    every source pair estimated purely from the 20 per-source HLL
+    sketches — union by register max-merge, intersection by
+    inclusion-exclusion (est_a + est_b - est_union, exact long
+    arithmetic on the milli estimates). This is why HLL beats exact
+    distinct at 100 TB: all 190 pairwise overlaps come from 20 KB of
+    registers with no second corpus scan; the exact_inter reference
+    column (one term self-join) shows the error live — including the
+    textbook caveat that inclusion-exclusion error scales with the
+    UNION size (sigma ~3% of |A∪B|), so small overlaps of big sets
+    are noisy (sf0.01: |union| ~2.5k -> +-~75 absolute). Registers and
+    estimates hash-exact cross-engine (operators/sketches.py)."""
+    from etl_spark_spark.operators.sketches import hll_cells, hll_estimate
+
+    docs = table(spark, sf_dir, "documents", columns=["text", "source"])
+    toks = docs.select("source", tokens("text").alias("t"))
+    occ = toks.select(
+        "source", F.explode(word_shingles("t", 3)).alias("term")
+    )
+    cells = hll_cells(occ, "term", group_cols=["source"]).localCheckpoint(
+        eager=True
+    )
+    per_source = hll_estimate(cells, group_cols=["source"])
+    srcs = cells.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .crossJoin(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    ca = pairs.join(cells, F.col("source") == F.col("src_a")).select(
+        "src_a", "src_b", "bucket", "m_rank"
+    )
+    cb = pairs.join(cells, F.col("source") == F.col("src_b")).select(
+        "src_a", "src_b", "bucket", "m_rank"
+    )
+    u = ca.unionByName(cb).groupBy("src_a", "src_b", "bucket").agg(
+        F.max("m_rank").alias("m_rank")
+    )
+    est_union = hll_estimate(u, group_cols=["src_a", "src_b"]).select(
+        "src_a", "src_b", F.col("est_milli").alias("est_union_milli")
+    )
+    ea = per_source.select(
+        F.col("source").alias("src_a"), F.col("est_milli").alias("est_a_milli")
+    )
+    eb = per_source.select(
+        F.col("source").alias("src_b"), F.col("est_milli").alias("est_b_milli")
+    )
+    terms = occ.distinct()
+    ta = terms.select(F.col("source").alias("src_a"), "term")
+    tb = terms.select(F.col("source").alias("src_b"), "term")
+    exact = (
+        ta.join(tb, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return (
+        est_union.join(ea, "src_a")
+        .join(eb, "src_b")
+        .join(exact, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.col("est_a_milli")
+                + F.col("est_b_milli")
+                - F.col("est_union_milli")
+            ).alias("est_inter_milli"),
+            "est_union_milli",
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+        )
+    )
+
+
+def _hll_source_overlap_oracle() -> str:
+    from etl_spark_spark.operators.sketches import (
+        hll_sql_estimate_exprs,
+        hll_sql_rank_case,
+    )
+
+    e = hll_sql_estimate_exprs()
+    rank = hll_sql_rank_case("(h60 // 1024)")
+    est_union = e["est"]
+    return f"""
+WITH toks AS (
+  SELECT source,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), occ AS (
+  SELECT source, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS term
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+), h AS (
+  SELECT source,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h60
+  FROM occ
+), cells AS MATERIALIZED (
+  SELECT source, h60 % 1024 AS bucket,
+         max({rank}) AS m_rank
+  FROM h GROUP BY 1, 2
+), agg_s AS (
+  SELECT source, count(*) AS n_buckets_used, {e['s']} AS s_scaled
+  FROM cells GROUP BY 1
+), est_s AS (
+  SELECT source,
+         CAST(round(({e['est']}) * 1000.0) AS BIGINT) AS est_milli
+  FROM agg_s
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM (SELECT DISTINCT source FROM cells) a,
+       (SELECT DISTINCT source FROM cells) b
+  WHERE a.source < b.source
+), ucells AS (
+  SELECT p.src_a, p.src_b, c.bucket, max(c.m_rank) AS m_rank
+  FROM pairs p JOIN cells c
+    ON c.source = p.src_a OR c.source = p.src_b
+  GROUP BY 1, 2, 3
+), agg_u AS (
+  SELECT src_a, src_b, count(*) AS n_buckets_used, {e['s']} AS s_scaled
+  FROM ucells GROUP BY 1, 2
+), est_u AS (
+  SELECT src_a, src_b,
+         CAST(round(({est_union}) * 1000.0) AS BIGINT) AS est_union_milli
+  FROM agg_u
+), dterms AS (
+  SELECT DISTINCT source, term FROM occ
+), exact AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS exact_inter
+  FROM dterms a JOIN dterms b
+    ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT u.src_a, u.src_b,
+       ea.est_milli + eb.est_milli - u.est_union_milli AS est_inter_milli,
+       u.est_union_milli,
+       coalesce(x.exact_inter, 0) AS exact_inter
+FROM est_u u
+JOIN est_s ea ON ea.source = u.src_a
+JOIN est_s eb ON eb.source = u.src_b
+LEFT JOIN exact x ON x.src_a = u.src_a AND x.src_b = u.src_b
+"""
 
 
 def _hll_distinct_oracle() -> str:
@@ -3415,6 +3608,10 @@ __all__ = [
     '_ccnet_buckets_oracle',
     'q_hll_distinct_tokens',
     '_hll_distinct_oracle',
+    'q_hll_stream_fold',
+    '_hll_assemble',
+    'q_hll_source_overlap',
+    '_hll_source_overlap_oracle',
     'q_doc_training_mix',
     'q_doc_epoch_shuffle',
     'q_doc_dsir_weights',

@@ -744,3 +744,111 @@ def integer_tercile_buckets(
         )
         .drop("__e1", "__e2")
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    variant_col: str,
+    variant_ref: str = "A",
+    n_bins: int = 10,
+    smooth: int = 1,
+) -> DataFrame:
+    """Population Stability Index per group — the third leg of the
+    drift-monitoring trio (chi2 for categoricals, KS for max-gap,
+    PSI for the banked-binned score-drift convention: >0.2 is the
+    standard retrain alarm). Bin edges are the REFERENCE variant's
+    n_bins-quantiles with pure integer targets (ceil(i*n/b) =
+    (i*n + b - 1) div b — no float q*n jitter for any b, unlike
+    binary-fraction-only exact_group_quantiles); both variants are
+    then counted into those fixed bins and
+
+      PSI = Σ_bins (p_ref_i - p_cur_i) · ln(p_ref_i / p_cur_i)
+
+    with add-``smooth`` count smoothing so empty bins stay finite.
+    Every proportion is a ratio of exact integers, the ln argument one
+    correctly-rounded division of exact products, and the 10-term sum
+    is milli-quantized (ORACLE_NOTES rung 4) — hash-exact cross-engine.
+
+    Scale: distribution aggregate + windows over the compact
+    distribution for edges; two grouped counts; a bins-spine join so
+    empty bins participate. Nothing row-scale after the first
+    aggregate. Returns (group_cols..., n_ref, n_cur, psi_milli).
+    """
+    keys = list(group_cols)
+    ref = df.filter(F.col(variant_col) == F.lit(variant_ref))
+    cur = df.filter(F.col(variant_col) != F.lit(variant_ref))
+    dist = ref.groupBy(*keys, value_col).agg(F.count("*").alias("__c"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*keys)
+    cum = dist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(wg)
+    )
+    edge_aggs = [
+        F.min(
+            F.when(
+                F.col("__cum")
+                >= F.expr(f"({i} * __n + {n_bins - 1}) div {n_bins}"),
+                F.col(value_col),
+            )
+        ).alias(f"__e{i}")
+        for i in range(1, n_bins)
+    ]
+    edges = cum.groupBy(*keys).agg(*edge_aggs)
+
+    def _bin(c):
+        b = F.lit(n_bins)
+        for i in range(n_bins - 1, 0, -1):
+            b = F.when(c <= F.col(f"__e{i}"), F.lit(i)).otherwise(b)
+        return b
+
+    def _counts(side, alias):
+        return (
+            side.join(edges, keys)
+            .select(*keys, _bin(F.col(value_col)).alias("__bin"))
+            .groupBy(*keys, "__bin")
+            .agg(F.count("*").alias(alias))
+        )
+
+    spine = (
+        edges.select(*keys)
+        .select(*keys, F.explode(F.sequence(F.lit(1), F.lit(n_bins))).alias("__bin"))
+    )
+    ca = _counts(ref, "__ca")
+    cb = _counts(cur, "__cb")
+    binned = (
+        spine.join(ca, [*keys, "__bin"], "left")
+        .join(cb, [*keys, "__bin"], "left")
+        .select(
+            *keys,
+            "__bin",
+            (F.coalesce("__ca", F.lit(0)) + F.lit(smooth)).alias("__a"),
+            (F.coalesce("__cb", F.lit(0)) + F.lit(smooth)).alias("__b"),
+        )
+    )
+    totals = binned.groupBy(*keys).agg(
+        F.sum("__a").alias("__na"), F.sum("__b").alias("__nb")
+    )
+    term = (
+        F.col("__a").cast("double") / F.col("__na").cast("double")
+        - F.col("__b").cast("double") / F.col("__nb").cast("double")
+    ) * F.log(
+        (F.col("__a") * F.col("__nb")).cast("double")
+        / (F.col("__b") * F.col("__na")).cast("double")
+    )
+    return (
+        binned.join(totals, keys)
+        .groupBy(*keys)
+        .agg(
+            (F.max("__na") - F.lit(smooth * n_bins)).alias("n_ref"),
+            (F.max("__nb") - F.lit(smooth * n_bins)).alias("n_cur"),
+            F.round(F.sum(term) * F.lit(1000.0)).cast("long").alias(
+                "psi_milli"
+            ),
+        )
+    )

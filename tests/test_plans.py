@@ -204,6 +204,8 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
     # emb_hard_negatives: <=10-row broadcast probe set (cosine scan)
     # doc_bigram_surprisal: crossJoin of the 1-row vocabulary count
     # doc_kn_perplexity: crossJoin of the 1-row (B, V) model totals
+    # hll_source_overlap: source x source pair generation (bounded at
+    #   n_sources^2 rows — 400 here; group-count-sized, never corpus)
     # doc_decontaminate_bloom: crossJoin of the broadcast 1-row dense
     #   bitmap (bloom_probe_inline)
     # (doc_ccnet_buckets runs the same KN totals behind an eager
@@ -217,6 +219,7 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
         "doc_bigram_surprisal",
         "doc_kn_perplexity",
         "doc_decontaminate_bloom",
+        "hll_source_overlap",
         "doc_dsir_weights",
         "basket_rules",
         "term_pmi",

@@ -93,3 +93,49 @@ def test_integer_tercile_buckets_with_ties(spark):
     assert got[("g", 3)] == {"tail"}
     # single-value group: e1 = e2 = 10, everything head
     assert got[("h", 10)] == {"head"}
+
+
+def test_psi_drift_matches_python_replay(spark):
+    """PSI pinned against a pure-Python replay on a skewed split —
+    decile edges from the reference side with integer targets, add-1
+    smoothing, milli-rounded."""
+    import math
+    import random
+
+    from etl_spark_spark.operators.stats import psi_drift
+
+    rng = random.Random(3)
+    ref = [int(rng.gauss(500, 100)) for _ in range(400)]
+    cur = [int(rng.gauss(560, 120)) for _ in range(300)]  # drifted
+    rows = [("g", "A", v) for v in ref] + [("g", "B", v) for v in cur]
+    df = spark.createDataFrame(rows, "g string, variant string, v long")
+    out = psi_drift(df, ["g"], "v", "variant").collect()[0]
+
+    n = len(ref)
+    sref = sorted(ref)
+    edges = []
+    for i in range(1, 10):
+        target = (i * n + 9) // 10
+        # smallest value with cum count >= target
+        edges.append(sref[target - 1])
+
+    def bin_of(v):
+        for i, e in enumerate(edges, 1):
+            if v <= e:
+                return i
+        return 10
+
+    ca = [1] * 10
+    cb = [1] * 10
+    for v in ref:
+        ca[bin_of(v) - 1] += 1
+    for v in cur:
+        cb[bin_of(v) - 1] += 1
+    na, nb = sum(ca), sum(cb)
+    psi = sum(
+        (a / na - b / nb) * math.log((a * nb) / (b * na))
+        for a, b in zip(ca, cb)
+    )
+    assert out["n_ref"] == n and out["n_cur"] == len(cur)
+    assert out["psi_milli"] == round(psi * 1000)
+    assert out["psi_milli"] > 200  # the planted drift trips the alarm
