@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_source_overlap": q_hll_source_overlap,
         "psi_drift_ab": q_psi_drift_ab,
         "schema_evolution_scan": q_schema_evolution_scan,
+        "did_purchase_uplift": q_did_purchase_uplift,
         "cluster_canonicalize": q_cluster_canonicalize,
         "events_forward_fill": q_events_forward_fill,
         "split_leakage": q_split_leakage,
@@ -493,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_source_overlap": _hll_source_overlap_oracle(),
         "psi_drift_ab": _psi_drift_oracle(),
         "schema_evolution_scan": _SCHEMA_EVOLUTION_SQL,
+        "did_purchase_uplift": _DID_SQL,
         "doc_dsir_weights": _dsir_weights_oracle(),
         "emb_covariance": _emb_covariance_oracle(),
         "emb_covariance_blocked": _emb_covariance_oracle(),

@@ -1869,6 +1869,92 @@ def q_ks_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_did_purchase_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse quasi-experimental
+    uplift estimator: cohort B's purchase-value change across the
+    mid-month cut, net of cohort A's change (A = control absorbs the
+    seasonal trend both cohorts share). One conditional aggregation
+    pass; every mean is one IEEE division over exact integer cents,
+    and the DiD is a fixed tree of those doubles mirrored
+    operator-for-operator in the oracle (ORACLE_NOTES rung 3 — no
+    rounding needed, none applied)."""
+    ev = read_events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            F.lit("A"),
+        ).otherwise(F.lit("B")).alias("cohort"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).alias(
+            "post"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def _n(c, p):
+        return F.sum(
+            F.when((F.col("cohort") == c) & (F.col("post") == F.lit(p)), 1)
+            .otherwise(0)
+        )
+
+    def _s(c, p):
+        return F.sum(
+            F.when(
+                (F.col("cohort") == c) & (F.col("post") == F.lit(p)),
+                F.col("cents"),
+            ).otherwise(0)
+        )
+
+    agg = ev.agg(
+        _n("A", False).alias("n_a_pre"),
+        _s("A", False).alias("cents_a_pre"),
+        _n("A", True).alias("n_a_post"),
+        _s("A", True).alias("cents_a_post"),
+        _n("B", False).alias("n_b_pre"),
+        _s("B", False).alias("cents_b_pre"),
+        _n("B", True).alias("n_b_post"),
+        _s("B", True).alias("cents_b_post"),
+    )
+    d = lambda s, n: F.col(s).cast("double") / F.col(n).cast("double")  # noqa: E731
+    return agg.select(
+        "*",
+        (
+            (d("cents_b_post", "n_b_post") - d("cents_b_pre", "n_b_pre"))
+            - (d("cents_a_post", "n_a_post") - d("cents_a_pre", "n_a_pre"))
+        ).alias("did_cents"),
+    )
+
+
+_DID_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS cohort,
+         (ts >= TIMESTAMP '2024-01-16') AS post,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+), agg AS (
+  SELECT
+    CAST(sum(CASE WHEN cohort = 'A' AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_a_pre,
+    CAST(sum(CASE WHEN cohort = 'A' AND NOT post THEN cents ELSE 0 END) AS BIGINT) AS cents_a_pre,
+    CAST(sum(CASE WHEN cohort = 'A' AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_a_post,
+    CAST(sum(CASE WHEN cohort = 'A' AND post THEN cents ELSE 0 END) AS BIGINT) AS cents_a_post,
+    CAST(sum(CASE WHEN cohort = 'B' AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_b_pre,
+    CAST(sum(CASE WHEN cohort = 'B' AND NOT post THEN cents ELSE 0 END) AS BIGINT) AS cents_b_pre,
+    CAST(sum(CASE WHEN cohort = 'B' AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_b_post,
+    CAST(sum(CASE WHEN cohort = 'B' AND post THEN cents ELSE 0 END) AS BIGINT) AS cents_b_post
+  FROM ev
+)
+SELECT *,
+       (CAST(cents_b_post AS DOUBLE) / CAST(n_b_post AS DOUBLE)
+        - CAST(cents_b_pre AS DOUBLE) / CAST(n_b_pre AS DOUBLE))
+       - (CAST(cents_a_post AS DOUBLE) / CAST(n_a_post AS DOUBLE)
+          - CAST(cents_a_pre AS DOUBLE) / CAST(n_a_pre AS DOUBLE))
+         AS did_cents
+FROM agg
+"""
+
+
 def q_psi_drift_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per event type between the A/B
     user-hash cohorts — the banked-score drift convention (PSI > 0.2
@@ -4490,6 +4576,8 @@ __all__ = [
     '_part_kcore_oracle',
     'q_psi_drift_ab',
     '_psi_drift_oracle',
+    'q_did_purchase_uplift',
+    '_DID_SQL',
     'q_supplier_co_purchase',
     'q_supplier_triangles',
     'q_global_spend_rank',

@@ -139,3 +139,36 @@ def test_psi_drift_matches_python_replay(spark):
     assert out["n_ref"] == n and out["n_cur"] == len(cur)
     assert out["psi_milli"] == round(psi * 1000)
     assert out["psi_milli"] > 200  # the planted drift trips the alarm
+
+
+def test_did_matches_python_replay(spark, sf_dir):
+    """DiD pinned against a pandas replay of the same cohort/period
+    split on the fixture events."""
+    import hashlib
+
+    import pandas as pd
+
+    import entry_queries.relational as rel
+
+    out = rel.q_did_purchase_uplift(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[(ev.event_type == "purchase") & ev.value.notna()].copy()
+    ev["cohort"] = ev.user_id.map(
+        lambda u: "A"
+        if hashlib.md5(str(u).encode()).hexdigest()[0] < "8"
+        else "B"
+    )
+    ts = pd.to_datetime(ev.ts)
+    if ts.dt.tz is not None:
+        ts = ts.dt.tz_localize(None)
+    ev["post"] = ts >= pd.Timestamp("2024-01-16")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    g = ev.groupby(["cohort", "post"])["cents"].agg(["count", "sum"])
+
+    def m(c, p):
+        return g.loc[(c, p), "sum"] / g.loc[(c, p), "count"]
+
+    did = (m("B", True) - m("B", False)) - (m("A", True) - m("A", False))
+    assert out["n_a_pre"] == g.loc[("A", False), "count"]
+    assert out["n_b_post"] == g.loc[("B", True), "count"]
+    assert abs(out["did_cents"] - did) < 1e-9
