@@ -2037,6 +2037,14 @@ SELECT b.event_type,
        ) * 1000.0) AS BIGINT) AS psi_milli
 FROM binned b JOIN totals t USING (event_type)
 GROUP BY 1
+UNION ALL
+SELECT c.event_type,
+       CAST(0 AS BIGINT) AS n_ref,
+       CAST(count(*) AS BIGINT) AS n_cur,
+       CAST(NULL AS BIGINT) AS psi_milli
+FROM cur c LEFT JOIN edges e USING (event_type)
+WHERE e.event_type IS NULL
+GROUP BY 1
 """
 
 

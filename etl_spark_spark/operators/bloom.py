@@ -94,31 +94,56 @@ def bloom_probe(
 ) -> DataFrame:
     """Append ``out_col``: true iff ALL k of the key's bits are set in
     ``bloom`` (i.e. "maybe in the history" — false positives possible
-    at the configured rate, false negatives never). Plan: explode k
-    probes per row, one left join keyed on word, bool_and back to one
-    row per input row. ``df`` must carry a unique-per-row key only if
-    duplicate full rows matter; the regroup key is the full row via a
-    monotonic id added internally, so callers keep arbitrary columns.
+    at the configured rate, false negatives never). Plan: distinct key
+    values, explode k probes per key, one left join keyed on word,
+    bool_and back to one verdict per KEY VALUE, null-safe-joined back
+    onto the input. Re-keying on the key value (not a per-row id) is
+    deterministic under re-evaluation — a monotonic row id can differ
+    between the two plan branches when the caller's df contains a
+    shuffle (reduce-side row order is unordered), silently mis-pairing
+    verdicts — and duplicate keys probe once instead of once per row.
+    A NULL key hashes to NULL positions and verdicts false ("not in
+    history"), matching the build side, which never stores NULL keys.
     """
     key = F.col(key) if isinstance(key, str) else key
-    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
-    probes = tagged.select(
-        "__rid",
-        F.explode(F.array(*_positions(key, m_bits, k))).alias("__pos"),
-    ).select(
-        "__rid",
-        F.expr(f"__pos div {WORD_BITS}").alias("word"),
-        (F.col("__pos") % WORD_BITS).cast("int").alias("__bit"),
+    keyed = df.withColumn("__bkey", key)
+    probes = (
+        keyed.select("__bkey")
+        .distinct()
+        .select(
+            "__bkey",
+            F.explode(F.array(*_positions(F.col("__bkey"), m_bits, k))).alias(
+                "__pos"
+            ),
+        )
+        .select(
+            "__bkey",
+            F.expr(f"__pos div {WORD_BITS}").alias("word"),
+            (F.col("__pos") % WORD_BITS).cast("int").alias("__bit"),
+        )
     )
     hit = probes.join(bloom, "word", "left").select(
-        "__rid",
+        "__bkey",
         (
             F.col("bits").isNotNull()
             & (F.expr("(shiftright(bits, __bit) & 1)") == F.lit(1))
         ).alias("__h"),
     )
-    verdict = hit.groupBy("__rid").agg(F.bool_and("__h").alias(out_col))
-    return tagged.join(verdict, "__rid").drop("__rid")
+    verdict = hit.groupBy("__bkey").agg(F.bool_and("__h").alias(out_col))
+    # NULL keys explode to NULL positions -> __pos is NULL -> the word
+    # join misses -> bool_and(false) = false; the null-safe join key
+    # carries that false verdict back to the NULL-key input rows. Left
+    # join + coalesce(False) covers the only unmatched case: a NULL key
+    # whose explode produced no rows cannot occur (array of k nulls
+    # still explodes k rows), but the guard costs nothing.
+    joined = keyed.join(
+        verdict, keyed["__bkey"].eqNullSafe(verdict["__bkey"]), "left"
+    )
+    return (
+        joined.drop(verdict["__bkey"])
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
+        .drop("__bkey")
+    )
 
 
 def bloom_probe_inline(

@@ -355,14 +355,26 @@ def k_core(
     localCheckpoint; one driver count per round for the fixpoint test
     (same discipline as connected_components' checksum loop).
 
+    Input is normalized to a SIMPLE graph up front — duplicate edges
+    collapsed (distinct) and self-loops dropped — so degree counts
+    distinct neighbors. Without this, count(*) per src would let a
+    node with one neighbor listed k times (or a self-loop) survive a
+    core it doesn't belong to (ADVICE r10). The SQL mirror applies
+    the identical normalization.
+
     Returns (node, degree) — core members with their within-core
-    degree.
+    degree (distinct within-core neighbors).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    cur = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    cur = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_edges = cur.count()
     for _ in range(max_iters):
         deg = cur.groupBy("src").agg(F.count("*").alias("__deg"))
@@ -391,12 +403,18 @@ def k_core(
 def k_core_sql(edges_select: str, k: int, rounds: int = 16) -> str:
     """Unrolled-CTE mirror of :func:`k_core`: ``edges_select`` must
     yield (src, dst) with both directions; peels ``rounds`` times
-    (no-ops after the fixpoint). Compose as a full SELECT."""
+    (no-ops after the fixpoint). Applies the operator's simple-graph
+    normalization (DISTINCT, no self-loops) identically. Compose as a
+    full SELECT."""
     # AS MATERIALIZED is load-bearing: each round references the
     # previous edge CTE three times, so letting the optimizer inline
     # CTEs expands the plan 3^rounds-fold (measured: "too many open
     # files" from thousands of duplicate parquet scans)
-    parts = [f"WITH e0 AS MATERIALIZED ({edges_select})"]
+    parts = [
+        f"WITH e_raw AS MATERIALIZED ({edges_select}),\n"
+        "e0 AS MATERIALIZED ("
+        "SELECT DISTINCT src, dst FROM e_raw WHERE src <> dst)"
+    ]
     for i in range(1, rounds + 1):
         parts.append(f""",
 n{i} AS MATERIALIZED (

@@ -775,6 +775,13 @@ def psi_drift(
     distribution for edges; two grouped counts; a bins-spine join so
     empty bins participate. Nothing row-scale after the first
     aggregate. Returns (group_cols..., n_ref, n_cur, psi_milli).
+
+    Groups present ONLY in the current variant (no reference rows, so
+    no bin edges exist — e.g. a brand-new event_type) are emitted as
+    sentinel rows (n_ref=0, n_cur=count, psi_milli=NULL) rather than
+    silently dropped: "never seen before" is exactly the condition a
+    drift monitor must surface. Groups present only in the reference
+    appear naturally with n_cur=0.
     """
     keys = list(group_cols)
     ref = df.filter(F.col(variant_col) == F.lit(variant_ref))
@@ -841,7 +848,7 @@ def psi_drift(
         (F.col("__a") * F.col("__nb")).cast("double")
         / (F.col("__b") * F.col("__na")).cast("double")
     )
-    return (
+    scored = (
         binned.join(totals, keys)
         .groupBy(*keys)
         .agg(
@@ -852,3 +859,15 @@ def psi_drift(
             ),
         )
     )
+    cur_only = (
+        cur.join(edges.select(*keys), keys, "left_anti")
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n_cur"))
+        .select(
+            *keys,
+            F.lit(0).cast("long").alias("n_ref"),
+            F.col("n_cur"),
+            F.lit(None).cast("long").alias("psi_milli"),
+        )
+    )
+    return scored.unionByName(cur_only)

@@ -224,3 +224,19 @@ def test_scd2_apply_semantics(spark):
     assert {
         (r.v, r.is_current) for r in h3.filter("k = 1").collect()
     } == {("a", False), ("a2", True)}
+
+
+def test_queries_md_in_sync_with_registry():
+    """QUERIES.md (the one-line-per-query registry index) must equal a
+    fresh regeneration — catches a registry change that forgot
+    `python scripts/gen_queries_md.py`."""
+    import pathlib
+    import sys
+
+    root = pathlib.Path(__file__).parent.parent
+    sys.path.insert(0, str(root / "scripts"))
+    from gen_queries_md import render
+
+    assert (root / "QUERIES.md").read_text() == render(), (
+        "QUERIES.md is stale: run `python scripts/gen_queries_md.py`"
+    )

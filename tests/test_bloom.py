@@ -128,3 +128,30 @@ def test_inline_probe_size_guard(spark):
         bloom_probe_inline(
             _hist(spark, ["x"]), bloom, "k", m_bits=1 << 30, k=2
         )
+
+
+def test_probe_keyed_on_value_not_row_id(spark):
+    """Regression (ADVICE r10): bloom_probe must stay correct when the
+    probe df contains a shuffle (reduce-side row order is
+    nondeterministic across re-evaluations, so a monotonic row id is
+    not a safe regroup key). Verdicts are now keyed on the key VALUE:
+    duplicate keys get identical verdicts, NULL keys verdict false, and
+    extra caller columns survive."""
+    m, k = 512, 4
+    members = [f"m{i}" for i in range(25)]
+    bloom = bloom_build(_hist(spark, members), "k", m_bits=m, k=k)
+    raw = spark.createDataFrame(
+        [("m1", 1), ("m1", 2), ("q-new", 3), (None, 4), ("m2", 5)],
+        "k string, tag int",
+    )
+    # force a shuffle upstream of the probe (the hazard scenario)
+    shuffled = raw.repartition(8, "tag")
+    rows = {
+        r["tag"]: (r["k"], r["bloom_hit"])
+        for r in bloom_probe(shuffled, bloom, "k", m_bits=m, k=k).collect()
+    }
+    assert rows[1] == ("m1", True) and rows[2] == ("m1", True)
+    assert rows[5] == ("m2", True)
+    assert rows[4] == (None, False)
+    assert rows[3][0] == "q-new"  # verdict may be a false positive
+    assert set(rows) == {1, 2, 3, 4, 5}  # no dropped/duplicated rows

@@ -172,3 +172,63 @@ def test_did_matches_python_replay(spark, sf_dir):
     assert out["n_a_pre"] == g.loc[("A", False), "count"]
     assert out["n_b_post"] == g.loc[("B", True), "count"]
     assert abs(out["did_cents"] - did) < 1e-9
+
+
+def test_jl_malformed_vector_fails_loudly_both_engines(spark):
+    """Regression (ADVICE r10): a row whose vector length != dim must
+    RAISE in both the Spark operator and the DuckDB mirror — not
+    silently emit NULL coordinates (Spark zip_with pads with NULL) or
+    a partial sum (DuckDB list_sum skips NULLs)."""
+    import duckdb
+
+    from etl_spark_spark.operators.projection import jl_project_sql
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125]), (2, [0.5, -0.25])],
+        "vec_id long, v array<double>",
+    )
+    with pytest.raises(Exception, match="vector length != dim=3"):
+        jl_project(df, "vec_id", "v", out_dim=2, dim=3).collect()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT 1::BIGINT vec_id, "
+        "[0.5, -0.25, 0.125]::DOUBLE[] v "
+        "UNION ALL SELECT 2, [0.5, -0.25]::DOUBLE[]"
+    )
+    with pytest.raises(Exception, match="vector length != dim=3"):
+        con.execute(
+            jl_project_sql("t", "vec_id", "v", out_dim=2, dim=3)
+        ).fetchall()
+    # well-formed rows still project identically in both engines
+    good_sql = con.execute(
+        jl_project_sql(
+            "(SELECT * FROM t WHERE vec_id = 1)", "vec_id", "v", 2, 3
+        )
+    ).fetchall()
+    good_spark = [
+        (r["vec_id"], r["p0"], r["p1"])
+        for r in jl_project(
+            df.filter("vec_id = 1"), "vec_id", "v", out_dim=2, dim=3
+        ).collect()
+    ]
+    assert [tuple(r) for r in good_sql] == good_spark
+
+
+def test_psi_drift_surfaces_current_only_groups(spark):
+    """Regression (ADVICE r10): a group present only in the CURRENT
+    variant (a brand-new event type — the case a drift monitor exists
+    to catch) must appear as a sentinel row (n_ref=0, psi_milli=NULL),
+    not vanish through the edges inner join."""
+    from etl_spark_spark.operators.stats import psi_drift
+
+    rows = [("old", "A", v) for v in range(100)]
+    rows += [("old", "B", v + 3) for v in range(80)]
+    rows += [("brand_new", "B", v) for v in range(7)]
+    df = spark.createDataFrame(rows, "grp string, variant string, v long")
+    out = {r["grp"]: r for r in psi_drift(df, ["grp"], "v", "variant").collect()}
+    assert set(out) == {"old", "brand_new"}
+    nb = out["brand_new"]
+    assert nb["n_ref"] == 0 and nb["n_cur"] == 7
+    assert nb["psi_milli"] is None
+    assert out["old"]["n_ref"] == 100 and out["old"]["n_cur"] == 80

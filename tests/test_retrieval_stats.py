@@ -528,3 +528,32 @@ def test_k_core_peels_to_known_core(spark):
     pdf = spark.createDataFrame(path, "src string, dst string")
     with pytest.raises(RuntimeError):
         k_core(pdf, k=2, max_iters=1)
+
+
+def test_k_core_normalizes_multi_edges_and_self_loops(spark):
+    """Regression (ADVICE r10): duplicate edges and self-loops must not
+    inflate degree. A node whose only neighbor is listed 3 times (plus
+    a self-loop) has true degree 1 and must NOT survive the 3-core."""
+    from etl_spark_spark.operators.graph import k_core, k_core_sql
+
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a != b]
+    noisy = (
+        clique
+        + [("x", "a"), ("a", "x")] * 3  # x's one neighbor, tripled
+        + [("x", "x")]                   # self-loop
+    )
+    edges = spark.createDataFrame(noisy, "src string, dst string")
+    core3 = {
+        (r["node"], r["degree"]) for r in k_core(edges, k=3).collect()
+    }
+    assert core3 == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
+
+    # the SQL mirror applies the identical normalization
+    import duckdb
+
+    con = duckdb.connect()
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in noisy)
+    sql = k_core_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", k=3, rounds=8
+    )
+    assert {tuple(r) for r in con.execute(sql).fetchall()} == core3
