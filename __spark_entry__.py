@@ -236,6 +236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_stream_fold": q_hll_stream_fold,
         "hll_source_overlap": q_hll_source_overlap,
         "psi_drift_ab": q_psi_drift_ab,
+        "part_share_alloc": q_part_share_alloc,
+        "doc_tfidf_similar": q_doc_tfidf_similar,
+        "nation_revenue_trend": q_nation_revenue_trend,
+        "supplier_qty_ewma": q_supplier_qty_ewma,
         "schema_evolution_scan": q_schema_evolution_scan,
         "did_purchase_uplift": q_did_purchase_uplift,
         "cluster_canonicalize": q_cluster_canonicalize,
@@ -493,6 +497,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_stream_fold": _hll_distinct_oracle(),
         "hll_source_overlap": _hll_source_overlap_oracle(),
         "psi_drift_ab": _psi_drift_oracle(),
+        "part_share_alloc": _PART_SHARE_ALLOC_SQL,
+        "doc_tfidf_similar": _doc_tfidf_similar_oracle(),
+        "nation_revenue_trend": _nation_revenue_trend_oracle(),
+        "supplier_qty_ewma": _supplier_qty_ewma_oracle(),
         "schema_evolution_scan": _SCHEMA_EVOLUTION_SQL,
         "did_purchase_uplift": _DID_SQL,
         "doc_dsir_weights": _dsir_weights_oracle(),

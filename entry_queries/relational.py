@@ -2048,6 +2048,163 @@ GROUP BY 1
 """
 
 
+def q_part_share_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-scale proportional allocation via the SKEW-IMMUNE group
+    denominator: every lineitem of the promo parts gets the part's
+    per-unit promo budget allocated proportionally to its revenue share
+    — the ressarcimento rateio cascade run over RAW fact rows, where
+    the windowed ``sum over (partition by part)`` would ship each hot
+    part's full row set to one task (AQE cannot split window
+    partitions). partitioned_sum_agg computes totals as a map-side-
+    partial hash aggregate and broadcast-joins them back: the fact side
+    never shuffles (operators/windows.py:partitioned_sum_agg; 2.9x on
+    the 62%-hot-key replica, scripts/bench_skew.py). Shares are
+    micro-quantized so the double cascade hashes identically
+    cross-engine."""
+    from etl_spark_spark.operators.reconcile import allocate_proportional
+    from etl_spark_spark.operators.windows import partitioned_sum_agg
+
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_partkey",
+                 "l_extendedprice"],
+    ).filter(F.col("l_partkey") % 50 == 0)
+    cents = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    withtot = partitioned_sum_agg(
+        cents, ["l_partkey"], "cents", "part_total_cents"
+    )
+    alloc = allocate_proportional(
+        withtot,
+        weight="cents",
+        total="part_total_cents",
+        amount=F.lit(100000.0),
+        alias="rateio",
+    )
+    return alloc.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "cents",
+        "part_total_cents",
+        F.round(F.col("rateio") * 1e6).cast("long").alias("rateio_micros"),
+    )
+
+
+_PART_SHARE_ALLOC_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem WHERE l_partkey % 50 = 0
+), tot AS (
+  SELECT l_partkey, sum(cents) AS part_total_cents
+  FROM li GROUP BY 1
+)
+SELECT li.l_orderkey, li.l_linenumber, li.l_partkey, li.cents,
+       CAST(t.part_total_cents AS BIGINT) AS part_total_cents,
+       CAST(round(coalesce(
+         CAST(li.cents AS DOUBLE) / nullif(t.part_total_cents, 0)
+           * 100000.0,
+         100000.0) * 1e6) AS BIGINT) AS rateio_micros
+FROM li JOIN tot t USING (l_partkey)
+"""
+
+
+def q_supplier_qty_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier EWMA (alpha=0.25) of daily shipped quantity — the
+    exponential-smoothing recurrence a window cannot express
+    (multiplicative state), run over the CALENDAR-BOUNDED daily
+    aggregate per supplier so the in-group fold is bounded while group
+    count scales with data. The fold is a fixed left-to-right IEEE
+    chain, milli-quantized — bit-identical cross-engine, no
+    transcendentals (operators/recurrence.py:ewma_grouped)."""
+    from etl_spark_spark.operators.recurrence import ewma_grouped
+
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_quantity"],
+    ).filter(F.col("l_suppkey") <= 20)
+    daily = li.groupBy(
+        "l_suppkey",
+        F.date_format(F.to_date("l_shipdate"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(F.round("l_quantity").cast("long")).alias("qty"))
+    return ewma_grouped(daily, ["l_suppkey"], "day", "qty", alpha=0.25)
+
+
+def _supplier_qty_ewma_oracle() -> str:
+    from etl_spark_spark.operators.recurrence import ewma_grouped_sql
+
+    return ewma_grouped_sql(
+        """SELECT l_suppkey,
+                  strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+                  sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+           FROM lineitem WHERE l_suppkey <= 20 GROUP BY 1, 2""",
+        ["l_suppkey"],
+        "day",
+        "qty",
+        alpha=0.25,
+    )
+
+
+def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS revenue trend: slope/intercept/R² of order value
+    (cents) against order date (day index from 1992-01-01) — the
+    metric-drift screen ("whose daily revenue is decaying?") as ONE
+    map-side-combining aggregate of integer sufficient statistics;
+    nothing row-scale after it. Micro-quantized outputs make the fixed
+    double expression hash-exact cross-engine
+    (operators/stats.py:grouped_ols_trend)."""
+    from etl_spark_spark.operators.stats import grouped_ols_trend
+
+    orders = table(
+        spark, sf_dir, "orders",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cust = table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = table(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    src = (
+        orders.join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select(
+            "n_name",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).cast("long").alias("day_idx"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return grouped_ols_trend(src, ["n_name"], "day_idx", "cents")
+
+
+def _nation_revenue_trend_oracle() -> str:
+    from etl_spark_spark.operators.stats import grouped_ols_trend_sql
+
+    return grouped_ols_trend_sql(
+        """SELECT n.n_name,
+                  date_diff('day', DATE '1992-01-01',
+                            CAST(o.o_orderdate AS DATE)) AS day_idx,
+                  CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+        ["n_name"],
+        "day_idx",
+        "cents",
+    )
+
+
 def q_pyds_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read through the custom Python DataSource (partition-parallel
     pure-Python reader, sources/pydatasource.py): 5000 synthetic rows
@@ -4584,6 +4741,12 @@ __all__ = [
     '_part_kcore_oracle',
     'q_psi_drift_ab',
     '_psi_drift_oracle',
+    'q_part_share_alloc',
+    '_PART_SHARE_ALLOC_SQL',
+    'q_nation_revenue_trend',
+    '_nation_revenue_trend_oracle',
+    'q_supplier_qty_ewma',
+    '_supplier_qty_ewma_oracle',
     'q_did_purchase_uplift',
     '_DID_SQL',
     'q_supplier_co_purchase',

@@ -1,0 +1,135 @@
+"""Sequential recurrences over bounded per-group series.
+
+EWMA (exponential smoothing) is the canonical "naively sequential"
+analytic: s_1 = x_1, s_t = alpha*x_t + (1-alpha)*s_{t-1}. A window
+cannot express it (the state is a product chain, not a sum), and a
+driver loop would not scale. The engine form exploits the same
+contract stock_balance_floor documents: the recurrence runs over
+PER-GROUP AGGREGATED series (daily/hourly grains), so a group's series
+is calendar-bounded (thousands of points), while the number of groups
+scales with the data. One shuffle to the group, then the fold runs
+inside higher-order array expressions (collect -> sort -> prefix
+folds) — pure JVM codegen, no Python, no driver state.
+
+Cross-engine exactness: the fold is a fixed left-to-right chain of
+IEEE multiply/adds over the same operands in the same order, so Spark
+and the DuckDB mirror (list_reduce over list_slice prefixes) compute
+bit-identical doubles; outputs are milli-quantized like every other
+transcendental-free double in the repo (ORACLE_NOTES rung 4 without
+the ulp caveat — no ln/exp/pow anywhere).
+
+Per-group cost is O(n^2) in series length (each element folds its
+prefix) — deliberate: at the documented calendar-bounded grain
+(n <= ~5000) that is ~12M fused double ops per group, microseconds,
+and it buys an oracle-replayable, state-free plan. For unbounded
+series use scalable_running_sum-style bucket decomposition with an
+affine-composition carry instead (not needed by any registry query).
+
+Reference scope: no recurrences in the etl-spark reference; SURVEY §7
+time-series extension (trend/seasonality screens for training-data
+telemetry).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ewma_grouped(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-group EWMA of ``value_col`` in ``order_col`` order:
+    s_1 = x_1, s_t = alpha*x_t + (1-alpha)*s_{t-1}, emitted per input
+    row as ``ewma_scaled`` = round(s_t * scale) (int64).
+
+    ``order_col`` must be unique per group (an aggregated grain —
+    day, hour); the series per group must be bounded (see module
+    docstring). Input rows are returned with the EWMA column appended;
+    column order (group_cols..., order_col, value_col, ewma_scaled).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    keys = list(group_cols)
+    a = F.lit(float(alpha))
+    packed = df.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("__ser")
+    )
+
+    def _prefix_fold(i: Column) -> Column:
+        # fold elements 1..i+1 left-to-right; NULL init = "first
+        # element seeds the state" (s_1 = x_1), mirroring DuckDB's
+        # init-free list_reduce
+        return F.aggregate(
+            F.slice(F.col("__ser"), F.lit(1), i + 1),
+            F.lit(None).cast("double"),
+            lambda acc, x: F.when(acc.isNull(), x["v"]).otherwise(
+                a * x["v"] + (F.lit(1.0) - a) * acc
+            ),
+        )
+
+    exploded = packed.select(
+        *keys,
+        F.posexplode("__ser").alias("__i", "__x"),
+        F.col("__ser"),
+    ).select(
+        *keys,
+        F.col("__x.o").alias(order_col),
+        F.col("__x.v").alias(value_col),
+        F.round(_prefix_fold(F.col("__i")) * F.lit(float(scale)))
+        .cast("long")
+        .alias("ewma_scaled"),
+    )
+    return exploded
+
+
+def ewma_grouped_sql(
+    source_select: str,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    scale: int = 1000,
+) -> str:
+    """DuckDB mirror of :func:`ewma_grouped`: identical sort, identical
+    left fold over each prefix (list_reduce seeds from the first
+    element, matching the operator's NULL-init), identical
+    quantization. ``source_select`` yields group cols + order + value.
+    """
+    keys = ", ".join(group_cols)
+    a = repr(float(alpha))
+    return f"""
+WITH src AS ({source_select}),
+packed AS (
+  SELECT {keys},
+         list_sort(list({{'o': {order_col},
+                          'v': CAST({value_col} AS DOUBLE)}})) AS ser
+  FROM src GROUP BY {keys}
+),
+idx AS (
+  SELECT {keys}, ser, unnest(range(1, len(ser) + 1)) AS i
+  FROM packed
+)
+SELECT {keys},
+       ser[i].o AS {order_col},
+       ser[i].v AS {value_col},
+       CAST(round(list_reduce(
+              list_transform(list_slice(ser, 1, i), s -> s.v),
+              (acc, x) -> {a} * x + (1.0 - {a}) * acc
+            ) * {float(scale)!r}) AS BIGINT) AS ewma_scaled
+FROM idx
+"""

@@ -200,3 +200,210 @@ def phrase_occurrences_sql(tokens_expr: str, terms: list[str]) -> str:
         f"len(list_filter(range(1, len({tokens_expr}) - {n - 2}), "
         f"i -> {cond})) ELSE 0 END"
     )
+
+
+def tfidf_doc_vectors(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF weights as EXACT integers: weight =
+    tf * round(ln(N/df) * idf_scale). Milli-quantized idf keeps every
+    downstream dot product inside int64 (w <= ~tf*12k at any corpus
+    size; a 1e15 dot is still exact) while absorbing the 1-ulp
+    engine divergence of ``ln`` (same rung as bm25's micro-scores).
+    Returns (doc id under ``id_col``, term, w). One explode + two hash
+    aggregates + a term-keyed join; the corpus-size N rides a 1-row
+    broadcast."""
+    tok = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    tf = (
+        tok.select(id_col, F.explode("__t").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("__tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("__df")).filter(
+        F.col("__df") >= min_df
+    )
+    n = tok.agg(F.count("*").alias("__n"))
+    idf = F.round(
+        F.log(F.col("__n").cast("double") / F.col("__df").cast("double"))
+        * F.lit(float(idf_scale))
+    ).cast("long")
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            "__df",
+            (F.col("__tf") * idf).alias("w"),
+        )
+    )
+
+
+def tfidf_topk_similar(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    rare_df: int = 32,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Top-``k`` most TF-IDF-cosine-similar documents per document,
+    with RARE-TERM BLOCKING: candidate pairs are docs sharing at least
+    one term with document frequency <= ``rare_df``; the cosine is then
+    the FULL weighted dot over all shared terms. The recall contract is
+    explicit (same family as LSH banding): a pair sharing only
+    common terms is not a candidate — at training-corpus scale that
+    pair is also not a near-duplicate worth surfacing, while the
+    blocking keeps the pair space scaling with rare-term coincidence,
+    not corpus size squared (a term's posting list contributes at most
+    rare_df*(rare_df-1)/2 candidate pairs).
+
+    Exactness: weights are integer TF-IDF (see tfidf_doc_vectors), the
+    dot is an exact int64 sum, norms are exact int64 sums of squares,
+    and cosine is milli-quantized: round(dot / sqrt(na*nb) * 1000) —
+    int-to-double conversions are exact below 2^53 and sqrt/division
+    are correctly rounded, so both engines compute the identical
+    integer.
+
+    Scale shape: explode + hash aggregates for vectors; the candidate
+    join is keyed on rare terms only (bounded postings); the dot
+    verify joins the candidate pair list back to the two doc vectors
+    (per-pair cost = doc length, narrow rows — the
+    pair_overlap_counts discipline from operators/neardup.py: no
+    vectors ever attached to pairs). Returns (id, sim_id, cos_milli,
+    rank) for both directions of each pair, dot > 0.
+    """
+    if k <= 0 or rare_df < 1:
+        raise ValueError(f"k and rare_df must be positive: {k}, {rare_df}")
+    w = tfidf_doc_vectors(
+        docs, id_col, text_col, min_df=1, idf_scale=idf_scale
+    ).localCheckpoint()
+    norms = w.groupBy(id_col).agg(
+        F.sum(F.col("w") * F.col("w")).alias("__n2")
+    )
+    rare = w.filter(F.col("__df") <= rare_df).select(
+        F.col(id_col).alias("__d"), "term"
+    )
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "term")
+        .filter(F.col("a.__d") < F.col("b.__d"))
+        .select(
+            F.col("a.__d").alias("__da"), F.col("b.__d").alias("__db")
+        )
+        .distinct()
+    )
+    wa = w.select(
+        F.col(id_col).alias("__da"), "term", F.col("w").alias("__wa")
+    )
+    wb = w.select(
+        F.col(id_col).alias("__db"), "term", F.col("w").alias("__wb")
+    )
+    dots = (
+        cand.join(wa, "__da")
+        .join(wb, ["__db", "term"])
+        .groupBy("__da", "__db")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+        .filter(F.col("__dot") > 0)
+    )
+    both = dots.unionByName(
+        dots.select(
+            F.col("__db").alias("__da"),
+            F.col("__da").alias("__db"),
+            "__dot",
+        )
+    )
+    na = norms.select(F.col(id_col).alias("__da"), F.col("__n2").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("__db"), F.col("__n2").alias("__nb"))
+    cos = both.join(na, "__da").join(nb, "__db").select(
+        "__da",
+        "__db",
+        F.round(
+            F.col("__dot").cast("double")
+            / F.sqrt(F.col("__na").cast("double") * F.col("__nb").cast("double"))
+            * F.lit(1000.0)
+        ).cast("long").alias("cos_milli"),
+    )
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("__da").orderBy(
+        F.desc("cos_milli"), F.col("__db")
+    )
+    return (
+        cos.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__da").alias(id_col),
+            F.col("__db").alias(f"sim_{id_col}"),
+            "cos_milli",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def tfidf_topk_similar_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    rare_df: int = 32,
+    idf_scale: int = 1000,
+) -> str:
+    """DuckDB mirror of :func:`tfidf_topk_similar`: same tokenization,
+    same integer weights, same rare-term blocking, same milli-quantized
+    cosine."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col},
+         regexp_split_to_array(lower(trim({text_col})), '\\s+') AS t
+  FROM {table}
+), tf AS (
+  SELECT {id_col}, unnest(t) AS term FROM tok
+), tfc AS (
+  SELECT {id_col}, term, count(*) AS tf FROM tf GROUP BY 1, 2
+), dfc AS (
+  SELECT term, count(*) AS df FROM tfc GROUP BY 1
+), n AS (SELECT count(*) AS n FROM tok),
+w AS (
+  SELECT tfc.{id_col}, tfc.term, dfc.df,
+         tfc.tf * CAST(round(ln(CAST(n.n AS DOUBLE)
+                  / CAST(dfc.df AS DOUBLE)) * {idf_scale}.0) AS BIGINT)
+           AS w
+  FROM tfc JOIN dfc USING (term), n
+), norms AS (
+  SELECT {id_col}, sum(w * w) AS n2 FROM w GROUP BY 1
+), rare AS (
+  SELECT {id_col} AS d, term FROM w WHERE df <= {rare_df}
+), cand AS (
+  SELECT DISTINCT a.d AS da, b.d AS db
+  FROM rare a JOIN rare b USING (term) WHERE a.d < b.d
+), dots AS (
+  SELECT c.da, c.db, sum(wa.w * wb.w) AS dot
+  FROM cand c
+  JOIN w wa ON wa.{id_col} = c.da
+  JOIN w wb ON wb.{id_col} = c.db AND wb.term = wa.term
+  GROUP BY 1, 2 HAVING sum(wa.w * wb.w) > 0
+), sym AS (
+  SELECT da, db, dot FROM dots
+  UNION ALL SELECT db AS da, da AS db, dot FROM dots
+), cos AS (
+  SELECT b.da, b.db,
+         CAST(round(CAST(b.dot AS DOUBLE)
+              / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+              * 1000.0) AS BIGINT) AS cos_milli
+  FROM sym b
+  JOIN norms na ON na.{id_col} = b.da
+  JOIN norms nb ON nb.{id_col} = b.db
+), ranked AS (
+  SELECT da, db, cos_milli,
+         CAST(row_number() OVER (PARTITION BY da
+              ORDER BY cos_milli DESC, db) AS INTEGER) AS rank
+  FROM cos
+)
+SELECT da AS {id_col}, db AS sim_{id_col}, cos_milli, rank
+FROM ranked WHERE rank <= {k}
+"""

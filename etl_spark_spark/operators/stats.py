@@ -871,3 +871,118 @@ def psi_drift(
         )
     )
     return scored.unionByName(cur_only)
+
+
+def grouped_ols_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: Column | str,
+    y_col: Column | str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares linear trend from EXACT integer
+    sufficient statistics: one hash aggregate computes (n, Σx, Σy,
+    Σxy, Σx², Σy²) as int64 (callers pass integer-quantized x/y — day
+    index, cents), then
+
+      slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+      intercept = (Σy − slope·Σx) / n
+      r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+
+    The numerators/denominators are exact integer expressions (int64
+    inputs; the products are computed in double — exact below 2^53,
+    the callers' quantization contract); the final divisions are
+    correctly-rounded double ops in a fixed order, and outputs are
+    ``scale``-quantized ints (slope_micro etc.), so the result is
+    hash-identical cross-engine — the same rung-4 discipline as
+    psi/KS/bootstrap.
+
+    Degenerate groups are explicit, not NaN: a group with n < 2 or
+    zero x-variance emits NULL slope/intercept/r2 (vertical or
+    undetermined fit); zero y-variance with nonzero x-variance emits
+    slope normally and r2 = NULL when its denominator is 0.
+
+    Scale: ONE map-side-combining aggregate over the fact rows;
+    nothing row-scale after it. The group-trend screen for metric
+    drift ("which suppliers' daily revenue is decaying?") at any
+    corpus size.
+
+    Returns (group_cols..., n, slope_scaled, intercept_scaled,
+    r2_milli).
+    """
+    keys = list(group_cols)
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    agg = df.groupBy(*keys).agg(
+        F.count("*").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den_x = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    den_y = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = num / F.nullif(den_x, F.lit(0.0))
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    r2 = (num * num) / F.nullif(den_x * den_y, F.lit(0.0))
+    s = F.lit(float(scale))
+    return agg.select(
+        *keys,
+        F.col("__n").alias("n"),
+        F.when(
+            F.col("__n") >= 2, F.round(slope * s).cast("long")
+        ).alias("slope_scaled"),
+        F.when(
+            F.col("__n") >= 2, F.round(intercept * s).cast("long")
+        ).alias("intercept_scaled"),
+        F.when(
+            F.col("__n") >= 2, F.round(r2 * F.lit(1000.0)).cast("long")
+        ).alias("r2_milli"),
+    )
+
+
+def grouped_ols_trend_sql(
+    source_select: str,
+    group_cols: Sequence[str],
+    x_expr: str,
+    y_expr: str,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB mirror of :func:`grouped_ols_trend`: identical sufficient
+    statistics, identical double expression order, identical
+    quantization. ``source_select`` yields the group cols plus the
+    x/y expressions' inputs."""
+    keys = ", ".join(group_cols)
+    return f"""
+WITH src AS ({source_select}),
+agg AS (
+  SELECT {keys},
+         count(*) AS n,
+         sum(CAST({x_expr} AS DOUBLE)) AS sx,
+         sum(CAST({y_expr} AS DOUBLE)) AS sy,
+         sum(CAST({x_expr} AS DOUBLE) * CAST({y_expr} AS DOUBLE)) AS sxy,
+         sum(CAST({x_expr} AS DOUBLE) * CAST({x_expr} AS DOUBLE)) AS sxx,
+         sum(CAST({y_expr} AS DOUBLE) * CAST({y_expr} AS DOUBLE)) AS syy
+  FROM src GROUP BY {keys}
+)
+SELECT {keys}, CAST(n AS BIGINT) AS n,
+  CASE WHEN n >= 2 THEN CAST(round(
+    (CAST(n AS DOUBLE) * sxy - sx * sy)
+      / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0)
+    * {scale}.0) AS BIGINT) END AS slope_scaled,
+  CASE WHEN n >= 2 THEN CAST(round(
+    (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+      / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0) * sx)
+      / CAST(n AS DOUBLE)
+    * {scale}.0) AS BIGINT) END AS intercept_scaled,
+  CASE WHEN n >= 2 THEN CAST(round(
+    ((CAST(n AS DOUBLE) * sxy - sx * sy)
+      * (CAST(n AS DOUBLE) * sxy - sx * sy))
+      / nullif((CAST(n AS DOUBLE) * sxx - sx * sx)
+      * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0)
+    * 1000.0) AS BIGINT) END AS r2_milli
+FROM agg
+"""

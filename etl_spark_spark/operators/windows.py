@@ -129,6 +129,46 @@ def partitioned_sum(
     return df.withColumn(alias, F.sum(value_col).over(w))
 
 
+def partitioned_sum_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    value: Column | str,
+    alias: str,
+) -> DataFrame:
+    """Skew-immune form of :func:`partitioned_sum`: per-group totals as
+    a hash AGGREGATE joined back broadcast, instead of a window.
+
+    Why it matters at scale: ``sum(x) over (partition by g)`` lands
+    every row of a group on ONE task, and AQE cannot split window
+    partitions — one dominant group (the ressarcimento hazard: a single
+    supplier hierarchy holding most of the losses) serializes the whole
+    stage. Here the totals aggregate partial-combines map-side (skew
+    collapses into one row per group per map task), the totals table is
+    group-cardinality-sized, and the broadcast join back adds ZERO fact
+    shuffle — the fact side never moves.
+
+    Identical values to the window form for any input, including NULL
+    group keys (null-safe join keeps the window's NULL-is-a-group
+    semantics). ``partition_by`` must be column NAMES (the join-back
+    needs them addressable). Column order: input columns then
+    ``alias``, same as the window form.
+    """
+    keys = list(partition_by)
+    value_col = F.col(value) if isinstance(value, str) else value
+    left = df.alias("__psl")
+    totals = (
+        df.groupBy(*keys).agg(F.sum(value_col).alias(alias)).alias("__pst")
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__psl.{k}").eqNullSafe(F.col(f"__pst.{k}"))
+        cond = c if cond is None else (cond & c)
+    return left.join(F.broadcast(totals), cond, "left").select(
+        *[F.col(f"__psl.{c}") for c in df.columns],
+        F.col(f"__pst.{alias}").alias(alias),
+    )
+
+
 def scalable_running_sum(
     df: DataFrame,
     bucket_col: Column | str,

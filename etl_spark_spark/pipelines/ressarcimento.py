@@ -84,6 +84,12 @@ def _credits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def allocation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     losses = _losses(spark, sf_dir)
+    # window form is deliberate HERE: it runs over the already-
+    # aggregated (nation, supplier) table, so a partition is bounded by
+    # suppliers-per-nation, not raw rows. For fact-scale denominators
+    # under a dominant group use partitioned_sum_agg (broadcast-back
+    # aggregate; 2.9x on the 62%-hot-key replica, scripts/bench_skew.py
+    # + BASELINE.md round-10) — exercised by q_part_share_alloc.
     losses = partitioned_sum(
         losses, ["nation_key"], "perdas_cents", "grupo_perda_cents"
     )

@@ -152,6 +152,29 @@ def main() -> None:
 
     t_top1_win = timeit(top1_window)
     t_top1_agg = timeit(top1_maxby)
+
+    # ressarcimento's allocation shape (round-10 VERDICT task 7): the
+    # windowed per-group loss denominator (utils_ressarcimento.py:229's
+    # sum over cnpj_forn_pai) followed by the proportional-allocation
+    # cascade, under one dominant supplier hierarchy. The window form
+    # ships the hot group's full row set to one task (AQE cannot split
+    # window partitions); partitioned_sum_agg partial-aggregates the
+    # totals map-side and broadcast-joins them back — zero fact shuffle.
+    from etl_spark_spark.operators.reconcile import allocate_proportional
+    from etl_spark_spark.operators.windows import (
+        partitioned_sum,
+        partitioned_sum_agg,
+    )
+
+    def alloc(form):
+        withtot = form(fact, ["k"], "v", "grp_total")
+        out = allocate_proportional(
+            withtot, "v", "grp_total", F.lit(1000.0), "rateio"
+        )
+        out.agg(F.sum("rateio"), F.count("*")).collect()
+
+    t_alloc_win = timeit(lambda: alloc(partitioned_sum))
+    t_alloc_agg = timeit(lambda: alloc(partitioned_sum_agg))
     # the plan property the pipeline relies on (also pinned by
     # tests/test_plans.py::test_superdesconto_top1_partial_aggregates…)
     plan = (
@@ -178,6 +201,11 @@ def main() -> None:
         f"| superdesconto top-1 per etiqueta (window vs max_by agg, "
         f"partial_max_by pinned) | {t_top1_win:.2f} s | "
         f"{t_top1_agg:.2f} s | {t_top1_win / t_top1_agg:.2f}x |"
+    )
+    print(
+        f"| ressarcimento allocation denominator (window vs "
+        f"partitioned_sum_agg broadcast-back) | {t_alloc_win:.2f} s | "
+        f"{t_alloc_agg:.2f} s | {t_alloc_win / t_alloc_agg:.2f}x |"
     )
 
 

@@ -1234,3 +1234,59 @@ def test_ivfpq_per_list_codebooks_beat_shared_on_anisotropic(spark):
         f"per-list books must improve anisotropic recall: {per_list} vs {shared}"
     )
     assert per_list >= 0.6, f"per-list tight-rerank recall@5 {per_list:.2f} < 0.6"
+
+
+# module-level synthetic codecs: injected callables must pickle into
+# the mapInPandas closure and run on executors (standard UDF rules)
+def _codec_decode(payload: bytes, media_type: str) -> list:
+    # width != the fake decoder's 8, proving the injected codec ran
+    # and the output schema (array<double>) is width-free
+    return [float(len(payload)), float(payload[0]) if payload else -1.0]
+
+
+def _codec_resize(payload: bytes, width: int, height: int) -> bytes:
+    return bytes([width % 256, height % 256]) + payload[:4]
+
+
+def _codec_sample(payload: bytes, n_frames: int) -> list:
+    return [payload[i : i + 2] for i in range(min(n_frames, 3))]
+
+
+def test_multimodal_injected_codecs(spark, sf_dir):
+    """Round-10 (VERDICT task 3): the decode/resize/sample stages take
+    caller-supplied codecs, so a real PIL/av decoder drops in at
+    deployment without touching engine code. Pins the Arrow-batch
+    contract with synthetic codecs: per-item call signature, schema
+    conformance, distributed execution (module-level pickling)."""
+    from etl_spark_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(10)
+    media = attach_media(docs, "doc_id", "text", "text/plain").repartition(4)
+
+    feats = extract_features(media, decoder=_codec_decode).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert len(r.feat) == 2  # injected width, not the fake's 8
+        assert r.feat[0] == float(r.n_bytes)
+
+    sized = resize_media(media, 16, 4, resizer=_codec_resize).collect()
+    for r in sized:
+        assert r.media[:2] == bytes([16, 4])
+        assert r.media_size == len(r.media)
+        assert (r.width, r.height) == (16, 4)
+
+    frames = sample_frames(media, n_frames=5, sampler=_codec_sample).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.id, []).append(r.frame_no)
+    for fnos in by_id.values():
+        assert sorted(fnos) == [0, 1, 2]  # sampler returned 3 frames
+
+    # no injection + fake=False still fails loudly (the codec guard)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|decoding"):
+        extract_features(media, fake=False).collect()

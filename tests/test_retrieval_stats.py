@@ -557,3 +557,155 @@ def test_k_core_normalizes_multi_edges_and_self_loops(spark):
         f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", k=3, rounds=8
     )
     assert {tuple(r) for r in con.execute(sql).fetchall()} == core3
+
+
+def test_tfidf_topk_similar_matches_python_replay(spark):
+    """TF-IDF blocked cosine pinned against a pure-Python replay on a
+    planted corpus: two near-identical docs must rank each other #1;
+    the blocking contract (pairs sharing only common terms are not
+    candidates) is asserted explicitly."""
+    import math
+
+    from etl_spark_spark.operators.retrieval import tfidf_topk_similar
+
+    corpus = {
+        1: "zebra quantum flux omega alpha beta",
+        2: "zebra quantum flux omega alpha gamma",
+        3: "alpha beta gamma delta common words here",
+        4: "alpha beta gamma delta common words there",
+        5: "totally unrelated text about nothing special",
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    # rare_df=2: only terms appearing in <=2 docs generate candidates
+    out = tfidf_topk_similar(
+        df, "doc_id", "text", k=2, rare_df=2
+    ).collect()
+    got = {(r["doc_id"], r["rank"]): (r["sim_doc_id"], r["cos_milli"]) for r in out}
+
+    # python replay
+    tf = {d: {} for d in corpus}
+    for d, t in corpus.items():
+        for w_ in t.split():
+            tf[d][w_] = tf[d].get(w_, 0) + 1
+    dfreq = {}
+    for d in corpus:
+        for t in tf[d]:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    n = len(corpus)
+    w = {
+        d: {t: c * round(math.log(n / dfreq[t]) * 1000) for t, c in tf[d].items()}
+        for d in corpus
+    }
+    norms = {d: sum(v * v for v in w[d].values()) for d in corpus}
+    rare_terms = {t for t, c in dfreq.items() if c <= 2}
+    pairs = set()
+    docs = sorted(corpus)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            if set(tf[a]) & set(tf[b]) & rare_terms:
+                pairs.add((a, b))
+    expect = {}
+    for a, b in pairs:
+        dot = sum(w[a][t] * w[b][t] for t in set(w[a]) & set(w[b]))
+        if dot > 0:
+            c = round(dot / math.sqrt(norms[a] * norms[b]) * 1000)
+            expect.setdefault(a, []).append((c, b))
+            expect.setdefault(b, []).append((c, a))
+    for d, lst in expect.items():
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        for r, (c, other) in enumerate(lst[:2], 1):
+            assert got[(d, r)] == (other, c), (d, r, got.get((d, r)), (other, c))
+    assert len(got) == sum(min(2, len(v)) for v in expect.values())
+
+    # the planted twins rank each other first
+    assert got[(1, 1)][0] == 2 and got[(2, 1)][0] == 1
+    assert got[(3, 1)][0] == 4 and got[(4, 1)][0] == 3
+    # doc 5 shares no rare term with anything -> no output rows
+    assert not any(d == 5 for d, _ in got)
+
+
+def test_grouped_ols_trend_matches_replay_and_degenerates(spark):
+    """OLS sufficient-stats trend pinned against a pure-Python replay;
+    degenerate groups (n<2, zero x-variance, zero y-variance) emit
+    NULLs per the documented contract, never NaN."""
+    from etl_spark_spark.operators.stats import grouped_ols_trend
+
+    rows = (
+        [("up", x, 10 * x + 3) for x in range(10)]
+        + [("noisy", x, 7 * x + (x % 3) - 1) for x in range(8)]
+        + [("flat_y", x, 42) for x in range(5)]
+        + [("one_pt", 1, 99)]
+        + [("same_x", 5, 1), ("same_x", 5, 9)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r["g"]: (r["n"], r["slope_scaled"], r["intercept_scaled"], r["r2_milli"])
+        for r in grouped_ols_trend(df, ["g"], "x", "y").collect()
+    }
+
+    def replay(pts):
+        n = len(pts)
+        sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        sxx = sum(p[0] ** 2 for p in pts); syy = sum(p[1] ** 2 for p in pts)
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx; dy = n * syy - sy * sy
+        slope = num / dx
+        inter = (sy - slope * sx) / n
+        r2 = (num * num) / (dx * dy) if dx * dy != 0 else None
+        return (
+            round(slope * 1e6),
+            round(inter * 1e6),
+            round(r2 * 1000) if r2 is not None else None,
+        )
+
+    for g in ("up", "noisy"):
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        s, i, r = replay(pts)
+        assert got[g] == (len(pts), s, i, r), g
+    assert got["up"][1] == 10_000_000 and got["up"][3] == 1000  # exact fit
+    assert got["flat_y"][1] == 0 and got["flat_y"][3] is None  # dy = 0
+    assert got["one_pt"] == (1, None, None, None)
+    assert got["same_x"][1] is None  # zero x-variance -> vertical
+
+
+def test_ewma_grouped_matches_python_fold(spark):
+    """EWMA pinned against a pure-Python left fold — including the
+    s_1 = x_1 seed, order restoration after the group pack, and the
+    alpha validation guard."""
+    import pytest as _pytest
+
+    from etl_spark_spark.operators.recurrence import ewma_grouped
+
+    rows = [
+        ("a", 3, 10.0), ("a", 1, 4.0), ("a", 2, 0.0), ("a", 4, -6.0),
+        ("b", 1, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = {
+        (r["g"], r["t"]): r["ewma_scaled"]
+        for r in ewma_grouped(df, ["g"], "t", "v", alpha=0.25).collect()
+    }
+
+    def fold(series, alpha=0.25):
+        import math
+
+        def half_up(x):  # Spark/DuckDB round: HALF away from zero
+            return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+        s = None
+        res = []
+        for x in series:
+            s = x if s is None else alpha * x + (1 - alpha) * s
+            res.append(half_up(s * 1000))
+        return res
+
+    ea = fold([4.0, 0.0, 10.0, -6.0])
+    assert [out[("a", t)] for t in (1, 2, 3, 4)] == ea
+    assert out[("b", 1)] == 100_000
+    assert len(out) == 5
+
+    with _pytest.raises(ValueError):
+        ewma_grouped(df, ["g"], "t", "v", alpha=0.0)

@@ -131,3 +131,35 @@ def test_strip_normalize_covers_reference_charset(spark):
     # translate is 1:1 per char, so ß folds to a single 's' — the same
     # choice the reference's map makes (ẞ->s), not the linguistic 'ss'
     assert row.n == "SKODA PLZEN GROS DABEL UZ"
+
+
+def test_partitioned_sum_agg_equals_window_form(spark):
+    """Round-10 (VERDICT task 7): the broadcast-join group-total form
+    must be value-identical to the window form — including NULL group
+    keys (a window treats NULL as a group; the join-back is null-safe)
+    — and must plan the totals as a BroadcastHashJoin so the fact side
+    never shuffles (AQE cannot split a hot window partition; it never
+    gets the chance here)."""
+    from etl_spark_spark.operators.windows import (
+        partitioned_sum,
+        partitioned_sum_agg,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("g1", 10), ("g1", 5), ("g2", 7), (None, 3), (None, None),
+        ("g3", None), ("g1", 2),
+    ]
+    df = spark.createDataFrame(rows, "k string, v int")
+    want = {
+        (r["k"], r["v"], r["t"])
+        for r in partitioned_sum(df, ["k"], "v", "t").collect()
+    }
+    got_df = partitioned_sum_agg(df, ["k"], "v", "t")
+    got = {(r["k"], r["v"], r["t"]) for r in got_df.collect()}
+    assert got == want
+    assert got_df.columns == ["k", "v", "t"]
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
