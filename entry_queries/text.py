@@ -1550,25 +1550,28 @@ _BM25_TERMS = ["hash", "join", "stream"]
 
 def q_doc_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 most TF-IDF-cosine-similar documents per document with
-    rare-term blocking (df <= 24): candidates come from shared RARE
-    terms (bounded posting lists — pair space scales with rare-term
-    coincidence, not corpus squared), the cosine is the full weighted
-    dot over all shared terms, verified on narrow pair rows. Integer
-    milli-quantized weights and cosines make the double math
-    hash-exact cross-engine; the recall contract (common-terms-only
-    pairs are not candidates) is the documented LSH-banding trade
+    rare-SHINGLE blocking (trigram df <= 4): candidates come from
+    shared rare token trigrams (bounded posting lists — pair space
+    scales with rare-shingle coincidence, not corpus squared; unigram
+    blocking is vacuous on this corpus, whose 31-word vocabulary makes
+    every WORD common while word sequences stay discriminative), the
+    cosine is the full unigram-TF-IDF dot over all shared terms,
+    verified on narrow pair rows. Integer milli-quantized weights and
+    cosines make the double math hash-exact cross-engine; the recall
+    contract (common-shingles-only pairs are not candidates) is the
+    documented LSH-banding trade
     (operators/retrieval.py:tfidf_topk_similar)."""
     from etl_spark_spark.operators.retrieval import tfidf_topk_similar
 
     docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    return tfidf_topk_similar(docs, "doc_id", "text", k=3, rare_df=24)
+    return tfidf_topk_similar(docs, "doc_id", "text", k=3, rare_df=4)
 
 
 def _doc_tfidf_similar_oracle() -> str:
     from etl_spark_spark.operators.retrieval import tfidf_topk_similar_sql
 
     return tfidf_topk_similar_sql(
-        "documents", "doc_id", "text", k=3, rare_df=24
+        "documents", "doc_id", "text", k=3, rare_df=4
     )
 
 

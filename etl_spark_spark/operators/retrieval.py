@@ -250,16 +250,22 @@ def tfidf_topk_similar(
     k: int = 3,
     rare_df: int = 32,
     idf_scale: int = 1000,
+    block_ngram: int = 3,
 ) -> DataFrame:
     """Top-``k`` most TF-IDF-cosine-similar documents per document,
-    with RARE-TERM BLOCKING: candidate pairs are docs sharing at least
-    one term with document frequency <= ``rare_df``; the cosine is then
-    the FULL weighted dot over all shared terms. The recall contract is
-    explicit (same family as LSH banding): a pair sharing only
-    common terms is not a candidate — at training-corpus scale that
-    pair is also not a near-duplicate worth surfacing, while the
-    blocking keeps the pair space scaling with rare-term coincidence,
-    not corpus size squared (a term's posting list contributes at most
+    with RARE-SHINGLE BLOCKING: candidate pairs are docs sharing at
+    least one ``block_ngram``-token shingle with document frequency <=
+    ``rare_df``; the cosine is then the FULL unigram-TF-IDF weighted
+    dot over all shared terms. Blocking on shingles (not unigrams)
+    matters whenever the vocabulary is small relative to the corpus —
+    every WORD is common, but word SEQUENCES stay discriminative (the
+    fixture corpus is the extreme: 31 distinct words, no rare
+    unigrams, yet trigram dfs are median-1). ``block_ngram=1``
+    degrades to plain rare-term blocking. The recall contract is
+    explicit (same family as LSH banding): a pair sharing only common
+    shingles is not a candidate — while the blocking keeps the pair
+    space scaling with rare-shingle coincidence, not corpus size
+    squared (a shingle's posting list contributes at most
     rare_df*(rare_df-1)/2 candidate pairs).
 
     Exactness: weights are integer TF-IDF (see tfidf_doc_vectors), the
@@ -277,20 +283,45 @@ def tfidf_topk_similar(
     vectors ever attached to pairs). Returns (id, sim_id, cos_milli,
     rank) for both directions of each pair, dot > 0.
     """
-    if k <= 0 or rare_df < 1:
-        raise ValueError(f"k and rare_df must be positive: {k}, {rare_df}")
+    if k <= 0 or rare_df < 1 or block_ngram < 1:
+        raise ValueError(
+            f"k, rare_df, block_ngram must be positive: "
+            f"{k}, {rare_df}, {block_ngram}"
+        )
     w = tfidf_doc_vectors(
         docs, id_col, text_col, min_df=1, idf_scale=idf_scale
     ).localCheckpoint()
     norms = w.groupBy(id_col).agg(
         F.sum(F.col("w") * F.col("w")).alias("__n2")
     )
-    rare = w.filter(F.col("__df") <= rare_df).select(
-        F.col(id_col).alias("__d"), "term"
+    ng = int(block_ngram)
+    tok = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    starts = F.when(
+        F.size("__t") >= ng,
+        F.sequence(F.lit(1), F.size("__t") - F.lit(ng - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = tok.select(
+        F.col(id_col).alias("__d"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("__t"), i, F.lit(ng))
+                ),
+            )
+        ).alias("__g"),
+    ).distinct()
+    rare = (
+        shingles.join(
+            shingles.groupBy("__g")
+            .agg(F.count("*").alias("__gdf"))
+            .filter(F.col("__gdf") <= rare_df),
+            "__g",
+        )
     )
     cand = (
         rare.alias("a")
-        .join(rare.alias("b"), "term")
+        .join(rare.alias("b"), "__g")
         .filter(F.col("a.__d") < F.col("b.__d"))
         .select(
             F.col("a.__d").alias("__da"), F.col("b.__d").alias("__db")
@@ -352,10 +383,12 @@ def tfidf_topk_similar_sql(
     k: int = 3,
     rare_df: int = 32,
     idf_scale: int = 1000,
+    block_ngram: int = 3,
 ) -> str:
     """DuckDB mirror of :func:`tfidf_topk_similar`: same tokenization,
-    same integer weights, same rare-term blocking, same milli-quantized
-    cosine."""
+    same integer weights, same rare-shingle blocking, same
+    milli-quantized cosine."""
+    ng = int(block_ngram)
     return f"""
 WITH tok AS (
   SELECT {id_col},
@@ -376,11 +409,18 @@ w AS (
   FROM tfc JOIN dfc USING (term), n
 ), norms AS (
   SELECT {id_col}, sum(w * w) AS n2 FROM w GROUP BY 1
+), sh AS (
+  SELECT DISTINCT {id_col} AS d,
+         unnest(list_transform(range(1, len(t) - {ng} + 2),
+                i -> list_aggregate(list_slice(t, i, i + {ng} - 1),
+                                    'string_agg', ' '))) AS g
+  FROM tok
 ), rare AS (
-  SELECT {id_col} AS d, term FROM w WHERE df <= {rare_df}
+  SELECT d, g FROM sh
+  WHERE g IN (SELECT g FROM sh GROUP BY g HAVING count(*) <= {rare_df})
 ), cand AS (
   SELECT DISTINCT a.d AS da, b.d AS db
-  FROM rare a JOIN rare b USING (term) WHERE a.d < b.d
+  FROM rare a JOIN rare b USING (g) WHERE a.d < b.d
 ), dots AS (
   SELECT c.da, c.db, sum(wa.w * wb.w) AS dot
   FROM cand c

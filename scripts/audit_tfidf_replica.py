@@ -1,20 +1,19 @@
 """Replica-scale audit for tfidf_topk_similar (round-10 operator).
 
-Runs doc_tfidf_similar at 1x (sf0.1) and at the verbatim-twin replicas
-built by scripts/bench_text_replica.py (/tmp/text_replica_{N}x),
-reporting wall, output rows, and the rare-term candidate-pair count.
+Two replica regimes, because they stress different things:
 
-The twin replica is adversarial for PAIR dedup ops but degenerate for
-rare-term blocking: replicating every doc N times multiplies every
-term's df by N, so 1x-rare terms (df <= rare_df) cross the threshold
-and candidates collapse — the documented recall contract (common-term
-pairs are not candidates) surfacing as "twins of boilerplate are not
-rare-term neighbors". The audit therefore ALSO runs a scaled rare_df
-(rare_df * N) at the replica, which restores the 1x candidate
-semantics per twin-block and is the honest stress case for the
-posting self-join: each 1x posting of length p becomes length p*N,
-so candidate pairs grow ~N^2 per rare term. Sub-quadratic wall there
-= the distinct-collapse + narrow-verify design holding.
+- TWIN (verbatim copies, scripts/bench_text_replica.py): every
+  trigram's df multiplies by N, so 1x-rare shingles cross the fixed
+  rare_df threshold and candidates COLLAPSE BY DESIGN — verbatim twins
+  are exact-dedup's job (the production order runs exact dedup first),
+  not rare-shingle similarity's. Scaling rare_df by N to "restore"
+  semantics is quadratic by construction on twins (each 1x pair
+  becomes N^2 pairs): measured as a DNF and documented, not shipped.
+- ORGANIC (this script builds it): every block suffixes each token
+  with its block id, so blocks are fully distinct corpora — dfs and
+  posting lengths stay 1x-shaped while the corpus grows Nx. Candidate
+  pairs and wall should scale ~linearly; that is the 100 TB growth
+  case.
 
 Usage: python scripts/audit_tfidf_replica.py [factor]
 """
@@ -33,10 +32,8 @@ from etl_spark_spark.session import get_spark  # noqa: E402
 def run(spark, sf_dir: str, rare_df: int) -> tuple[float, int, int]:
     from pyspark.sql import functions as F
 
-    from etl_spark_spark.operators.retrieval import (
-        tfidf_doc_vectors,
-        tfidf_topk_similar,
-    )
+    from etl_spark_spark.functions.text import tokens
+    from etl_spark_spark.operators.retrieval import tfidf_topk_similar
     from etl_spark_spark.sources import table
 
     docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
@@ -45,13 +42,28 @@ def run(spark, sf_dir: str, rare_df: int) -> tuple[float, int, int]:
     t0 = time.time()
     n_out = out.count()
     wall = time.time() - t0
-    w = tfidf_doc_vectors(docs, "doc_id", "text")
-    rare = w.filter(F.col("__df") <= rare_df).select(
-        F.col("doc_id").alias("d"), "term"
+    # candidate count under the operator's trigram blocking
+    tok = docs.select("doc_id", tokens("text").alias("t"))
+    starts = F.when(
+        F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - F.lit(2))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = tok.select(
+        F.col("doc_id").alias("d"),
+        F.explode(
+            F.transform(
+                starts, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(3)))
+            )
+        ).alias("g"),
+    ).distinct()
+    rare = sh.join(
+        sh.groupBy("g").agg(F.count("*").alias("gdf")).filter(
+            F.col("gdf") <= rare_df
+        ),
+        "g",
     )
     n_cand = (
         rare.alias("a")
-        .join(rare.alias("b"), "term")
+        .join(rare.alias("b"), "g")
         .filter(F.col("a.d") < F.col("b.d"))
         .select("a.d", "b.d")
         .distinct()
@@ -60,25 +72,58 @@ def run(spark, sf_dir: str, rare_df: int) -> tuple[float, int, int]:
     return wall, n_out, n_cand
 
 
+def build_organic(spark, sf_dir: str, out_dir: str, factor: int) -> None:
+    """Nx corpus where block i suffixes every token with _b{i}: fully
+    distinct blocks, 1x-shaped dfs/postings, Nx rows."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    out = Path(out_dir)
+    if (out / "documents.parquet").exists():
+        return
+    out.mkdir(parents=True, exist_ok=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    blocks = [
+        docs.select(
+            (F.col("doc_id") + i * n).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.concat(t, F.lit(f"_b{i}")),
+                ),
+            ).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        for i in range(factor)
+    ]
+    rep = blocks[0]
+    for b in blocks[1:]:
+        rep = rep.unionByName(b)
+    rep.write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    rep_dir = f"/tmp/text_replica_{factor}x"
+    twin_dir = f"/tmp/text_replica_{factor}x"
+    org_dir = f"/tmp/text_organic_{factor}x"
     spark = get_spark(app_name="audit-tfidf-replica")
     spark.sparkContext.setLogLevel("ERROR")
-    base = run(spark, "/root/testdata/sf0.1", rare_df=24)
-    print(f"1x  rare_df=24 : wall {base[0]:6.2f} s, rows {base[1]}, "
-          f"cand {base[2]}")
-    if not os.path.exists(rep_dir):
-        print(f"replica {rep_dir} missing: run scripts/bench_text_replica.py")
-        return
-    rep = run(spark, rep_dir, rare_df=24)
-    print(f"{factor}x rare_df=24 : wall {rep[0]:6.2f} s, rows {rep[1]}, "
-          f"cand {rep[2]} (twin dfs cross the threshold -> candidates "
-          f"collapse by design)")
-    rep_s = run(spark, rep_dir, rare_df=24 * factor)
-    print(f"{factor}x rare_df={24 * factor}: wall {rep_s[0]:6.2f} s, "
-          f"rows {rep_s[1]}, cand {rep_s[2]} (restored 1x semantics; "
-          f"postings x{factor} -> pairs ~x{factor * factor} per term)")
+    base = run(spark, "/root/testdata/sf0.1", rare_df=4)
+    print(f"1x  rare_df=4 : wall {base[0]:6.2f} s, rows {base[1]}, "
+          f"cand {base[2]}", flush=True)
+    if os.path.exists(twin_dir):
+        rep = run(spark, twin_dir, rare_df=4)
+        print(f"{factor}x TWIN rare_df=4 : wall {rep[0]:6.2f} s, "
+              f"rows {rep[1]}, cand {rep[2]} (twin dfs cross the "
+              f"threshold -> candidates collapse by design)", flush=True)
+    build_organic(spark, "/root/testdata/sf0.1", org_dir, factor)
+    org = run(spark, org_dir, rare_df=4)
+    print(f"{factor}x ORGANIC rare_df=4: wall {org[0]:6.2f} s, "
+          f"rows {org[1]}, cand {org[2]} "
+          f"(1x-shaped postings, ~linear target)", flush=True)
 
 
 if __name__ == "__main__":

@@ -578,9 +578,10 @@ def test_tfidf_topk_similar_matches_python_replay(spark):
     df = spark.createDataFrame(
         list(corpus.items()), "doc_id long, text string"
     )
-    # rare_df=2: only terms appearing in <=2 docs generate candidates
+    # rare_df=2, trigram blocking: only 3-token shingles appearing in
+    # <=2 docs generate candidates
     out = tfidf_topk_similar(
-        df, "doc_id", "text", k=2, rare_df=2
+        df, "doc_id", "text", k=2, rare_df=2, block_ngram=3
     ).collect()
     got = {(r["doc_id"], r["rank"]): (r["sim_doc_id"], r["cos_milli"]) for r in out}
 
@@ -599,12 +600,22 @@ def test_tfidf_topk_similar_matches_python_replay(spark):
         for d in corpus
     }
     norms = {d: sum(v * v for v in w[d].values()) for d in corpus}
-    rare_terms = {t for t, c in dfreq.items() if c <= 2}
+
+    def trigrams(text):
+        ws = text.split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    sh = {d: trigrams(t) for d, t in corpus.items()}
+    shdf = {}
+    for d in corpus:
+        for g in sh[d]:
+            shdf[g] = shdf.get(g, 0) + 1
+    rare_sh = {g for g, c in shdf.items() if c <= 2}
     pairs = set()
     docs = sorted(corpus)
     for i, a in enumerate(docs):
         for b in docs[i + 1:]:
-            if set(tf[a]) & set(tf[b]) & rare_terms:
+            if sh[a] & sh[b] & rare_sh:
                 pairs.add((a, b))
     expect = {}
     for a, b in pairs:
@@ -622,7 +633,7 @@ def test_tfidf_topk_similar_matches_python_replay(spark):
     # the planted twins rank each other first
     assert got[(1, 1)][0] == 2 and got[(2, 1)][0] == 1
     assert got[(3, 1)][0] == 4 and got[(4, 1)][0] == 3
-    # doc 5 shares no rare term with anything -> no output rows
+    # doc 5 shares no rare shingle with anything -> no output rows
     assert not any(d == 5 for d, _ in got)
 
 
