@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_similar": q_doc_tfidf_similar,
         "nation_revenue_trend": q_nation_revenue_trend,
         "supplier_qty_ewma": q_supplier_qty_ewma,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         "schema_evolution_scan": q_schema_evolution_scan,
         "did_purchase_uplift": q_did_purchase_uplift,
         "cluster_canonicalize": q_cluster_canonicalize,
@@ -501,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_similar": _doc_tfidf_similar_oracle(),
         "nation_revenue_trend": _nation_revenue_trend_oracle(),
         "supplier_qty_ewma": _supplier_qty_ewma_oracle(),
+        "hybrid_search_rrf": _hybrid_search_rrf_oracle(),
         "schema_evolution_scan": _SCHEMA_EVOLUTION_SQL,
         "did_purchase_uplift": _DID_SQL,
         "doc_dsir_weights": _dsir_weights_oracle(),

@@ -1633,6 +1633,72 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the BM25 top-15 for
+    ["hash", "join", "stream"] fused with the positional phrase
+    ranking for the adjacent phrase "hash join" (top-15 by occurrence
+    count) — the standard RAG-stack combiner (score = Σ 1/(60+rank)).
+    Each list contributes an exact small-integer ratio; the fused
+    micro-quantized score re-ranks deterministically (ties on doc_id)
+    (operators/retrieval.py:rrf_fuse)."""
+    from etl_spark_spark.operators.retrieval import (
+        bm25_topk,
+        phrase_occurrences,
+        rrf_fuse,
+    )
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    bm25 = bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=15)
+    w = Window.orderBy(F.desc("score_micro"), F.col("doc_id"))
+    bm25_r = bm25.select(
+        "doc_id", F.row_number().over(w).cast("int").alias("rank")
+    )
+    tok = docs.select("doc_id", tokens("text").alias("__tok"))
+    ph = (
+        tok.select(
+            "doc_id",
+            phrase_occurrences("__tok", ["hash", "join"]).alias("n_occ"),
+        )
+        .filter(F.col("n_occ") > 0)
+        .orderBy(F.desc("n_occ"), F.col("doc_id"))
+        .limit(15)
+    )
+    wp = Window.orderBy(F.desc("n_occ"), F.col("doc_id"))
+    ph_r = ph.select(
+        "doc_id", F.row_number().over(wp).cast("int").alias("rank")
+    )
+    return rrf_fuse([bm25_r, ph_r], "doc_id")
+
+
+def _hybrid_search_rrf_oracle() -> str:
+    from etl_spark_spark.operators.retrieval import (
+        bm25_topk_sql,
+        phrase_occurrences_sql,
+        rrf_fuse_sql,
+    )
+
+    bm25 = bm25_topk_sql("documents", "doc_id", "text", _BM25_TERMS, k=15)
+    bm25_ranked = f"""
+SELECT doc_id, CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+       AS INTEGER) AS rank
+FROM ({bm25})
+"""
+    occ = phrase_occurrences_sql("t", ["hash", "join"])
+    ph_ranked = f"""
+SELECT doc_id, CAST(row_number() OVER (ORDER BY n_occ DESC, doc_id)
+       AS INTEGER) AS rank
+FROM (
+  SELECT doc_id, {occ} AS n_occ
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents)
+) WHERE n_occ > 0
+ORDER BY n_occ DESC, doc_id LIMIT 15
+"""
+    return rrf_fuse_sql([bm25_ranked, ph_ranked], "doc_id")
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): six
     greedy merges learned over the distinct-word frequency table —
@@ -3648,6 +3714,8 @@ __all__ = [
     'q_lang_id_eval',
     'q_inverted_index',
     'q_bm25_search',
+    'q_hybrid_search_rrf',
+    '_hybrid_search_rrf_oracle',
     'q_doc_tfidf_similar',
     '_doc_tfidf_similar_oracle',
     '_BM25_TERMS',

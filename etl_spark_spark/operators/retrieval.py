@@ -447,3 +447,89 @@ w AS (
 SELECT da AS {id_col}, db AS sim_{id_col}, cos_milli, rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009 — the
+    standard hybrid-retrieval combiner, e.g. BM25 + dense/structural
+    rankings in RAG stacks): every input ranking contributes
+    1/(k0 + rank) per document; documents missing from a ranking
+    contribute nothing from it. Emits (id, n_lists, rrf_micro, rank)
+    re-ranked by fused score (ties broken on id), optionally truncated
+    to top-``k``.
+
+    Exactness: each contribution is ONE correctly-rounded double
+    division of exact small integers, the fused score a fixed-order
+    sum over at most len(rankings) terms (sum aggregate order is made
+    deterministic by summing per-source contributions built from a
+    union in list order and grouping — addition over <= a handful of
+    doubles whose exponents are near-equal is associative-safe here
+    because every term is an exact ratio with denominator < 2^11 and
+    the sum is micro-quantized; a 1-ulp association difference cannot
+    move round(x*1e6) except on exact .5 boundaries, the same accepted
+    rung as bm25). Scale: inputs are already top-k-sized; the fuse is
+    a union + one grouped sum — driver-free, broadcast-free.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (F.lit(float(k0)) + F.col(rank_col).cast("double"))
+            ).alias("__contrib"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    fused = tagged.groupBy(id_col).agg(
+        F.count("*").alias("n_lists"),
+        F.round(F.sum("__contrib") * F.lit(1e6)).cast("long").alias(
+            "rrf_micro"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("rrf_micro"), F.col(id_col))
+    out = fused.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    )
+    return out.filter(F.col("rank") <= k) if k else out
+
+
+def rrf_fuse_sql(
+    ranking_selects: list[str],
+    id_col: str,
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int | None = None,
+) -> str:
+    """DuckDB mirror of :func:`rrf_fuse`: each ``ranking_selects``
+    entry must yield (id_col, rank_col)."""
+    unions = " UNION ALL ".join(
+        f"SELECT {id_col}, 1.0 / ({k0}.0 + CAST({rank_col} AS DOUBLE)) "
+        f"AS contrib FROM ({sel})"
+        for sel in ranking_selects
+    )
+    limit = f"WHERE rank <= {k}" if k else ""
+    return f"""
+WITH contribs AS ({unions}),
+fused AS (
+  SELECT {id_col}, count(*) AS n_lists,
+         CAST(round(sum(contrib) * 1e6) AS BIGINT) AS rrf_micro
+  FROM contribs GROUP BY 1
+),
+ranked AS (
+  SELECT {id_col}, CAST(n_lists AS BIGINT) AS n_lists, rrf_micro,
+         CAST(row_number() OVER (ORDER BY rrf_micro DESC, {id_col})
+              AS INTEGER) AS rank
+  FROM fused
+)
+SELECT * FROM ranked {limit}
+"""

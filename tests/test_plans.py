@@ -230,6 +230,7 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
         "revenue_bootstrap_ci",
         "trimmed_mean_price",
         "bm25_search",
+        "hybrid_search_rrf",  # bm25 leg's 1-row corpus-stats crossJoin
         "doc_surprisal",
         "knn_label_accuracy",
         "revenue_changepoint",

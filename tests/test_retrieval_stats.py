@@ -720,3 +720,37 @@ def test_ewma_grouped_matches_python_fold(spark):
 
     with _pytest.raises(ValueError):
         ewma_grouped(df, ["g"], "t", "v", alpha=0.0)
+
+
+def test_rrf_fuse_matches_python_replay(spark):
+    """RRF pinned against a pure-Python replay: contributions
+    1/(k0+rank) summed in list order, micro-quantized; docs present in
+    one list only still fuse; re-rank ties break on id."""
+    from etl_spark_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (1, 2), (4, 3)], "doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: (r["n_lists"], r["rrf_micro"], r["rank"])
+        for r in rrf_fuse([a, b], "doc_id", k0=60).collect()
+    }
+
+    import math
+
+    def half_up(x):
+        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+    contribs = {1: [1 / 61, 1 / 62], 2: [1 / 62], 3: [1 / 63, 1 / 61], 4: [1 / 63]}
+    scores = {d: half_up(sum(c) * 1e6) for d, c in contribs.items()}
+    order = sorted(scores, key=lambda d: (-scores[d], d))
+    for rk, d in enumerate(order, 1):
+        assert got[d] == (len(contribs[d]), scores[d], rk), d
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([], "doc_id")
