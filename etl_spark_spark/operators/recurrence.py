@@ -52,19 +52,37 @@ def ewma_grouped(
 
     ``order_col`` must be unique per group (an aggregated grain —
     day, hour); the series per group must be bounded (see module
-    docstring). Input rows are returned with the EWMA column appended;
-    column order (group_cols..., order_col, value_col, ewma_scaled).
+    docstring). Output shape is EXACTLY (group_cols..., order_col,
+    value_col, ewma_scaled) — other input columns are not carried
+    (they would have to ride the group pack; select them back by key
+    if needed).
+
+    NULL values FAIL LOUDLY (raise_error) rather than silently
+    diverging: a NULL poisons the fold differently per engine (a
+    NULL-init fold would re-seed after it, DuckDB's list_reduce
+    propagates it forever), and a NULL measurement has no defined
+    smoothing semantics anyway — aggregate grains produce non-NULL
+    values. The SQL mirror errors identically.
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     keys = list(group_cols)
     a = F.lit(float(alpha))
+    checked_v = F.when(
+        F.col(value_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"ewma_grouped: NULL {value_col} at {order_col}="),
+                F.col(order_col).cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(F.col(value_col).cast("double"))
     packed = df.groupBy(*keys).agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
                     F.col(order_col).alias("o"),
-                    F.col(value_col).cast("double").alias("v"),
+                    checked_v.alias("v"),
                 )
             )
         ).alias("__ser")
@@ -108,7 +126,8 @@ def ewma_grouped_sql(
     """DuckDB mirror of :func:`ewma_grouped`: identical sort, identical
     left fold over each prefix (list_reduce seeds from the first
     element, matching the operator's NULL-init), identical
-    quantization. ``source_select`` yields group cols + order + value.
+    quantization, identical loud failure on NULL values.
+    ``source_select`` yields group cols + order + value.
     """
     keys = ", ".join(group_cols)
     a = repr(float(alpha))
@@ -117,7 +136,12 @@ WITH src AS ({source_select}),
 packed AS (
   SELECT {keys},
          list_sort(list({{'o': {order_col},
-                          'v': CAST({value_col} AS DOUBLE)}})) AS ser
+                          'v': CASE WHEN {value_col} IS NULL
+                                THEN error('ewma_grouped: NULL '
+                                  || '{value_col} at {order_col}='
+                                  || CAST({order_col} AS VARCHAR))
+                                ELSE CAST({value_col} AS DOUBLE)
+                                END}})) AS ser
   FROM src GROUP BY {keys}
 ),
 idx AS (

@@ -214,9 +214,10 @@ def tfidf_doc_vectors(
     downstream dot product inside int64 (w <= ~tf*12k at any corpus
     size; a 1e15 dot is still exact) while absorbing the 1-ulp
     engine divergence of ``ln`` (same rung as bm25's micro-scores).
-    Returns (doc id under ``id_col``, term, w). One explode + two hash
-    aggregates + a term-keyed join; the corpus-size N rides a 1-row
-    broadcast."""
+    Returns (doc id under ``id_col``, term, df, w) — ``df`` is the
+    term's document frequency, kept because weight consumers routinely
+    need it for pruning. One explode + two hash aggregates + a
+    term-keyed join; the corpus-size N rides a 1-row broadcast."""
     tok = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
     tf = (
         tok.select(id_col, F.explode("__t").alias("term"))
@@ -237,9 +238,58 @@ def tfidf_doc_vectors(
         .select(
             id_col,
             "term",
-            "__df",
+            F.col("__df").alias("df"),
             (F.col("__tf") * idf).alias("w"),
         )
+    )
+
+
+def tfidf_block_candidates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    rare_df: int,
+    block_ngram: int = 3,
+) -> DataFrame:
+    """The rare-shingle candidate generator shared by
+    :func:`tfidf_topk_similar` and the replica audits: distinct
+    (doc, ngram-shingle) pairs, shingles kept iff their document
+    frequency <= ``rare_df``, self-joined on the shingle. Returns
+    (__da, __db) with __da < __db, distinct. Extracted so the audit
+    measures EXACTLY the candidate space the operator ships (the
+    blocking scheme already changed once; a hand-synced copy would
+    silently drift)."""
+    ng = int(block_ngram)
+    tok = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    starts = F.when(
+        F.size("__t") >= ng,
+        F.sequence(F.lit(1), F.size("__t") - F.lit(ng - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = tok.select(
+        F.col(id_col).alias("__d"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("__t"), i, F.lit(ng))
+                ),
+            )
+        ).alias("__g"),
+    ).distinct()
+    rare = shingles.join(
+        shingles.groupBy("__g")
+        .agg(F.count("*").alias("__gdf"))
+        .filter(F.col("__gdf") <= rare_df),
+        "__g",
+    )
+    return (
+        rare.alias("a")
+        .join(rare.alias("b"), "__g")
+        .filter(F.col("a.__d") < F.col("b.__d"))
+        .select(
+            F.col("a.__d").alias("__da"), F.col("b.__d").alias("__db")
+        )
+        .distinct()
     )
 
 
@@ -294,39 +344,8 @@ def tfidf_topk_similar(
     norms = w.groupBy(id_col).agg(
         F.sum(F.col("w") * F.col("w")).alias("__n2")
     )
-    ng = int(block_ngram)
-    tok = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
-    starts = F.when(
-        F.size("__t") >= ng,
-        F.sequence(F.lit(1), F.size("__t") - F.lit(ng - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    shingles = tok.select(
-        F.col(id_col).alias("__d"),
-        F.explode(
-            F.transform(
-                starts,
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.col("__t"), i, F.lit(ng))
-                ),
-            )
-        ).alias("__g"),
-    ).distinct()
-    rare = (
-        shingles.join(
-            shingles.groupBy("__g")
-            .agg(F.count("*").alias("__gdf"))
-            .filter(F.col("__gdf") <= rare_df),
-            "__g",
-        )
-    )
-    cand = (
-        rare.alias("a")
-        .join(rare.alias("b"), "__g")
-        .filter(F.col("a.__d") < F.col("b.__d"))
-        .select(
-            F.col("a.__d").alias("__da"), F.col("b.__d").alias("__db")
-        )
-        .distinct()
+    cand = tfidf_block_candidates(
+        docs, id_col, text_col, rare_df=rare_df, block_ngram=block_ngram
     )
     wa = w.select(
         F.col(id_col).alias("__da"), "term", F.col("w").alias("__wa")

@@ -880,27 +880,34 @@ def grouped_ols_trend(
     y_col: Column | str,
     scale: int = 10**6,
 ) -> DataFrame:
-    """Per-group ordinary-least-squares linear trend from EXACT integer
+    """Per-group ordinary-least-squares linear trend from EXACT
     sufficient statistics: one hash aggregate computes (n, Σx, Σy,
-    Σxy, Σx², Σy²) as int64 (callers pass integer-quantized x/y — day
-    index, cents), then
+    Σxy, Σx², Σy²) as DECIMAL(38,0) (callers pass integer-quantized
+    x/y — day index, cents), then
 
       slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
       intercept = (Σy − slope·Σx) / n
       r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
 
-    The numerators/denominators are exact integer expressions (int64
-    inputs; the products are computed in double — exact below 2^53,
-    the callers' quantization contract); the final divisions are
-    correctly-rounded double ops in a fixed order, and outputs are
-    ``scale``-quantized ints (slope_micro etc.), so the result is
-    hash-identical cross-engine — the same rung-4 discipline as
-    psi/KS/bootstrap.
+    Numerators and denominators are computed EXACTLY in decimal
+    (Spark) / HUGEINT (the DuckDB mirror) — int64 or double sums
+    would overflow/round for realistic cents-scale inputs (Σy² passes
+    2^53 after ~25 rows of 6e7-cent values, making the result
+    accumulation-order-dependent across engines). Each exact quantity
+    is cast to double ONCE, the divisions run in a fixed order, and
+    outputs are ``scale``-quantized ints — hash-identical cross-engine
+    (the same rung-4 discipline as psi/KS/bootstrap). Exactness bound
+    (documented, not silently truncated): per-term products |x·y|,
+    x², y² must stay under ~1e18 and group totals n·Σ under ~1e38 —
+    true for day-index × cents at any TPC-H scale; decimal overflow
+    past that surfaces as NULL sums, not wrong numbers.
 
     Degenerate groups are explicit, not NaN: a group with n < 2 or
     zero x-variance emits NULL slope/intercept/r2 (vertical or
     undetermined fit); zero y-variance with nonzero x-variance emits
-    slope normally and r2 = NULL when its denominator is 0.
+    slope normally and r2 = NULL — the variance tests compare EXACT
+    decimals to zero, so a constant-y group is NULL-r2 at any
+    magnitude (a float den_y would miss it past 2^53).
 
     Scale: ONE map-side-combining aggregate over the fact rows;
     nothing row-scale after it. The group-trend screen for metric
@@ -911,8 +918,9 @@ def grouped_ols_trend(
     r2_milli).
     """
     keys = list(group_cols)
-    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
-    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    dec = "decimal(18,0)"
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast(dec)
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast(dec)
     agg = df.groupBy(*keys).agg(
         F.count("*").alias("__n"),
         F.sum(x).alias("__sx"),
@@ -921,13 +929,27 @@ def grouped_ols_trend(
         F.sum(x * x).alias("__sxx"),
         F.sum(y * y).alias("__syy"),
     )
-    n = F.col("__n").cast("double")
-    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
-    den_x = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
-    den_y = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
-    slope = num / F.nullif(den_x, F.lit(0.0))
-    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
-    r2 = (num * num) / F.nullif(den_x * den_y, F.lit(0.0))
+    big = "decimal(38,0)"
+    n_d = F.col("__n").cast(big)
+    sx = F.col("__sx").cast(big)
+    sy = F.col("__sy").cast(big)
+    num = (n_d * F.col("__sxy").cast(big) - sx * sy).cast(big)
+    den_x = (n_d * F.col("__sxx").cast(big) - sx * sx).cast(big)
+    den_y = (n_d * F.col("__syy").cast(big) - sy * sy).cast(big)
+    num_f = num.cast("double")
+    den_x_f = F.nullif(den_x, F.lit(0).cast(big)).cast("double")
+    slope = num_f / den_x_f
+    intercept = (sy.cast("double") - slope * sx.cast("double")) / F.col(
+        "__n"
+    ).cast("double")
+    r2 = (num_f * num_f) / F.nullif(
+        den_x.cast("double") * den_y.cast("double"), F.lit(0.0)
+    )
+    # exact zero-variance tests (decimal compare, not float)
+    r2 = F.when(
+        (den_x == F.lit(0).cast(big)) | (den_y == F.lit(0).cast(big)),
+        F.lit(None).cast("double"),
+    ).otherwise(r2)
     s = F.lit(float(scale))
     return agg.select(
         *keys,
@@ -951,38 +973,49 @@ def grouped_ols_trend_sql(
     y_expr: str,
     scale: int = 10**6,
 ) -> str:
-    """DuckDB mirror of :func:`grouped_ols_trend`: identical sufficient
-    statistics, identical double expression order, identical
-    quantization. ``source_select`` yields the group cols plus the
-    x/y expressions' inputs."""
+    """DuckDB mirror of :func:`grouped_ols_trend`: identical EXACT
+    sufficient statistics (HUGEINT = int128, matching Spark's
+    decimal(38,0)), identical one-cast-to-double-then-divide order,
+    identical quantization and exact zero-variance tests.
+    ``source_select`` yields the group cols plus the x/y expressions'
+    inputs."""
     keys = ", ".join(group_cols)
     return f"""
 WITH src AS ({source_select}),
 agg AS (
   SELECT {keys},
          count(*) AS n,
-         sum(CAST({x_expr} AS DOUBLE)) AS sx,
-         sum(CAST({y_expr} AS DOUBLE)) AS sy,
-         sum(CAST({x_expr} AS DOUBLE) * CAST({y_expr} AS DOUBLE)) AS sxy,
-         sum(CAST({x_expr} AS DOUBLE) * CAST({x_expr} AS DOUBLE)) AS sxx,
-         sum(CAST({y_expr} AS DOUBLE) * CAST({y_expr} AS DOUBLE)) AS syy
+         sum(CAST({x_expr} AS HUGEINT)) AS sx,
+         sum(CAST({y_expr} AS HUGEINT)) AS sy,
+         sum(CAST({x_expr} AS HUGEINT) * CAST({y_expr} AS HUGEINT))
+           AS sxy,
+         sum(CAST({x_expr} AS HUGEINT) * CAST({x_expr} AS HUGEINT))
+           AS sxx,
+         sum(CAST({y_expr} AS HUGEINT) * CAST({y_expr} AS HUGEINT))
+           AS syy
   FROM src GROUP BY {keys}
+),
+ex AS (
+  SELECT {keys}, n,
+         CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+         CAST(n AS HUGEINT) * sxx - sx * sx AS den_x,
+         CAST(n AS HUGEINT) * syy - sy * sy AS den_y,
+         sx, sy
+  FROM agg
 )
 SELECT {keys}, CAST(n AS BIGINT) AS n,
   CASE WHEN n >= 2 THEN CAST(round(
-    (CAST(n AS DOUBLE) * sxy - sx * sy)
-      / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0)
+    CAST(num AS DOUBLE) / CAST(nullif(den_x, 0) AS DOUBLE)
     * {scale}.0) AS BIGINT) END AS slope_scaled,
   CASE WHEN n >= 2 THEN CAST(round(
-    (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
-      / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0) * sx)
+    (CAST(sy AS DOUBLE)
+      - CAST(num AS DOUBLE) / CAST(nullif(den_x, 0) AS DOUBLE)
+        * CAST(sx AS DOUBLE))
       / CAST(n AS DOUBLE)
     * {scale}.0) AS BIGINT) END AS intercept_scaled,
-  CASE WHEN n >= 2 THEN CAST(round(
-    ((CAST(n AS DOUBLE) * sxy - sx * sy)
-      * (CAST(n AS DOUBLE) * sxy - sx * sy))
-      / nullif((CAST(n AS DOUBLE) * sxx - sx * sx)
-      * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0)
+  CASE WHEN n >= 2 AND den_x <> 0 AND den_y <> 0 THEN CAST(round(
+    (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+      / nullif(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE), 0.0)
     * 1000.0) AS BIGINT) END AS r2_milli
-FROM agg
+FROM ex
 """

@@ -30,9 +30,6 @@ from etl_spark_spark.session import get_spark  # noqa: E402
 
 
 def run(spark, sf_dir: str, rare_df: int) -> tuple[float, int, int]:
-    from pyspark.sql import functions as F
-
-    from etl_spark_spark.functions.text import tokens
     from etl_spark_spark.operators.retrieval import tfidf_topk_similar
     from etl_spark_spark.sources import table
 
@@ -42,33 +39,13 @@ def run(spark, sf_dir: str, rare_df: int) -> tuple[float, int, int]:
     t0 = time.time()
     n_out = out.count()
     wall = time.time() - t0
-    # candidate count under the operator's trigram blocking
-    tok = docs.select("doc_id", tokens("text").alias("t"))
-    starts = F.when(
-        F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - F.lit(2))
-    ).otherwise(F.array().cast("array<int>"))
-    sh = tok.select(
-        F.col("doc_id").alias("d"),
-        F.explode(
-            F.transform(
-                starts, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(3)))
-            )
-        ).alias("g"),
-    ).distinct()
-    rare = sh.join(
-        sh.groupBy("g").agg(F.count("*").alias("gdf")).filter(
-            F.col("gdf") <= rare_df
-        ),
-        "g",
-    )
-    n_cand = (
-        rare.alias("a")
-        .join(rare.alias("b"), "g")
-        .filter(F.col("a.d") < F.col("b.d"))
-        .select("a.d", "b.d")
-        .distinct()
-        .count()
-    )
+    # candidate count from THE operator's own generator (shared
+    # helper, so the audit cannot drift from the shipped blocking)
+    from etl_spark_spark.operators.retrieval import tfidf_block_candidates
+
+    n_cand = tfidf_block_candidates(
+        docs, "doc_id", "text", rare_df=rare_df
+    ).count()
     return wall, n_out, n_cand
 
 

@@ -754,3 +754,65 @@ def test_rrf_fuse_matches_python_replay(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse([], "doc_id")
+
+
+def test_ewma_null_value_fails_loudly_both_engines(spark):
+    """Regression (round-10 self-review): a NULL value must RAISE in
+    both engines — a NULL-init fold would silently re-seed after it in
+    Spark while DuckDB's list_reduce poisons the rest of the series,
+    an engine/oracle divergence on exactly the rows that matter."""
+    import duckdb
+
+    from etl_spark_spark.operators.recurrence import (
+        ewma_grouped,
+        ewma_grouped_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("a", 3, 4.0)],
+        "g string, t long, v double",
+    )
+    with pytest.raises(Exception, match="NULL v"):
+        ewma_grouped(df, ["g"], "t", "v", alpha=0.25).collect()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev AS SELECT 'a' g, 1::BIGINT t, 1.0::DOUBLE v "
+        "UNION ALL SELECT 'a', 2, NULL UNION ALL SELECT 'a', 3, 4.0"
+    )
+    with pytest.raises(Exception, match="NULL v"):
+        con.execute(
+            ewma_grouped_sql("SELECT * FROM ev", ["g"], "t", "v", 0.25)
+        ).fetchall()
+
+
+def test_grouped_ols_exact_at_large_magnitudes(spark):
+    """Regression (round-10 self-review): sufficient statistics run in
+    decimal/HUGEINT, so (a) a constant-y group at large magnitude
+    emits NULL r2 via the EXACT zero-variance test (a float den_y
+    would read nonzero past 2^53), and (b) Spark and DuckDB agree
+    bit-for-bit on cents-scale magnitudes where double sums would be
+    accumulation-order-dependent."""
+    import duckdb
+
+    from etl_spark_spark.operators.stats import (
+        grouped_ols_trend,
+        grouped_ols_trend_sql,
+    )
+
+    rows = [("const", x, 20_000_001) for x in range(30)]
+    rows += [("big", x, 50_000_000 + 1_000_000 * x + (x % 7)) for x in range(200)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r["g"]: (r["n"], r["slope_scaled"], r["intercept_scaled"], r["r2_milli"])
+        for r in grouped_ols_trend(df, ["g"], "x", "y").collect()
+    }
+    assert got["const"][1] == 0 and got["const"][3] is None
+
+    con = duckdb.connect()
+    vals = ", ".join(f"('{g}', {x}, {y})" for g, x, y in rows)
+    sql = grouped_ols_trend_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(g, x, y)", ["g"], "x", "y"
+    )
+    want = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+    assert {g: tuple(v) for g, v in got.items()} == want
