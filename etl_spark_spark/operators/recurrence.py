@@ -45,6 +45,7 @@ def ewma_grouped(
     value_col: str,
     alpha: float,
     scale: int = 1000,
+    max_series: int | None = 5000,
 ) -> DataFrame:
     """Per-group EWMA of ``value_col`` in ``order_col`` order:
     s_1 = x_1, s_t = alpha*x_t + (1-alpha)*s_{t-1}, emitted per input
@@ -63,9 +64,19 @@ def ewma_grouped(
     propagates it forever), and a NULL measurement has no defined
     smoothing semantics anyway — aggregate grains produce non-NULL
     values. The SQL mirror errors identically.
+
+    The bounded-series contract is ENFORCED, not just documented: a
+    group whose series exceeds ``max_series`` (default = the module's
+    documented calendar bound) raises loudly in both engines instead
+    of silently running an O(n²) fold on an unbounded series — the
+    failure mode of feeding a raw event stream where an aggregated
+    grain was meant. Pass ``max_series=None`` to disable (eval only).
+    For genuinely unbounded series use :func:`ewma_scalable`.
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if max_series is not None and max_series <= 0:
+        raise ValueError(f"max_series must be positive, got {max_series}")
     keys = list(group_cols)
     a = F.lit(float(alpha))
     checked_v = F.when(
@@ -88,12 +99,30 @@ def ewma_grouped(
         ).alias("__ser")
     )
 
+    if max_series is None:
+        ser_checked = F.col("__ser")
+    else:
+        ser_checked = F.when(
+            F.size(F.col("__ser")) <= F.lit(int(max_series)),
+            F.col("__ser"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "ewma_grouped: series length "
+                    ),
+                    F.size(F.col("__ser")).cast("string"),
+                    F.lit(f" exceeds max_series={int(max_series)}"),
+                )
+            )
+        )
+
     def _prefix_fold(i: Column) -> Column:
         # fold elements 1..i+1 left-to-right; NULL init = "first
         # element seeds the state" (s_1 = x_1), mirroring DuckDB's
         # init-free list_reduce
         return F.aggregate(
-            F.slice(F.col("__ser"), F.lit(1), i + 1),
+            F.slice(ser_checked, F.lit(1), i + 1),
             F.lit(None).cast("double"),
             lambda acc, x: F.when(acc.isNull(), x["v"]).otherwise(
                 a * x["v"] + (F.lit(1.0) - a) * acc
@@ -122,15 +151,28 @@ def ewma_grouped_sql(
     value_col: str,
     alpha: float,
     scale: int = 1000,
+    max_series: int | None = 5000,
 ) -> str:
     """DuckDB mirror of :func:`ewma_grouped`: identical sort, identical
     left fold over each prefix (list_reduce seeds from the first
     element, matching the operator's NULL-init), identical
-    quantization, identical loud failure on NULL values.
+    quantization, identical loud failure on NULL values and on a
+    series longer than ``max_series``.
     ``source_select`` yields group cols + order + value.
     """
+    if max_series is not None and max_series <= 0:
+        raise ValueError(f"max_series must be positive, got {max_series}")
     keys = ", ".join(group_cols)
     a = repr(float(alpha))
+    if max_series is None:
+        ser_checked = "ser"
+    else:
+        ser_checked = (
+            f"CASE WHEN len(ser) <= {int(max_series)} THEN ser "
+            f"ELSE error('ewma_grouped: series length ' "
+            f"|| CAST(len(ser) AS VARCHAR) "
+            f"|| ' exceeds max_series={int(max_series)}') END"
+        )
     return f"""
 WITH src AS ({source_select}),
 packed AS (
@@ -152,7 +194,7 @@ SELECT {keys},
        ser[i].o AS {order_col},
        ser[i].v AS {value_col},
        CAST(round(list_reduce(
-              list_transform(list_slice(ser, 1, i), s -> s.v),
+              list_transform(list_slice({ser_checked}, 1, i), s -> s.v),
               (acc, x) -> {a} * x + (1.0 - {a}) * acc
             ) * {float(scale)!r}) AS BIGINT) AS ewma_scaled
 FROM idx

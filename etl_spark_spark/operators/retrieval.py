@@ -497,6 +497,8 @@ def rrf_fuse(
     """
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
+    if k is not None and k <= 0:
+        raise ValueError(f"k must be positive (or None for all), got {k}")
     tagged = None
     for i, r in enumerate(rankings):
         t = r.select(
@@ -519,7 +521,7 @@ def rrf_fuse(
     out = fused.withColumn(
         "rank", F.row_number().over(w).cast("int")
     )
-    return out.filter(F.col("rank") <= k) if k else out
+    return out.filter(F.col("rank") <= k) if k is not None else out
 
 
 def rrf_fuse_sql(
@@ -531,12 +533,14 @@ def rrf_fuse_sql(
 ) -> str:
     """DuckDB mirror of :func:`rrf_fuse`: each ``ranking_selects``
     entry must yield (id_col, rank_col)."""
+    if k is not None and k <= 0:
+        raise ValueError(f"k must be positive (or None for all), got {k}")
     unions = " UNION ALL ".join(
         f"SELECT {id_col}, 1.0 / ({k0}.0 + CAST({rank_col} AS DOUBLE)) "
         f"AS contrib FROM ({sel})"
         for sel in ranking_selects
     )
-    limit = f"WHERE rank <= {k}" if k else ""
+    limit = f"WHERE rank <= {k}" if k is not None else ""
     return f"""
 WITH contribs AS ({unions}),
 fused AS (

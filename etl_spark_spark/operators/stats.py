@@ -899,8 +899,12 @@ def grouped_ols_trend(
     (the same rung-4 discipline as psi/KS/bootstrap). Exactness bound
     (documented, not silently truncated): per-term products |x·y|,
     x², y² must stay under ~1e18 and group totals n·Σ under ~1e38 —
-    true for day-index × cents at any TPC-H scale; decimal overflow
-    past that surfaces as NULL sums, not wrong numbers.
+    true for day-index × cents at any TPC-H scale. Past that boundary
+    the engines fail DIFFERENTLY (never wrongly): Spark decimal
+    overflow yields NULL sums (ANSI off) while the DuckDB mirror's
+    HUGEINT overflow raises a runtime error — a documented asymmetry,
+    not a silent divergence: one engine errors, the other emits NULL
+    outputs, neither produces a plausible-but-wrong number.
 
     Degenerate groups are explicit, not NaN: a group with n < 2 or
     zero x-variance emits NULL slope/intercept/r2 (vertical or

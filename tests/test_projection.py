@@ -215,6 +215,34 @@ def test_jl_malformed_vector_fails_loudly_both_engines(spark):
     assert [tuple(r) for r in good_sql] == good_spark
 
 
+def test_jl_null_vector_gets_distinct_message_both_engines(spark):
+    """Round-11 (ADVICE r10): a NULL vector must raise with its own
+    'NULL vector' message, not the misleading length-mismatch one
+    (size(NULL) is NULL, so it previously fell into the otherwise
+    branch) — an operator debugging the failure sees the real cause."""
+    import duckdb
+
+    from etl_spark_spark.operators.projection import jl_project_sql
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125]), (2, None)],
+        "vec_id long, v array<double>",
+    )
+    with pytest.raises(Exception, match="NULL vector at vec_id=2"):
+        jl_project(df, "vec_id", "v", out_dim=2, dim=3).collect()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE tn AS SELECT 1::BIGINT vec_id, "
+        "[0.5, -0.25, 0.125]::DOUBLE[] v "
+        "UNION ALL SELECT 2, NULL"
+    )
+    with pytest.raises(Exception, match="NULL vector at 2"):
+        con.execute(
+            jl_project_sql("tn", "vec_id", "v", out_dim=2, dim=3)
+        ).fetchall()
+
+
 def test_psi_drift_surfaces_current_only_groups(spark):
     """Regression (ADVICE r10): a group present only in the CURRENT
     variant (a brand-new event type — the case a drift monitor exists

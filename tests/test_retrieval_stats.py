@@ -786,6 +786,69 @@ def test_ewma_null_value_fails_loudly_both_engines(spark):
         ).fetchall()
 
 
+def test_ewma_max_series_guard_fails_loudly_both_engines(spark):
+    """Round-11 (VERDICT r10): the bounded-series contract is enforced,
+    not docstring-only — a group longer than max_series RAISES in both
+    engines instead of silently running the O(n²) fold on an unbounded
+    series; an in-bound series is untouched by the guard."""
+    import duckdb
+
+    from etl_spark_spark.operators.recurrence import (
+        ewma_grouped,
+        ewma_grouped_sql,
+    )
+
+    rows = [("a", t, float(t)) for t in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    with pytest.raises(Exception, match="exceeds max_series=4"):
+        ewma_grouped(df, ["g"], "t", "v", alpha=0.25, max_series=4).collect()
+    # in-bound: guard is a no-op, values identical to the unguarded form
+    ok = ewma_grouped(df, ["g"], "t", "v", alpha=0.25, max_series=5)
+    off = ewma_grouped(df, ["g"], "t", "v", alpha=0.25, max_series=None)
+    assert sorted(map(tuple, ok.collect())) == sorted(
+        map(tuple, off.collect())
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev AS SELECT 'a' g, unnest(range(1, 6))::BIGINT t, "
+        "unnest(range(1, 6))::DOUBLE v"
+    )
+    with pytest.raises(Exception, match="exceeds max_series=4"):
+        con.execute(
+            ewma_grouped_sql(
+                "SELECT * FROM ev", ["g"], "t", "v", 0.25, max_series=4
+            )
+        ).fetchall()
+    n_ok = con.execute(
+        ewma_grouped_sql(
+            "SELECT * FROM ev", ["g"], "t", "v", 0.25, max_series=5
+        )
+    ).fetchall()
+    assert len(n_ok) == 5
+    with pytest.raises(ValueError):
+        ewma_grouped(df, ["g"], "t", "v", alpha=0.25, max_series=0)
+    with pytest.raises(ValueError):
+        ewma_grouped_sql("SELECT * FROM ev", ["g"], "t", "v", 0.25, 1000, -1)
+
+
+def test_rrf_fuse_rejects_nonpositive_k(spark):
+    """Round-11 (ADVICE r10): k=0 must be rejected, not silently mean
+    'return everything' — consistent with the strict positive-parameter
+    validation elsewhere; k=None remains the documented 'all' form."""
+    from etl_spark_spark.operators.retrieval import rrf_fuse, rrf_fuse_sql
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    with pytest.raises(ValueError, match="k must be positive"):
+        rrf_fuse([a], "doc_id", k=0)
+    with pytest.raises(ValueError, match="k must be positive"):
+        rrf_fuse([a], "doc_id", k=-3)
+    with pytest.raises(ValueError, match="k must be positive"):
+        rrf_fuse_sql(["SELECT 1 doc_id, 1 rank"], "doc_id", k=0)
+    assert rrf_fuse([a], "doc_id", k=None).count() == 2
+    assert rrf_fuse([a], "doc_id", k=1).count() == 1
+
+
 def test_grouped_ols_exact_at_large_magnitudes(spark):
     """Regression (round-10 self-review): sufficient statistics run in
     decimal/HUGEINT, so (a) a constant-y group at large magnitude
