@@ -110,9 +110,11 @@ def q_orders_pit_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension join: enrich each order with the
     customer attribute that was CURRENT on the order date, against an
     SCD2 history (two snapshots: a 1995-06-01 bootstrap, then a
-    1996-06-01 balance change for every 10th customer). The join is a
-    broadcast equi-join on custkey with the validity range as a join
-    filter — the standard PIT pattern; a LEFT join so orders placed
+    1996-06-01 balance change for every 10th customer). The join is an
+    equi-join on custkey with the validity range as a join filter —
+    the standard PIT pattern; unhinted, since an SCD2 history over a
+    customer-scaling dimension is itself SF-scaling (AQE broadcasts it
+    only while small — round-11 audit, PLANS.md); a LEFT join so orders placed
     before the dimension existed survive with NULL attributes (that
     edge is pinned, not papered over). Validity stamps are ISO strings
     compared lexicographically — portable to the oracle."""
@@ -139,7 +141,7 @@ def q_orders_pit_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("valid_from") <= F.col("order_date"))
         & (F.col("valid_to").isNull() | (F.col("order_date") < F.col("valid_to")))
     )
-    return o.join(F.broadcast(hist), cond, "left").select(
+    return o.join(hist, cond, "left").select(
         "o_orderkey",
         "o_custkey",
         "order_date",

@@ -259,7 +259,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table join through the region/nation hierarchy
     with the local-supplier condition (customer and supplier in the
-    same nation), grouped revenue per nation. Dimensions broadcast;
+    same nation), grouped revenue per nation. Bounded dims (nation,
+    region) broadcast; SF-scaling sides (customer, supplier) join
+    unhinted — AQE broadcasts them only while actually small;
     the two fact tables join on their keys."""
     region = table(spark, sf_dir, "region")
     nation = table(spark, sf_dir, "nation")
@@ -273,9 +275,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         year_range_filter(orders, "o_orderdate", 1996)
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -422,7 +424,7 @@ def q_rollup_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["l_suppkey", "l_extendedprice", "l_discount"],
     )
     sup = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-    joined = li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    joined = li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
     return (
         joined.rollup(
             F.col("s_nationkey").alias("nation_key"),
@@ -499,19 +501,20 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unit"), F.col("l_suppkey")
     )
     # dimension filter BEFORE the window: per-part windows are
-    # independent, so pre-joining the (broadcast) filtered part dim
+    # independent, so pre-joining the filtered part dim (AQE picks
+    # broadcast while it is small; the side scales with SF, so no hint)
     # shrinks the window's shuffle input ~10x with identical results
     best = (
         li.select("l_partkey", "l_suppkey", unit)
         .join(
-            F.broadcast(part.filter(F.col("p_size") <= 5)),
+            part.filter(F.col("p_size") <= 5),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
     return (
-        best.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        best.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("p_partkey").alias("part_key"),
             F.col("p_brand").alias("brand"),
@@ -794,7 +797,8 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shaped national market share: 7-table join with the
     nation dimension in TWO roles (customer nation -> region scope,
     supplier nation -> share numerator). The deepest join tree in the
-    suite — every dimension broadcast, the fact never shuffled until
+    suite — bounded dims broadcast, scaling dims unhinted (AQE), the
+    fact never shuffled until
     the final per-year aggregate; volumes summed in integer cents so
     the share ratio is bit-reproducible at any parallelism."""
     li = table(spark, sf_dir, "lineitem")
@@ -812,7 +816,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.alias("n2")
     scoped = (
         li.join(
-            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            part.filter(F.col("p_type") == "ECONOMY"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
@@ -828,7 +832,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
             F.col("n1.n_regionkey") == F.col("r_regionkey"),
         )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
     )
     return (
@@ -917,14 +921,15 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     both join sides (brand/size from part, quantity from lineitem).
     The disjunction cannot be pushed as a whole, but Catalyst's CNF
     conversion extracts the per-table residuals (size range, quantity
-    range) down to each scan; the join itself broadcasts part. One
+    range) down to each scan; the part join is unhinted (part scales
+    with SF — AQE broadcasts while small). One
     row out, summed in integer cents."""
     li = table(
         spark, sf_dir, "lineitem",
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
     )
     part = table(spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
-    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     b, s, q = F.col("p_brand"), F.col("p_size"), F.col("l_quantity")
     cond = (
         ((b == "Brand#1") & s.between(1, 10) & q.between(1, 20))
@@ -947,12 +952,13 @@ def q_exclusive_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     line from any other supplier (NOT EXISTS -> LEFT ANTI), counted
     per priority. Both correlated subqueries decorrelate to key-only
     join sides — the lineitem side is reduced to l_orderkey before
-    either shuffle, and the supplier lookup broadcasts."""
+    either shuffle; the supplier lookup is unhinted (supplier scales
+    with SF — AQE broadcasts while small)."""
     li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
     sup = table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
     orders = table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     li_n = li.join(
-        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        sup, F.col("l_suppkey") == F.col("s_suppkey")
     ).select("l_orderkey", "s_nationkey")
     in_a = li_n.filter(F.col("s_nationkey") < 5).select(
         F.col("l_orderkey").alias("o_orderkey")
@@ -973,7 +979,8 @@ def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct supplier counts per (brand, size),
     excluding complaint suppliers (NOT IN -> LEFT ANTI on a tiny
     filtered side). count_distinct plans as the two-phase distinct
-    aggregate (partial distinct map-side); the part join broadcasts."""
+    aggregate (partial distinct map-side); part/supplier joins are
+    unhinted (both scale with SF — AQE decides)."""
     li = table(spark, sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
     part = table(spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
     bad = (
@@ -982,8 +989,8 @@ def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("l_suppkey"))
     )
     return (
-        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1037,7 +1044,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     20% of the part's average quantity, per brand. The correlated
     scalar subquery (per-part avg) is DECORRELATED by hand into an
     aggregate + join — on Spark that means one partial+final hash
-    aggregate over lineitem and a broadcast-able per-part threshold
+    aggregate over lineitem and an AQE-joinable per-part threshold
     table, instead of a re-executed subquery per row. The threshold
     avg is exact in IEEE double (integral quantities, sum < 2^53), so
     the boundary comparison is engine-portable; revenue is summed in
@@ -1049,7 +1056,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(thresholds, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cap"))
         .groupBy("p_brand")
@@ -1091,7 +1098,8 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: nation in two roles joined through DIFFERENT
     fact paths (supplier side via lineitem, customer side via orders)
     with a disjunctive cross-pair predicate that can only be applied
-    AFTER both roles are attached. Both nation copies broadcast; the
+    AFTER both roles are attached. Both (bounded) nation copies
+    broadcast; supplier is unhinted (scales with SF); the
     pair filter collapses the fact stream before the per-year
     aggregate; revenue in integer cents for bit-stable sums."""
     li = table(
@@ -1110,7 +1118,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     joined = (
-        shipped.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        shipped.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
@@ -1147,7 +1155,8 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply cost is the part's retail price — same plan shape, different
     constant). Profit per supplier-nation per order-year over a
     p_name LIKE-filtered part subset. The LIKE filter lands in the
-    parquet scan via the broadcast part dim; profit is computed
+    parquet scan via the filtered part dim (unhinted — scales with
+    SF); profit is computed
     row-wise in cents before the aggregate."""
     li = table(
         spark, sf_dir, "lineitem",
@@ -1167,10 +1176,10 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return (
         li.join(
-            F.broadcast(part.filter(F.col("p_name").like("%widget%"))),
+            part.filter(F.col("p_name").like("%widget%")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn("__c", cents)
@@ -1209,7 +1218,7 @@ def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(q4_1995, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .withColumn("__c", cents)
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
@@ -1237,7 +1246,7 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
     per_part = (
-        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -1303,7 +1312,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
     )
     return (
-        month.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        month.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("__c", cents)
         .agg(
             F.sum(
@@ -1349,7 +1358,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(best))
         .filter(F.col("__rev_c") == F.col("__max_c"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").alias("supp_key"),
             F.col("s_name").alias("supp_name"),
@@ -1363,7 +1372,8 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity clears a HAVING
     threshold, joined back to header + customer. The lineitem side is
     fully aggregated (one row per order) before any join; order header
-    and customer attach afterwards, customer broadcast. Quantity summed
+    and customer attach afterwards (customer unhinted — scales with
+    SF, AQE decides). Quantity summed
     as integer units (whole-unit quantities) -> exact HAVING edge."""
     li = table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
     orders = table(
@@ -1378,7 +1388,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -1413,7 +1423,7 @@ def q_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
         )
         .join(
-            F.broadcast(part.filter(F.col("p_name").like("%bolt%"))),
+            part.filter(F.col("p_name").like("%bolt%")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .withColumn("__q", F.round("l_quantity").cast("long"))
@@ -2056,11 +2066,14 @@ def q_part_share_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the windowed ``sum over (partition by part)`` would ship each hot
     part's full row set to one task (AQE cannot split window
     partitions). partitioned_sum_agg computes totals as a map-side-
-    partial hash aggregate and broadcast-joins them back: the fact side
-    never shuffles (operators/windows.py:partitioned_sum_agg; 2.9x on
-    the 62%-hot-key replica, scripts/bench_skew.py). Shares are
-    micro-quantized so the double cascade hashes identically
-    cross-engine."""
+    partial hash aggregate joined back with AQE choosing the strategy
+    (operators/windows.py:partitioned_sum_agg; 2.9x on the 62%-hot-key
+    replica, scripts/bench_skew.py). No forced broadcast: l_partkey
+    group cardinality scales with the data, so the totals table is
+    itself fact-scaling — AQE broadcasts while it is genuinely small
+    and falls back to a splittable shuffle join past the threshold
+    (round-11 broadcast audit, PLANS.md). Shares are micro-quantized
+    so the double cascade hashes identically cross-engine."""
     from etl_spark_spark.operators.reconcile import allocate_proportional
     from etl_spark_spark.operators.windows import partitioned_sum_agg
 
@@ -2170,7 +2183,7 @@ def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
     src = (
         orders.join(
-            F.broadcast(cust),
+            cust,
             orders["o_custkey"] == cust["c_custkey"],
         )
         .join(
@@ -2688,7 +2701,7 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         waiting.groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)

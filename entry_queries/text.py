@@ -1768,7 +1768,7 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") * 10 <= F.col("__n") * 9))
         .select("term", "df")
     )
-    dtm = dt.join(F.broadcast(mid), "term")
+    dtm = dt.join(mid, "term")
     a, b = dtm.alias("a"), dtm.alias("b")
     pairs = (
         a.join(

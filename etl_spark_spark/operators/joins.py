@@ -48,5 +48,13 @@ def broadcast_join(
     """Equi-join with the (small) ``dim`` side broadcast — map-side hash
     join, no shuffle of ``fact`` (reference hints the same at
     etl_job.py:36, though it broadcasts the fact; broadcasting the
-    bounded dimension is the choice that survives a 100x fact scale-up)."""
+    bounded dimension is the choice that survives a 100x fact scale-up).
+
+    CONTRACT: ``dim`` must be bounded-cardinality BY CONSTRUCTION —
+    enum-like dimensions (nation, region, calendars, config tables)
+    whose size does not grow with the fact data. For a dimension that
+    scales with the corpus (customer, supplier, part at TPC-H SF),
+    use a plain ``join_expr`` and let AQE pick broadcast only while
+    the side is actually under the threshold (round-11 broadcast
+    audit, PLANS.md)."""
     return join_expr(fact, F.broadcast(dim), condition, how)

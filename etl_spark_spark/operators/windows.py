@@ -134,18 +134,28 @@ def partitioned_sum_agg(
     partition_by: Sequence[str],
     value: Column | str,
     alias: str,
+    broadcast: bool = False,
 ) -> DataFrame:
     """Skew-immune form of :func:`partitioned_sum`: per-group totals as
-    a hash AGGREGATE joined back broadcast, instead of a window.
+    a hash AGGREGATE joined back, instead of a window.
 
     Why it matters at scale: ``sum(x) over (partition by g)`` lands
     every row of a group on ONE task, and AQE cannot split window
     partitions — one dominant group (the ressarcimento hazard: a single
     supplier hierarchy holding most of the losses) serializes the whole
     stage. Here the totals aggregate partial-combines map-side (skew
-    collapses into one row per group per map task), the totals table is
-    group-cardinality-sized, and the broadcast join back adds ZERO fact
-    shuffle — the fact side never moves.
+    collapses into one row per group per map task) and the totals table
+    is group-cardinality-sized.
+
+    The join-back strategy is AQE's by default (``broadcast=False``):
+    a fact-scale group key (l_partkey in part_share_alloc) makes the
+    totals table itself fact-scaling, and a forced broadcast of it is
+    an OOM at the 100 TB design point — AQE broadcasts only while the
+    side is actually under the threshold and otherwise falls back to a
+    shuffle join whose skew IT can split (unlike a window partition).
+    Pass ``broadcast=True`` only when the group cardinality is bounded
+    by construction (enum-like keys, calendar grains) — that pins the
+    zero-fact-shuffle plan shape regardless of stats.
 
     Identical values to the window form for any input, including NULL
     group keys (null-safe join keeps the window's NULL-is-a-group
@@ -159,11 +169,13 @@ def partitioned_sum_agg(
     totals = (
         df.groupBy(*keys).agg(F.sum(value_col).alias(alias)).alias("__pst")
     )
+    if broadcast:
+        totals = F.broadcast(totals)
     cond = None
     for k in keys:
         c = F.col(f"__psl.{k}").eqNullSafe(F.col(f"__pst.{k}"))
         cond = c if cond is None else (cond & c)
-    return left.join(F.broadcast(totals), cond, "left").select(
+    return left.join(totals, cond, "left").select(
         *[F.col(f"__psl.{c}") for c in df.columns],
         F.col(f"__pst.{alias}").alias(alias),
     )

@@ -87,7 +87,7 @@ def allocation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window form is deliberate HERE: it runs over the already-
     # aggregated (nation, supplier) table, so a partition is bounded by
     # suppliers-per-nation, not raw rows. For fact-scale denominators
-    # under a dominant group use partitioned_sum_agg (broadcast-back
+    # under a dominant group use partitioned_sum_agg (map-side-partial
     # aggregate; 2.9x on the 62%-hot-key replica, scripts/bench_skew.py
     # + BASELINE.md round-10) — exercised by q_part_share_alloc.
     losses = partitioned_sum(

@@ -129,6 +129,12 @@ def stream_enrich_static(
     state is kept (contrast with stream-stream joins, which buffer both
     sides in state against the watermark). Works in append mode with no
     watermark requirement.
+
+    CONTRACT: ``dim`` must be bounded-cardinality by construction (a
+    lookup/config table). A dimension that scales with the data does
+    not fit a per-micro-batch broadcast — snapshot-join it in batch or
+    key the stream by the dimension instead (round-11 broadcast audit,
+    PLANS.md).
     """
     return events.join(F.broadcast(dim), on, how)
 

@@ -134,12 +134,14 @@ def test_strip_normalize_covers_reference_charset(spark):
 
 
 def test_partitioned_sum_agg_equals_window_form(spark):
-    """Round-10 (VERDICT task 7): the broadcast-join group-total form
-    must be value-identical to the window form — including NULL group
-    keys (a window treats NULL as a group; the join-back is null-safe)
-    — and must plan the totals as a BroadcastHashJoin so the fact side
-    never shuffles (AQE cannot split a hot window partition; it never
-    gets the chance here)."""
+    """Round-10 (VERDICT task 7) + round-11 broadcast audit: the
+    aggregate group-total form must be value-identical to the window
+    form — including NULL group keys (a window treats NULL as a group;
+    the join-back is null-safe) — under BOTH join-back strategies.
+    broadcast=True (bounded-cardinality contract) must pin the
+    BroadcastHashJoin plan; the default leaves the choice to AQE (a
+    fact-scale group key makes the totals table fact-scaling, where a
+    forced broadcast is an OOM at the design point)."""
     from etl_spark_spark.operators.windows import (
         partitioned_sum,
         partitioned_sum_agg,
@@ -155,11 +157,12 @@ def test_partitioned_sum_agg_equals_window_form(spark):
         (r["k"], r["v"], r["t"])
         for r in partitioned_sum(df, ["k"], "v", "t").collect()
     }
-    got_df = partitioned_sum_agg(df, ["k"], "v", "t")
-    got = {(r["k"], r["v"], r["t"]) for r in got_df.collect()}
-    assert got == want
-    assert got_df.columns == ["k", "v", "t"]
-
-    plan = got_df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "Window" not in plan
+    for bc in (False, True):
+        got_df = partitioned_sum_agg(df, ["k"], "v", "t", broadcast=bc)
+        got = {(r["k"], r["v"], r["t"]) for r in got_df.collect()}
+        assert got == want, f"broadcast={bc}"
+        assert got_df.columns == ["k", "v", "t"]
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        if bc:
+            assert "BroadcastHashJoin" in plan
