@@ -238,8 +238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_ab": q_psi_drift_ab,
         "part_share_alloc": q_part_share_alloc,
         "doc_tfidf_similar": q_doc_tfidf_similar,
+        "tfidf_block_recall": q_tfidf_block_recall,
         "nation_revenue_trend": q_nation_revenue_trend,
         "supplier_qty_ewma": q_supplier_qty_ewma,
+        "supplier_qty_ewma_scalable": q_supplier_qty_ewma_scalable,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "schema_evolution_scan": q_schema_evolution_scan,
         "did_purchase_uplift": q_did_purchase_uplift,
@@ -500,8 +502,10 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift_ab": _psi_drift_oracle(),
         "part_share_alloc": _PART_SHARE_ALLOC_SQL,
         "doc_tfidf_similar": _doc_tfidf_similar_oracle(),
+        "tfidf_block_recall": _tfidf_block_recall_oracle(),
         "nation_revenue_trend": _nation_revenue_trend_oracle(),
         "supplier_qty_ewma": _supplier_qty_ewma_oracle(),
+        "supplier_qty_ewma_scalable": _supplier_qty_ewma_oracle(),
         "hybrid_search_rrf": _hybrid_search_rrf_oracle(),
         "schema_evolution_scan": _SCHEMA_EVOLUTION_SQL,
         "did_purchase_uplift": _DID_SQL,

@@ -15,6 +15,17 @@ to the 20 most expensive queries by the previous full run's warm cost
 (bench_full.json), so the stable protocol stays cheap enough to run
 every round. The no-flag default is byte-compatible with what the
 round driver expects.
+
+Drift canaries (round 11): cross-ROUND comparisons also suffer HOST
+drift (round 10 read 1.23x slower uniformly — a box state change, not
+a regression — and proving that burned a judge session). ``--median3``
+therefore ends by re-running three fixed canary queries each in a
+FRESH subprocess + fresh SparkSession (cold JVM, no 217-query session
+state) and records their median warm times under ``canary_solo`` in
+bench_median3.json. To compare rounds, divide each round's totals by
+its canary ratio first: canaries are frozen queries whose plans are
+pinned byte-stable, so any canary movement IS host drift.
+``--solo-canary NAME`` is the internal child-process mode.
 """
 
 from __future__ import annotations
@@ -39,6 +50,13 @@ def _force(df) -> None:
 # the round-1 query set, frozen: summing warm times over exactly these
 # names gives a number comparable across rounds even as the query set
 # grows (BASELINE.md round-1 closing total was measured over these 46)
+# the drift canaries: frozen queries with byte-stable pinned plans,
+# spanning the three engine regimes (codegen join-agg / Arrow pandas
+# blocks / sketch array folds) — movement here is host drift by
+# construction, so round-over-round totals are compared canary-ratio-
+# normalized (BASELINE.md "Round-11 drift canaries")
+CANARY_QUERIES = ("superdesconto", "semantic_dedup", "hll_source_overlap")
+
 R1_QUERIES = frozenset(
     """superdesconto allocation pricing_summary dedup_latest_part
     top_orders_per_customer customers_without_orders orders_enriched
@@ -69,6 +87,12 @@ def main() -> None:
         help="only the 20 most expensive queries by the last full run's "
         "warm cost (bench_full.json)",
     )
+    ap.add_argument(
+        "--solo-canary",
+        metavar="NAME",
+        help="internal: run ONE query (cold + 3 warm) in this fresh "
+        "process and print a one-line JSON {name, cold, warm_median}",
+    )
     args = ap.parse_args()
     n_warm_runs = 3 if args.median3 else 1
 
@@ -76,6 +100,29 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="etl-spark-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.solo_canary:
+        fn = entrymod.queries()[args.solo_canary]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        cold = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        print(
+            json.dumps(
+                {
+                    "name": args.solo_canary,
+                    "cold": cold,
+                    "warm_median": round(statistics.median(runs), 3),
+                    "warm_runs": runs,
+                }
+            ),
+            flush=True,
+        )
+        return
 
     queries = entrymod.queries()
     if args.top20:
@@ -97,6 +144,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    canary_solo: dict[str, dict] = {}
 
     def _line(partial: bool) -> str:
         doc = {
@@ -112,6 +160,8 @@ def main() -> None:
             "n_queries": len(timings),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
+        if canary_solo:
+            doc["canary_solo"] = canary_solo
         if args.median3 or args.top20:
             doc["protocol"] = {
                 "median3": args.median3,
@@ -197,6 +247,27 @@ def main() -> None:
             _dump(partial=True)
             print(_line(partial=True), flush=True)
             print(_compact_line(partial=True), flush=True)
+
+    if args.median3:
+        # drift canaries: each in a FRESH process/JVM so the number is
+        # free of in-session state (GC/JIT/codegen-cache drift) — the
+        # cross-round normalizer (module docstring)
+        import subprocess
+
+        for name in CANARY_QUERIES:
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--solo-canary", name],
+                    capture_output=True,
+                    text=True,
+                    timeout=600,
+                    env=os.environ,
+                )
+                line = out.stdout.strip().splitlines()[-1]
+                canary_solo[name] = json.loads(line)
+            except Exception as ex:  # canary failure must not kill bench
+                canary_solo[name] = {"error": str(ex)[:200]}
 
     _dump(partial=False)
     print(_line(partial=False), flush=True)

@@ -1575,6 +1575,37 @@ def _doc_tfidf_similar_oracle() -> str:
     )
 
 
+def q_tfidf_block_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of doc_tfidf_similar's rare-shingle blocking
+    (round-11, VERDICT r10 task 4 — the one operator whose recall was
+    asserted, not measured). Deterministic 1/8 md5 doc sample; ground
+    truth = EXACT all-pairs unigram-TF-IDF cosine >= 0.8 among sampled
+    docs with full-corpus idf/norms; candidates = the SHIPPED
+    tfidf_block_candidates generator (trigram df <= 4, full-corpus
+    dfs) restricted to the sample. Reports overall recall AND recall
+    within the shingle-reachable truth: on this 31-word-vocabulary
+    fixture most high-cosine pairs share NO trigram (frequency
+    coincidence — unreachable by any shingle blocker), so overall
+    recall is corpus-shape-bound (~0.24) while the df-threshold trade
+    itself holds the >=0.9 rung (~0.91), mirroring the MinHash pin
+    (operators/retrieval.py:tfidf_block_recall)."""
+    from etl_spark_spark.operators.retrieval import tfidf_block_recall
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_block_recall(
+        docs, "doc_id", "text", rare_df=4, sim_milli=800, sample_mod=8
+    )
+
+
+def _tfidf_block_recall_oracle() -> str:
+    from etl_spark_spark.operators.retrieval import tfidf_block_recall_sql
+
+    return tfidf_block_recall_sql(
+        "documents", "doc_id", "text", rare_df=4, sim_milli=800,
+        sample_mod=8,
+    )
+
+
 def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring: mean unigram surprisal of every
     document under token statistics trained on the corpus itself —
@@ -3718,6 +3749,8 @@ __all__ = [
     '_hybrid_search_rrf_oracle',
     'q_doc_tfidf_similar',
     '_doc_tfidf_similar_oracle',
+    'q_tfidf_block_recall',
+    '_tfidf_block_recall_oracle',
     '_BM25_TERMS',
     'q_doc_surprisal',
     'q_duplicate_spans',

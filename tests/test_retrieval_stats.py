@@ -559,6 +559,43 @@ def test_k_core_normalizes_multi_edges_and_self_loops(spark):
     assert {tuple(r) for r in con.execute(sql).fetchall()} == core3
 
 
+def test_tfidf_block_recall_measured_pins(spark):
+    """Round-11 (VERDICT r10 task 4): the blocking recall is MEASURED,
+    not asserted. On the fixture corpus the within-reachable recall
+    (the df-threshold trade itself) must hold the >=0.9 rung — the
+    same bar the MinHash sampled-recall pin uses — and the report must
+    be non-vacuous (true pairs and blocked hits both > 0; the
+    round-10 unigram audit caught a 0=0 vacuity, never again)."""
+    from etl_spark_spark.operators.retrieval import tfidf_block_recall
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = tfidf_block_recall(
+        docs.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        rare_df=4,
+        sim_milli=800,
+        sample_mod=8,
+    ).collect()[0]
+    assert row["n_true_pairs"] > 0 and row["n_blocked_true"] > 0
+    assert row["n_true_seq"] >= row["n_blocked_true"]
+    assert row["seq_recall_milli"] >= 900
+    # overall recall is corpus-shape-bound on the 31-word-vocab
+    # fixture (most high-cosine pairs share no trigram) — assert the
+    # decomposition is consistent rather than a meaningless floor
+    assert row["recall_milli"] <= row["seq_recall_milli"]
+
+    with pytest.raises(ValueError, match="sampled docs exceed"):
+        tfidf_block_recall(
+            docs.select("doc_id", "text"),
+            "doc_id",
+            "text",
+            rare_df=4,
+            sample_mod=1,
+            max_sample_docs=10,
+        )
+
+
 def test_tfidf_topk_similar_matches_python_replay(spark):
     """TF-IDF blocked cosine pinned against a pure-Python replay on a
     planted corpus: two near-identical docs must rank each other #1;
@@ -830,6 +867,51 @@ def test_ewma_max_series_guard_fails_loudly_both_engines(spark):
         ewma_grouped(df, ["g"], "t", "v", alpha=0.25, max_series=0)
     with pytest.raises(ValueError):
         ewma_grouped_sql("SELECT * FROM ev", ["g"], "t", "v", 0.25, 1000, -1)
+
+
+def test_ewma_scalable_equals_grouped_across_buckets(spark):
+    """Round-11 (VERDICT r10 task 7): the affine-composition path must
+    reproduce the sequential fold — pinned on a synthetic series that
+    crosses several buckets (including a group confined to one bucket,
+    where the seed path must be bit-identical), plus the loud guards
+    (NULL value; over-long bucket; bad params)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.operators.recurrence import (
+        ewma_grouped,
+        ewma_scalable,
+    )
+
+    rows = [("a", t, float((t * 37) % 11) - 3.25) for t in range(1, 31)]
+    rows += [("b", t, 100.0 / t) for t in range(1, 4)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    bucket = (F.col("t") / 10).cast("long")  # monotone in t
+    want = {
+        (r["g"], r["t"]): r["ewma_scaled"]
+        for r in ewma_grouped(
+            df, ["g"], "t", "v", alpha=0.3, max_series=None
+        ).collect()
+    }
+    got_df = ewma_scalable(df, ["g"], bucket, "t", "v", alpha=0.3)
+    got = {(r["g"], r["t"]): r["ewma_scaled"] for r in got_df.collect()}
+    assert got == want
+    assert got_df.columns == ["g", "t", "v", "ewma_scaled"]
+
+    nulls = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None)], "g string, t long, v double"
+    )
+    with pytest.raises(Exception, match="NULL v"):
+        ewma_scalable(nulls, ["g"], bucket, "t", "v", alpha=0.3).collect()
+    with pytest.raises(Exception, match="exceeds max_bucket_series=5"):
+        ewma_scalable(
+            df, ["g"], F.lit(0), "t", "v", alpha=0.3, max_bucket_series=5
+        ).collect()
+    with pytest.raises(ValueError):
+        ewma_scalable(df, ["g"], bucket, "t", "v", alpha=1.5)
+    with pytest.raises(ValueError):
+        ewma_scalable(
+            df, ["g"], bucket, "t", "v", alpha=0.3, max_bucket_series=0
+        )
 
 
 def test_rrf_fuse_rejects_nonpositive_k(spark):
