@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk_lsh": q_emb_cosine_topk_lsh,
         "emb_cosine_topk_ivf": q_emb_cosine_topk_ivf,
         "emb_cosine_topk_ivfpq": q_emb_cosine_topk_ivfpq,
+        "emb_cosine_topk_ivfpq_int8": q_emb_cosine_topk_ivfpq_int8,
         "events_tumbling": q_events_tumbling,
         "events_time_rollup": q_events_time_rollup,
         "events_sessionize": q_events_sessionize,
@@ -470,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk_lsh": _ANN_TOPK_CHECK_SQL,
         "emb_cosine_topk_ivf": _ANN_TOPK_CHECK_SQL,
         "emb_cosine_topk_ivfpq": _ANN_TOPK_CHECK_SQL,
+        "emb_cosine_topk_ivfpq_int8": _ANN_TOPK_CHECK_SQL,
         "emb_near_dup_lsh": _EMB_NEAR_DUP_LSH_SQL,
         "sketch_stats": _SKETCH_STATS_SQL,
         "doc_quality_model": _DOC_QUALITY_MODEL_SQL,

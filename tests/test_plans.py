@@ -248,6 +248,12 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
         "emb_cosine_topk_lsh",
         "emb_cosine_topk_ivf",
         "emb_cosine_topk_ivfpq",
+        # int8-SQ rerank variant: same derived-check 1-row crossJoins +
+        # bounded broadcast query set as its float-rerank sibling
+        "emb_cosine_topk_ivfpq_int8",
+        # recall eval: crossJoins of four 1-row count aggregates
+        # (n_true/n_true_seq/n_blocked/n_cand)
+        "tfidf_block_recall",
         "emb_near_dup_lsh",
         "rich_idle_customers",
     }
