@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue_trend": q_nation_revenue_trend,
         "supplier_qty_ewma": q_supplier_qty_ewma,
         "supplier_qty_ewma_scalable": q_supplier_qty_ewma_scalable,
+        "nation_theil_sen_trend": q_nation_theil_sen_trend,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "schema_evolution_scan": q_schema_evolution_scan,
         "did_purchase_uplift": q_did_purchase_uplift,
@@ -508,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue_trend": _nation_revenue_trend_oracle(),
         "supplier_qty_ewma": _supplier_qty_ewma_oracle(),
         "supplier_qty_ewma_scalable": _supplier_qty_ewma_oracle(),
+        "nation_theil_sen_trend": _nation_theil_sen_oracle(),
         "hybrid_search_rrf": _hybrid_search_rrf_oracle(),
         "schema_evolution_scan": _SCHEMA_EVOLUTION_SQL,
         "did_purchase_uplift": _DID_SQL,

@@ -2163,6 +2163,65 @@ def _supplier_qty_ewma_oracle() -> str:
     )
 
 
+def q_nation_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Theil–Sen ROBUST trend of MONTHLY revenue (cents)
+    against the month index — the high-breakdown companion to
+    nation_revenue_trend's OLS screen: one corrupted month cannot move
+    the median-of-pairwise-slopes, so the two trends disagreeing IS
+    the outlier alarm. Monthly grain keeps n_points calendar-bounded
+    (~84 at any SF, ~3.5k pairs per nation — the enforced O(n²)
+    contract; the per-order grain would blow the guard at sf0.1, by
+    design). Discrete-median semantics pinned in plain SQL
+    (operators/stats.py:theil_sen_trend)."""
+    from etl_spark_spark.operators.stats import theil_sen_trend
+
+    orders = table(
+        spark, sf_dir, "orders",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cust = table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = table(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1992)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("long").alias("month_idx"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "month_cents"
+            )
+        )
+    )
+    return theil_sen_trend(monthly, ["n_name"], "month_idx", "month_cents")
+
+
+def _nation_theil_sen_oracle() -> str:
+    from etl_spark_spark.operators.stats import theil_sen_trend_sql
+
+    return theil_sen_trend_sql(
+        """SELECT n.n_name,
+                  (year(CAST(o.o_orderdate AS DATE)) - 1992) * 12
+                    + month(CAST(o.o_orderdate AS DATE)) - 1 AS month_idx,
+                  sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS month_cents
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1, 2""",
+        ["n_name"],
+        "month_idx",
+        "month_cents",
+    )
+
+
 def q_supplier_qty_ewma_scalable(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4798,6 +4857,8 @@ __all__ = [
     'q_supplier_qty_ewma',
     '_supplier_qty_ewma_oracle',
     'q_supplier_qty_ewma_scalable',
+    'q_nation_theil_sen_trend',
+    '_nation_theil_sen_oracle',
     'q_did_purchase_uplift',
     '_DID_SQL',
     'q_supplier_co_purchase',

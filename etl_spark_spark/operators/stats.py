@@ -1023,3 +1023,206 @@ SELECT {keys}, CAST(n AS BIGINT) AS n,
     * 1000.0) AS BIGINT) END AS r2_milli
 FROM ex
 """
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: Column | str,
+    y_col: Column | str,
+    scale: int = 10**6,
+    max_points: int = 2000,
+) -> DataFrame:
+    """Per-group Theil–Sen ROBUST linear trend (Theil 1950 / Sen 1968,
+    the standard high-breakdown complement to :func:`grouped_ols_trend`
+    — a single corrupted telemetry point can move an OLS slope
+    arbitrarily; Theil–Sen tolerates ~29% outliers):
+
+      slope = median over pairs (i, j), x_i < x_j of
+              (y_j − y_i) / (x_j − x_i)
+      intercept = median over points of (y_i − slope·x_i)
+
+    Median semantics are the repo's pinned DISCRETE quantile (smallest
+    value with cum >= ceil(n/2) — exact_group_quantiles), not an
+    interpolated midpoint: the result is always an actually-occurring
+    slope/residual, and the oracle pins the definition in plain SQL
+    instead of trusting any engine's median builtin. Pairs with tied x
+    are excluded (slope undefined — the standard treatment); a group
+    with no untied pair (n < 2 or constant x) emits NULL slope and
+    intercept with its counts, mirroring the OLS degenerate contract.
+
+    Exactness: x/y are used as doubles (callers pass integer-quantized
+    grains — day index, cents — exact below 2^53); each slope is ONE
+    correctly-rounded double division, residuals one multiply +
+    subtract in fixed order, and the discrete median SELECTS one of
+    those values — so both engines hash-identically after
+    ``scale``-quantization, the same rung as grouped_ols_trend.
+
+    Scale contract: the pair set is O(n²) per group BY DEFINITION —
+    this is a calendar-bounded-grain operator like ewma_grouped, and
+    the bound is ENFORCED (a group beyond ``max_points`` raises
+    loudly, both engines). Default 2000 points -> <= ~2M pair rows per
+    group, distributed after generation (the pair join shuffles on the
+    group key only). For fact-scale robust trends, aggregate to the
+    grain first — that is the documented usage of the whole
+    trend-screen family.
+
+    Returns (group_cols..., n_points, n_pairs, slope_scaled,
+    intercept_scaled).
+    """
+    keys = list(group_cols)
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    if max_points <= 0:
+        raise ValueError(f"max_points must be positive, got {max_points}")
+    # the grain table is referenced by FIVE branches (counts, both pair
+    # sides, residuals, output join) — checkpoint it so an expensive
+    # upstream (joins + aggregation to the grain) runs once, not per
+    # branch (the tfidf_topk_similar discipline); the table itself is
+    # grain-sized, tiny next to the fact
+    src = df.select(*keys, x.alias("__x"), y.alias("__y")).localCheckpoint()
+    counts = src.groupBy(*keys).agg(F.count("*").alias("n_points"))
+    guarded = src.join(counts, keys).withColumn(
+        "__x",
+        F.when(
+            F.col("n_points") <= F.lit(int(max_points)), F.col("__x")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("theil_sen_trend: group size "),
+                    F.col("n_points").cast("string"),
+                    F.lit(f" exceeds max_points={int(max_points)}"),
+                )
+            ).cast("double")
+        ),
+    )
+    a = guarded.alias("__tsa")
+    bb = guarded.alias("__tsb")
+    cond = None
+    for k in keys:
+        c = F.col(f"__tsa.{k}").eqNullSafe(F.col(f"__tsb.{k}"))
+        cond = c if cond is None else (cond & c)
+    cond = cond & (F.col("__tsa.__x") < F.col("__tsb.__x"))
+    slopes = a.join(bb, cond).select(
+        *[F.col(f"__tsa.{k}").alias(k) for k in keys],
+        (
+            (F.col("__tsb.__y") - F.col("__tsa.__y"))
+            / (F.col("__tsb.__x") - F.col("__tsa.__x"))
+        ).alias("__m"),
+    )
+    med_m = exact_group_quantiles(slopes, keys, "__m", qs=(0.5,)).select(
+        *keys, F.col("n").alias("n_pairs"), F.col("q50").alias("__med_m")
+    )
+    resid = src.join(med_m, keys).select(
+        *keys,
+        "__med_m",
+        "n_pairs",
+        (F.col("__y") - F.col("__med_m") * F.col("__x")).alias("__b"),
+    )
+    med_b = exact_group_quantiles(resid, keys, "__b", qs=(0.5,)).select(
+        *keys, F.col("q50").alias("__med_b")
+    )
+    s = F.lit(float(scale))
+    return (
+        counts.join(med_m, keys, "left")
+        .join(med_b, keys, "left")
+        .select(
+            *keys,
+            "n_points",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias(
+                "n_pairs"
+            ),
+            F.round(F.col("__med_m") * s).cast("long").alias(
+                "slope_scaled"
+            ),
+            F.round(F.col("__med_b") * s).cast("long").alias(
+                "intercept_scaled"
+            ),
+        )
+    )
+
+
+def theil_sen_trend_sql(
+    source_select: str,
+    group_cols: Sequence[str],
+    x_expr: str,
+    y_expr: str,
+    scale: int = 10**6,
+    max_points: int = 2000,
+) -> str:
+    """DuckDB mirror of :func:`theil_sen_trend`: identical pair
+    generation (tied x excluded), identical double arithmetic, the
+    identical DISCRETE median construction (smallest value with
+    cum >= ceil(n/2) — plain SQL, not the engine's median builtin),
+    identical loud group-size guard, identical NULL degenerate rows.
+    ``source_select`` yields group cols + x + y."""
+    if max_points <= 0:
+        raise ValueError(f"max_points must be positive, got {max_points}")
+    keys = ", ".join(group_cols)
+    ka = ", ".join(f"a.{k}" for k in group_cols)
+    on = " AND ".join(f"b.{k} IS NOT DISTINCT FROM a.{k}" for k in group_cols)
+    return f"""
+WITH src AS (
+  SELECT {keys},
+         CAST({x_expr} AS DOUBLE) AS x, CAST({y_expr} AS DOUBLE) AS y
+  FROM ({source_select})
+),
+counts AS (
+  SELECT {keys}, count(*) AS n_points FROM src GROUP BY {keys}
+),
+guarded AS (
+  SELECT s.*,
+         CASE WHEN c.n_points <= {int(max_points)} THEN s.x
+              ELSE error('theil_sen_trend: group size '
+                         || CAST(c.n_points AS VARCHAR)
+                         || ' exceeds max_points={int(max_points)}')
+         END AS gx
+  FROM src s JOIN counts c USING ({keys})
+),
+slopes AS (
+  SELECT {ka}, (b.y - a.y) / (b.gx - a.gx) AS m
+  FROM guarded a JOIN guarded b ON {on} AND a.gx < b.gx
+),
+mdist AS (
+  SELECT {keys}, m, count(*) AS c FROM slopes GROUP BY {keys}, m
+),
+mcum AS (
+  SELECT {keys}, m,
+         sum(c) OVER (PARTITION BY {keys} ORDER BY m
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY {keys}) AS n
+  FROM mdist
+),
+med_m AS (
+  SELECT {keys}, CAST(max(n) AS BIGINT) AS n_pairs,
+         min(CASE WHEN cum >= ceil(0.5 * n) THEN m END) AS med_m
+  FROM mcum GROUP BY {keys}
+),
+resid AS (
+  SELECT s.*, mm.med_m, s.y - mm.med_m * s.x AS b
+  FROM src s JOIN med_m mm USING ({keys})
+),
+bdist AS (
+  SELECT {keys}, b, count(*) AS c FROM resid GROUP BY {keys}, b
+),
+bcum AS (
+  SELECT {keys}, b,
+         sum(c) OVER (PARTITION BY {keys} ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY {keys}) AS n
+  FROM bdist
+),
+med_b AS (
+  SELECT {keys}, min(CASE WHEN cum >= ceil(0.5 * n) THEN b END) AS med_b
+  FROM bcum GROUP BY {keys}
+)
+SELECT c.{', c.'.join(group_cols) if group_cols else ''},
+       CAST(c.n_points AS BIGINT) AS n_points,
+       CAST(COALESCE(mm.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(round(mm.med_m * {float(scale)!r}) AS BIGINT) AS slope_scaled,
+       CAST(round(mb.med_b * {float(scale)!r}) AS BIGINT)
+         AS intercept_scaled
+FROM counts c
+LEFT JOIN med_m mm USING ({keys})
+LEFT JOIN med_b mb USING ({keys})
+"""

@@ -719,6 +719,55 @@ def test_grouped_ols_trend_matches_replay_and_degenerates(spark):
     assert got["same_x"][1] is None  # zero x-variance -> vertical
 
 
+def test_theil_sen_trend_cross_engine_and_robust(spark):
+    """Round-11: grouped Theil–Sen pinned cross-engine on a planted
+    corpus — the +50 outlier at t=7 must NOT move the median slope
+    (exactly 2.0; OLS would be pulled), discrete-median semantics
+    agree with the plain-SQL mirror bit-for-bit, degenerate groups
+    (single point; tied-x only) emit NULL slope/intercept with their
+    counts, and the O(n²) group-size guard raises in both engines."""
+    import duckdb
+
+    from etl_spark_spark.operators.stats import (
+        theil_sen_trend,
+        theil_sen_trend_sql,
+    )
+
+    rows = [
+        ("a", t, 2.0 * t + 5 + (50.0 if t == 7 else 0.0))
+        for t in range(1, 11)
+    ]
+    rows += [("b", 1, 3.0), ("b", 2, 4.0)]
+    rows += [("c", 5, 9.0)]
+    rows += [("d", 3, 1.0), ("d", 3, 2.0)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    got = {tuple(r) for r in theil_sen_trend(df, ["g"], "t", "v").collect()}
+
+    con = duckdb.connect()
+    vals = ", ".join(f"('{g}', {t}, {v})" for g, t, v in rows)
+    src = f"SELECT * FROM (VALUES {vals}) AS t(g, t, v)"
+    want = {
+        tuple(r)
+        for r in con.execute(
+            theil_sen_trend_sql(src, ["g"], "t", "v")
+        ).fetchall()
+    }
+    assert got == want
+    by_g = {r[0]: r for r in got}
+    assert by_g["a"] == ("a", 10, 45, 2_000_000, 5_000_000)  # outlier-immune
+    assert by_g["c"][2:] == (0, None, None)
+    assert by_g["d"][2:] == (0, None, None)
+
+    with pytest.raises(Exception, match="exceeds max_points=5"):
+        theil_sen_trend(df, ["g"], "t", "v", max_points=5).collect()
+    with pytest.raises(Exception, match="exceeds max_points=5"):
+        con.execute(
+            theil_sen_trend_sql(src, ["g"], "t", "v", max_points=5)
+        ).fetchall()
+    with pytest.raises(ValueError):
+        theil_sen_trend(df, ["g"], "t", "v", max_points=0)
+
+
 def test_ewma_grouped_matches_python_fold(spark):
     """EWMA pinned against a pure-Python left fold — including the
     s_1 = x_1 seed, order restoration after the group pack, and the
@@ -912,6 +961,49 @@ def test_ewma_scalable_equals_grouped_across_buckets(spark):
         ewma_scalable(
             df, ["g"], bucket, "t", "v", alpha=0.3, max_bucket_series=0
         )
+
+
+def test_ewma_affine_composition_law_numpy():
+    """Mathematical pin of ewma_scalable's recombination (no Spark):
+    for random alpha/series/bucket splits, evaluating the within-bucket
+    affine prefix (A_t, B_t) against the carried state reproduces the
+    sequential fold to ~n·eps relative error, and the milli-quantized
+    outputs differ by at most 1 (the documented ulp-boundary caveat —
+    on the fixture the observed difference is exactly 0)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for trial in range(200):
+        n = int(rng.integers(2, 60))
+        alpha = float(rng.uniform(0.05, 1.0))
+        xs = rng.uniform(-1e4, 1e4, size=n)
+        # sequential reference
+        seq, s = [], None
+        for x in xs:
+            s = x if s is None else alpha * x + (1 - alpha) * s
+            seq.append(s)
+        # random bucket split + affine recombination
+        n_cuts = int(rng.integers(0, min(5, n - 1) + 1))
+        cuts = sorted(rng.choice(np.arange(1, n), size=n_cuts, replace=False))
+        bounds = [0, *cuts, n]
+        out, s_in = [], None
+        for lo, hi in zip(bounds, bounds[1:]):
+            A, B = 1.0, 0.0
+            seed = None
+            for t in range(lo, hi):
+                x = xs[t]
+                A *= 1 - alpha
+                B = alpha * x + (1 - alpha) * B
+                seed = x if seed is None else (
+                    alpha * x + (1 - alpha) * seed
+                )
+                out.append(seed if s_in is None else A * s_in + B)
+            s_in = out[-1]
+        seq = np.asarray(seq)
+        out = np.asarray(out)
+        np.testing.assert_allclose(out, seq, rtol=1e-10, atol=1e-9)
+        q = lambda a: np.round(a * 1000)  # noqa: E731
+        assert np.abs(q(out) - q(seq)).max() <= 1, trial
 
 
 def test_rrf_fuse_rejects_nonpositive_k(spark):
