@@ -303,10 +303,19 @@ def ewma_scalable(
         _prefix(F.col("__i"), F.lit(0.0), fold_b).alias("__bt"),
         _prefix(F.col("__i"), null_d, fold_seed).alias("__st"),
     )
-    out = rows.join(carries, [*keys, "__bkt"]).select(
-        *keys,
-        order_col,
-        value_col,
+    # NULL-SAFE carry join: groupBy treats a NULL group key (or NULL
+    # bucket) as a group, so the join-back must too — a name-list join
+    # would silently DROP those rows, diverging from ewma_grouped's
+    # output (caught by the round-11 pre-close self-review)
+    rows_a = rows.alias("__ewr")
+    car_a = carries.alias("__ewc")
+    cond = F.col("__ewr.__bkt").eqNullSafe(F.col("__ewc.__bkt"))
+    for k in keys:
+        cond = cond & F.col(f"__ewr.{k}").eqNullSafe(F.col(f"__ewc.{k}"))
+    out = rows_a.join(car_a, cond).select(
+        *[F.col(f"__ewr.{k}").alias(k) for k in keys],
+        F.col(f"__ewr.{order_col}").alias(order_col),
+        F.col(f"__ewr.{value_col}").alias(value_col),
         F.round(
             F.when(F.col("__sin").isNull(), F.col("__st"))
             .otherwise(F.col("__at") * F.col("__sin") + F.col("__bt"))

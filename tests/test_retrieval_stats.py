@@ -933,6 +933,10 @@ def test_ewma_scalable_equals_grouped_across_buckets(spark):
 
     rows = [("a", t, float((t * 37) % 11) - 3.25) for t in range(1, 31)]
     rows += [("b", t, 100.0 / t) for t in range(1, 4)]
+    # NULL group key: groupBy treats it as a group, so the carry
+    # join-back must be null-safe or these rows silently vanish
+    # (round-11 pre-close self-review regression)
+    rows += [(None, t, float(t)) for t in range(1, 4)]
     df = spark.createDataFrame(rows, "g string, t long, v double")
     bucket = (F.col("t") / 10).cast("long")  # monotone in t
     want = {
