@@ -1058,14 +1058,27 @@ def theil_sen_trend(
     those values — so both engines hash-identically after
     ``scale``-quantization, the same rung as grouped_ols_trend.
 
+    NULL discipline (round-12, ADVICE r11): a NULL ``x_col`` or
+    ``y_col`` raises LOUDLY in both engines before pair generation —
+    a NULL pairwise slope would otherwise enter the discrete-median
+    machinery where Spark windows order NULLS FIRST but the SQL
+    mirror's ORDER BY puts them LAST, silently shifting the median.
+    Filter or impute missing measurements upstream. NULL GROUP KEYS
+    are a real group (the same window/groupBy semantics as the rest
+    of the repo): every internal join is null-safe, so a NULL-key
+    group with >= 2 untied points gets a real slope instead of being
+    silently dropped at a name-list join.
+
     Scale contract: the pair set is O(n²) per group BY DEFINITION —
     this is a calendar-bounded-grain operator like ewma_grouped, and
     the bound is ENFORCED (a group beyond ``max_points`` raises
     loudly, both engines). Default 2000 points -> <= ~2M pair rows per
-    group, distributed after generation (the pair join shuffles on the
-    group key only). For fact-scale robust trends, aggregate to the
-    grain first — that is the documented usage of the whole
-    trend-screen family.
+    group; note the pair join keys ONLY on the group, so each group's
+    full pair set is generated (and its median distribution built)
+    within a single task — ``max_points`` therefore bounds PER-TASK
+    memory, not just total work. For fact-scale robust trends,
+    aggregate to the grain first — that is the documented usage of
+    the whole trend-screen family.
 
     Returns (group_cols..., n_points, n_pairs, slope_scaled,
     intercept_scaled).
@@ -1075,14 +1088,43 @@ def theil_sen_trend(
     y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
     if max_points <= 0:
         raise ValueError(f"max_points must be positive, got {max_points}")
+
+    def _checked(c: Column, name: str) -> Column:
+        return F.when(
+            c.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"theil_sen_trend: NULL {name} — filter or impute "
+                    "missing measurements before the trend (a NULL "
+                    "pairwise slope would shift the discrete median "
+                    "engine-dependently)"
+                )
+            ).cast("double"),
+        ).otherwise(c)
+
+    def _ns_join(left, right, how, right_cols):
+        # null-safe key join that preserves NULL group keys as a real
+        # group (ADVICE r11: name-list joins silently dropped them)
+        lhs, rhs = left.alias("__tsl"), right.alias("__tsr")
+        cond = None
+        for k in keys:
+            c = F.col(f"__tsl.{k}").eqNullSafe(F.col(f"__tsr.{k}"))
+            cond = c if cond is None else (cond & c)
+        return lhs.join(rhs, cond, how).select(
+            *[F.col(f"__tsl.{c2}") for c2 in left.columns],
+            *[F.col(f"__tsr.{c2}").alias(c2) for c2 in right_cols],
+        )
+
     # the grain table is referenced by FIVE branches (counts, both pair
     # sides, residuals, output join) — checkpoint it so an expensive
     # upstream (joins + aggregation to the grain) runs once, not per
     # branch (the tfidf_topk_similar discipline); the table itself is
     # grain-sized, tiny next to the fact
-    src = df.select(*keys, x.alias("__x"), y.alias("__y")).localCheckpoint()
+    src = df.select(
+        *keys, _checked(x, "x").alias("__x"), _checked(y, "y").alias("__y")
+    ).localCheckpoint()
     counts = src.groupBy(*keys).agg(F.count("*").alias("n_points"))
-    guarded = src.join(counts, keys).withColumn(
+    guarded = _ns_join(src, counts, "inner", ["n_points"]).withColumn(
         "__x",
         F.when(
             F.col("n_points") <= F.lit(int(max_points)), F.col("__x")
@@ -1113,7 +1155,7 @@ def theil_sen_trend(
     med_m = exact_group_quantiles(slopes, keys, "__m", qs=(0.5,)).select(
         *keys, F.col("n").alias("n_pairs"), F.col("q50").alias("__med_m")
     )
-    resid = src.join(med_m, keys).select(
+    resid = _ns_join(src, med_m, "inner", ["n_pairs", "__med_m"]).select(
         *keys,
         "__med_m",
         "n_pairs",
@@ -1124,8 +1166,12 @@ def theil_sen_trend(
     )
     s = F.lit(float(scale))
     return (
-        counts.join(med_m, keys, "left")
-        .join(med_b, keys, "left")
+        _ns_join(
+            _ns_join(counts, med_m, "left", ["n_pairs", "__med_m"]),
+            med_b,
+            "left",
+            ["__med_b"],
+        )
         .select(
             *keys,
             "n_points",
@@ -1154,17 +1200,41 @@ def theil_sen_trend_sql(
     generation (tied x excluded), identical double arithmetic, the
     identical DISCRETE median construction (smallest value with
     cum >= ceil(n/2) — plain SQL, not the engine's median builtin),
-    identical loud group-size guard, identical NULL degenerate rows.
+    identical loud group-size guard, identical loud NULL-x/y guard,
+    identical NULL degenerate rows, and identical null-safe key joins
+    (NULL group keys are a real group in both engines — ADVICE r11).
     ``source_select`` yields group cols + x + y."""
     if max_points <= 0:
         raise ValueError(f"max_points must be positive, got {max_points}")
     keys = ", ".join(group_cols)
     ka = ", ".join(f"a.{k}" for k in group_cols)
     on = " AND ".join(f"b.{k} IS NOT DISTINCT FROM a.{k}" for k in group_cols)
+    on_sc = " AND ".join(
+        f"c.{k} IS NOT DISTINCT FROM s.{k}" for k in group_cols
+    )
+    on_sm = " AND ".join(
+        f"mm.{k} IS NOT DISTINCT FROM s.{k}" for k in group_cols
+    )
+    on_cm = " AND ".join(
+        f"mm.{k} IS NOT DISTINCT FROM c.{k}" for k in group_cols
+    )
+    on_cb = " AND ".join(
+        f"mb.{k} IS NOT DISTINCT FROM c.{k}" for k in group_cols
+    )
+    null_msg = (
+        "theil_sen_trend: NULL {0} — filter or impute missing "
+        "measurements before the trend (a NULL pairwise slope would "
+        "shift the discrete median engine-dependently)"
+    )
     return f"""
 WITH src AS (
   SELECT {keys},
-         CAST({x_expr} AS DOUBLE) AS x, CAST({y_expr} AS DOUBLE) AS y
+         CASE WHEN ({x_expr}) IS NULL
+              THEN CAST(error('{null_msg.format("x")}') AS DOUBLE)
+              ELSE CAST({x_expr} AS DOUBLE) END AS x,
+         CASE WHEN ({y_expr}) IS NULL
+              THEN CAST(error('{null_msg.format("y")}') AS DOUBLE)
+              ELSE CAST({y_expr} AS DOUBLE) END AS y
   FROM ({source_select})
 ),
 counts AS (
@@ -1177,7 +1247,7 @@ guarded AS (
                          || CAST(c.n_points AS VARCHAR)
                          || ' exceeds max_points={int(max_points)}')
          END AS gx
-  FROM src s JOIN counts c USING ({keys})
+  FROM src s JOIN counts c ON {on_sc}
 ),
 slopes AS (
   SELECT {ka}, (b.y - a.y) / (b.gx - a.gx) AS m
@@ -1200,7 +1270,7 @@ med_m AS (
 ),
 resid AS (
   SELECT s.*, mm.med_m, s.y - mm.med_m * s.x AS b
-  FROM src s JOIN med_m mm USING ({keys})
+  FROM src s JOIN med_m mm ON {on_sm}
 ),
 bdist AS (
   SELECT {keys}, b, count(*) AS c FROM resid GROUP BY {keys}, b
@@ -1223,6 +1293,6 @@ SELECT c.{', c.'.join(group_cols) if group_cols else ''},
        CAST(round(mb.med_b * {float(scale)!r}) AS BIGINT)
          AS intercept_scaled
 FROM counts c
-LEFT JOIN med_m mm USING ({keys})
-LEFT JOIN med_b mb USING ({keys})
+LEFT JOIN med_m mm ON {on_cm}
+LEFT JOIN med_b mb ON {on_cb}
 """

@@ -768,6 +768,78 @@ def test_theil_sen_trend_cross_engine_and_robust(spark):
         theil_sen_trend(df, ["g"], "t", "v", max_points=0)
 
 
+def test_theil_sen_trend_null_discipline(spark):
+    """Round-12 (ADVICE r11): NULL y (or x) raises LOUDLY in both
+    engines before pair generation — previously a NULL pairwise slope
+    silently shifted the discrete median differently per engine
+    (Spark windows order NULLS FIRST, DuckDB's ORDER BY puts them
+    LAST). And a NULL GROUP KEY is a real group in both engines —
+    previously name-list/USING joins silently dropped those rows,
+    reporting n_pairs=0 / NULL slope for a group with plenty of
+    untied points (the same bug class as ewma_scalable's r11 carry
+    join)."""
+    import duckdb
+
+    from etl_spark_spark.operators.stats import (
+        theil_sen_trend,
+        theil_sen_trend_sql,
+    )
+
+    con = duckdb.connect()
+
+    # --- NULL group key: computed, not dropped, identically ---
+    rows = [
+        (None, 1, 1.0), (None, 2, 3.0), (None, 3, 5.0),
+        ("z", 1, 1.0), ("z", 2, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    got = {tuple(r) for r in theil_sen_trend(df, ["g"], "t", "v").collect()}
+    vals = ", ".join(
+        f"({'NULL' if g is None else repr(g)}, {t}, {v})"
+        for g, t, v in rows
+    )
+    src = f"SELECT * FROM (VALUES {vals}) AS t(g, t, v)"
+    want = {
+        tuple(r)
+        for r in con.execute(
+            theil_sen_trend_sql(src, ["g"], "t", "v")
+        ).fetchall()
+    }
+    assert got == want
+    by_g = {r[0]: r for r in got}
+    # slope (5-3)/(3-2)=2, (5-1)/2=2, (3-1)/1=2 -> median 2.0 exactly
+    assert by_g[None] == (None, 3, 3, 2_000_000, -1_000_000)
+    assert by_g["z"][2:] == (1, 1_000_000, 0)
+
+    # --- NULL y / NULL x: loud in both engines ---
+    bad_y = [("a", 1, 1.0), ("a", 2, None), ("a", 3, 5.0)]
+    df_y = spark.createDataFrame(bad_y, "g string, t long, v double")
+    with pytest.raises(Exception, match="theil_sen_trend: NULL y"):
+        theil_sen_trend(df_y, ["g"], "t", "v").collect()
+    vals_y = ", ".join(
+        f"('{g}', {t}, {'NULL' if v is None else v})" for g, t, v in bad_y
+    )
+    with pytest.raises(Exception, match="theil_sen_trend: NULL y"):
+        con.execute(
+            theil_sen_trend_sql(
+                f"SELECT * FROM (VALUES {vals_y}) AS t(g, t, v)",
+                ["g"], "t", "v",
+            )
+        ).fetchall()
+    bad_x = [("a", 1, 1.0), ("a", None, 2.0)]
+    df_x = spark.createDataFrame(bad_x, "g string, t long, v double")
+    with pytest.raises(Exception, match="theil_sen_trend: NULL x"):
+        theil_sen_trend(df_x, ["g"], "t", "v").collect()
+    with pytest.raises(Exception, match="theil_sen_trend: NULL x"):
+        con.execute(
+            theil_sen_trend_sql(
+                "SELECT * FROM (VALUES ('a', 1, 1.0), ('a', NULL, 2.0))"
+                " AS t(g, t, v)",
+                ["g"], "t", "v",
+            )
+        ).fetchall()
+
+
 def test_ewma_grouped_matches_python_fold(spark):
     """EWMA pinned against a pure-Python left fold — including the
     s_1 = x_1 seed, order restoration after the group pack, and the
