@@ -557,7 +557,10 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve = scalable_running_sum(
         bounds,
         F.date_trunc("hour", "ts"),
-        [F.col("ts"), F.col("delta").desc(), F.col("user_id"), F.col("session_id")],
+        # -delta ascending == delta DESC (+1 before -1 at tied ts),
+        # expressed as a plain expression for the monotone-bucket
+        # guard (round-12)
+        [F.col("ts"), (-F.col("delta")), F.col("user_id"), F.col("session_id")],
         "delta",
         out_col="concurrency",
     )

@@ -1671,7 +1671,10 @@ def q_global_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = scalable_running_sum(
         spend.withColumn("__one", F.lit(1)),
         -F.expr("__cents div 100000"),
-        [F.col("__cents").desc(), F.col("o_custkey")],
+        # negated-cents ascending == cents descending, expressed as a
+        # plain expression so the monotone-bucket guard can compare
+        # order keys across buckets (round-12)
+        [(-F.col("__cents")), F.col("o_custkey")],
         "__one",
         out_col="global_rank",
     )
@@ -2397,7 +2400,9 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = scalable_running_sum(
         rev,
         -F.expr("revenue_cents div 100000000"),
-        [F.col("revenue_cents").desc(), F.col("l_partkey")],
+        # negated-cents ascending == cents descending (plain
+        # expression for the monotone-bucket guard, round-12)
+        [(-F.col("revenue_cents")), F.col("l_partkey")],
         "revenue_cents",
         out_col="cum_cents",
     )

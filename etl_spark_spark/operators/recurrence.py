@@ -168,7 +168,10 @@ def ewma_scalable(
 
     1. rows bucket by ``bucket_col`` (must be MONOTONE in the global
        per-group order — a month bucket when ordering by day, the same
-       contract as scalable_running_sum); each (group, bucket) packs
+       contract as scalable_running_sum; ENFORCED since round-12: each
+       bucket's min/max order key rides the ends aggregate and
+       overlapping adjacent buckets raise loudly instead of silently
+       composing carries out of order); each (group, bucket) packs
        its sorted series and computes per-position prefix maps
        (A_t, B_t) plus the seed-fold value (s_1 = x_1 semantics) —
        bounded O(n²) folds, n <= ``max_bucket_series`` enforced
@@ -253,12 +256,19 @@ def ewma_scalable(
     null_d = F.lit(None).cast("double")
 
     last = F.size(F.col("__ser")) - 1
+    # __ser is sorted by (order, value), so elements 1 and -1 carry the
+    # bucket's min/max order key — the raw material for the monotone-
+    # bucket guard below (round-12: previously a docstring-only
+    # contract; a non-monotone bucket silently composed carries out of
+    # order)
     ends = packed.select(
         *keys,
         "__bkt",
         _prefix(_guard(last), F.lit(1.0), fold_a).alias("__ae"),
         _prefix(last, F.lit(0.0), fold_b).alias("__be"),
         _prefix(last, null_d, fold_seed).alias("__se"),
+        F.element_at(F.col("__ser"), 1)["o"].alias("__om"),
+        F.element_at(F.col("__ser"), -1)["o"].alias("__ox"),
     )
     grouped_ends = ends.groupBy(*keys).agg(
         F.sort_array(
@@ -268,9 +278,24 @@ def ewma_scalable(
                     F.col("__ae").alias("a"),
                     F.col("__be").alias("bb"),
                     F.col("__se").alias("se"),
+                    F.col("__om").alias("om"),
+                    F.col("__ox").alias("ox"),
                 )
             )
         ).alias("__bs")
+    )
+    # loud monotone-bucket guard: adjacent buckets (in bucket-value
+    # order, the order the carry fold uses) must not overlap in
+    # order_col — bucket i's max order key must precede bucket i+1's
+    # min; the check is bucket-count-sized, riding the same tiny array
+    n_adj = F.greatest(F.size("__bs") - 1, F.lit(0))
+    overlap = F.exists(
+        F.zip_with(
+            F.slice(F.col("__bs"), F.lit(1), n_adj),
+            F.slice(F.col("__bs"), F.lit(2), n_adj),
+            lambda p, n: p["ox"] >= n["om"],
+        ),
+        lambda z: z,
     )
     # s_in(bucket i) = fold over buckets 0..i-1 (exclusive prefix);
     # empty slice + NULL init = NULL = "no prior state"
@@ -281,13 +306,28 @@ def ewma_scalable(
     ).select(
         *keys,
         F.col("__m.b").alias("__bkt"),
-        F.aggregate(
-            F.slice(F.col("__bs"), F.lit(1), F.col("__i")),
-            null_d,
-            lambda acc, m: F.when(acc.isNull(), m["se"]).otherwise(
-                m["a"] * acc + m["bb"]
-            ),
-        ).alias("__sin"),
+        F.when(
+            overlap,
+            F.raise_error(
+                F.lit(
+                    f"ewma_scalable: bucket_col is not monotone in "
+                    f"{order_col} order — adjacent buckets overlap, so "
+                    "the affine carries would compose out of order; "
+                    "derive the bucket from the order column (e.g. "
+                    "month when ordering by day)"
+                )
+            ).cast("double"),
+        )
+        .otherwise(
+            F.aggregate(
+                F.slice(F.col("__bs"), F.lit(1), F.col("__i")),
+                null_d,
+                lambda acc, m: F.when(acc.isNull(), m["se"]).otherwise(
+                    m["a"] * acc + m["bb"]
+                ),
+            )
+        )
+        .alias("__sin"),
     )
     rows = packed.select(
         *keys,

@@ -181,6 +181,59 @@ def partitioned_sum_agg(
     )
 
 
+def _monotone_order_struct(
+    order_by: Sequence[Column | str], op_name: str
+) -> Column:
+    """Struct of the order_by expressions for the monotone-bucket
+    guard. Items must be PLAIN ascending expressions — a SortOrder
+    (``.desc()``/``.asc()``) cannot be aggregated or compared, so the
+    guard rejects it with instructions (descending numeric orders are
+    expressed by negating the expression, which the repo's own
+    call sites do)."""
+    cols = []
+    for c in order_by:
+        cc = F.col(c) if isinstance(c, str) else c
+        s = str(cc)
+        if " DESC" in s or " ASC" in s:
+            raise ValueError(
+                f"{op_name}: order_by items must be plain ascending "
+                f"expressions (got a sort order: {s}); express a "
+                "descending numeric order by negating the expression "
+                "so the monotone-bucket guard can compare order keys "
+                "across buckets"
+            )
+        cols.append(cc)
+    return F.struct(*cols)
+
+
+def _checked_offset(off: Column, op_name: str) -> Column:
+    """Wrap a bucket-offset expression so it raises LOUDLY when the
+    previous bucket's last order key (``__pox``, lagged per-bucket max
+    of the order struct) reaches into this bucket's first (``__om``,
+    per-bucket min) — i.e. the bucket expression is NOT monotone in
+    the global order and the prefix decomposition would silently
+    interleave buckets (round-12: the same loud-guard discipline as
+    max_points/max_series; previously a docstring-only contract)."""
+    return F.when(
+        F.col("__pox").isNotNull() & (F.col("__pox") >= F.col("__om")),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{op_name}: bucket_col is not monotone in "
+                    "order_by — bucket "
+                ),
+                F.col("__bkt").cast("string"),
+                F.lit(
+                    " starts at or before the previous bucket's last "
+                    "order key; derive the bucket from the leading "
+                    "order expression (e.g. hour-of-ts when ordering "
+                    "by ts)"
+                ),
+            )
+        ),
+    ).otherwise(off)
+
+
 def scalable_running_sum(
     df: DataFrame,
     bucket_col: Column | str,
@@ -199,14 +252,19 @@ def scalable_running_sum(
     3. offsets broadcast back: global prefix = within + offset.
 
     Requirements: ``bucket_col`` must be monotone in the global
-    ordering (e.g. an hour bucket when ordering by timestamp), and
-    ``order_by`` must be a total order within buckets or the prefix is
+    ordering (e.g. an hour bucket when ordering by timestamp) — this
+    is ENFORCED (round-12): per-bucket min/max of the order tuple ride
+    the totals aggregate and adjacent buckets that overlap raise
+    loudly instead of silently interleaving the prefix. ``order_by``
+    must be a total order within buckets (plain ascending expressions;
+    negate numerics for descending) or the prefix is
     partition-dependent. A naive ``Window.orderBy(ts)`` with no
     partitionBy computes the same thing on ONE task — the classic
     sweep-line scale bug this operator exists to avoid.
     """
     b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
     v = F.col(value_col) if isinstance(value_col, str) else value_col
+    ostr = _monotone_order_struct(order_by, "scalable_running_sum")
     tagged = df.withColumn("__bkt", b).withColumn("__val", v)
     w_in = (
         Window.partitionBy("__bkt")
@@ -214,13 +272,26 @@ def scalable_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = tagged.withColumn("__within", F.sum("__val").over(w_in))
-    totals = tagged.groupBy("__bkt").agg(F.sum("__val").alias("__t"))
+    totals = tagged.groupBy("__bkt").agg(
+        F.sum("__val").alias("__t"),
+        F.min(ostr).alias("__om"),
+        F.max(ostr).alias("__ox"),
+    )
     w_b = (
         Window.orderBy("__bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    w_lag = Window.orderBy("__bkt")
     offsets = totals.select(
-        "__bkt", F.coalesce(F.sum("__t").over(w_b), F.lit(0)).alias("__off")
+        "__bkt",
+        F.coalesce(F.sum("__t").over(w_b), F.lit(0)).alias("__off"),
+        F.lag("__ox").over(w_lag).alias("__pox"),
+        "__om",
+    ).select(
+        "__bkt",
+        _checked_offset(F.col("__off"), "scalable_running_sum").alias(
+            "__off"
+        ),
     )
     return (
         within.join(F.broadcast(offsets), "__bkt")
@@ -240,9 +311,11 @@ def scalable_running_max(
     prefix decomposition as ``scalable_running_sum`` (max is equally
     associative): within-bucket prefix maxima in parallel, an exclusive
     running max over the tiny bucket-maxima table, then
-    ``greatest(within, offset)``. Same monotone-bucket requirement."""
+    ``greatest(within, offset)``. Same monotone-bucket requirement,
+    same loud guard (round-12)."""
     b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
     v = F.col(value_col) if isinstance(value_col, str) else value_col
+    ostr = _monotone_order_struct(order_by, "scalable_running_max")
     tagged = df.withColumn("__bkt", b).withColumn("__val", v)
     w_in = (
         Window.partitionBy("__bkt")
@@ -250,10 +323,23 @@ def scalable_running_max(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = tagged.withColumn("__within", F.max("__val").over(w_in))
-    totals = tagged.groupBy("__bkt").agg(F.max("__val").alias("__t"))
+    totals = tagged.groupBy("__bkt").agg(
+        F.max("__val").alias("__t"),
+        F.min(ostr).alias("__om"),
+        F.max(ostr).alias("__ox"),
+    )
     w_b = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_lag = Window.orderBy("__bkt")
     offsets = totals.select(
-        "__bkt", F.max("__t").over(w_b).alias("__off")
+        "__bkt",
+        F.max("__t").over(w_b).alias("__off"),
+        F.lag("__ox").over(w_lag).alias("__pox"),
+        "__om",
+    ).select(
+        "__bkt",
+        _checked_offset(F.col("__off"), "scalable_running_max").alias(
+            "__off"
+        ),
     )
     return (
         within.join(F.broadcast(offsets), "__bkt")

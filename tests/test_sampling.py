@@ -343,6 +343,48 @@ def test_scalable_running_sum_equals_global_window(spark):
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
 
 
+def test_scalable_running_monotone_bucket_guard(spark):
+    """Round-12 (VERDICT r11 task 2): a non-monotone (hash-style)
+    bucket used to silently interleave the prefix decomposition —
+    wrong running sums with no signal. The per-bucket order-key
+    ranges now ride the totals aggregate and overlap raises loudly;
+    SortOrder items are rejected up front (the guard needs comparable
+    plain expressions — negate numerics for descending), and the
+    negated-ascending form still matches the naive global window."""
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.operators.windows import (
+        scalable_running_max,
+        scalable_running_sum,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("t"), F.lit(1).cast("long").alias("v")
+    )
+    with pytest.raises(Exception, match="not monotone"):
+        scalable_running_sum(df, F.col("t") % 7, ["t"], "v").collect()
+    with pytest.raises(Exception, match="not monotone"):
+        scalable_running_max(df, F.col("t") % 7, ["t"], "v").collect()
+    with pytest.raises(ValueError, match="plain ascending"):
+        scalable_running_sum(
+            df, (F.col("t") / 10).cast("long"), [F.col("t").desc()], "v"
+        )
+    got = scalable_running_sum(
+        df,
+        -((F.col("t") / 10).cast("long")),
+        [(-F.col("t"))],
+        "v",
+        out_col="rs",
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("rs", F.sum("v").over(w))
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
 def test_pagerank_resume_composes_bitwise(spark):
     """pagerank(5 iters) == pagerank(2 iters) resumed for 3 more —
     the exact-integer recurrence makes checkpoint/restart of the
