@@ -240,6 +240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_share_alloc": q_part_share_alloc,
         "doc_tfidf_similar": q_doc_tfidf_similar,
         "tfidf_block_recall": q_tfidf_block_recall,
+        "tfidf_blocking_vacuity": q_tfidf_blocking_vacuity,
+        "tfidf_blocking_frac": q_tfidf_blocking_frac,
+        "doc_tfidf_similar_guarded": q_doc_tfidf_similar_guarded,
         "nation_revenue_trend": q_nation_revenue_trend,
         "supplier_qty_ewma": q_supplier_qty_ewma,
         "supplier_qty_ewma_scalable": q_supplier_qty_ewma_scalable,
@@ -506,6 +509,9 @@ def oracle_sql() -> dict[str, str]:
         "part_share_alloc": _PART_SHARE_ALLOC_SQL,
         "doc_tfidf_similar": _doc_tfidf_similar_oracle(),
         "tfidf_block_recall": _tfidf_block_recall_oracle(),
+        "tfidf_blocking_vacuity": _tfidf_blocking_vacuity_oracle(),
+        "tfidf_blocking_frac": _tfidf_blocking_frac_oracle(),
+        "doc_tfidf_similar_guarded": _doc_tfidf_similar_guarded_oracle(),
         "nation_revenue_trend": _nation_revenue_trend_oracle(),
         "supplier_qty_ewma": _supplier_qty_ewma_oracle(),
         "supplier_qty_ewma_scalable": _supplier_qty_ewma_oracle(),

@@ -1606,6 +1606,82 @@ def _tfidf_block_recall_oracle() -> str:
     )
 
 
+def q_tfidf_blocking_vacuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PINNED vacuity stat for doc_tfidf_similar's shipped
+    absolute threshold (round-12, VERDICT r11 task 1): one row of
+    (n_docs, threshold_df, n_cand, cand_per_doc_milli) from the
+    operator's own candidate generator. The number a user checks
+    before trusting a near-empty similarity result — on this fixture
+    it makes the measured collapse VISIBLE: 20458 milli-candidates
+    per doc at sf0.01 vs 1076 at sf0.1 under the same rare_df=4
+    (operators/retrieval.py:tfidf_blocking_stats)."""
+    from etl_spark_spark.operators.retrieval import tfidf_blocking_stats
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_blocking_stats(docs, "doc_id", "text", rare_df=4)
+
+
+def _tfidf_blocking_vacuity_oracle() -> str:
+    from etl_spark_spark.operators.retrieval import tfidf_blocking_stats_sql
+
+    return tfidf_blocking_stats_sql("documents", "doc_id", "text", rare_df=4)
+
+
+def q_tfidf_blocking_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-RELATIVE blocking threshold's stat row (round-12):
+    df <= max(1, ceil(n_docs * 0.008)), the n_docs riding a 1-row
+    broadcast — the scale-stable alternative to an absolute rare_df
+    on Heaps-law corpora. On THIS bounded-vocabulary fixture it
+    honestly shows the opposite failure: the trigram space caps at
+    ~31^3, so the relative cut goes explosive at sf0.1 (df<=40,
+    ~226 candidates/doc) where the absolute cut went vacuous — the
+    pair of stats queries documents both failure modes of
+    threshold blocking on degenerate vocabularies
+    (operators/retrieval.py:tfidf_blocking_stats)."""
+    from etl_spark_spark.operators.retrieval import tfidf_blocking_stats
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_blocking_stats(
+        docs, "doc_id", "text", rare_df_frac=0.008
+    )
+
+
+def _tfidf_blocking_frac_oracle() -> str:
+    from etl_spark_spark.operators.retrieval import tfidf_blocking_stats_sql
+
+    return tfidf_blocking_stats_sql(
+        "documents", "doc_id", "text", rare_df_frac=0.008
+    )
+
+
+def q_doc_tfidf_similar_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_tfidf_similar through the VACUITY-GUARDED path (round-12):
+    min_cand_per_doc=0.5 counts the operator's own candidate pairs
+    (1-row aggregate over the checkpointed candidate table) and
+    raises when candidates/doc falls below the floor — via a trap row
+    unioned into the plan, so it fires even on an empty result. The
+    floor passes at both fixture scales (20.5 and 1.08 cand/doc), so
+    the oracle gate pins that the guarded plan returns byte-identical
+    values to the unguarded one; the sf0.1 TRIP at floor 2.0 is
+    pinned in tests/test_retrieval_stats.py in BOTH engines
+    (operators/retrieval.py:tfidf_topk_similar)."""
+    from etl_spark_spark.operators.retrieval import tfidf_topk_similar
+
+    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk_similar(
+        docs, "doc_id", "text", k=3, rare_df=4, min_cand_per_doc=0.5
+    )
+
+
+def _doc_tfidf_similar_guarded_oracle() -> str:
+    from etl_spark_spark.operators.retrieval import tfidf_topk_similar_sql
+
+    return tfidf_topk_similar_sql(
+        "documents", "doc_id", "text", k=3, rare_df=4,
+        min_cand_per_doc=0.5,
+    )
+
+
 def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring: mean unigram surprisal of every
     document under token statistics trained on the corpus itself —
@@ -3751,6 +3827,12 @@ __all__ = [
     '_doc_tfidf_similar_oracle',
     'q_tfidf_block_recall',
     '_tfidf_block_recall_oracle',
+    'q_tfidf_blocking_vacuity',
+    '_tfidf_blocking_vacuity_oracle',
+    'q_tfidf_blocking_frac',
+    '_tfidf_blocking_frac_oracle',
+    'q_doc_tfidf_similar_guarded',
+    '_doc_tfidf_similar_guarded_oracle',
     '_BM25_TERMS',
     'q_doc_surprisal',
     'q_duplicate_spans',

@@ -244,21 +244,49 @@ def tfidf_doc_vectors(
     )
 
 
+def _check_rare_threshold(
+    rare_df: int | None, rare_df_frac: float | None, op_name: str
+) -> None:
+    """Exactly one of rare_df (absolute shingle-df cut) or
+    rare_df_frac (corpus-relative: df <= ceil(n_docs * frac)) must be
+    set. The corpus-relative form exists because an ABSOLUTE threshold
+    is measured-vacuous under corpus growth on bounded vocabularies
+    (BASELINE.md round-11: within-reachable recall 0.91 at sf0.01 ->
+    0.006 at sf0.1 with the same rare_df=4)."""
+    if (rare_df is None) == (rare_df_frac is None):
+        raise ValueError(
+            f"{op_name}: set exactly one of rare_df / rare_df_frac "
+            f"(got rare_df={rare_df}, rare_df_frac={rare_df_frac})"
+        )
+    if rare_df is not None and rare_df < 1:
+        raise ValueError(f"{op_name}: rare_df must be >= 1, got {rare_df}")
+    if rare_df_frac is not None and not (0.0 < rare_df_frac <= 1.0):
+        raise ValueError(
+            f"{op_name}: rare_df_frac must be in (0, 1], got {rare_df_frac}"
+        )
+
+
 def tfidf_block_candidates(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    rare_df: int,
+    rare_df: int | None,
     block_ngram: int = 3,
+    rare_df_frac: float | None = None,
 ) -> DataFrame:
     """The rare-shingle candidate generator shared by
     :func:`tfidf_topk_similar` and the replica audits: distinct
     (doc, ngram-shingle) pairs, shingles kept iff their document
-    frequency <= ``rare_df``, self-joined on the shingle. Returns
-    (__da, __db) with __da < __db, distinct. Extracted so the audit
-    measures EXACTLY the candidate space the operator ships (the
-    blocking scheme already changed once; a hand-synced copy would
-    silently drift)."""
+    frequency <= the threshold, self-joined on the shingle. The
+    threshold is either ABSOLUTE (``rare_df``) or CORPUS-RELATIVE
+    (``rare_df_frac``: df <= max(1, ceil(n_docs * frac)), the n_docs
+    riding a 1-row broadcast exactly like tfidf_doc_vectors' idf N —
+    round-12, closing the measured scale-instability of absolute
+    thresholds). Returns (__da, __db) with __da < __db, distinct.
+    Extracted so the audit measures EXACTLY the candidate space the
+    operator ships (the blocking scheme already changed once; a
+    hand-synced copy would silently drift)."""
+    _check_rare_threshold(rare_df, rare_df_frac, "tfidf_block_candidates")
     ng = int(block_ngram)
     tok = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
     starts = F.when(
@@ -276,12 +304,23 @@ def tfidf_block_candidates(
             )
         ).alias("__g"),
     ).distinct()
-    rare = shingles.join(
-        shingles.groupBy("__g")
-        .agg(F.count("*").alias("__gdf"))
-        .filter(F.col("__gdf") <= rare_df),
-        "__g",
-    )
+    gdf = shingles.groupBy("__g").agg(F.count("*").alias("__gdf"))
+    if rare_df_frac is None:
+        kept = gdf.filter(F.col("__gdf") <= rare_df)
+    else:
+        nd = docs.agg(F.count("*").alias("__nd"))
+        thr = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(
+                F.col("__nd").cast("double") * F.lit(float(rare_df_frac))
+            ).cast("long"),
+        )
+        kept = (
+            gdf.crossJoin(F.broadcast(nd))
+            .filter(F.col("__gdf") <= thr)
+            .select("__g", "__gdf")
+        )
+    rare = shingles.join(kept, "__g")
     return (
         rare.alias("a")
         .join(rare.alias("b"), "__g")
@@ -298,9 +337,11 @@ def tfidf_topk_similar(
     id_col: str,
     text_col: str,
     k: int = 3,
-    rare_df: int = 32,
+    rare_df: int | None = 32,
     idf_scale: int = 1000,
     block_ngram: int = 3,
+    rare_df_frac: float | None = None,
+    min_cand_per_doc: float | None = None,
 ) -> DataFrame:
     """Top-``k`` most TF-IDF-cosine-similar documents per document,
     with RARE-SHINGLE BLOCKING: candidate pairs are docs sharing at
@@ -326,6 +367,18 @@ def tfidf_topk_similar(
     MinHash-LSH, whose banded recall is threshold-free by
     construction.
 
+    Round-12 guards for exactly that hazard: ``rare_df_frac`` selects
+    a CORPUS-RELATIVE threshold (df <= max(1, ceil(n_docs * frac)),
+    exclusive with ``rare_df``), and ``min_cand_per_doc`` is a runtime
+    VACUITY floor — when set, the operator counts its own candidate
+    pairs (1-row aggregate over the already-materialized candidate
+    table) and RAISES when candidates/doc falls below the floor,
+    instead of returning a silently near-empty result that reads as
+    "no duplicates" (the measured sf0.1 failure: 1.08 cand/doc vs
+    20.5 at sf0.01 with the same rare_df=4). The trap fires through a
+    guard row unioned into the plan, so it raises even when the
+    result itself is empty; identical trap in the SQL mirror.
+
     Exactness: weights are integer TF-IDF (see tfidf_doc_vectors), the
     dot is an exact int64 sum, norms are exact int64 sums of squares,
     and cosine is milli-quantized: round(dot / sqrt(na*nb) * 1000) —
@@ -341,10 +394,14 @@ def tfidf_topk_similar(
     vectors ever attached to pairs). Returns (id, sim_id, cos_milli,
     rank) for both directions of each pair, dot > 0.
     """
-    if k <= 0 or rare_df < 1 or block_ngram < 1:
+    if k <= 0 or block_ngram < 1:
         raise ValueError(
-            f"k, rare_df, block_ngram must be positive: "
-            f"{k}, {rare_df}, {block_ngram}"
+            f"k, block_ngram must be positive: {k}, {block_ngram}"
+        )
+    _check_rare_threshold(rare_df, rare_df_frac, "tfidf_topk_similar")
+    if min_cand_per_doc is not None and min_cand_per_doc < 0:
+        raise ValueError(
+            f"min_cand_per_doc must be >= 0, got {min_cand_per_doc}"
         )
     w = tfidf_doc_vectors(
         docs, id_col, text_col, min_df=1, idf_scale=idf_scale
@@ -353,8 +410,18 @@ def tfidf_topk_similar(
         F.sum(F.col("w") * F.col("w")).alias("__n2")
     )
     cand = tfidf_block_candidates(
-        docs, id_col, text_col, rare_df=rare_df, block_ngram=block_ngram
+        docs,
+        id_col,
+        text_col,
+        rare_df=rare_df,
+        block_ngram=block_ngram,
+        rare_df_frac=rare_df_frac,
     )
+    if min_cand_per_doc is not None:
+        # the vacuity stats must not recompute the blocking join —
+        # checkpoint the (bounded, pair-space) candidate table once
+        # for its two consumers (dot verify + 1-row count)
+        cand = cand.localCheckpoint()
     wa = w.select(
         F.col(id_col).alias("__da"), "term", F.col("w").alias("__wa")
     )
@@ -391,7 +458,7 @@ def tfidf_topk_similar(
     rk = Window.partitionBy("__da").orderBy(
         F.desc("cos_milli"), F.col("__db")
     )
-    return (
+    result = (
         cos.withColumn("rank", F.row_number().over(rk))
         .filter(F.col("rank") <= k)
         .select(
@@ -401,6 +468,41 @@ def tfidf_topk_similar(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+    if min_cand_per_doc is None:
+        return result
+    # vacuity trap: a guard relation that is empty when the blocking
+    # is healthy and raises when it is vacuous — unioned into the plan
+    # so it fires even when the result itself has zero rows (the
+    # failure mode IS near-emptiness)
+    stats = cand.agg(F.count("*").alias("__ncand")).crossJoin(
+        F.broadcast(docs.agg(F.count("*").alias("__ndocs")))
+    )
+    vacuous = F.col("__ncand").cast("double") < (
+        F.col("__ndocs").cast("double") * F.lit(float(min_cand_per_doc))
+    )
+    msg = F.concat(
+        F.lit("tfidf_topk_similar: blocking is VACUOUS — "),
+        F.col("__ncand").cast("string"),
+        F.lit(" candidate pairs over "),
+        F.col("__ndocs").cast("string"),
+        F.lit(
+            f" docs is below min_cand_per_doc={float(min_cand_per_doc)}; "
+            "the df threshold keeps too few shingles at this corpus "
+            "size — raise rare_df, switch to rare_df_frac, or use "
+            "MinHash-LSH if the truth metric is bag overlap"
+        ),
+    )
+    trap = stats.filter(vacuous).select(
+        *[
+            (
+                F.raise_error(msg).cast("long")
+                if f.name == "cos_milli"
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in result.schema.fields
+        ]
+    )
+    return result.unionByName(trap)
 
 
 def tfidf_topk_similar_sql(
@@ -408,14 +510,44 @@ def tfidf_topk_similar_sql(
     id_col: str,
     text_col: str,
     k: int = 3,
-    rare_df: int = 32,
+    rare_df: int | None = 32,
     idf_scale: int = 1000,
     block_ngram: int = 3,
+    rare_df_frac: float | None = None,
+    min_cand_per_doc: float | None = None,
 ) -> str:
     """DuckDB mirror of :func:`tfidf_topk_similar`: same tokenization,
-    same integer weights, same rare-shingle blocking, same
-    milli-quantized cosine."""
+    same integer weights, same rare-shingle blocking (absolute OR
+    corpus-relative threshold), same milli-quantized cosine, and the
+    identical vacuity trap (an error() row selected from a 1-row
+    stats CTE only when candidates/doc falls below the floor)."""
+    _check_rare_threshold(rare_df, rare_df_frac, "tfidf_topk_similar_sql")
     ng = int(block_ngram)
+    if rare_df_frac is None:
+        thr = str(int(rare_df))
+    else:
+        thr = (
+            f"(SELECT greatest(1, CAST(ceil(count(*) * "
+            f"{float(rare_df_frac)!r}) AS BIGINT)) FROM tok)"
+        )
+    trap = ""
+    if min_cand_per_doc is not None:
+        m = float(min_cand_per_doc)
+        trap = f"""
+UNION ALL
+SELECT NULL AS {id_col}, NULL AS sim_{id_col},
+       CAST(error('tfidf_topk_similar: blocking is VACUOUS — '
+            || CAST(s.ncand AS VARCHAR) || ' candidate pairs over '
+            || CAST(s.ndocs AS VARCHAR)
+            || ' docs is below min_cand_per_doc={m!r}; the df '
+            || 'threshold keeps too few shingles at this corpus size '
+            || '— raise rare_df, switch to rare_df_frac, or use '
+            || 'MinHash-LSH if the truth metric is bag overlap')
+         AS BIGINT) AS cos_milli,
+       NULL AS rank
+FROM (SELECT (SELECT count(*) FROM cand) AS ncand,
+             (SELECT count(*) FROM tok) AS ndocs) s
+WHERE CAST(s.ncand AS DOUBLE) < CAST(s.ndocs AS DOUBLE) * {m!r}"""
     return f"""
 WITH tok AS (
   SELECT {id_col},
@@ -444,7 +576,7 @@ w AS (
   FROM tok
 ), rare AS (
   SELECT d, g FROM sh
-  WHERE g IN (SELECT g FROM sh GROUP BY g HAVING count(*) <= {rare_df})
+  WHERE g IN (SELECT g FROM sh GROUP BY g HAVING count(*) <= {thr})
 ), cand AS (
   SELECT DISTINCT a.d AS da, b.d AS db
   FROM rare a JOIN rare b USING (g) WHERE a.d < b.d
@@ -472,7 +604,112 @@ w AS (
   FROM cos
 )
 SELECT da AS {id_col}, db AS sim_{id_col}, cos_milli, rank
-FROM ranked WHERE rank <= {k}
+FROM ranked WHERE rank <= {k}{trap}
+"""
+
+
+def tfidf_blocking_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    rare_df: int | None = None,
+    rare_df_frac: float | None = None,
+    block_ngram: int = 3,
+) -> DataFrame:
+    """The PINNED vacuity stat for :func:`tfidf_topk_similar`'s
+    blocking (round-12, VERDICT r11 task 1): one row with the corpus
+    size, the EFFECTIVE df threshold (absolute, or the resolved
+    corpus-relative cut), the candidate-pair count the shipped
+    generator produces, and milli-quantized candidates-per-doc — the
+    number a caller compares against a plausibility floor BEFORE
+    trusting a near-empty similarity result. Cheap by construction:
+    the candidate generator is the operator's own bounded blocking
+    join; everything after it is a 1-row aggregate.
+
+    Returns (n_docs, threshold_df, n_cand, cand_per_doc_milli)."""
+    _check_rare_threshold(rare_df, rare_df_frac, "tfidf_blocking_stats")
+    cand = tfidf_block_candidates(
+        docs,
+        id_col,
+        text_col,
+        rare_df=rare_df,
+        block_ngram=block_ngram,
+        rare_df_frac=rare_df_frac,
+    )
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    if rare_df_frac is None:
+        thr = F.lit(int(rare_df)).cast("long")
+    else:
+        thr = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(
+                F.col("n_docs").cast("double") * F.lit(float(rare_df_frac))
+            ).cast("long"),
+        )
+    return (
+        cand.agg(F.count("*").alias("n_cand"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            thr.alias("threshold_df"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.round(
+                F.col("n_cand").cast("double")
+                / F.col("n_docs").cast("double")
+                * F.lit(1000.0)
+            )
+            .cast("long")
+            .alias("cand_per_doc_milli"),
+        )
+    )
+
+
+def tfidf_blocking_stats_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    rare_df: int | None = None,
+    rare_df_frac: float | None = None,
+    block_ngram: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`tfidf_blocking_stats`: identical
+    tokenization/shingling/threshold resolution, identical 1-row
+    output."""
+    _check_rare_threshold(rare_df, rare_df_frac, "tfidf_blocking_stats_sql")
+    ng = int(block_ngram)
+    if rare_df_frac is None:
+        thr = str(int(rare_df))
+        thr_out = f"CAST({int(rare_df)} AS BIGINT)"
+    else:
+        thr = (
+            f"(SELECT greatest(1, CAST(ceil(count(*) * "
+            f"{float(rare_df_frac)!r}) AS BIGINT)) FROM tok)"
+        )
+        thr_out = thr
+    return f"""
+WITH tok AS (
+  SELECT {id_col},
+         regexp_split_to_array(lower(trim({text_col})), '\\s+') AS t
+  FROM {table}
+), sh AS (
+  SELECT DISTINCT {id_col} AS d,
+         unnest(list_transform(range(1, len(t) - {ng} + 2),
+                i -> list_aggregate(list_slice(t, i, i + {ng} - 1),
+                                    'string_agg', ' '))) AS g
+  FROM tok
+), rare AS (
+  SELECT d, g FROM sh
+  WHERE g IN (SELECT g FROM sh GROUP BY g HAVING count(*) <= {thr})
+), cand AS (
+  SELECT DISTINCT a.d AS da, b.d AS db
+  FROM rare a JOIN rare b USING (g) WHERE a.d < b.d
+)
+SELECT CAST((SELECT count(*) FROM tok) AS BIGINT) AS n_docs,
+       {thr_out} AS threshold_df,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       CAST(round(CAST((SELECT count(*) FROM cand) AS DOUBLE)
+            / CAST((SELECT count(*) FROM tok) AS DOUBLE) * 1000.0)
+         AS BIGINT) AS cand_per_doc_milli
 """
 
 

@@ -254,6 +254,15 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
         # recall eval: crossJoins of four 1-row count aggregates
         # (n_true/n_true_seq/n_blocked/n_cand)
         "tfidf_block_recall",
+        # vacuity stats: n_cand 1-row aggregate crossJoins the 1-row
+        # n_docs aggregate (round-12 guard)
+        "tfidf_blocking_vacuity",
+        # + the corpus-relative threshold's 1-row n_docs broadcast
+        # into the shingle-df filter
+        "tfidf_blocking_frac",
+        # guarded similarity: the vacuity trap row (1-row stats
+        # crossJoin unioned into the plan)
+        "doc_tfidf_similar_guarded",
         "emb_near_dup_lsh",
         "rich_idle_customers",
     }

@@ -674,6 +674,103 @@ def test_tfidf_topk_similar_matches_python_replay(spark):
     assert not any(d == 5 for d, _ in got)
 
 
+def test_tfidf_vacuity_guard_and_corpus_relative_threshold(spark):
+    """Round-12 (VERDICT r11 task 1): the shipped absolute rare_df=4
+    is measured-vacuous at sf0.1 (1.08 candidates/doc, within-
+    reachable recall 0.006) yet used to return a silently near-empty
+    result. Pins: (a) min_cand_per_doc trips at sf0.1 in BOTH
+    engines; (b) the trap fires even when the result itself is EMPTY
+    (zero candidates — the worst silent case); (c) rare_df_frac
+    resolves to the same output as the equivalent absolute threshold;
+    (d) the threshold options are mutually exclusive."""
+    import duckdb
+
+    from etl_spark_spark.operators.retrieval import (
+        tfidf_block_candidates,
+        tfidf_topk_similar,
+        tfidf_topk_similar_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        tfidf_topk_similar(docs, "doc_id", "text", rare_df=4, rare_df_frac=0.1)
+    with pytest.raises(ValueError, match="exactly one"):
+        tfidf_block_candidates(docs, "doc_id", "text", rare_df=None)
+    with pytest.raises(ValueError, match="rare_df_frac"):
+        tfidf_topk_similar(
+            docs, "doc_id", "text", rare_df=None, rare_df_frac=1.5
+        )
+
+    # (b) empty-result trap: unique vocabularies -> zero candidates
+    uniq = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d") for i in range(6)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="VACUOUS"):
+        tfidf_topk_similar(
+            uniq, "doc_id", "text", k=3, rare_df=4, min_cand_per_doc=0.1
+        ).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW uniqdocs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, 'w{i}a w{i}b w{i}c w{i}d')" for i in range(6))
+        + ") AS t(doc_id, text)"
+    )
+    with pytest.raises(Exception, match="VACUOUS"):
+        con.execute(
+            tfidf_topk_similar_sql(
+                "uniqdocs", "doc_id", "text", k=3, rare_df=4,
+                min_cand_per_doc=0.1,
+            )
+        ).fetchall()
+
+    # (c) corpus-relative == absolute when ceil(n*frac) lands on the
+    # same cut (8 docs * 0.25 -> df <= 2)
+    corpus = [
+        (1, "zebra quantum flux omega"), (2, "zebra quantum flux gamma"),
+        (3, "alpha beta gamma delta"), (4, "alpha beta gamma epsilon"),
+        (5, "one two three four"), (6, "one two three five"),
+        (7, "six seven eight nine"), (8, "six seven eight ten"),
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    abs_out = {
+        tuple(r)
+        for r in tfidf_topk_similar(
+            cdf, "doc_id", "text", k=2, rare_df=2
+        ).collect()
+    }
+    frac_out = {
+        tuple(r)
+        for r in tfidf_topk_similar(
+            cdf, "doc_id", "text", k=2, rare_df=None, rare_df_frac=0.25
+        ).collect()
+    }
+    assert abs_out == frac_out and len(abs_out) > 0
+
+    # (a) the sf0.1 vacuity trip, both engines (the round-11 measured
+    # collapse: 5379 pairs / 5000 docs < 2.0 per doc)
+    docs1 = spark.read.parquet(
+        "/root/testdata/sf0.1/documents.parquet"
+    ).select("doc_id", "text")
+    with pytest.raises(Exception, match="VACUOUS"):
+        tfidf_topk_similar(
+            docs1, "doc_id", "text", k=3, rare_df=4, min_cand_per_doc=2.0
+        ).collect()
+    con.execute(
+        "CREATE VIEW docs1 AS SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.1/documents.parquet')"
+    )
+    with pytest.raises(Exception, match="VACUOUS"):
+        con.execute(
+            tfidf_topk_similar_sql(
+                "docs1", "doc_id", "text", k=3, rare_df=4,
+                min_cand_per_doc=2.0,
+            )
+        ).fetchall()
+
+
 def test_grouped_ols_trend_matches_replay_and_degenerates(spark):
     """OLS sufficient-stats trend pinned against a pure-Python replay;
     degenerate groups (n<2, zero x-variance, zero y-variance) emit
@@ -1037,6 +1134,30 @@ def test_ewma_scalable_equals_grouped_across_buckets(spark):
         ewma_scalable(
             df, ["g"], bucket, "t", "v", alpha=0.3, max_bucket_series=0
         )
+
+
+def test_ewma_scalable_monotone_bucket_guard(spark):
+    """Round-12 (VERDICT r11 task 2): a bucket expression that is NOT
+    monotone in the order column (e.g. a hash/modulo bucket) used to
+    silently compose the affine carries out of order — wrong EWMA
+    values with no signal. Now the per-bucket order-key ranges ride
+    the ends aggregate and overlapping adjacent buckets raise."""
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.operators.recurrence import ewma_scalable
+
+    rows = [("a", t, float(t)) for t in range(1, 13)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    with pytest.raises(Exception, match="not monotone"):
+        ewma_scalable(
+            df, ["g"], F.col("t") % 3, "t", "v", alpha=0.3
+        ).collect()
+    # same bucket COUNT but monotone: passes (the guard keys on order
+    # overlap, not cardinality)
+    ok = ewma_scalable(
+        df, ["g"], (F.col("t") / 4).cast("long"), "t", "v", alpha=0.3
+    )
+    assert ok.count() == 12
 
 
 def test_ewma_affine_composition_law_numpy():
