@@ -693,3 +693,60 @@ FROM picked
         "doc_length_histogram": _DOC_LENGTH_HISTOGRAM_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,
     }
+
+
+# Fixed CORRECTNESS-panel anchors (ORACLE_NOTES.md "panel rotation",
+# VERDICT r11 task 5): the flagship plus one representative per
+# operator family — always in every panel so the driver's differential
+# never loses its cross-family smoke coverage.
+PANEL_ANCHORS = [
+    "superdesconto",          # flagship pipeline
+    "allocation",             # proportional allocation / reconcile
+    "pricing_summary",        # group-by aggregates
+    "dedup_latest_part",      # dedup windows
+    "top_orders_per_customer",  # ranking windows
+    "normalize_keys",         # normalization functions
+    "monthly_orders_1995",    # date-range source / pushdown
+    "nation_reconcile",       # full-outer reconciliation / set ops
+    "sql_frontend",           # SQL-string frontend
+    "user_value_trend",       # window trends
+    "doc_text_stats",         # text analysis
+    "doc_exact_dedup",        # exact dedup
+    "neardup_minhash",        # MinHash-LSH near-dup
+    "doc_simhash",            # SimHash near-dup
+    "doc_tfidf_similar",      # TF-IDF blocked similarity
+    "emb_cosine_topk",        # ANN family oracle
+    "semantic_dedup",         # embedding dedup
+    "events_tumbling",        # streaming-equivalent windows
+    "events_sessionize",      # sessionization
+    "multimodal_features",    # multimodal plumbing
+]
+
+
+def panel(round_n: int, size: int = 50) -> list[str]:
+    """Deterministic rotating CORRECTNESS panel for the driver
+    (ORACLE_NOTES.md "panel rotation"): the driver's differential has
+    run the same frozen 50 queries since round 5 while the registry
+    grew past 220, so 170+ oracle-gated queries never get the
+    driver-side check. This returns ``size`` registry names for a
+    given round: the PANEL_ANCHORS first (flagship + one per operator
+    family, always present), then a round-robin slice of the remaining
+    registry in sorted-name order, offset by ``round_n * slice_size``
+    — consecutive rounds walk disjoint slices (mod wraparound), so
+    every registry query gets driver-side coverage within
+    ceil(len(rest) / (size - len(anchors))) consecutive rounds with
+    zero driver-side bookkeeping (the function is pure in
+    (round_n, size, registry)).
+    """
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    names = sorted(queries().keys())
+    in_registry = set(names)
+    anchors = [a for a in PANEL_ANCHORS if a in in_registry][:size]
+    rest = [n for n in names if n not in set(anchors)]
+    k = size - len(anchors)
+    if k <= 0 or not rest:
+        return anchors
+    start = (int(round_n) * k) % len(rest)
+    picked = [rest[(start + i) % len(rest)] for i in range(min(k, len(rest)))]
+    return anchors + picked

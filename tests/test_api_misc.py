@@ -240,3 +240,42 @@ def test_queries_md_in_sync_with_registry():
     assert (root / "QUERIES.md").read_text() == render(), (
         "QUERIES.md is stale: run `python scripts/gen_queries_md.py`"
     )
+
+
+def test_panel_rotation_deterministic_and_covering():
+    """Round-12 (VERDICT r11 task 5): the driver-facing panel slice —
+    pure in (round_n, size, registry): same round -> same panel;
+    anchors always lead; any ceil(rest/slice) CONSECUTIVE rounds union
+    to the FULL registry, so adopting rotation costs the driver zero
+    bookkeeping."""
+    import math
+
+    import pytest
+
+    import __spark_entry__ as e
+
+    all_names = set(e.queries().keys())
+    p12 = e.panel(12)
+    assert p12 == e.panel(12)
+    assert len(p12) == 50 == len(set(p12))
+    assert set(p12) <= all_names
+    n_anchor = len(e.PANEL_ANCHORS)
+    assert p12[:n_anchor] == e.PANEL_ANCHORS
+    assert set(e.PANEL_ANCHORS) <= all_names
+
+    k = 50 - n_anchor
+    rest = all_names - set(e.PANEL_ANCHORS)
+    need = math.ceil(len(rest) / k)
+    for start_round in (0, 5, 12):
+        seen: set[str] = set()
+        for r in range(start_round, start_round + need):
+            pr = e.panel(r)
+            assert pr[:n_anchor] == e.PANEL_ANCHORS
+            seen |= set(pr)
+        assert seen == all_names, (
+            f"panel rotation from round {start_round} missed "
+            f"{sorted(all_names - seen)[:5]}"
+        )
+    assert set(e.panel(1)) != set(e.panel(2))
+    with pytest.raises(ValueError):
+        e.panel(1, size=0)
