@@ -362,10 +362,15 @@ def tfidf_topk_similar(
     registry query ``tfidf_block_recall``; BASELINE.md records the
     numbers, including that an ABSOLUTE rare_df is scale-stable only
     under Heaps-law vocabulary growth — on a bounded vocabulary the
-    shingle dfs shift up with corpus size and recall decays; when the
-    truth metric is bag-overlap rather than sequence-overlap, prefer
-    MinHash-LSH, whose banded recall is threshold-free by
-    construction.
+    shingle dfs shift up with corpus size and recall decays. Both
+    halves are now MEASURED on both corpus shapes (round-12 organic-
+    vocabulary audit, BASELINE.md): on a Zipf/Heaps corpus the
+    absolute cut holds recall 1.0 at 1x and 10x with ~constant
+    candidates/doc, while on the bounded fixture it collapses — and
+    the corpus-relative cut inverts (overshoots on organic, rescues
+    on bounded). When the truth metric is bag-overlap rather than
+    sequence-overlap, prefer MinHash-LSH, whose banded recall is
+    threshold-free by construction.
 
     Round-12 guards for exactly that hazard: ``rare_df_frac`` selects
     a CORPUS-RELATIVE threshold (df <= max(1, ceil(n_docs * frac)),

@@ -370,9 +370,12 @@ def pareto_frontier_2d(
     is on the frontier iff its y equals its x-group max AND strictly
     exceeds the best y at any strictly larger x.
 
-    ``bucket_col`` (default: x itself) must be monotone in x; pass a
-    coarse bucket (e.g. ``F.floor(F.col(x)/1000)``) when x is near-
-    continuous so the serial window stays tiny.
+    ``bucket_col`` (default: x itself) must be monotone in x — ENFORCED
+    (round-12, same loud guard as scalable_running_sum: per-bucket
+    min/max of x ride the bucket-maxima aggregate and overlapping
+    adjacent buckets raise); pass a coarse bucket (e.g.
+    ``F.floor(F.col(x)/1000)``) when x is near-continuous so the
+    serial window stays tiny.
     """
     b = (
         F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
@@ -391,12 +394,27 @@ def pareto_frontier_2d(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     within = groups.withColumn("__excl", F.max("__xmax").over(w_in))
-    btot = groups.groupBy("__bkt").agg(F.max("__xmax").alias("__t"))
+    btot = groups.groupBy("__bkt").agg(
+        F.max("__xmax").alias("__t"),
+        F.min(x_col).alias("__om"),
+        F.max(x_col).alias("__ox"),
+    )
     w_b = (
         Window.orderBy(F.col("__bkt").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    boff = btot.select("__bkt", F.max("__t").over(w_b).alias("__off"))
+    w_lag = Window.orderBy("__bkt")
+    boff = btot.select(
+        "__bkt",
+        F.max("__t").over(w_b).alias("__off"),
+        F.lag("__ox").over(w_lag).alias("__pox"),
+        "__om",
+    ).select(
+        "__bkt",
+        _checked_offset(F.col("__off"), "pareto_frontier_2d").alias(
+            "__off"
+        ),
+    )
     marks = (
         within.join(F.broadcast(boff), "__bkt")
         .select(

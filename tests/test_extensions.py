@@ -316,6 +316,15 @@ def test_pareto_frontier_equals_brute_force(spark):
         ).collect()
     }
     assert got_b == brute
+    # round-12: a bucket NOT monotone in x raises loudly (the same
+    # guard as scalable_running_sum) instead of silently skipping
+    # cross-bucket dominance
+    import pytest
+
+    with pytest.raises(Exception, match="not monotone"):
+        pareto_frontier_2d(
+            df, "x", "y", bucket_col=F.col("x") % 3
+        ).collect()
 
 
 def test_triangle_counts_known_graph(spark):
