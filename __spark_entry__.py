@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_spark_spark.functions.money import money_sum, money_sum_sql
+from etl_spark_spark.operators.stats import checked_measure_sql
 from etl_spark_spark.functions.normalize import (
     _ACCENTS_DST,
     _ACCENTS_SRC,
@@ -529,12 +530,12 @@ SELECT CAST(row_number() OVER (
        doc_id, source
 FROM documents
 """,
-        "ks_drift_by_type": """
+        "ks_drift_by_type": f"""
 WITH d AS (
   SELECT event_type,
          CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
               THEN 'A' ELSE 'B' END AS variant,
-         CAST(round(value * 100) AS BIGINT) AS cents
+         {checked_measure_sql('CAST(round(value * 100) AS BIGINT)', 'ks_drift_by_group', 'cents')} AS cents
   FROM events WHERE value IS NOT NULL
 ), dist AS (
   SELECT event_type, cents,

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_spark_spark.functions.money import money_sum, money_sum_sql
+from etl_spark_spark.operators.stats import checked_measure_sql
 from etl_spark_spark.functions.normalize import (
     _ACCENTS_DST,
     _ACCENTS_SRC,
@@ -1234,7 +1235,7 @@ FROM s
 
 
 
-_CONVERSION_LATENCY_SQL = """
+_CONVERSION_LATENCY_SQL = f"""
 WITH s AS (
   SELECT user_id, min(epoch_us(ts)) AS signup_us
   FROM events WHERE event_type = 'signup' GROUP BY user_id
@@ -1247,7 +1248,10 @@ WITH s AS (
   FROM s JOIN p ON s.user_id = p.user_id AND p.p_us >= s.signup_us
   GROUP BY s.user_id, s.signup_us
 ), dist AS (
-  SELECT cohort_day, latency_us AS v, count(*) AS c FROM conv GROUP BY 1, 2
+  SELECT cohort_day,
+         {checked_measure_sql('latency_us', 'exact_group_quantiles', 'latency_us')} AS v,
+         count(*) AS c
+  FROM conv GROUP BY 1, 2
 ), cum AS (
   SELECT cohort_day, v, c,
          sum(c) OVER (PARTITION BY cohort_day ORDER BY v

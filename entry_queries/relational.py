@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_spark_spark.functions.money import money_sum, money_sum_sql
+from etl_spark_spark.operators.stats import checked_measure_sql
 from etl_spark_spark.functions.normalize import (
     _ACCENTS_DST,
     _ACCENTS_SRC,
@@ -2004,7 +2005,7 @@ WITH ev AS (
   SELECT event_type,
          CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
               THEN 'A' ELSE 'B' END AS variant,
-         CAST(round(value * 100) AS BIGINT) AS cents
+         {checked_measure_sql('CAST(round(value * 100) AS BIGINT)', 'psi_drift', 'cents')} AS cents
   FROM events WHERE value IS NOT NULL
 ), ref AS (SELECT * FROM ev WHERE variant = 'A'),
 cur AS (SELECT * FROM ev WHERE variant <> 'A'),
@@ -3545,9 +3546,11 @@ FROM spine s LEFT JOIN counts c USING (day, priority)
 """
 
 
-_PRICE_OUTLIERS_SQL = """
+_PRICE_OUTLIERS_SQL = f"""
 WITH dist AS (
-  SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
+  SELECT l_returnflag,
+         {checked_measure_sql('l_extendedprice', 'exact_group_quantiles', 'l_extendedprice')} AS v,
+         count(*) AS c
   FROM lineitem GROUP BY 1, 2
 ), cum AS (
   SELECT l_returnflag, v, c,
@@ -3563,7 +3566,10 @@ WITH dist AS (
   SELECT l.l_returnflag, abs(l.l_extendedprice - m.median_price) AS d
   FROM lineitem l JOIN med m USING (l_returnflag)
 ), ddist AS (
-  SELECT l_returnflag, d, count(*) AS c FROM dev GROUP BY 1, 2
+  SELECT l_returnflag,
+         {checked_measure_sql('d', 'exact_group_quantiles', '__dev')} AS d,
+         count(*) AS c
+  FROM dev GROUP BY 1, 2
 ), dcum AS (
   SELECT l_returnflag, d, c,
          sum(c) OVER (PARTITION BY l_returnflag ORDER BY d
@@ -4170,9 +4176,11 @@ SELECT digit, n, share, expected, abs(share - expected) AS abs_dev FROM s
 """
 
 
-_EXACT_PRICE_QUARTILES_SQL = """
+_EXACT_PRICE_QUARTILES_SQL = f"""
 WITH dist AS (
-  SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
+  SELECT l_returnflag,
+         {checked_measure_sql('l_extendedprice', 'exact_group_quantiles', 'l_extendedprice')} AS v,
+         count(*) AS c
   FROM lineitem GROUP BY 1, 2
 ), cum AS (
   SELECT l_returnflag, v, c,
@@ -4189,11 +4197,11 @@ FROM cum GROUP BY l_returnflag
 """
 
 
-_KS_TEST_AB_SQL = """
+_KS_TEST_AB_SQL = f"""
 WITH d AS (
   SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
               THEN 'A' ELSE 'B' END AS variant,
-         CAST(round(value * 100) AS BIGINT) AS cents
+         {checked_measure_sql('CAST(round(value * 100) AS BIGINT)', 'ks_two_sample', 'cents')} AS cents
   FROM events WHERE event_type = 'purchase'
 ), dist AS (
   SELECT cents,
@@ -4369,11 +4377,11 @@ FROM s
 
 
 
-_MANN_WHITNEY_AB_SQL = """
+_MANN_WHITNEY_AB_SQL = f"""
 WITH d AS (
   SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
               THEN 'A' ELSE 'B' END AS variant,
-         CAST(round(value * 100) AS BIGINT) AS cents
+         {checked_measure_sql('CAST(round(value * 100) AS BIGINT)', 'mann_whitney_u', 'cents')} AS cents
   FROM events WHERE event_type = 'purchase'
 ), dist AS (
   SELECT cents,
@@ -4502,10 +4510,11 @@ WINDOW w AS (PARTITION BY strftime(o_orderdate, '%Y-%m')
 
 
 
-_WEIGHTED_PRICE_QUARTILES_SQL = """
+_WEIGHTED_PRICE_QUARTILES_SQL = f"""
 WITH d AS (
-  SELECT l_returnflag, l_extendedprice AS v,
-         CAST(round(l_quantity) AS BIGINT) AS w
+  SELECT l_returnflag,
+         {checked_measure_sql('l_extendedprice', 'exact_weighted_quantiles', 'l_extendedprice')} AS v,
+         {checked_measure_sql('CAST(round(l_quantity) AS BIGINT)', 'exact_weighted_quantiles', 'qty')} AS w
   FROM lineitem
 ), dist AS (
   SELECT l_returnflag, v, sum(w) AS w FROM d GROUP BY 1, 2

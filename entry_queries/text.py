@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_spark_spark.functions.money import money_sum, money_sum_sql
+from etl_spark_spark.operators.stats import checked_measure_sql
 from etl_spark_spark.functions.normalize import (
     _ACCENTS_DST,
     _ACCENTS_SRC,
@@ -3063,9 +3064,11 @@ FROM packed
 """
 
 
-_DOC_LENGTH_WINSOR_SQL = """
+_DOC_LENGTH_WINSOR_SQL = f"""
 WITH dist AS (
-  SELECT source, n_chars AS v, count(*) AS c
+  SELECT source,
+         {checked_measure_sql('n_chars', 'exact_group_quantiles', 'n_chars')} AS v,
+         count(*) AS c
   FROM documents GROUP BY 1, 2
 ), cum AS (
   SELECT source, v, c,
@@ -3210,7 +3213,10 @@ scored AS (
   SELECT k.doc_id, d.lang, k.kn_surprisal_milli AS v
   FROM kn k JOIN documents d USING (doc_id)
 ), dist AS (
-  SELECT lang, v, count(*) AS c FROM scored GROUP BY 1, 2
+  SELECT lang,
+         {checked_measure_sql('v', 'integer_tercile_buckets', 'kn_surprisal_milli')} AS v,
+         count(*) AS c
+  FROM scored GROUP BY 1, 2
 ), cum AS (
   SELECT lang, v, c,
          sum(c) OVER (PARTITION BY lang ORDER BY v

@@ -40,6 +40,43 @@ def _q_labels(prefix: str, qs: Sequence[float]) -> list[str]:
     return labels
 
 
+def _checked_measure(c: Column, op: str, name: str) -> Column:
+    """Loud NULL guard for a measure entering cumulative-distribution
+    machinery (quantiles, CDFs, ranks, bin edges): Spark windows order
+    NULLS FIRST while ANSI engines (the DuckDB oracles) default to
+    NULLS LAST, so a NULL measure silently shifts every cumulative
+    threshold engine-dependently — the same divergence class as the
+    theil_sen NULL-x/y guard (ADVICE r11), verified live on
+    [(g,NULL),(g,1),(g,2),(g,3)]: q50 = 1 in Spark vs 2 in DuckDB.
+    The ``otherwise`` branch carries the raise so the WHEN branch pins
+    the result type to the measure's own type (no cast needed)."""
+    return F.when(c.isNotNull(), c).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{op}: NULL {name} — filter or impute NULL "
+                "measurements upstream (NULL orders engine-"
+                "dependently: Spark windows put NULLS FIRST, ANSI "
+                "engines typically LAST, silently shifting every "
+                "cumulative threshold)"
+            )
+        )
+    )
+
+
+def checked_measure_sql(expr: str, op: str, name: str) -> str:
+    """The identical guard for the DuckDB oracle mirrors: wrap the
+    measure expression in the dist CTE so both engines raise on the
+    same inputs (loud-guard discipline: ENFORCED in both engines, like
+    max_series/max_points)."""
+    msg = (
+        f"{op}: NULL {name} — filter or impute NULL measurements "
+        "upstream (NULL orders engine-dependently: Spark windows put "
+        "NULLS FIRST, ANSI engines typically LAST, silently shifting "
+        "every cumulative threshold)"
+    )
+    return f"CASE WHEN ({expr}) IS NULL THEN error('{msg}') ELSE {expr} END"
+
+
 def exact_group_quantiles(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -56,10 +93,16 @@ def exact_group_quantiles(
     ``qs`` entries should be exactly-representable binary fractions
     (0.25, 0.5, 0.75...) so ceil(q*n) never suffers float jitter; the
     semantics above are pinned in plain SQL by the oracle, not by any
-    engine's quantile builtin.
+    engine's quantile builtin. A NULL value raises LOUDLY in both
+    engines (:func:`_checked_measure`).
     """
     keys = list(group_cols)
-    dist = df.groupBy(*keys, value_col).agg(F.count("*").alias("__c"))
+    dist = df.select(
+        *keys,
+        _checked_measure(
+            F.col(value_col), "exact_group_quantiles", value_col
+        ).alias(value_col),
+    ).groupBy(*keys, value_col).agg(F.count("*").alias("__c"))
     w = (
         Window.partitionBy(*keys)
         .orderBy(value_col)
@@ -83,6 +126,115 @@ def exact_group_quantiles(
     )
 
 
+def scalable_group_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    bucket_of: Column,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """:func:`exact_group_quantiles` without the per-group single-task
+    window — identical values, decomposed cumulative counts.
+
+    The plain form's scale ceiling: its window partitions by GROUP, so
+    one task materializes a group's entire distinct-value distribution
+    (millions of distinct prices under 3 return flags at the 100 TB
+    design point — the same single-task class as theil_sen's pair
+    generation). This form applies the prefix-sum decomposition of
+    ``scalable_running_sum`` PER GROUP:
+
+    1. hash-aggregate to the per-(group, value) distribution (same
+       decisive shrink as the plain form);
+    2. within-(group, bucket) cumulative counts — parallel windows;
+    3. per-(group, bucket) totals, offset by an exclusive prefix over
+       the bucket-totals table (the only serial-per-group window,
+       sized by the BUCKET count, not the distinct-value count);
+    4. global cum = within + offset, then the identical
+       smallest-v-with-cum>=ceil(q*n) selection.
+
+    ``bucket_of`` is an expression over ``value_col`` that must be a
+    monotone NONDECREASING, non-NULL coarsening of the value (e.g.
+    ``F.floor(F.col("price") / 100)``) — monotonicity is ENFORCED
+    (adjacent buckets whose value ranges overlap raise loudly, the
+    scalable_running_sum guard) and NULL buckets raise before the
+    decomposition. Values are guarded non-NULL exactly like the plain
+    form, and NULL group keys remain a real group (null-safe join).
+
+    The oracle story is the point: results are bit-identical to
+    exact_group_quantiles for ANY valid bucketing, so the same
+    plain-window SQL oracle pins both forms (q:price_quartiles_scalable
+    shares q:exact_price_quartiles' oracle verbatim).
+    """
+    from .windows import _checked_offset
+
+    keys = list(group_cols)
+    op = "scalable_group_quantiles"
+    dist = df.select(
+        *keys,
+        _checked_measure(F.col(value_col), op, value_col).alias(value_col),
+    ).groupBy(*keys, value_col).agg(F.count("*").alias("__c"))
+    bkt = F.when(bucket_of.isNotNull(), bucket_of).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{op}: bucket_of produced NULL for a non-NULL value — "
+                "the bucket expression must be a total, non-NULL "
+                "coarsening of the value"
+            )
+        )
+    )
+    tagged = dist.withColumn("__bkt", bkt)
+    w_in = (
+        Window.partitionBy(*keys, "__bkt")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = tagged.withColumn("__within", F.sum("__c").over(w_in))
+    totals = tagged.groupBy(*keys, "__bkt").agg(
+        F.sum("__c").alias("__t"),
+        F.min(value_col).alias("__om"),
+        F.max(value_col).alias("__ox"),
+    )
+    w_b = (
+        Window.partitionBy(*keys)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_lag = Window.partitionBy(*keys).orderBy("__bkt")
+    wg = Window.partitionBy(*keys)
+    offsets = totals.select(
+        *keys,
+        "__bkt",
+        F.coalesce(F.sum("__t").over(w_b), F.lit(0)).alias("__off"),
+        F.lag("__ox").over(w_lag).alias("__pox"),
+        "__om",
+        F.sum("__t").over(wg).alias("__n"),
+    ).select(
+        *keys,
+        "__bkt",
+        _checked_offset(F.col("__off"), op).alias("__off"),
+        "__n",
+    )
+    lhs, rhs = within.alias("__sgl"), offsets.alias("__sgr")
+    cond = F.col("__sgl.__bkt").eqNullSafe(F.col("__sgr.__bkt"))
+    for k in keys:
+        cond = cond & F.col(f"__sgl.{k}").eqNullSafe(F.col(f"__sgr.{k}"))
+    cum = lhs.join(rhs, cond).select(
+        *[F.col(f"__sgl.{k}") for k in keys],
+        F.col(f"__sgl.{value_col}").alias(value_col),
+        (F.col("__sgl.__within") + F.col("__sgr.__off")).alias("__cum"),
+        F.col("__sgr.__n").alias("__n"),
+    )
+    aggs = []
+    for q, label in zip(qs, _q_labels("q", qs)):
+        target = F.ceil(F.lit(q) * F.col("__n"))
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum") >= target, F.col(value_col))
+            ).alias(label)
+        )
+    return cum.groupBy(*keys).agg(F.max("__n").alias("n"), *aggs)
+
+
 def ks_two_sample(
     df: DataFrame,
     value_col: str,
@@ -99,13 +251,20 @@ def ks_two_sample(
     cumulative counts via the distributed prefix-sum decomposition
     (``bucket`` must be monotone in the value order; defaults to the
     value itself, right for discrete/fixed-point measures) — never a
-    single-task global window. Returns one row:
+    single-task global window. A NULL value raises LOUDLY in both
+    engines (:func:`_checked_measure`). Returns one row:
     (n_a, n_b, d_stat)."""
     from .windows import scalable_running_sum
 
     is_a = F.col(variant_col) == F.lit(variant_a)
     dist = (
-        df.groupBy(value_col)
+        df.select(
+            variant_col,
+            _checked_measure(
+                F.col(value_col), "ks_two_sample", value_col
+            ).alias(value_col),
+        )
+        .groupBy(value_col)
         .agg(
             F.count(F.when(is_a, 1)).alias("__ca"),
             F.count(F.when(~is_a, 1)).alias("__cb"),
@@ -166,8 +325,18 @@ def mann_whitney_u(
     ~2e6 members (t^3 < 2^63). Beyond that, route the three sums
     through decimal(38,0) and emit tie_term as decimal — the z
     formula itself is unchanged.
+
+    A NULL value raises LOUDLY in both engines
+    (:func:`_checked_measure`): ranks come from a cumulative count
+    ordered by value, where NULL placement is engine-dependent.
     """
     is_a = F.col(variant_col) == F.lit(variant_a)
+    df = df.select(
+        variant_col,
+        _checked_measure(
+            F.col(value_col), "mann_whitney_u", value_col
+        ).alias(value_col),
+    )
     dist = df.groupBy(value_col).agg(
         F.count(F.when(is_a, 1)).alias("__ca"),
         F.count(F.when(~is_a, 1)).alias("__cb"),
@@ -228,10 +397,22 @@ def exact_weighted_quantiles(
     per-(group, value) distribution summing INTEGER weights, one
     window over the compact distribution, one final aggregate.
     ``weight_col`` must be integral (cast upstream) so cumulative
-    weights are exact under any shuffle order.
+    weights are exact under any shuffle order. A NULL value OR weight
+    raises LOUDLY in both engines: NULL values order engine-
+    dependently (:func:`_checked_measure`); a NULL weight would be
+    silently dropped by SUM — "this row weighs nothing" is a data bug
+    the caller must resolve, not a default.
     """
     keys = list(group_cols)
-    dist = df.groupBy(*keys, value_col).agg(
+    dist = df.select(
+        *keys,
+        _checked_measure(
+            F.col(value_col), "exact_weighted_quantiles", value_col
+        ).alias(value_col),
+        _checked_measure(
+            F.col(weight_col), "exact_weighted_quantiles", weight_col
+        ).alias(weight_col),
+    ).groupBy(*keys, value_col).agg(
         F.sum(F.col(weight_col).cast("long")).alias("__w")
     )
     w = (
@@ -649,11 +830,18 @@ def ks_drift_by_group(
     (0/0 division → NULL on Spark but +inf under IEEE engines — a
     cross-engine divergence and a meaningless statistic, ADVICE r6);
     callers monitoring for missing variants should count per-variant
-    rows separately.
+    rows separately. A NULL value raises LOUDLY in both engines
+    (:func:`_checked_measure`).
     """
     keys = list(group_cols)
     is_a = F.col(variant_col) == F.lit(variant_a)
-    dist = df.groupBy(*keys, value_col).agg(
+    dist = df.select(
+        *keys,
+        variant_col,
+        _checked_measure(
+            F.col(value_col), "ks_drift_by_group", value_col
+        ).alias(value_col),
+    ).groupBy(*keys, value_col).agg(
         F.count(F.when(is_a, 1)).alias("__ca"),
         F.count(F.when(~is_a, 1)).alias("__cb"),
     )
@@ -708,10 +896,17 @@ def integer_tercile_buckets(
     Scale: one hash aggregate to the per-(group, value) distribution,
     windows over that compact distribution (not the rows), and a
     broadcast-size edge table joined back — same skeleton as
-    exact_group_quantiles.
+    exact_group_quantiles. A NULL value raises LOUDLY in both engines
+    (:func:`_checked_measure`) — it would shift the edge thresholds
+    engine-dependently AND fall into the tail bucket silently.
     """
     keys = list(group_cols)
-    dist = df.groupBy(*keys, value_col).agg(F.count("*").alias("__c"))
+    dist = df.select(
+        *keys,
+        _checked_measure(
+            F.col(value_col), "integer_tercile_buckets", value_col
+        ).alias(value_col),
+    ).groupBy(*keys, value_col).agg(F.count("*").alias("__c"))
     w = (
         Window.partitionBy(*keys)
         .orderBy(value_col)
@@ -781,9 +976,19 @@ def psi_drift(
     sentinel rows (n_ref=0, n_cur=count, psi_milli=NULL) rather than
     silently dropped: "never seen before" is exactly the condition a
     drift monitor must surface. Groups present only in the reference
-    appear naturally with n_cur=0.
+    appear naturally with n_cur=0. A NULL value raises LOUDLY in both
+    engines (:func:`_checked_measure`): the reference quantile edges
+    come from the same cumulative-threshold machinery as
+    exact_group_quantiles, where NULL placement is engine-dependent.
     """
     keys = list(group_cols)
+    df = df.select(
+        *keys,
+        variant_col,
+        _checked_measure(F.col(value_col), "psi_drift", value_col).alias(
+            value_col
+        ),
+    )
     ref = df.filter(F.col(variant_col) == F.lit(variant_ref))
     cur = df.filter(F.col(variant_col) != F.lit(variant_ref))
     dist = ref.groupBy(*keys, value_col).agg(F.count("*").alias("__c"))

@@ -1250,3 +1250,89 @@ def test_grouped_ols_exact_at_large_magnitudes(spark):
     )
     want = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
     assert {g: tuple(v) for g, v in got.items()} == want
+
+
+def test_null_measure_guard_family_fails_loudly_both_engines(spark):
+    """Round-12 sweep of the theil_sen NULL-discipline (ADVICE r11)
+    across the whole cumulative-distribution family: a NULL measure
+    enters windows that Spark orders NULLS FIRST and the DuckDB
+    mirrors order NULLS LAST, silently shifting every cumulative
+    threshold. Verified live before the guard: exact_group_quantiles
+    on [(g,NULL),(g,1),(g,2),(g,3)] returned q50=1 in Spark vs q50=2
+    in DuckDB. Every operator in the family now raises loudly, and
+    checked_measure_sql raises identically in DuckDB."""
+    import duckdb
+    import pytest as _pytest
+
+    from etl_spark_spark.operators.stats import (
+        checked_measure_sql,
+        exact_group_quantiles,
+        exact_weighted_quantiles,
+        integer_tercile_buckets,
+        ks_drift_by_group,
+        ks_two_sample,
+        mann_whitney_u,
+        psi_drift,
+    )
+
+    gv = spark.createDataFrame(
+        [("g", None), ("g", 1), ("g", 2), ("g", 3)], "k string, v int"
+    )
+    with _pytest.raises(Exception, match="exact_group_quantiles: NULL v"):
+        exact_group_quantiles(gv, ["k"], "v", qs=(0.5,)).collect()
+    with _pytest.raises(
+        Exception, match="integer_tercile_buckets: NULL v"
+    ):
+        integer_tercile_buckets(gv, ["k"], "v").collect()
+
+    wv = spark.createDataFrame(
+        [("g", None, 1), ("g", 2, 1)], "k string, v int, w int"
+    )
+    with _pytest.raises(
+        Exception, match="exact_weighted_quantiles: NULL v"
+    ):
+        exact_weighted_quantiles(wv, ["k"], "v", "w").collect()
+    ww = spark.createDataFrame(
+        [("g", 1, None), ("g", 2, 1)], "k string, v int, w int"
+    )
+    with _pytest.raises(
+        Exception, match="exact_weighted_quantiles: NULL w"
+    ):
+        exact_weighted_quantiles(ww, ["k"], "v", "w").collect()
+
+    ab = spark.createDataFrame(
+        [("A", None), ("A", 1), ("B", 2)], "variant string, v int"
+    )
+    with _pytest.raises(Exception, match="ks_two_sample: NULL v"):
+        ks_two_sample(ab, "v", "variant").collect()
+    with _pytest.raises(Exception, match="mann_whitney_u: NULL v"):
+        mann_whitney_u(ab, "v", "variant").collect()
+    gab = spark.createDataFrame(
+        [("t", "A", None), ("t", "A", 1), ("t", "B", 2)],
+        "k string, variant string, v int",
+    )
+    with _pytest.raises(Exception, match="ks_drift_by_group: NULL v"):
+        ks_drift_by_group(gab, ["k"], "v", "variant").collect()
+    with _pytest.raises(Exception, match="psi_drift: NULL v"):
+        psi_drift(gab, ["k"], "v", "variant").collect()
+
+    # the SQL-side guard raises on the same input and is a no-op on
+    # clean data (the oracle mirrors embed this exact expression)
+    con = duckdb.connect()
+    guard = checked_measure_sql("v", "exact_group_quantiles", "v")
+    assert con.execute(
+        f"SELECT {guard} FROM (VALUES (1), (2)) t(v) ORDER BY 1"
+    ).fetchall() == [(1,), (2,)]
+    with _pytest.raises(
+        Exception, match="exact_group_quantiles: NULL v"
+    ):
+        con.execute(
+            f"SELECT {guard} FROM (VALUES (1), (NULL)) t(v)"
+        ).fetchall()
+
+    # non-null semantics unchanged: same discrete quantile both ways
+    clean = spark.createDataFrame(
+        [("g", 1), ("g", 2), ("g", 2), ("g", 9)], "k string, v int"
+    )
+    row = exact_group_quantiles(clean, ["k"], "v").collect()[0]
+    assert (row["n"], row["q25"], row["q50"], row["q75"]) == (4, 1, 2, 2)
