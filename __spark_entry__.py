@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "benford_totalprice": q_benford_totalprice,
         "exact_price_quartiles": q_exact_price_quartiles,
+        "price_quartiles_scalable": q_price_quartiles_scalable,
         "ks_test_ab": q_ks_test_ab,
         "events_props_variant": q_events_props_variant,
         "pyds_source_stats": q_pyds_source_stats,
@@ -452,6 +453,10 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _INVERTED_INDEX_SQL,
         "benford_totalprice": _BENFORD_TOTALPRICE_SQL,
         "exact_price_quartiles": _EXACT_PRICE_QUARTILES_SQL,
+        # the decomposed form is bit-identical by construction, so it
+        # shares the plain-window oracle VERBATIM — the strongest
+        # cross-form equivalence evidence the harness can record
+        "price_quartiles_scalable": _EXACT_PRICE_QUARTILES_SQL,
         "ks_test_ab": _KS_TEST_AB_SQL,
         "events_props_variant": _EVENTS_PROPS_VARIANT_SQL,
         "pyds_source_stats": _PYDS_SOURCE_STATS_SQL,

@@ -1847,7 +1847,12 @@ def q_exact_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort): distribution aggregate + one per-group window over
     distinct values (operators/stats.py:exact_group_quantiles); the
     smallest-v-with-cum>=ceil(q*n) semantics are pinned by a plain-SQL
-    window oracle, not an engine quantile builtin."""
+    window oracle, not an engine quantile builtin. Scale caveat: the
+    per-group window puts one GROUP's whole distinct-value
+    distribution on one task — at the 100 TB design point (millions of
+    distinct prices under 3 return flags) use the decomposed form,
+    q_price_quartiles_scalable, which shares this query's oracle and
+    is bit-identical by construction."""
     from etl_spark_spark.operators.stats import exact_group_quantiles
 
     li = table(
@@ -1855,6 +1860,32 @@ def q_exact_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact_group_quantiles(
         li, ["l_returnflag"], "l_extendedprice", qs=(0.25, 0.5, 0.75)
+    )
+
+
+
+def q_price_quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_exact_price_quartiles through the DECOMPOSED cumulative-count
+    path (operators/stats.py:scalable_group_quantiles): within-bucket
+    windows in parallel + an exclusive prefix over the tiny per-group
+    bucket-totals table — no task ever holds a full group's
+    distinct-value distribution, so the plan survives groups with
+    millions of distinct values where the plain per-group window is a
+    single-task straggler. Bucket = floor(price/100) (~1k monotone
+    price bands; monotonicity ENFORCED). Bit-identical to the plain
+    form for any valid bucketing — this query's oracle IS
+    q_exact_price_quartiles' oracle, verbatim."""
+    from etl_spark_spark.operators.stats import scalable_group_quantiles
+
+    li = table(
+        spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"]
+    )
+    return scalable_group_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        bucket_of=F.floor(F.col("l_extendedprice") / 100),
+        qs=(0.25, 0.5, 0.75),
     )
 
 
@@ -4886,6 +4917,7 @@ __all__ = [
     'q_pareto_parts',
     'q_benford_totalprice',
     'q_exact_price_quartiles',
+    'q_price_quartiles_scalable',
     'q_ks_test_ab',
     'q_pyds_source_stats',
     'q_monthly_revenue_mom',

@@ -77,13 +77,18 @@ from .grouped import (
     transition_counts,
     welch_t_test,
 )
-from .stats import exact_group_quantiles, ks_two_sample
+from .stats import (
+    exact_group_quantiles,
+    ks_two_sample,
+    scalable_group_quantiles,
+)
 from .asof import position_attribution
 
 __all__ = [
     "activity_streaks",
     "agg_snapshot",
     "exact_group_quantiles",
+    "scalable_group_quantiles",
     "ks_two_sample",
     "pagerank_exact",
     "pareto_frontier_2d",

@@ -1336,3 +1336,68 @@ def test_null_measure_guard_family_fails_loudly_both_engines(spark):
     )
     row = exact_group_quantiles(clean, ["k"], "v").collect()[0]
     assert (row["n"], row["q25"], row["q50"], row["q75"]) == (4, 1, 2, 2)
+
+
+def test_scalable_group_quantiles_equals_plain_form(spark):
+    """Round-12: the decomposed cumulative-count quantile path must be
+    bit-identical to exact_group_quantiles for any valid bucketing —
+    including NULL group keys (a real group), single-bucket
+    degenerate bucketing, ties, and finer-than-needed buckets. The
+    monotone-bucket and NULL-bucket guards raise loudly."""
+    import random
+
+    import pytest as _pytest
+
+    from etl_spark_spark.operators.stats import (
+        exact_group_quantiles,
+        scalable_group_quantiles,
+    )
+
+    rng = random.Random(12)
+    rows = [
+        (rng.choice(["a", "b", None]), rng.randint(0, 500))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, v int")
+
+    want = {
+        tuple(r)
+        for r in exact_group_quantiles(
+            df, ["k"], "v", qs=(0.25, 0.5, 0.75)
+        ).collect()
+    }
+    for bucket in (
+        F.floor(F.col("v") / 50),   # ~10 buckets
+        F.floor(F.col("v") / 7),    # finer
+        F.lit(0),                   # degenerate: single bucket
+        F.col("v"),                 # one bucket per distinct value
+    ):
+        got = {
+            tuple(r)
+            for r in scalable_group_quantiles(
+                df, ["k"], "v", bucket_of=bucket, qs=(0.25, 0.5, 0.75)
+            ).collect()
+        }
+        assert got == want
+
+    # non-monotone bucket (hash parity) raises loudly
+    with _pytest.raises(Exception, match="not monotone"):
+        scalable_group_quantiles(
+            df, ["k"], "v", bucket_of=F.col("v") % 2
+        ).collect()
+    # NULL bucket raises loudly
+    with _pytest.raises(Exception, match="bucket_of produced NULL"):
+        scalable_group_quantiles(
+            df,
+            ["k"],
+            "v",
+            bucket_of=F.when(F.col("v") < 400, F.col("v")),
+        ).collect()
+    # NULL measure raises like the plain form
+    gv = spark.createDataFrame([("g", None), ("g", 1)], "k string, v int")
+    with _pytest.raises(
+        Exception, match="scalable_group_quantiles: NULL v"
+    ):
+        scalable_group_quantiles(
+            gv, ["k"], "v", bucket_of=F.lit(0)
+        ).collect()
