@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_qty_ewma": q_supplier_qty_ewma,
         "supplier_qty_ewma_scalable": q_supplier_qty_ewma_scalable,
         "nation_theil_sen_trend": q_nation_theil_sen_trend,
+        "nation_theil_sen_blocked": q_nation_theil_sen_blocked,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "schema_evolution_scan": q_schema_evolution_scan,
         "did_purchase_uplift": q_did_purchase_uplift,
@@ -266,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "benford_totalprice": q_benford_totalprice,
         "exact_price_quartiles": q_exact_price_quartiles,
+        "price_quartile_sketch_eval": q_price_quartile_sketch_eval,
         "price_quartiles_scalable": q_price_quartiles_scalable,
         "ks_test_ab": q_ks_test_ab,
         "events_props_variant": q_events_props_variant,
@@ -453,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _INVERTED_INDEX_SQL,
         "benford_totalprice": _BENFORD_TOTALPRICE_SQL,
         "exact_price_quartiles": _EXACT_PRICE_QUARTILES_SQL,
+        "price_quartile_sketch_eval": _price_quartile_sketch_eval_oracle(),
         # the decomposed form is bit-identical by construction, so it
         # shares the plain-window oracle VERBATIM — the strongest
         # cross-form equivalence evidence the harness can record
@@ -522,6 +525,8 @@ def oracle_sql() -> dict[str, str]:
         "supplier_qty_ewma": _supplier_qty_ewma_oracle(),
         "supplier_qty_ewma_scalable": _supplier_qty_ewma_oracle(),
         "nation_theil_sen_trend": _nation_theil_sen_oracle(),
+        # identical pair set by construction -> shares the oracle verbatim
+        "nation_theil_sen_blocked": _nation_theil_sen_oracle(),
         "hybrid_search_rrf": _hybrid_search_rrf_oracle(),
         "schema_evolution_scan": _SCHEMA_EVOLUTION_SQL,
         "did_purchase_uplift": _DID_SQL,

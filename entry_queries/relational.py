@@ -1890,6 +1890,142 @@ def q_price_quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_price_quartile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable quantile sketch, SELF-EVALUATED: build the
+    deterministic 1/16 md5-Bernoulli sample distribution of lineitem
+    prices per return flag (operators/sketches.py:
+    quantile_sketch_build — the quantile leg of the HLL/CMS portable
+    family), estimate the quartiles from the sketch, and MEASURE each
+    estimate's realized rank error against the exact full-data
+    distribution: rank_err_milli = |F_exact(est) - q|·1000. The
+    sketch hash, the sample quantile, the exact CDF lookup, and the
+    error arithmetic are all mirrored in the oracle, so the driver
+    hash-checks the whole evaluation, not just the estimates. One
+    long-format row per (flag, quartile)."""
+    from etl_spark_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_quantiles,
+    )
+
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=[
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+        ],
+    )
+    row_key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("#"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sk = quantile_sketch_build(
+        li, row_key, "l_extendedprice", ["l_returnflag"], sample_mod=16
+    )
+    est = quantile_sketch_quantiles(
+        sk, ["l_returnflag"], "l_extendedprice", qs=(0.25, 0.5, 0.75)
+    )
+    est_long = None
+    for qm, col in ((250, "wq25"), (500, "wq50"), (750, "wq75")):
+        part = est.select(
+            "l_returnflag",
+            F.lit(qm).cast("long").alias("q_milli"),
+            F.col("total_weight").alias("n_sampled"),
+            F.col(col).alias("est"),
+        )
+        est_long = part if est_long is None else est_long.unionByName(part)
+    # exact distribution CDF (the eval side: full-data, fixture-scale)
+    dist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("__c")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dist.withColumn("cum", F.sum("__c").over(w)).withColumn(
+        "n", F.sum("__c").over(Window.partitionBy("l_returnflag"))
+    )
+    joined = est_long.join(cum, "l_returnflag").filter(
+        F.col("l_extendedprice") <= F.col("est")
+    )
+    return (
+        joined.groupBy("l_returnflag", "q_milli", "n_sampled", "est")
+        .agg(F.max("cum").alias("__cum_at"), F.max("n").alias("__n"))
+        .select(
+            "l_returnflag",
+            "q_milli",
+            "n_sampled",
+            "est",
+            F.round(
+                F.abs(
+                    F.col("__cum_at").cast("double")
+                    / F.col("__n").cast("double")
+                    - F.col("q_milli").cast("double") / 1000.0
+                )
+                * 1000.0
+            ).cast("long").alias("rank_err_milli"),
+        )
+    )
+
+
+_PRICE_QUARTILE_SKETCH_EVAL_SQL_TEMPLATE = """
+WITH {sketch_cte},
+est AS (
+  SELECT l_returnflag,
+         CAST(sum(cnt) AS BIGINT) AS n_sampled,
+         min(CASE WHEN cumw >= ceil(0.25 * tw) THEN v END) AS wq25,
+         min(CASE WHEN cumw >= ceil(0.5 * tw) THEN v END) AS wq50,
+         min(CASE WHEN cumw >= ceil(0.75 * tw) THEN v END) AS wq75
+  FROM (
+    SELECT l_returnflag, v, cnt,
+           sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cumw,
+           sum(cnt) OVER (PARTITION BY l_returnflag) AS tw
+    FROM qsk
+  ) GROUP BY 1
+), est_long AS (
+  SELECT l_returnflag, CAST(250 AS BIGINT) AS q_milli, n_sampled,
+         wq25 AS est FROM est
+  UNION ALL
+  SELECT l_returnflag, 500, n_sampled, wq50 FROM est
+  UNION ALL
+  SELECT l_returnflag, 750, n_sampled, wq75 FROM est
+), dist AS (
+  SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, v, c,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM dist
+)
+SELECT e.l_returnflag, e.q_milli, e.n_sampled, e.est,
+       CAST(round(abs(CAST(max(c.cum) AS DOUBLE) / CAST(max(c.n) AS DOUBLE)
+                      - CAST(e.q_milli AS DOUBLE) / 1000.0) * 1000.0)
+            AS BIGINT) AS rank_err_milli
+FROM est_long e JOIN cum c
+  ON c.l_returnflag = e.l_returnflag AND c.v <= e.est
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def _price_quartile_sketch_eval_oracle() -> str:
+    from etl_spark_spark.operators.sketches import quantile_sketch_sql_cte
+
+    cte = quantile_sketch_sql_cte(
+        "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice "
+        "FROM lineitem",
+        "CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)",
+        "l_extendedprice",
+        group_cols=["l_returnflag"],
+        sample_mod=16,
+    )
+    return _PRICE_QUARTILE_SKETCH_EVAL_SQL_TEMPLATE.format(sketch_cte=cte)
+
+
 def q_ks_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT two-sample Kolmogorov-Smirnov D between the A/B user-hash
     purchase-value distributions — the distribution-free counterpart
@@ -2236,6 +2372,53 @@ def q_nation_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return theil_sen_trend(monthly, ["n_name"], "month_idx", "month_cents")
+
+
+def q_nation_theil_sen_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_nation_theil_sen_trend through the BLOCK-DECOMPOSED pair
+    path (pair_block_size=16): points are blocked in x-order and
+    pairs generate per (block_i, block_j) tile joined on
+    (group, i, j), so per-task pair generation is bounded by 16²
+    instead of n² — the scale escape for the round-11-noted
+    single-task pair join — and the slope median runs through
+    scalable_group_quantiles bucketed by signed log2 band. The pair
+    SET is identical to the plain path by construction, so this
+    query's oracle IS q_nation_theil_sen_trend's oracle, verbatim
+    (operators/stats.py:theil_sen_trend)."""
+    from etl_spark_spark.operators.stats import theil_sen_trend
+
+    orders = table(
+        spark, sf_dir, "orders",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cust = table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = table(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1992)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).cast("long").alias("month_idx"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "month_cents"
+            )
+        )
+    )
+    return theil_sen_trend(
+        monthly,
+        ["n_name"],
+        "month_idx",
+        "month_cents",
+        pair_block_size=16,
+    )
 
 
 def _nation_theil_sen_oracle() -> str:
@@ -4903,6 +5086,7 @@ __all__ = [
     '_supplier_qty_ewma_oracle',
     'q_supplier_qty_ewma_scalable',
     'q_nation_theil_sen_trend',
+    'q_nation_theil_sen_blocked',
     '_nation_theil_sen_oracle',
     'q_did_purchase_uplift',
     '_DID_SQL',
@@ -4917,6 +5101,8 @@ __all__ = [
     'q_pareto_parts',
     'q_benford_totalprice',
     'q_exact_price_quartiles',
+    'q_price_quartile_sketch_eval',
+    '_price_quartile_sketch_eval_oracle',
     'q_price_quartiles_scalable',
     'q_ks_test_ab',
     'q_pyds_source_stats',

@@ -1237,6 +1237,7 @@ def theil_sen_trend(
     y_col: Column | str,
     scale: int = 10**6,
     max_points: int = 2000,
+    pair_block_size: int | None = None,
 ) -> DataFrame:
     """Per-group Theil–Sen ROBUST linear trend (Theil 1950 / Sen 1968,
     the standard high-breakdown complement to :func:`grouped_ols_trend`
@@ -1278,12 +1279,30 @@ def theil_sen_trend(
     this is a calendar-bounded-grain operator like ewma_grouped, and
     the bound is ENFORCED (a group beyond ``max_points`` raises
     loudly, both engines). Default 2000 points -> <= ~2M pair rows per
-    group; note the pair join keys ONLY on the group, so each group's
-    full pair set is generated (and its median distribution built)
-    within a single task — ``max_points`` therefore bounds PER-TASK
-    memory, not just total work. For fact-scale robust trends,
-    aggregate to the grain first — that is the documented usage of
-    the whole trend-screen family.
+    group; note the DEFAULT pair join keys ONLY on the group, so each
+    group's full pair set is generated (and its median distribution
+    built) within a single task — ``max_points`` therefore bounds
+    PER-TASK memory, not just total work. For fact-scale robust
+    trends, aggregate to the grain first — that is the documented
+    usage of the whole trend-screen family.
+
+    ``pair_block_size`` (round-12) lifts the single-task ceiling for
+    callers who legitimately need larger groups: points are numbered
+    in x-order per group and blocked into runs of that size, pairs
+    decompose into (block_i <= block_j) tiles joined on
+    (group, i, j) — per-task pair generation is then bounded by
+    ``pair_block_size²`` instead of n², and the slope median runs
+    through :func:`scalable_group_quantiles` bucketed by the slope's
+    signed log2 band (monotone by construction; distributes whenever
+    slopes span magnitude bands, degrades gracefully to the plain
+    per-group window when every pairwise slope falls in one band).
+    The generated PAIR SET is identical to the default path —
+    blocking respects the x-order, the x_a < x_b condition picks the
+    same orientation, tied-x pairs are excluded in both — so results
+    are bit-identical and the same plain-SQL oracle pins both
+    (q:nation_theil_sen_blocked shares q:nation_theil_sen_trend's
+    oracle verbatim). ``max_points`` still bounds TOTAL per-group
+    work (raise it deliberately alongside pair_block_size).
 
     Returns (group_cols..., n_points, n_pairs, slope_scaled,
     intercept_scaled).
@@ -1343,23 +1362,84 @@ def theil_sen_trend(
             ).cast("double")
         ),
     )
-    a = guarded.alias("__tsa")
-    bb = guarded.alias("__tsb")
-    cond = None
-    for k in keys:
-        c = F.col(f"__tsa.{k}").eqNullSafe(F.col(f"__tsb.{k}"))
-        cond = c if cond is None else (cond & c)
-    cond = cond & (F.col("__tsa.__x") < F.col("__tsb.__x"))
-    slopes = a.join(bb, cond).select(
-        *[F.col(f"__tsa.{k}").alias(k) for k in keys],
-        (
-            (F.col("__tsb.__y") - F.col("__tsa.__y"))
-            / (F.col("__tsb.__x") - F.col("__tsa.__x"))
-        ).alias("__m"),
-    )
-    med_m = exact_group_quantiles(slopes, keys, "__m", qs=(0.5,)).select(
-        *keys, F.col("n").alias("n_pairs"), F.col("q50").alias("__med_m")
-    )
+    slope = (
+        (F.col("__tsb.__y") - F.col("__tsa.__y"))
+        / (F.col("__tsb.__x") - F.col("__tsa.__x"))
+    ).alias("__m")
+    if pair_block_size is None:
+        a = guarded.alias("__tsa")
+        bb = guarded.alias("__tsb")
+        cond = None
+        for k in keys:
+            c = F.col(f"__tsa.{k}").eqNullSafe(F.col(f"__tsb.{k}"))
+            cond = c if cond is None else (cond & c)
+        cond = cond & (F.col("__tsa.__x") < F.col("__tsb.__x"))
+        slopes = a.join(bb, cond).select(
+            *[F.col(f"__tsa.{k}").alias(k) for k in keys], slope
+        )
+        med_m = exact_group_quantiles(slopes, keys, "__m", qs=(0.5,)).select(
+            *keys, F.col("n").alias("n_pairs"), F.col("q50").alias("__med_m")
+        )
+    else:
+        if pair_block_size <= 0:
+            raise ValueError(
+                f"pair_block_size must be positive, got {pair_block_size}"
+            )
+        bs = int(pair_block_size)
+        # number points in x-order per group (ties get arbitrary but
+        # irrelevant relative order: tied-x pairs are excluded, and
+        # x_a < x_b already implies idx_a < idx_b); the sort is
+        # per-group over POINTS (<= max_points), not pairs
+        w_idx = Window.partitionBy(*keys).orderBy("__x")
+        blocked = guarded.withColumn(
+            "__blk",
+            F.floor((F.row_number().over(w_idx) - 1) / F.lit(bs)).cast(
+                "long"
+            ),
+        ).withColumn(
+            "__nblk",
+            F.floor((F.col("n_points") + bs - 1) / F.lit(bs)).cast("long"),
+        )
+        # tile expansion: point in block b serves as the LEFT side of
+        # tiles (b, j>=b) and the RIGHT side of tiles (i<=b, b); the
+        # join key (group, i, j) caps per-task pair generation at bs²
+        a = blocked.withColumn(
+            "__j", F.explode(F.sequence(F.col("__blk"), F.col("__nblk") - 1))
+        ).select(*keys, "__x", "__y", F.col("__blk").alias("__i"), "__j"
+        ).alias("__tsa")
+        bb = blocked.withColumn(
+            "__i", F.explode(F.sequence(F.lit(0).cast("long"), F.col("__blk")))
+        ).select(*keys, "__x", "__y", "__i", F.col("__blk").alias("__j")
+        ).alias("__tsb")
+        cond = (F.col("__tsa.__i") == F.col("__tsb.__i")) & (
+            F.col("__tsa.__j") == F.col("__tsb.__j")
+        )
+        for k in keys:
+            cond = cond & F.col(f"__tsa.{k}").eqNullSafe(F.col(f"__tsb.{k}"))
+        cond = cond & (F.col("__tsa.__x") < F.col("__tsb.__x"))
+        slopes = a.join(bb, cond).select(
+            *[F.col(f"__tsa.{k}").alias(k) for k in keys], slope
+        )
+        # signed log2 magnitude band: a monotone, non-NULL, value-only
+        # coarsening of the slope (0 -> 0; positives -> 2048+floor(
+        # log2 m) in [974, 3071]; negatives mirrored below zero), so
+        # the median's cumulative counts decompose without a per-group
+        # single-task window over the (up to O(n²)-distinct) slopes
+        band = (
+            F.when(F.col("__m") == 0.0, F.lit(0).cast("long"))
+            .when(
+                F.col("__m") > 0.0,
+                (F.floor(F.log2(F.col("__m"))) + 2048).cast("long"),
+            )
+            .otherwise(
+                -(F.floor(F.log2(-F.col("__m"))) + 2048).cast("long")
+            )
+        )
+        med_m = scalable_group_quantiles(
+            slopes, keys, "__m", bucket_of=band, qs=(0.5,)
+        ).select(
+            *keys, F.col("n").alias("n_pairs"), F.col("q50").alias("__med_m")
+        )
     resid = _ns_join(src, med_m, "inner", ["n_pairs", "__med_m"]).select(
         *keys,
         "__med_m",

@@ -1401,3 +1401,37 @@ def test_scalable_group_quantiles_equals_plain_form(spark):
         scalable_group_quantiles(
             gv, ["k"], "v", bucket_of=F.lit(0)
         ).collect()
+
+
+def test_theil_sen_blocked_pair_path_identical(spark):
+    """Round-12: pair_block_size decomposes pair generation into
+    (block_i, block_j) tiles — the pair SET must be identical to the
+    plain group-keyed join for every block size (1 = one point per
+    block, mid, larger-than-group), across NULL group keys, tied x
+    (excluded pairs), and degenerate groups."""
+    import random
+
+    from etl_spark_spark.operators.stats import theil_sen_trend
+
+    rng = random.Random(42)
+    rows = []
+    for g in ["a", "b", None, "z"]:
+        xs = rng.sample(range(200), rng.randint(2, 50))
+        for x in xs:
+            rows.append(
+                (g, float(x), float(rng.randint(-50, 50)))
+            )
+        rows.append((g, float(xs[0]), 999.0))  # tied x: excluded pair
+    rows.append(("solo", 1.0, 5.0))  # degenerate: n=1 -> NULL slope
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    plain = {
+        tuple(r) for r in theil_sen_trend(df, ["g"], "x", "y").collect()
+    }
+    for bs in (1, 7, 1000):
+        blocked = {
+            tuple(r)
+            for r in theil_sen_trend(
+                df, ["g"], "x", "y", pair_block_size=bs
+            ).collect()
+        }
+        assert blocked == plain, f"pair_block_size={bs} diverged"
