@@ -255,3 +255,125 @@ def hll_sql_estimate_exprs() -> dict[str, str]:
             f"ELSE {numer} / CAST(s_scaled AS DOUBLE) END"
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Portable quantile sketch: deterministic Bernoulli sample distribution
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch_build(
+    df: DataFrame,
+    row_key: Column | str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    sample_mod: int = 16,
+) -> DataFrame:
+    """The quantile leg of the portable-sketch family (HLL = distinct
+    counts, CMS = term counts, this = order statistics): a
+    DETERMINISTIC 1/``sample_mod`` Bernoulli row sample, aggregated to
+    the per-(group, value) distribution — (group_cols..., value, cnt).
+
+    Why this shape at 100 TB: exact quantiles need the full
+    distinct-value distribution; Spark's approx_percentile sketch is
+    exact-bounded but OPAQUE and engine-specific — it cannot be
+    stored, shipped to another system, or re-queried at a different q
+    without the raw data. This sketch's state is plain rows any
+    engine reproduces bit-for-bit: membership is md5-derived from
+    ``row_key`` (the 'qsk~' salt, same 15-hex-digit construction as
+    the CMS/HLL hashes — ORACLE_NOTES rung 'hashes'), so the SAME
+    rows are sampled in Spark and in the SQL oracle, and sketches of
+    DISJOINT shards merge by unioning and re-summing ``cnt`` (the
+    CMS merge law; not idempotent — shards must partition the data,
+    the standard partial-aggregate contract).
+
+    Accuracy (classic Bernoulli-sample bound, DKW): with k sampled
+    rows, any sample q-quantile is within rank error
+    O(sqrt(ln(1/delta)/k)) of the population q-quantile w.p.
+    1-delta — ~1% at k=10k. q:price_quartile_sketch_eval MEASURES the
+    realized rank error against the exact quartiles rather than
+    trusting the bound (the repo's measure-don't-guess discipline).
+
+    ``row_key`` must uniquely identify a row (so membership is a
+    property of the ROW, giving determinism under retries/shuffles
+    and shard-invariant merges); NULL values follow the
+    cumulative-distribution family discipline (loud raise — see
+    stats._checked_measure).
+    """
+    from .stats import _checked_measure
+
+    if sample_mod <= 0:
+        raise ValueError(f"sample_mod must be positive, got {sample_mod}")
+    key = F.col(row_key) if isinstance(row_key, str) else row_key
+    group_cols = list(group_cols or [])
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("qsk~"), key)), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        df.filter(h % F.lit(int(sample_mod)) == 0)
+        .select(
+            *group_cols,
+            _checked_measure(
+                F.col(value_col), "quantile_sketch_build", value_col
+            ).alias(value_col),
+        )
+        .groupBy(*group_cols, value_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def quantile_sketch_merge(
+    sketches: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge unioned sketch rows from DISJOINT shards: cell-wise sum,
+    same law as CMS. (Union the shard DataFrames first; this
+    re-aggregates.)"""
+    group_cols = list(group_cols or [])
+    return sketches.groupBy(*group_cols, value_col).agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def quantile_sketch_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Estimate population quantiles from the sketch: the sample
+    discrete quantile, via the exact weighted-quantile machinery with
+    ``cnt`` as the weight (stats.exact_weighted_quantiles — smallest v
+    with cum-cnt >= ceil(q * k)). Returns (group_cols...,
+    total_weight=k sampled rows, wq25, wq50, ...)."""
+    from .stats import exact_weighted_quantiles
+
+    return exact_weighted_quantiles(
+        sketch, group_cols, value_col, "cnt", qs=qs
+    )
+
+
+def quantile_sketch_sql_cte(
+    source_select: str,
+    row_key_expr: str,
+    value_expr: str,
+    group_cols: list[str] | None = None,
+    sample_mod: int = 16,
+    name: str = "qsk",
+) -> str:
+    """DuckDB CTE mirroring :func:`quantile_sketch_build` cell-for-cell
+    (identical md5 membership, identical loud NULL guard). Emits CTE
+    ``{name}(group_cols..., v, cnt)``."""
+    from .stats import checked_measure_sql
+
+    gc = "".join(f"{c}, " for c in (group_cols or []))
+    guard = checked_measure_sql(
+        value_expr, "quantile_sketch_build", value_expr
+    )
+    return f"""src_{name} AS ({source_select}),
+{name} AS (
+  SELECT {gc}{guard} AS v, count(*) AS cnt
+  FROM src_{name}
+  WHERE ('0x' || substr(md5('qsk~' || ({row_key_expr})), 1, 15))::BIGINT
+        % {int(sample_mod)} = 0
+  GROUP BY ALL
+)"""

@@ -139,3 +139,81 @@ def test_hll_estimate_within_bound_and_merge(spark):
     assert {
         (r["bucket"], r["m_rank"]) for r in merged.collect()
     } == {(r["bucket"], r["m_rank"]) for r in one_shot.collect()}
+
+
+def test_quantile_sketch_merge_law_and_determinism(spark, sf_dir):
+    """Round-12 quantile leg of the portable-sketch family: disjoint-
+    shard sketches merged == whole-data sketch (cell-for-cell), the
+    sample is the deterministic md5 subset (rebuilding yields the
+    identical sketch), quantile estimates flow through the exact
+    weighted-quantile machinery, and NULL values raise loudly like
+    the rest of the cumulative-distribution family."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+        quantile_sketch_quantiles,
+    )
+    from etl_spark_spark.sources import table
+
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=[
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+        ],
+    )
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("#"),
+        F.col("l_linenumber").cast("string"),
+    )
+    whole = quantile_sketch_build(
+        li, key, "l_extendedprice", ["l_returnflag"], sample_mod=8
+    )
+    cells = {tuple(r) for r in whole.collect()}
+    assert len(cells) > 50  # non-vacuous sample at sf0.001
+
+    # disjoint shards (orderkey parity) merge to the identical sketch
+    s0 = quantile_sketch_build(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        key, "l_extendedprice", ["l_returnflag"], sample_mod=8,
+    )
+    s1 = quantile_sketch_build(
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        key, "l_extendedprice", ["l_returnflag"], sample_mod=8,
+    )
+    merged = quantile_sketch_merge(
+        s0.unionByName(s1), "l_extendedprice", ["l_returnflag"]
+    )
+    assert {tuple(r) for r in merged.collect()} == cells
+
+    # deterministic: a rebuild is cell-identical
+    again = quantile_sketch_build(
+        li, key, "l_extendedprice", ["l_returnflag"], sample_mod=8
+    )
+    assert {tuple(r) for r in again.collect()} == cells
+
+    # estimates ride exact_weighted_quantiles: sane order statistics
+    est = {
+        r["l_returnflag"]: (r["wq25"], r["wq50"], r["wq75"])
+        for r in quantile_sketch_quantiles(
+            whole, ["l_returnflag"], "l_extendedprice"
+        ).collect()
+    }
+    for lo, mid, hi in est.values():
+        assert lo <= mid <= hi
+
+    # loud NULL guard, family discipline
+    bad = spark.createDataFrame(
+        [("k1", "g", None), ("k2", "g", 2.0)], "k string, g string, v double"
+    )
+    with _pytest.raises(
+        Exception, match="quantile_sketch_build: NULL v"
+    ):
+        quantile_sketch_build(bad, "k", "v", ["g"], sample_mod=1).collect()
+
+    # invalid rate rejected
+    with _pytest.raises(ValueError, match="sample_mod"):
+        quantile_sketch_build(li, key, "l_extendedprice", sample_mod=0)
