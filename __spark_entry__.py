@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compacted_snapshot": q_compacted_snapshot,
         "join_mv_retractions": q_join_mv_retractions,
         "ks_drift_by_type": q_ks_drift_by_type,
+        "ks_drift_by_type_scalable": q_ks_drift_by_type_scalable,
         "indexed_zorder_scan": q_indexed_zorder_scan,
         "emb_hard_negatives": q_emb_hard_negatives,
         "emb_label_outliers": q_emb_label_outliers,
@@ -317,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_pairs": q_media_phash_pairs,
         "phrase_search": q_phrase_search,
         "weighted_price_quartiles": q_weighted_price_quartiles,
+        "weighted_price_quartiles_scalable": q_weighted_price_quartiles_scalable,
         "dau_mau_stickiness": q_dau_mau_stickiness,
         "revenue_autocorr": q_revenue_autocorr,
         "knn_label_accuracy": q_knn_label_accuracy,
@@ -339,6 +341,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
     }
 
+
+
+_KS_DRIFT_SHARED_SQL = f"""
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant,
+         {checked_measure_sql('CAST(round(value * 100) AS BIGINT)', 'ks_drift_by_group', 'cents')} AS cents
+  FROM events WHERE value IS NOT NULL
+), dist AS (
+  SELECT event_type, cents,
+         count(*) FILTER (variant = 'A') AS ca,
+         count(*) FILTER (variant <> 'A') AS cb
+  FROM d GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, cents,
+         sum(ca) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cuma,
+         sum(cb) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumb,
+         sum(ca) OVER (PARTITION BY event_type) AS na,
+         sum(cb) OVER (PARTITION BY event_type) AS nb
+  FROM dist
+)
+SELECT event_type,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+               - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS d_stat
+FROM cum GROUP BY 1
+HAVING max(na) > 0 AND max(nb) > 0
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -540,38 +576,8 @@ SELECT CAST(row_number() OVER (
        doc_id, source
 FROM documents
 """,
-        "ks_drift_by_type": f"""
-WITH d AS (
-  SELECT event_type,
-         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
-              THEN 'A' ELSE 'B' END AS variant,
-         {checked_measure_sql('CAST(round(value * 100) AS BIGINT)', 'ks_drift_by_group', 'cents')} AS cents
-  FROM events WHERE value IS NOT NULL
-), dist AS (
-  SELECT event_type, cents,
-         count(*) FILTER (variant = 'A') AS ca,
-         count(*) FILTER (variant <> 'A') AS cb
-  FROM d GROUP BY 1, 2
-), cum AS (
-  SELECT event_type, cents,
-         sum(ca) OVER (PARTITION BY event_type ORDER BY cents
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cuma,
-         sum(cb) OVER (PARTITION BY event_type ORDER BY cents
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cumb,
-         sum(ca) OVER (PARTITION BY event_type) AS na,
-         sum(cb) OVER (PARTITION BY event_type) AS nb
-  FROM dist
-)
-SELECT event_type,
-       CAST(max(na) AS BIGINT) AS n_a,
-       CAST(max(nb) AS BIGINT) AS n_b,
-       max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
-               - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS d_stat
-FROM cum GROUP BY 1
-HAVING max(na) > 0 AND max(nb) > 0
-""",
+        "ks_drift_by_type_scalable": _KS_DRIFT_SHARED_SQL,
+        "ks_drift_by_type": _KS_DRIFT_SHARED_SQL,
         "join_mv_retractions": """
 WITH corrected AS (
   SELECT o_orderkey AS orderkey, o_custkey,
@@ -681,6 +687,8 @@ FROM picked
         "media_phash_pairs": _MEDIA_PHASH_PAIRS_SQL,
         "phrase_search": _phrase_search_oracle(),
         "weighted_price_quartiles": _WEIGHTED_PRICE_QUARTILES_SQL,
+        # bit-identical decomposed form -> shares the oracle verbatim
+        "weighted_price_quartiles_scalable": _WEIGHTED_PRICE_QUARTILES_SQL,
         "dau_mau_stickiness": _DAU_MAU_STICKINESS_SQL,
         "revenue_autocorr": _REVENUE_AUTOCORR_SQL,
         "knn_label_accuracy": _KNN_LABEL_ACCURACY_SQL,

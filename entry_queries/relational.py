@@ -1482,6 +1482,38 @@ def q_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift_by_group(ev, ["event_type"], "cents", "variant")
 
 
+def q_ks_drift_by_type_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ks_drift_by_type through the DECOMPOSED cumulative-count path
+    (bucket_of=cents div 1000): within-bucket windows in parallel, the
+    serial-per-group window over bucket totals only — the escape for a
+    group whose distinct-value distribution is itself cluster-scale.
+    Bit-identical to the plain path for any valid bucketing, so this
+    query's oracle IS q_ks_drift_by_type's oracle, verbatim
+    (operators/stats.py:ks_drift_by_group)."""
+    from etl_spark_spark.operators.stats import ks_drift_by_group
+
+    ev = (
+        read_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < "8",
+                F.lit("A"),
+            ).otherwise(F.lit("B")).alias("variant"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return ks_drift_by_group(
+        ev,
+        ["event_type"],
+        "cents",
+        "variant",
+        bucket_of=F.expr("cents div 1000"),
+    )
+
+
 
 def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed iterative PageRank (5 exact fixed-point iterations)
@@ -3089,6 +3121,32 @@ def q_weighted_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("qty", F.round("l_quantity").cast("long"))
     return exact_weighted_quantiles(
         li, ["l_returnflag"], "l_extendedprice", "qty"
+    )
+
+
+def q_weighted_price_quartiles_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q_weighted_price_quartiles through the DECOMPOSED cumulative-
+    weight path (scalable_group_quantiles with weight_col): the
+    weighted form has the identical per-group single-task window
+    ceiling as the unweighted one, decomposed the identical way.
+    Bit-identical for any valid bucketing — this query's oracle IS
+    q_weighted_price_quartiles' oracle, verbatim
+    (operators/stats.py:scalable_group_quantiles)."""
+    from etl_spark_spark.operators.stats import scalable_group_quantiles
+
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    ).withColumn("qty", F.round("l_quantity").cast("long"))
+    return scalable_group_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        bucket_of=F.floor(F.col("l_extendedprice") / 100),
+        qs=(0.25, 0.5, 0.75),
+        weight_col="qty",
     )
 
 
@@ -5120,6 +5178,8 @@ __all__ = [
     'q_cumulative_new_customers',
     'q_order_value_position',
     'q_weighted_price_quartiles',
+    'q_weighted_price_quartiles_scalable',
+    'q_ks_drift_by_type_scalable',
     'q_revenue_autocorr',
     'q_revenue_changepoint',
     'q_basket_rules',

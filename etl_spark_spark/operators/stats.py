@@ -132,6 +132,7 @@ def scalable_group_quantiles(
     value_col: str,
     bucket_of: Column,
     qs: Sequence[float] = (0.25, 0.5, 0.75),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """:func:`exact_group_quantiles` without the per-group single-task
     window — identical values, decomposed cumulative counts.
@@ -164,15 +165,36 @@ def scalable_group_quantiles(
     exact_group_quantiles for ANY valid bucketing, so the same
     plain-window SQL oracle pins both forms (q:price_quartiles_scalable
     shares q:exact_price_quartiles' oracle verbatim).
+
+    ``weight_col`` switches to the :func:`exact_weighted_quantiles`
+    semantics (integer weights summed into the distribution; targets
+    ceil(q*W); output columns total_weight/wq25/... for drop-in oracle
+    compatibility) — the weighted form has the identical per-group
+    single-task window ceiling, decomposed the identical way.
     """
     from .windows import _checked_offset
 
     keys = list(group_cols)
     op = "scalable_group_quantiles"
-    dist = df.select(
-        *keys,
-        _checked_measure(F.col(value_col), op, value_col).alias(value_col),
-    ).groupBy(*keys, value_col).agg(F.count("*").alias("__c"))
+    if weight_col is None:
+        dist = df.select(
+            *keys,
+            _checked_measure(F.col(value_col), op, value_col).alias(
+                value_col
+            ),
+        ).groupBy(*keys, value_col).agg(F.count("*").alias("__c"))
+    else:
+        dist = df.select(
+            *keys,
+            _checked_measure(F.col(value_col), op, value_col).alias(
+                value_col
+            ),
+            _checked_measure(F.col(weight_col), op, weight_col).alias(
+                weight_col
+            ),
+        ).groupBy(*keys, value_col).agg(
+            F.sum(F.col(weight_col).cast("long")).alias("__c")
+        )
     bkt = F.when(bucket_of.isNotNull(), bucket_of).otherwise(
         F.raise_error(
             F.lit(
@@ -225,14 +247,16 @@ def scalable_group_quantiles(
         F.col("__sgr.__n").alias("__n"),
     )
     aggs = []
-    for q, label in zip(qs, _q_labels("q", qs)):
+    prefix = "q" if weight_col is None else "wq"
+    for q, label in zip(qs, _q_labels(prefix, qs)):
         target = F.ceil(F.lit(q) * F.col("__n"))
         aggs.append(
             F.min(
                 F.when(F.col("__cum") >= target, F.col(value_col))
             ).alias(label)
         )
-    return cum.groupBy(*keys).agg(F.max("__n").alias("n"), *aggs)
+    n_alias = "n" if weight_col is None else "total_weight"
+    return cum.groupBy(*keys).agg(F.max("__n").alias(n_alias), *aggs)
 
 
 def ks_two_sample(
@@ -808,6 +832,7 @@ def ks_drift_by_group(
     value_col: str,
     variant_col: str,
     variant_a: str = "A",
+    bucket_of: Column | None = None,
 ) -> DataFrame:
     """Per-GROUP exact two-sample KS D — the segmented
     distribution-drift monitor (one D statistic per segment between
@@ -817,12 +842,22 @@ def ks_drift_by_group(
     (:func:`ks_two_sample`) would dilute a one-segment drift into
     noise.
 
-    Scale shape: unlike the global form (which needs the distributed
-    prefix-sum decomposition because ONE distribution spans the
-    cluster), the per-group CDFs come from ordinary windows
-    PARTITIONED BY the group — parallel by construction, each
-    partition holding only its group's compact one-row-per-distinct-
-    value distribution. Determinism: cumulative counts are integer
+    Scale shape: the per-group CDFs come from windows PARTITIONED BY
+    the group — parallel across groups, each partition holding only
+    its group's compact one-row-per-distinct-value distribution. That
+    still puts ONE group's whole distribution on one task; when a
+    group's distinct-value count is itself cluster-scale (millions of
+    distinct cents under a handful of event types at 100 TB), pass
+    ``bucket_of`` — a monotone, non-NULL coarsening of the value
+    (e.g. ``F.expr("cents div 1000")``) — and both cumulative counts
+    decompose exactly like :func:`scalable_group_quantiles`
+    (within-bucket windows in parallel; the serial-per-group window
+    sees bucket totals only; monotonicity ENFORCED). Results are
+    bit-identical for any valid bucketing, so the same oracle pins
+    both paths (q:ks_drift_by_type_scalable shares
+    q:ks_drift_by_type's oracle verbatim).
+
+    Determinism: cumulative counts are integer
     sums; each D term is |exact-int/exact-int − exact-int/exact-int|,
     deterministic IEEE ops the oracle mirrors. Returns one row per
     group: (*group_cols, n_a, n_b, d_stat). Groups where either
@@ -845,18 +880,84 @@ def ks_drift_by_group(
         F.count(F.when(is_a, 1)).alias("__ca"),
         F.count(F.when(~is_a, 1)).alias("__cb"),
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wg = Window.partitionBy(*keys)
-    cum = (
-        dist.withColumn("__cuma", F.sum("__ca").over(w))
-        .withColumn("__cumb", F.sum("__cb").over(w))
-        .withColumn("__na", F.sum("__ca").over(wg))
-        .withColumn("__nb", F.sum("__cb").over(wg))
-    )
+    if bucket_of is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wg = Window.partitionBy(*keys)
+        cum = (
+            dist.withColumn("__cuma", F.sum("__ca").over(w))
+            .withColumn("__cumb", F.sum("__cb").over(w))
+            .withColumn("__na", F.sum("__ca").over(wg))
+            .withColumn("__nb", F.sum("__cb").over(wg))
+        )
+    else:
+        from .windows import _checked_offset
+
+        op = "ks_drift_by_group"
+        bkt = F.when(bucket_of.isNotNull(), bucket_of).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"{op}: bucket_of produced NULL for a non-NULL "
+                    "value — the bucket expression must be a total, "
+                    "non-NULL coarsening of the value"
+                )
+            )
+        )
+        tagged = dist.withColumn("__bkt", bkt)
+        w_in = (
+            Window.partitionBy(*keys, "__bkt")
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        within = tagged.withColumn(
+            "__wa", F.sum("__ca").over(w_in)
+        ).withColumn("__wb", F.sum("__cb").over(w_in))
+        totals = tagged.groupBy(*keys, "__bkt").agg(
+            F.sum("__ca").alias("__ta"),
+            F.sum("__cb").alias("__tb"),
+            F.min(value_col).alias("__om"),
+            F.max(value_col).alias("__ox"),
+        )
+        w_b = (
+            Window.partitionBy(*keys)
+            .orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_lag = Window.partitionBy(*keys).orderBy("__bkt")
+        wg = Window.partitionBy(*keys)
+        offsets = totals.select(
+            *keys,
+            "__bkt",
+            F.coalesce(F.sum("__ta").over(w_b), F.lit(0)).alias("__offa"),
+            F.coalesce(F.sum("__tb").over(w_b), F.lit(0)).alias("__offb"),
+            F.lag("__ox").over(w_lag).alias("__pox"),
+            "__om",
+            F.sum("__ta").over(wg).alias("__na"),
+            F.sum("__tb").over(wg).alias("__nb"),
+        ).select(
+            *keys,
+            "__bkt",
+            _checked_offset(F.col("__offa"), op).alias("__offa"),
+            "__offb",
+            "__na",
+            "__nb",
+        )
+        lhs, rhs = within.alias("__ksl"), offsets.alias("__ksr")
+        cond = F.col("__ksl.__bkt").eqNullSafe(F.col("__ksr.__bkt"))
+        for k in keys:
+            cond = cond & F.col(f"__ksl.{k}").eqNullSafe(
+                F.col(f"__ksr.{k}")
+            )
+        cum = lhs.join(rhs, cond).select(
+            *[F.col(f"__ksl.{k}") for k in keys],
+            (F.col("__ksl.__wa") + F.col("__ksr.__offa")).alias("__cuma"),
+            (F.col("__ksl.__wb") + F.col("__ksr.__offb")).alias("__cumb"),
+            F.col("__ksr.__na").alias("__na"),
+            F.col("__ksr.__nb").alias("__nb"),
+        )
     d = F.abs(
         F.col("__cuma").cast("double") / F.col("__na").cast("double")
         - F.col("__cumb").cast("double") / F.col("__nb").cast("double")

@@ -1435,3 +1435,59 @@ def test_theil_sen_blocked_pair_path_identical(spark):
             ).collect()
         }
         assert blocked == plain, f"pair_block_size={bs} diverged"
+
+
+def test_decomposed_weighted_quantiles_and_grouped_ks_identical(spark):
+    """Round-12: the weighted-quantile and grouped-KS members of the
+    cumulative-distribution family decompose exactly like
+    scalable_group_quantiles — values bit-identical to the plain
+    per-group-window forms for any valid bucketing, including NULL
+    group keys, one-variant groups (dropped in both paths), and
+    degenerate single-bucket bucketings."""
+    import random
+
+    from etl_spark_spark.operators.stats import (
+        exact_weighted_quantiles,
+        ks_drift_by_group,
+        scalable_group_quantiles,
+    )
+
+    rng = random.Random(99)
+    wrows = [
+        (rng.choice(["a", None]), rng.randint(0, 300), rng.randint(1, 5))
+        for _ in range(300)
+    ]
+    wdf = spark.createDataFrame(wrows, "k string, v int, w int")
+    want = {
+        tuple(r)
+        for r in exact_weighted_quantiles(wdf, ["k"], "v", "w").collect()
+    }
+    for bucket in (F.floor(F.col("v") / 37), F.lit(0)):
+        got = {
+            tuple(r)
+            for r in scalable_group_quantiles(
+                wdf, ["k"], "v", bucket_of=bucket, weight_col="w"
+            ).collect()
+        }
+        assert got == want
+
+    krows = [
+        (g, rng.choice("AB"), rng.randint(0, 3000))
+        for g in ["t1", "t2", None]
+        for _ in range(rng.randint(5, 300))
+    ] + [("onlyA", "A", 5)]
+    kdf = spark.createDataFrame(krows, "k string, variant string, v int")
+    plain = {
+        tuple(r)
+        for r in ks_drift_by_group(kdf, ["k"], "v", "variant").collect()
+    }
+    assert "onlyA" not in {r[0] for r in plain}  # one-variant dropped
+    for div in (1000, 10):
+        dec = {
+            tuple(r)
+            for r in ks_drift_by_group(
+                kdf, ["k"], "v", "variant",
+                bucket_of=F.expr(f"v div {div}"),
+            ).collect()
+        }
+        assert dec == plain
