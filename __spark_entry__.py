@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_totalprice": q_benford_totalprice,
         "exact_price_quartiles": q_exact_price_quartiles,
         "price_quartile_sketch_eval": q_price_quartile_sketch_eval,
+        "quantile_sketch_stream_fold": q_quantile_sketch_stream_fold,
         "price_quartiles_scalable": q_price_quartiles_scalable,
         "ks_test_ab": q_ks_test_ab,
         "events_props_variant": q_events_props_variant,
@@ -492,6 +493,9 @@ def oracle_sql() -> dict[str, str]:
         "benford_totalprice": _BENFORD_TOTALPRICE_SQL,
         "exact_price_quartiles": _EXACT_PRICE_QUARTILES_SQL,
         "price_quartile_sketch_eval": _price_quartile_sketch_eval_oracle(),
+        # oracle is the ONE-SHOT sketch SQL: hash match proves the
+        # per-batch cnt-fold loses nothing (the hll_stream_fold law)
+        "quantile_sketch_stream_fold": _quantile_sketch_fold_oracle(),
         # the decomposed form is bit-identical by construction, so it
         # shares the plain-window oracle VERBATIM — the strongest
         # cross-form equivalence evidence the harness can record

@@ -2000,6 +2000,90 @@ def q_price_quartile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch maintenance, quantile leg (the
+    q_hll_stream_fold discipline): lineitem arrives as three
+    orderkey-ranged batches and the sketch distribution is FOLDED per
+    batch (cnt-sum merge into the running state, checkpointed between
+    folds — the foreachBatch maintenance shape). The oracle is the
+    ONE-SHOT sketch SQL, so the value-hash match is a standing proof
+    that per-batch cnt-folding loses nothing — what makes the
+    quantile sketch deployable as continuously-maintained state.
+    Output = quantile_sketch_quantiles over the folded state."""
+    from etl_spark_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_merge,
+        quantile_sketch_quantiles,
+    )
+
+    li = table(
+        spark, sf_dir, "lineitem",
+        columns=[
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+        ],
+    )
+    row_key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("#"),
+        F.col("l_linenumber").cast("string"),
+    )
+    hi = li.agg(F.max("l_orderkey")).collect()[0][0]
+    bounds = [(0, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi + 1)]
+    state = None
+    for lo, up in bounds:
+        batch = li.filter(
+            (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < up)
+        )
+        sk_b = quantile_sketch_build(
+            batch, row_key, "l_extendedprice", ["l_returnflag"],
+            sample_mod=16,
+        )
+        if state is None:
+            state = sk_b
+        else:
+            state = quantile_sketch_merge(
+                state.unionByName(sk_b),
+                "l_extendedprice",
+                ["l_returnflag"],
+            )
+        state = state.localCheckpoint(eager=True)
+    return quantile_sketch_quantiles(
+        state, ["l_returnflag"], "l_extendedprice", qs=(0.25, 0.5, 0.75)
+    )
+
+
+_QUANTILE_SKETCH_FOLD_SQL_TEMPLATE = """
+WITH {sketch_cte}
+SELECT l_returnflag,
+       CAST(max(tw) AS BIGINT) AS total_weight,
+       min(CASE WHEN cumw >= ceil(0.25 * tw) THEN v END) AS wq25,
+       min(CASE WHEN cumw >= ceil(0.5 * tw) THEN v END) AS wq50,
+       min(CASE WHEN cumw >= ceil(0.75 * tw) THEN v END) AS wq75
+FROM (
+  SELECT l_returnflag, v, cnt,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cumw,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM qsk
+) GROUP BY 1
+"""
+
+
+def _quantile_sketch_fold_oracle() -> str:
+    from etl_spark_spark.operators.sketches import quantile_sketch_sql_cte
+
+    cte = quantile_sketch_sql_cte(
+        "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice "
+        "FROM lineitem",
+        "CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)",
+        "l_extendedprice",
+        group_cols=["l_returnflag"],
+        sample_mod=16,
+    )
+    return _QUANTILE_SKETCH_FOLD_SQL_TEMPLATE.format(sketch_cte=cte)
+
+
 _PRICE_QUARTILE_SKETCH_EVAL_SQL_TEMPLATE = """
 WITH {sketch_cte},
 est AS (
@@ -5160,6 +5244,8 @@ __all__ = [
     'q_benford_totalprice',
     'q_exact_price_quartiles',
     'q_price_quartile_sketch_eval',
+    'q_quantile_sketch_stream_fold',
+    '_quantile_sketch_fold_oracle',
     '_price_quartile_sketch_eval_oracle',
     'q_price_quartiles_scalable',
     'q_ks_test_ab',
