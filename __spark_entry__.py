@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_group_split": q_doc_group_split,
         "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_k_anonymity": q_doc_k_anonymity,
         "data_quality": q_data_quality,
         "source_mix_sample": q_source_mix_sample,
         "doc_shuffle_order": q_doc_shuffle_order,
@@ -282,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_type_variant": q_chi2_type_variant,
         "customer_spend_gini": q_customer_spend_gini,
         "concurrent_sessions": q_concurrent_sessions,
+        "session_overlap_counts": q_session_overlap_counts,
         "global_spend_rank": q_global_spend_rank,
         "replica_drift_audit": q_replica_drift_audit,
         "customer_order_docs": q_customer_order_docs,
@@ -441,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_group_split": _DOC_GROUP_SPLIT_SQL,
         "doc_repetition": _DOC_REPETITION_SQL,
         "doc_pii_scrub": _DOC_PII_SCRUB_SQL,
+        "doc_k_anonymity": _DOC_K_ANONYMITY_SQL,
         "data_quality": _DATA_QUALITY_SQL,
         "source_mix_sample": _SOURCE_MIX_SAMPLE_SQL,
         "doc_shuffle_order": _DOC_SHUFFLE_ORDER_SQL,
@@ -511,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_type_variant": _CHI2_TYPE_VARIANT_SQL,
         "customer_spend_gini": _CUSTOMER_SPEND_GINI_SQL,
         "concurrent_sessions": _CONCURRENT_SESSIONS_SQL,
+        "session_overlap_counts": _SESSION_OVERLAP_COUNTS_SQL,
         "global_spend_rank": _GLOBAL_SPEND_RANK_SQL,
         "replica_drift_audit": _REPLICA_DRIFT_AUDIT_SQL,
         "customer_order_docs": _CUSTOMER_ORDER_DOCS_SQL,

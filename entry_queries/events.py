@@ -1157,6 +1157,93 @@ FROM events
 """
 
 
+def q_session_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session concurrency NEIGHBORS: for every user session
+    (30-min gap rule, identical to q_concurrent_sessions), how many
+    OTHER users' sessions overlapped it in time — the interval x
+    interval companion to the sweep-line peak curve (who was on at
+    the same time, not just how many). The pair join is the
+    bin-exploded equi-join with canonical-bin dedup
+    (operators/ranges.py:interval_overlap_join — never a
+    BroadcastNestedLoopJoin over the inequality), hour bins; zero-
+    overlap sessions kept with 0 via a null-safe join-back. Scale
+    note: enumerating overlap PAIRS is inherently quadratic in
+    instantaneous concurrency — this query returns the LINEAR
+    per-session counts; for the global curve use the sweep-line form."""
+    from etl_spark_spark.operators.ranges import interval_overlap_join
+    from etl_spark_spark.streaming.windows import sessionize_batch
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts")
+    sess = (
+        sessionize_batch(ev, "ts", ["user_id"], 1800)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+        )
+    )
+    a = sess.select(*[F.col(c).alias(f"a_{c}") for c in sess.columns])
+    b = sess.select(*[F.col(c).alias(f"b_{c}") for c in sess.columns])
+    pairs = interval_overlap_join(
+        a, b, [], "a_s_us", "a_e_us", "b_s_us", "b_e_us",
+        bin_size=3_600_000_000,
+    )
+    counts = (
+        pairs.filter(F.col("a_user_id") != F.col("b_user_id"))
+        .groupBy("a_user_id", "a_session_id")
+        .agg(F.count("*").alias("n_concurrent"))
+    )
+    return (
+        sess.join(
+            counts,
+            (F.col("user_id") == F.col("a_user_id"))
+            & (F.col("session_id") == F.col("a_session_id")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "session_id",
+            F.coalesce(F.col("n_concurrent"), F.lit(0)).cast("long").alias(
+                "n_concurrent"
+            ),
+        )
+    )
+
+
+_SESSION_OVERLAP_COUNTS_SQL = """
+WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+m AS (
+    SELECT user_id, ts, us,
+           CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+sess_ev AS (
+    SELECT user_id, us,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING
+           ) - 1 AS BIGINT) AS session_id
+    FROM m
+),
+sess AS (
+    SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+    FROM sess_ev GROUP BY 1, 2
+),
+counts AS (
+    SELECT a.user_id, a.session_id, count(*) AS n_concurrent
+    FROM sess a JOIN sess b
+      ON a.s_us <= b.e_us AND b.s_us <= a.e_us
+     AND a.user_id <> b.user_id
+    GROUP BY 1, 2
+)
+SELECT s.user_id, s.session_id,
+       CAST(coalesce(c.n_concurrent, 0) AS BIGINT) AS n_concurrent
+FROM sess s LEFT JOIN counts c
+  ON c.user_id = s.user_id AND c.session_id = s.session_id
+"""
+
+
 _CONCURRENT_SESSIONS_SQL = """
 WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
 m AS (
@@ -1383,6 +1470,8 @@ __all__ = [
     '_USER_RETENTION_COHORTS_SQL',
     '_EVENTS_FORWARD_FILL_SQL',
     '_CONCURRENT_SESSIONS_SQL',
+    'q_session_overlap_counts',
+    '_SESSION_OVERLAP_COUNTS_SQL',
     '_EVENTS_PROPS_VARIANT_SQL',
     '_TIME_WEIGHTED_VALUE_SQL',
     '_CONVERSION_LATENCY_SQL',

@@ -358,6 +358,70 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_doc_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gate privacy audit, the quasi-identifier complement to
+    q_doc_pii_scrub's direct-identifier redaction: k-anonymity of the
+    corpus metadata (source, lang, 200-char length band) at k=5,
+    reported BEFORE suppression and AFTER suppressing unsafe classes
+    — the after row's n_unsafe_classes = 0 / min_class_size >= 5 is
+    the standing proof that suppression yields k-anonymity by
+    construction, and its n_exposed_rows prices the rows the release
+    gives up (operators/privacy.py). One hash aggregate to the
+    equivalence classes; suppression is a class-key anti-join."""
+    from etl_spark_spark.operators.privacy import (
+        anonymity_classes,
+        k_anonymity_summary,
+        suppress_unsafe_classes,
+    )
+
+    docs = table(
+        spark, sf_dir, "documents", columns=["doc_id", "source", "lang", "n_chars"]
+    ).withColumn("len_band", F.expr("n_chars div 200"))
+    quasi = ["source", "lang", "len_band"]
+    before = k_anonymity_summary(anonymity_classes(docs, quasi), k=5)
+    released = suppress_unsafe_classes(docs, quasi, k=5)
+    after = k_anonymity_summary(anonymity_classes(released, quasi), k=5)
+    return before.select(
+        F.lit("before").alias("stage"), "*"
+    ).unionByName(after.select(F.lit("after").alias("stage"), "*"))
+
+
+_DOC_K_ANONYMITY_SQL = """
+WITH d AS (
+  SELECT doc_id, source, lang, n_chars // 200 AS len_band
+  FROM documents
+), cls AS (
+  SELECT source, lang, len_band, count(*) AS class_size
+  FROM d GROUP BY 1, 2, 3
+), rel AS (
+  SELECT d.* FROM d
+  JOIN cls c ON c.source IS NOT DISTINCT FROM d.source
+            AND c.lang IS NOT DISTINCT FROM d.lang
+            AND c.len_band IS NOT DISTINCT FROM d.len_band
+  WHERE c.class_size >= 5
+), cls_after AS (
+  SELECT source, lang, len_band, count(*) AS class_size
+  FROM rel GROUP BY 1, 2, 3
+)
+SELECT 'before' AS stage,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unsafe_classes,
+       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+            AS BIGINT) AS n_exposed_rows,
+       min(class_size) AS min_class_size
+FROM cls
+UNION ALL
+SELECT 'after',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+            AS BIGINT),
+       min(class_size)
+FROM cls_after
+"""
+
+
 def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents. The fixture corpus is synthetic
     word salad with no PII, so the query first injects deterministic
@@ -3815,6 +3879,8 @@ __all__ = [
     'q_hll_distinct_tokens',
     '_hll_distinct_oracle',
     'q_hll_stream_fold',
+    'q_doc_k_anonymity',
+    '_DOC_K_ANONYMITY_SQL',
     '_hll_assemble',
     'q_hll_source_overlap',
     '_hll_source_overlap_oracle',

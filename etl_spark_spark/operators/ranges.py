@@ -74,3 +74,70 @@ def point_in_interval_join(
     # a wide interval can meet the same point in multiple bins? no —
     # the point lives in exactly one bin, so pairs are already unique
     return exact.drop("__bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_size: int = 600_000_000,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (the general case of
+    :func:`point_in_interval_join`): match when keys are equal and
+    ``[l_start, l_end]`` intersects ``[r_start, r_end]`` (closed
+    endpoints: ``l_start <= r_end AND r_start <= l_end``). Bounds are
+    integer columns (e.g. microsecond longs or day numbers) and each
+    interval must satisfy start <= end.
+
+    Spark plans the bare inequality pair as a BroadcastNestedLoopJoin
+    — quadratic per key. Here BOTH sides explode to the coarse bins
+    they span and the join becomes an equi-join on (keys..., bin)
+    that hash-partitions normally; the exact overlap predicate is
+    re-checked afterwards.
+
+    The part the point form doesn't need: two overlapping intervals
+    co-occupy EVERY bin their intersection spans, so the equi-join
+    emits the pair once per shared bin. Rather than a quadratic-risk
+    DISTINCT over pair identity, each pair is attributed to ONE
+    canonical bin — the bin of ``greatest(l_start, r_start)`` (the
+    intersection's first instant, always inside both intervals'
+    bin ranges) — and rows from other shared bins are dropped by a
+    pure filter. Exactly-once by construction, no dedup shuffle.
+
+    Cost: |rows| × (span / bin_size) exploded rows per side; pick
+    ``bin_size`` at or above the typical span. Returns all matching
+    pairs with both sides' columns — callers doing a SELF overlap
+    join should pre-rename columns and post-filter an ordering
+    predicate (a < b) to keep each unordered pair once.
+    """
+    keys = list(keys)
+    l_binned = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{l_start} DIV {bin_size}"),
+                F.expr(f"{l_end} DIV {bin_size}"),
+            )
+        ),
+    )
+    r_binned = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{r_start} DIV {bin_size}"),
+                F.expr(f"{r_end} DIV {bin_size}"),
+            )
+        ),
+    )
+    joined = l_binned.join(r_binned, [*keys, "__bin"], "inner")
+    overlap = (F.col(l_start) <= F.col(r_end)) & (
+        F.col(r_start) <= F.col(l_end)
+    )
+    canonical = F.col("__bin") == F.expr(
+        f"greatest({l_start}, {r_start}) DIV {bin_size}"
+    )
+    return joined.filter(overlap & canonical).drop("__bin")

@@ -279,3 +279,102 @@ def test_panel_rotation_deterministic_and_covering():
     assert set(e.panel(1)) != set(e.panel(2))
     with pytest.raises(ValueError):
         e.panel(1, size=0)
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Round-12: interval x interval overlap join — bin-exploded
+    equi-join with canonical-bin dedup. Pinned against the O(n²)
+    brute force on random intervals that deliberately span MANY bins
+    (the case where a naive bin join emits duplicates), across bin
+    sizes smaller than, comparable to, and larger than the spans."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_spark_spark.operators.ranges import interval_overlap_join
+
+    rng = random.Random(7)
+    lrows, rrows = [], []
+    for i in range(80):
+        k = rng.choice(["a", "b"])
+        s = rng.randint(0, 1000)
+        lrows.append((k, i, s, s + rng.randint(0, 400)))
+    for j in range(80):
+        k = rng.choice(["a", "b"])
+        s = rng.randint(0, 1000)
+        rrows.append((k, j, s, s + rng.randint(0, 400)))
+    left = spark.createDataFrame(
+        lrows, "k string, lid long, ls long, le long"
+    )
+    right = spark.createDataFrame(
+        rrows, "k string, rid long, rs long, re long"
+    )
+    want = {
+        (lk, lid, rid)
+        for (lk, lid, ls, le) in lrows
+        for (rk, rid, rs, re) in rrows
+        if lk == rk and ls <= re and rs <= le
+    }
+    for bin_size in (50, 400, 5000):
+        got = {
+            (r["k"], r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right, ["k"], "ls", "le", "rs", "re",
+                bin_size=bin_size,
+            ).collect()
+        }
+        assert got == want, f"bin_size={bin_size}"
+    assert len(want) > 100  # non-vacuous
+
+
+def test_privacy_k_anonymity_family(spark):
+    """Round-12 privacy audit: classes (incl. NULL quasi values as a
+    real class), l-diversity on a sensitive column, the summary
+    gates, suppression yielding k-anonymity by construction, and the
+    k/min_l validation guards."""
+    import pytest as _pytest
+
+    from etl_spark_spark.operators.privacy import (
+        anonymity_classes,
+        k_anonymity_summary,
+        suppress_unsafe_classes,
+    )
+
+    rows = (
+        [("z1", "a", "flu")] * 5
+        + [("z1", "b", "flu"), ("z1", "b", "flu")]  # size-2 class, l=1
+        + [("z2", "a", "covid"), ("z2", "a", "flu"), ("z2", "a", "ok")]
+        + [(None, "a", "flu")] * 4  # NULL quasi: real class, size 4
+    )
+    df = spark.createDataFrame(rows, "zip string, sex string, dx string")
+    cls = {
+        (r["zip"], r["sex"]): (r["class_size"], r["l_diversity"])
+        for r in anonymity_classes(df, ["zip", "sex"], "dx").collect()
+    }
+    assert cls[("z1", "a")] == (5, 1)
+    assert cls[("z1", "b")] == (2, 1)
+    assert cls[("z2", "a")] == (3, 3)
+    assert cls[(None, "a")] == (4, 1)
+
+    summ = k_anonymity_summary(
+        anonymity_classes(df, ["zip", "sex"], "dx"), k=4, min_l=2
+    ).collect()[0]
+    # unsafe: z1/b (size 2), z2/a (l ok but size 3), z1/a (l=1),
+    # NULL/a (l=1) -> all four classes trip either gate
+    assert summ["n_classes"] == 4
+    assert summ["n_unsafe_classes"] == 4
+    assert summ["n_exposed_rows"] == 14
+    assert summ["min_class_size"] == 2 and summ["min_l_diversity"] == 1
+
+    released = suppress_unsafe_classes(df, ["zip", "sex"], k=4)
+    after = k_anonymity_summary(
+        anonymity_classes(released, ["zip", "sex"]), k=4
+    ).collect()[0]
+    assert after["n_unsafe_classes"] == 0
+    assert after["min_class_size"] >= 4
+    assert released.count() == 9  # 5 + 4 (NULL class kept: size 4 >= k)
+
+    with _pytest.raises(ValueError, match="k must be positive"):
+        k_anonymity_summary(anonymity_classes(df, ["zip"]), k=0)
+    with _pytest.raises(ValueError, match="sensitive_col"):
+        k_anonymity_summary(anonymity_classes(df, ["zip"]), k=2, min_l=2)
