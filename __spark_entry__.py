@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_group_sample": q_doc_group_sample,
         "daily_dense_orders": q_daily_dense_orders,
         "price_outliers": q_price_outliers,
+        "price_outliers_scalable": q_price_outliers_scalable,
         "bm25_search": q_bm25_search,
         "doc_surprisal": q_doc_surprisal,
         "duplicate_spans": q_duplicate_spans,
@@ -545,6 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_group_sample": _DOC_GROUP_SAMPLE_SQL,
         "daily_dense_orders": _DAILY_DENSE_ORDERS_SQL,
         "price_outliers": _PRICE_OUTLIERS_SQL,
+        "price_outliers_scalable": _PRICE_OUTLIERS_SQL,
         "bm25_search": _bm25_oracle(),
         "doc_surprisal": _surprisal_oracle(),
         "doc_bigram_surprisal": _bigram_surprisal_oracle(),

@@ -712,7 +712,11 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort: two min-aggregates (first signup, first purchase at or
     after it), then operators/stats.py:exact_group_quantiles over the
     integer-microsecond latencies — funnel timing analytics with no
-    approx-percentile error."""
+    approx-percentile error. (Distinct microsecond latencies scale
+    with the fact; if a cohort's distribution outgrows one task, the
+    decomposed form is a drop-in: scalable_group_quantiles with e.g.
+    bucket_of=latency_us div 3_600_000_000 — bit-identical, same
+    oracle, see q_price_quartiles_scalable.)"""
     from etl_spark_spark.operators.stats import exact_group_quantiles
 
     ev = read_events(spark, sf_dir)

@@ -616,7 +616,10 @@ def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     group value in the aggregation buffer — 3 groups x 2B rows at
     100x is an executor-OOM aggregate; the distribution form shrinks
     to distinct values first. Discrete-quantile semantics (smallest v
-    with cum >= ceil(q*n)), same as q_exact_price_quartiles."""
+    with cum >= ceil(q*n)), same as q_exact_price_quartiles. Scale
+    escape for groups with cluster-scale distinct-value counts:
+    q_price_outliers_scalable runs both medians through the
+    decomposed path and shares this query's oracle verbatim."""
     from etl_spark_spark.operators.stats import exact_group_quantiles
 
     li = table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
@@ -632,6 +635,57 @@ def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = exact_group_quantiles(
         with_dev, ["l_returnflag"], "__dev", qs=(0.5,)
+    ).select("l_returnflag", F.col("q50").alias("mad"))
+    flagged = (
+        with_dev.join(F.broadcast(mad), "l_returnflag")
+        .filter(F.col("__dev") > 10 * F.col("mad"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    return (
+        med.join(F.broadcast(mad), "l_returnflag")
+        .join(flagged, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "median_price",
+            "mad",
+            F.coalesce(F.col("n_outliers"), F.lit(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+
+def q_price_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_price_outliers with BOTH medians (value median and MAD)
+    through the decomposed cumulative-count path
+    (operators/stats.py:scalable_group_quantiles) — the robust-
+    outlier composite free of per-group single-task windows end to
+    end. Value buckets: floor(price/100); deviation buckets:
+    floor(dev/100) (both monotone by construction, guards enforced).
+    Bit-identical to the plain composite — this query's oracle IS
+    q_price_outliers' oracle, verbatim."""
+    from etl_spark_spark.operators.stats import scalable_group_quantiles
+
+    li = table(
+        spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"]
+    )
+    med = scalable_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        bucket_of=F.floor(F.col("l_extendedprice") / 100), qs=(0.5,),
+    ).select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.col("q50").alias("median_price"),
+    )
+    with_dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "__dev", F.abs(F.col("l_extendedprice") - F.col("median_price"))
+    )
+    mad = scalable_group_quantiles(
+        with_dev, ["l_returnflag"], "__dev",
+        bucket_of=F.floor(F.col("__dev") / 100), qs=(0.5,),
     ).select("l_returnflag", F.col("q50").alias("mad"))
     flagged = (
         with_dev.join(F.broadcast(mad), "l_returnflag")
@@ -5248,6 +5302,7 @@ __all__ = [
     '_quantile_sketch_fold_oracle',
     '_price_quartile_sketch_eval_oracle',
     'q_price_quartiles_scalable',
+    'q_price_outliers_scalable',
     'q_ks_test_ab',
     'q_pyds_source_stats',
     'q_monthly_revenue_mom',
