@@ -1795,12 +1795,21 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row window test over the token array, map-only, no shuffle
     (operators/retrieval.py:phrase_occurrences)."""
     from etl_spark_spark.operators.retrieval import phrase_occurrences
+    from etl_spark_spark.operators.skew import computed_once, fan_out
 
-    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # map-only means the whole query runs in the scan's partitioning —
+    # ONE task on a single-row-group file, 4.3 s of tokenize + position
+    # windows on one core (round-12 profile). fan_out costs one tiny
+    # text exchange here and nothing at real scale (no-op when the scan
+    # has >= cores splits); computed_once keeps the n_occ > 0 predicate
+    # from re-running the whole phrase expression below the exchange.
+    docs = fan_out(table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
     tok = docs.select("doc_id", tokens("text").alias("__tok"))
     return tok.select(
         "doc_id",
-        phrase_occurrences("__tok", ["hash", "join"]).alias("n_occ"),
+        computed_once(
+            phrase_occurrences("__tok", ["hash", "join"])
+        ).alias("n_occ"),
     ).filter(F.col("n_occ") > 0)
 
 
@@ -1818,9 +1827,13 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         phrase_occurrences,
         rrf_fuse,
     )
+    from etl_spark_spark.operators.skew import computed_once, fan_out
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # one shared fan-out feeds both ranking legs (bm25_topk's internal
+    # fan_out then sees an already-parallel input and adds nothing):
+    # the profile showed 3.9 of this query's 5.2 s in ONE scan task.
+    docs = fan_out(table(spark, sf_dir, "documents", columns=["doc_id", "text"]))
     bm25 = bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=15)
     w = Window.orderBy(F.desc("score_micro"), F.col("doc_id"))
     bm25_r = bm25.select(
@@ -1830,7 +1843,9 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = (
         tok.select(
             "doc_id",
-            phrase_occurrences("__tok", ["hash", "join"]).alias("n_occ"),
+            computed_once(
+                phrase_occurrences("__tok", ["hash", "join"])
+            ).alias("n_occ"),
         )
         .filter(F.col("n_occ") > 0)
         .orderBy(F.desc("n_occ"), F.col("doc_id"))
@@ -2008,7 +2023,25 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, and every eval threshold is >= it. Detector output is
     therefore candidates ⋈ rep-level-exact (three cheap hash joins
     against a small checkpointed table), with the same __i/(na+nb-i)
-    value carried through — the verify joins vanish from the plan."""
+    value carried through — the verify joins vanish from the plan.
+
+    Round-12 cost fix (output value-identical, guide §2.4 "share one
+    exchange"): the three per-threshold pipelines — band self-join,
+    rep-exact verify join, family expansion, and the three count
+    aggregates each — collapsed into ONE threshold-TAGGED pipeline.
+    Band keys for all three banding plans explode from a single tagged
+    array (each threshold still bands its own prefix of the shared
+    64-perm signature), one self-join on (tag, band, key) generates
+    every threshold's candidates, one verify join + one tagged family
+    expansion replace three of each, and all nine count aggregates
+    become one grouped count per side joined back to a literal
+    threshold spine (left join + coalesce-0 preserves the empty-
+    detector row exactly as the old crossJoin-of-aggregates did). The
+    within-family expansion (jaccard 1.0 pairs, >= every threshold by
+    construction) is generated once and replicated per tag — verbatim
+    what three expand_collapsed_pairs calls produced. 76 scheduler
+    jobs -> ~45 at fixture scale; at 100 TB the same rewrite removes
+    two full candidate-generation shuffles."""
     from etl_spark_spark.operators.neardup import (
         collapse_identical_sets,
         expand_collapsed_pairs,
@@ -2021,21 +2054,28 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("t"))
-    exact = prefix_filtered_jaccard_pairs(
-        toks, "doc_id", word_shingles("t", 3), threshold=min(_EVAL_THRESHOLDS)
-    ).select("id_a", "id_b", "jaccard").localCheckpoint()
     # shared inputs, materialized once: the collapsed shingle table,
     # the expansion table, and ONE signature at the max perm count —
     # each threshold bands a PREFIX of the same mh columns (identical
     # values to computing its own signature; the md5 pass — the
-    # dominant cost — is paid once, not per threshold)
+    # dominant cost — is paid once, not per threshold). Round-12: the
+    # SAME checkpointed collapse also feeds the exact side, which
+    # previously re-derived the whole tokenize+shingle+collapse chain.
     plans = {
         t: plan_banding(t, _EVAL_TARGET_RECALL, _EVAL_MAX_PERMS)
         for t in _EVAL_THRESHOLDS
     }
     sh = shingle_set(toks, "doc_id", word_shingles("t", 3))
     reps_sh, members = collapse_identical_sets(sh, "doc_id")
+    reps_sh = reps_sh.localCheckpoint()
     members = members.localCheckpoint()
+    exact = prefix_filtered_jaccard_pairs(
+        toks,
+        "doc_id",
+        word_shingles("t", 3),
+        threshold=min(_EVAL_THRESHOLDS),
+        _collapsed=(reps_sh, members),
+    ).select("id_a", "id_b", "jaccard").localCheckpoint()
     sig = minhash_signature(
         reps_sh, "doc_id", max(np_ for np_, _ in plans.values())
     ).localCheckpoint()
@@ -2052,47 +2092,164 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep_ids.withColumnRenamed("__rid", "id_b"), "id_b")
         .localCheckpoint()
     )
-    out = None
+    # tagged band table: every threshold's banding (its own prefix of
+    # the shared signature) in ONE exploded array -> ONE self-join
+    tags = {t: int(round(t * 100)) for t in _EVAL_THRESHOLDS}
+    band_structs = []
     for t in _EVAL_THRESHOLDS:
         num_perms, rows_per_band = plans[t]
-        ex_t = exact.filter(F.col("jaccard") >= t).select("id_a", "id_b")
-        cand_t = lsh_candidate_pairs(
-            sig, "doc_id", num_perms, rows_per_band
-        )
-        rep_pairs = cand_t.join(
-            rep_exact.filter(F.col("jaccard") >= t), ["id_a", "id_b"]
-        )
-        lsh_t = (
-            expand_collapsed_pairs(rep_pairs, members, {"jaccard": F.lit(1.0)})
-            .filter(F.col("jaccard") >= t)
-            .select("id_a", "id_b")
-        )
-        tp = ex_t.join(lsh_t, ["id_a", "id_b"])
-        row = (
-            ex_t.agg(F.count("*").alias("n_exact"))
-            .crossJoin(lsh_t.agg(F.count("*").alias("n_lsh")))
-            .crossJoin(tp.agg(F.count("*").alias("n_tp")))
-            .select(
-                F.lit(int(round(t * 100))).cast("long").alias(
-                    "threshold_pct"
-                ),
-                F.lit(num_perms).cast("long").alias("num_perms"),
-                F.lit(rows_per_band).cast("long").alias("rows_per_band"),
-                "n_exact",
-                "n_lsh",
-                "n_tp",
-                (
-                    F.col("n_tp").cast("double")
-                    / F.col("n_exact").cast("double")
-                ).alias("recall"),
-                (
-                    F.col("n_tp").cast("double")
-                    / F.col("n_lsh").cast("double")
-                ).alias("precision"),
+        for b in range(num_perms // rows_per_band):
+            cols = [
+                F.col(f"mh{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ]
+            band_structs.append(
+                F.struct(
+                    F.lit(tags[t]).alias("t"),
+                    F.lit(b).alias("band"),
+                    F.concat_ws("#", *cols).alias("key"),
+                )
             )
+    exploded = sig.select(
+        F.col("doc_id"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.t", "bk.band", "bk.key")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        .select(
+            F.col("a.t").alias("t"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    # per-tag jaccard threshold, the SAME python float literals the
+    # per-threshold loop compared against
+    thr = None
+    for t in _EVAL_THRESHOLDS:
+        cond = F.col("t") == F.lit(tags[t])
+        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
+    # one verify join (candidates x the checkpointed rep-level exact)
+    rep_pairs = cand.join(rep_exact, ["id_a", "id_b"]).filter(
+        F.col("jaccard") >= thr
+    )
+    # tagged expansion, same construction as expand_collapsed_pairs:
+    # cross pairs carry the tag through the two member joins; within-
+    # family pairs (jaccard 1.0 >= every threshold) are generated once
+    # and replicated per tag
+    cross = (
+        rep_pairs.select("t", "id_a", "id_b")
+        .hint("merge")
+        .join(
+            members.select(
+                F.col("__r").alias("id_a"), F.col("__doc").alias("__da")
+            ).hint("merge"),
+            "id_a",
+        )
+        .join(
+            members.select(
+                F.col("__r").alias("id_b"), F.col("__doc").alias("__db")
+            ).hint("merge"),
+            "id_b",
+        )
+        .select(
+            "t",
+            F.least("__da", "__db").alias("id_a"),
+            F.greatest("__da", "__db").alias("id_b"),
+        )
+    )
+    tag_spine = F.array(*[F.lit(tags[t]) for t in _EVAL_THRESHOLDS])
+    within = (
+        members.select("__r", F.col("__doc").alias("__da"))
+        .join(
+            members.select("__r", F.col("__doc").alias("__db")).hint("merge"),
+            "__r",
+        )
+        .filter(F.col("__da") < F.col("__db"))
+        .select(
+            F.explode(tag_spine).alias("t"),
+            F.col("__da").alias("id_a"),
+            F.col("__db").alias("id_b"),
+        )
+    )
+    lsh = cross.unionByName(within)
+    # one grouped count per side instead of nine single-row aggregates
+    lsh_counts = lsh.groupBy("t").agg(F.count("*").alias("n_lsh"))
+    tp_counts = (
+        lsh.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= thr)
+        .groupBy("t")
+        .agg(F.count("*").alias("n_tp"))
+    )
+    exact_counts = exact.agg(
+        *[
+            F.sum(
+                F.when(F.col("jaccard") >= F.lit(t), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias(f"__ne_{tags[t]}")
+            for t in _EVAL_THRESHOLDS
+        ]
+    )
+    spark = sig.sparkSession
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tags[t]).alias("t"),
+                        F.lit(plans[t][0]).cast("long").alias("num_perms"),
+                        F.lit(plans[t][1]).cast("long").alias(
+                            "rows_per_band"
+                        ),
+                    )
+                    for t in _EVAL_THRESHOLDS
+                ]
+            )
+        ).alias("s")
+    ).select("s.t", "s.num_perms", "s.rows_per_band")
+    ne = None
+    for t in _EVAL_THRESHOLDS:
+        cond = F.col("t") == F.lit(tags[t])
+        val = F.col(f"__ne_{tags[t]}")
+        ne = F.when(cond, val) if ne is None else ne.when(cond, val)
+    return (
+        spine.join(F.broadcast(lsh_counts), "t", "left")
+        .join(F.broadcast(tp_counts), "t", "left")
+        .crossJoin(F.broadcast(exact_counts))
+        .select(
+            F.col("t").cast("long").alias("threshold_pct"),
+            "num_perms",
+            "rows_per_band",
+            ne.alias("n_exact"),
+            # coalesce-0 BEFORE the ratios: an empty detector side is a
+            # count of 0 in the old crossJoin-of-aggregates form, and
+            # recall must read 0.0 (not NULL) in that case
+            F.coalesce(F.col("n_lsh"), F.lit(0).cast("long")).alias("n_lsh"),
+            F.coalesce(F.col("n_tp"), F.lit(0).cast("long")).alias("n_tp"),
+        )
+        .select(
+            "threshold_pct",
+            "num_perms",
+            "rows_per_band",
+            "n_exact",
+            "n_lsh",
+            "n_tp",
+            (
+                F.col("n_tp").cast("double") / F.col("n_exact").cast("double")
+            ).alias("recall"),
+            (
+                F.col("n_tp").cast("double") / F.col("n_lsh").cast("double")
+            ).alias("precision"),
+        )
+    )
 
 
 

@@ -42,8 +42,12 @@ END_OF_WORD = "</w>"
 def word_symbol_table(docs: DataFrame, text_col: str) -> DataFrame:
     """Distinct-word frequency table with the initial character-level
     symbol string: ``SEP c1 SEP c2 ... SEP </w> SEP``."""
+    from .skew import fan_out
+
+    # tokenize+explode evaluate in the input's partitioning — one task
+    # on a single-row-group scan (guide §2.5); no-op at real scale
     words = (
-        docs.select(F.explode(tokens(text_col)).alias("w"))
+        fan_out(docs).select(F.explode(tokens(text_col)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
@@ -197,7 +201,9 @@ def bpe_token_counts(
             "__wtoks"
         ),
     )
-    doc_words = docs.select(
+    from .skew import fan_out
+
+    doc_words = fan_out(docs).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("w")
     ).filter(F.col("w") != "")
     return (

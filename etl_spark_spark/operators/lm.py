@@ -39,6 +39,11 @@ def unigram_surprisal(
 
     Returns ``(id_col, n_tokens, n_terms, mean_surprisal_milli)``.
     """
+    from .skew import fan_out
+
+    # tokenize+explode evaluate in the input's partitioning — one task
+    # on a single-row-group scan (guide §2.5); no-op at real scale
+    docs = fan_out(docs)
     dt = (
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("__term"))
         .groupBy(id_col, "__term")
@@ -126,8 +131,11 @@ def bigram_surprisal(
     single-token docs (no bigrams) are absent by construction.
     """
     from ..functions.text import tokens, word_shingles
+    from .skew import fan_out
 
-    toks = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    # tokenize+shingle+explode evaluate in the input's partitioning —
+    # one task on a single-row-group scan (guide §2.5)
+    toks = fan_out(docs).select(F.col(id_col), tokens(text_col).alias("__t"))
     db = (
         toks.select(
             F.col(id_col), F.explode(word_shingles("__t", 2)).alias("__bg")
@@ -252,8 +260,12 @@ def dsir_log_weights(
     Returns (id_col, n_bigrams, n_buckets, log_weight_milli).
     """
     from ..functions.text import word_shingles
+    from .skew import fan_out
 
     B = 16 ** n_hex
+    # tokenize+shingle+md5 evaluate in the input's partitioning — one
+    # task on a single-row-group scan (guide §2.5)
+    docs = fan_out(docs)
     toks = docs.select(
         F.col(id_col),
         F.coalesce(target_pred, F.lit(False)).alias("__is_t"),
@@ -397,8 +409,14 @@ def kn_bigram_surprisal(
     """
     from ..functions.text import tokens, word_shingles
 
+    from .skew import fan_out
+
     def _bigrams(docs: DataFrame) -> DataFrame:
-        toks = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+        # tokenize+shingle+explode run in the input's partitioning —
+        # one task on a single-row-group scan (guide §2.5)
+        toks = fan_out(docs).select(
+            F.col(id_col), tokens(text_col).alias("__t")
+        )
         return toks.select(
             F.col(id_col), F.explode(word_shingles("__t", 2)).alias("__bg")
         )

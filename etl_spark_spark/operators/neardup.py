@@ -41,9 +41,21 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_set(df: DataFrame, id_col: str, shingles_col: Column) -> DataFrame:
-    """Explode to distinct (id, shingle) pairs."""
+    """Explode to distinct (id, shingle) pairs.
+
+    The tokenize/shingle/explode work upstream of the distinct is the
+    CPU-heavy part and runs in the INPUT's partitioning — on a
+    single-row-group file that is one task (guide §2.5 "unsplittable
+    file"), so the whole corpus shingles on one core. ``fan_out`` adds a
+    round-robin exchange only when the input plan has fewer partitions
+    than the session parallelism (measured 0.99 s -> 0.65 s at sf0.1;
+    a no-op exactly when the input is already parallel, i.e. at scale).
+    The distinct aggregate downstream is partitioning-independent."""
+    from .skew import fan_out
+
     return (
-        df.select(F.col(id_col), F.explode(shingles_col).alias("shingle"))
+        fan_out(df)
+        .select(F.col(id_col), F.explode(shingles_col).alias("shingle"))
         .distinct()
     )
 
@@ -591,6 +603,7 @@ def sampled_ground_truth_pairs(
     threshold: float = 0.5,
     pair_mod: int = 4,
     max_shingle_df: int | None = None,
+    _reps_sh: DataFrame | None = None,
 ) -> DataFrame:
     """SCALABLE ground-truth sampling for recall measurement (round-7
     judge task 5): a deterministic 1/``pair_mod`` sample of the exact
@@ -632,8 +645,15 @@ def sampled_ground_truth_pairs(
     _check_threshold(threshold)
     if pair_mod < 1:
         raise ValueError(f"pair_mod must be >= 1, got {pair_mod}")
-    sh = shingle_set(df, id_col, shingles_col)
-    reps_sh, _members = collapse_identical_sets(sh, id_col)
+    if _reps_sh is not None:
+        # caller already materialized the collapsed shingle table
+        # (round-12: sampled_recall_report shares ONE checkpointed
+        # reps table between the truth and detector sides instead of
+        # rebuilding the tokenize+shingle+collapse chain twice)
+        reps_sh = _reps_sh
+    else:
+        sh = shingle_set(df, id_col, shingles_col)
+        reps_sh, _members = collapse_identical_sets(sh, id_col)
     if max_shingle_df is not None:
         keep = (
             reps_sh.groupBy("shingle")
@@ -733,6 +753,12 @@ def sampled_recall_report(
     num_perms, rows_per_band = plan_banding(
         threshold, target_recall, max_perms
     )
+    # ONE tokenize+shingle+collapse chain, materialized once and shared
+    # by the truth and detector sides (round-12, guide §2.4: both sides
+    # previously re-derived the identical chain from the raw corpus)
+    sh = shingle_set(df, id_col, shingles_col)
+    reps_sh, _members = collapse_identical_sets(sh, id_col)
+    reps_sh = reps_sh.localCheckpoint()
     truth = sampled_ground_truth_pairs(
         df,
         id_col,
@@ -740,9 +766,8 @@ def sampled_recall_report(
         threshold=threshold,
         pair_mod=pair_mod,
         max_shingle_df=max_shingle_df,
+        _reps_sh=reps_sh,
     ).select("id_a", "id_b")
-    sh = shingle_set(df, id_col, shingles_col)
-    reps_sh, _members = collapse_identical_sets(sh, id_col)
     detected = _minhash_rep_pairs(
         reps_sh, id_col, num_perms, rows_per_band, threshold
     ).select("id_a", "id_b")
@@ -1149,6 +1174,7 @@ def prefix_filtered_jaccard_pairs(
     id_col: str,
     shingles_col: Column,
     threshold: float = 0.8,
+    _collapsed: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     AllPairs / PPJoin candidate rule of Bayardo et al., WWW'07 /
@@ -1187,8 +1213,15 @@ def prefix_filtered_jaccard_pairs(
     computation.
     """
     _check_threshold(threshold)
-    sh_docs = shingle_set(df, id_col, shingles_col)
-    sh, mem = collapse_identical_sets(sh_docs, id_col)
+    if _collapsed is not None:
+        # round-12: callers that already materialized the collapsed
+        # shingle table (q_neardup_eval checkpoints it for the
+        # signature side too) pass it in instead of this operator
+        # re-deriving the identical tokenize+shingle+collapse chain
+        sh, mem = _collapsed
+    else:
+        sh_docs = shingle_set(df, id_col, shingles_col)
+        sh, mem = collapse_identical_sets(sh_docs, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     from pyspark.sql import Window
@@ -1620,11 +1653,18 @@ def simhash(
     multiplied it).
     Returns (id, simhash int64).
     """
+    from .skew import fan_out
+
     hashed = F.transform(
         tokens_col,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
-    base = df.select(F.col(id_col), hashed.alias("__hs"))
+    # "embarrassingly parallel" is only true when the scan has enough
+    # splits: a single-row-group file is ONE task, so the per-token md5
+    # + fold pins one core (guide §2.5). fan_out round-robins only when
+    # the input parallelism is below the session default — a no-op at
+    # real scale, a measured multi-x win at fixture scale.
+    base = fan_out(df).select(F.col(id_col), hashed.alias("__hs"))
 
     lzero = F.lit(0).cast("long")
     pows = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])

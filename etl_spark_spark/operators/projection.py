@@ -76,6 +76,13 @@ def jl_project(
         raise ValueError(f"out_dim must be positive, got {out_dim}")
     if dim is None:
         dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    from .skew import fan_out
+
+    # out_dim integer folds per row run in the input's partitioning —
+    # one task on a single-row-group scan (guide §2.5); values are
+    # per-row exact integers, so the round-robin cannot move them.
+    # No-op when the scan already has >= cores splits (real scale).
+    emb = fan_out(emb)
     signs = jl_signs(dim, out_dim)
     q = emb.select(
         F.col(id_col),

@@ -52,7 +52,14 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
-    tok = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    from .skew import fan_out
+
+    # the tokenized projection is evaluated TWICE (corpus stats agg +
+    # the scored side of the broadcast cross join) and both runs sit in
+    # the input's partitioning — one task on a single-row-group scan
+    # (guide §2.5). fan_out parallelizes both evaluations and is a
+    # no-op when the scan already has >= cores splits (real scale).
+    tok = fan_out(docs).select(F.col(id_col), tokens(text_col).alias("__t"))
 
     def _match(term: str):
         # single-arg lambda factory: a default-arg lambda would have
@@ -95,12 +102,19 @@ def bm25_topk(
     for i in range(len(query_terms)):
         h = (F.col(f"__tf_{i}") > 0).cast("int")
         n_hit = h if n_hit is None else n_hit + h
+    from .skew import computed_once
+
+    # computed_once: the score predicate would otherwise be substituted
+    # down past the projection and re-run the per-term tf/idf trees
+    # (and the tokenize behind them) a second time below the exchange.
     return (
         scored.select(
             id_col,
             "dl",
             n_hit.alias("n_hit_terms"),
-            F.round(score * 1e6).cast("long").alias("score_micro"),
+            computed_once(F.round(score * 1e6).cast("long")).alias(
+                "score_micro"
+            ),
         )
         .filter(F.col("score_micro") > 0)
         .orderBy(F.desc("score_micro"), F.col(id_col))

@@ -37,10 +37,16 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cos_sim, rank) — deterministic:
     ties break on neighbor id.
     """
+    from .skew import fan_out
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    c = corpus.select(
+    # the |corpus| x |queries| cosine work runs in the CORPUS's
+    # partitioning (the broadcast side adds none) — one task on a
+    # single-row-group scan (guide §2.5). fan_out parallelizes it and
+    # is a no-op when the scan already has >= cores splits.
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     scored = (
@@ -296,7 +302,14 @@ def assign_kmeans_clusters(
                 }
             )
 
-    assigned = base.mapInPandas(fn, schema="id long, cluster long")
+    from .skew import fan_out
+
+    # fan_out ONLY the assignment leg: centroid training above samples
+    # the first rows per partition of the ORIGINAL base (partition-
+    # dependent by design), so its input must stay untouched; the
+    # assignment itself is per-row against broadcast centroids —
+    # partition-independent, and single-task on a 1-split scan.
+    assigned = fan_out(base).mapInPandas(fn, schema="id long, cluster long")
     return df.join(
         assigned.withColumnRenamed("id", id_col), id_col
     )
@@ -512,6 +525,10 @@ def cosine_topk_ivf(
                     }
                 )
 
+        # NOT fanned out (round-12 A/B): the assignment matmul is light
+        # and this closure also runs on the 50-row QUERIES side — the
+        # extra exchanges cost 1.55x (same-session off/on 4.23→6.54 s
+        # for emb_cosine_topk_ivf)
         base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         out = base.mapInPandas(
             fn, schema="id long, list_id int, v array<float>"
@@ -776,7 +793,12 @@ def cosine_topk_ivf_pq(
                 }
             )
 
-    encoded = base.mapInPandas(
+    from .skew import fan_out
+
+    # encode is per-row against broadcast models (coarse/books/rot all
+    # trained above from the ORIGINAL partitioning) — fan_out only this
+    # leg: partition-independent values, parallel on a 1-split scan.
+    encoded = fan_out(base).mapInPandas(
         encode, schema="neighbor_id long, list_id int, codes array<smallint>"
     )
 
@@ -883,7 +905,7 @@ def cosine_topk_ivf_pq(
                 }
             )
 
-    sq = base.mapInPandas(
+    sq = fan_out(base).mapInPandas(
         sq_encode, schema="neighbor_id long, sq array<tinyint>, sq_scale double"
     )
     bc_q = spark.sparkContext.broadcast(
@@ -1068,6 +1090,10 @@ def _bucket_table(
                 )
             yield pd.concat(frames)
 
+    # NOT fanned out (round-12 A/B): the per-batch numpy matmul here is
+    # light enough that the extra exchange + AQE job cost 1.6x more
+    # than the parallelism won back (same-session off/on 2.32→3.79 s
+    # for emb_cosine_topk_lsh)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     out = base.mapInPandas(
         fn, schema="id long, table int, bucket long, v array<float>"

@@ -54,8 +54,14 @@ def cms_build(
     one hash aggregate; merge sketches by re-aggregating sum(cnt)."""
     if width <= 0 or depth <= 0:
         raise ValueError(f"width and depth must be positive: {width}, {depth}")
+    from .skew import fan_out
+
     term = F.col(term) if isinstance(term, str) else term
     group_cols = list(group_cols or [])
+    # depth salted md5s per occurrence run in the INPUT's partitioning —
+    # one task on a single-row-group scan lineage (guide §2.5); fan_out
+    # is a no-op once the input is already parallel (real scale)
+    occurrences = fan_out(occurrences)
     cells = occurrences.select(
         *group_cols,
         F.explode(
@@ -161,8 +167,14 @@ def hll_cells(
     a hash-exact oracle. Rank is a generated 50-branch comparison
     chain (no log2 — IEEE log of a power boundary is not guaranteed
     exact cross-engine)."""
+    from .skew import fan_out
+
     key = F.col(key) if isinstance(key, str) else key
     group_cols = list(group_cols or [])
+    # the per-occurrence md5 + 50-branch rank chain evaluates in the
+    # input's partitioning (partial aggregation) — single-task on a
+    # one-row-group scan lineage (guide §2.5); no-op at real scale
+    occurrences = fan_out(occurrences)
     h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
     w = F.expr(f"__h div {HLL_M}")
     rank = F.lit(HLL_RANK_MAX)
@@ -300,6 +312,7 @@ def quantile_sketch_build(
     cumulative-distribution family discipline (loud raise — see
     stats._checked_measure).
     """
+    from .skew import fan_out
     from .stats import _checked_measure
 
     if sample_mod <= 0:
@@ -309,6 +322,9 @@ def quantile_sketch_build(
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("qsk~"), key)), 1, 15), 16, 10
     ).cast("long")
+    # the per-row membership md5 evaluates in the input's partitioning
+    # (guide §2.5: single-task on a one-row-group scan); no-op at scale
+    df = fan_out(df)
     return (
         df.filter(h % F.lit(int(sample_mod)) == 0)
         .select(

@@ -79,3 +79,67 @@ def salted_sum(
     return partial.groupBy(*keys).agg(
         *[F.sum(name).alias(name) for name in sums]
     )
+
+
+def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Scale-adaptive CPU fan-out for heavy per-row work sitting on a
+    low-parallelism scan (optimization guide §2.5 "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+
+    A single-row-group parquet file is one scan task no matter what
+    ``maxPartitionBytes`` says, so a map-side stage that multiplies work
+    per row (the d²/2 covariance struct explode: measured 9.1 s in ONE
+    task vs 1.0 s fanned out at sf0.1) runs on one core while the rest
+    of the cluster idles. Round-robin repartition is added ONLY when the
+    plan's current parallelism is below the session default — at real
+    scale the scan already has >= cores splits and this is a no-op (no
+    exchange enters the plan), so callers pay the extra shuffle exactly
+    when it buys parallel CPU and never when the input is big.
+
+    Only safe upstream of partition-order-independent computation —
+    which every oracle-gated operator in this engine already guarantees
+    (integer-exact sums, per-group windows). The repartition is Spark's
+    deterministic round-robin (sort-before-repartition stays on), so
+    retries cannot duplicate or lose rows."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_FANOUT", "on") == "off":
+        # kill switch: lets a deploy (or an A/B harness) run the exact
+        # pre-fan-out plans without code changes
+        return df
+    sc = df.sparkSession.sparkContext
+    target = parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def computed_once(col: Column) -> Column:
+    """Mark an expensive column expression so filters on it are NOT
+    substituted-and-pushed below the projection (re-running the whole
+    expression tree at the scan).
+
+    Catalyst pushes a filter through deterministic projections by
+    SUBSTITUTING the column definitions into the predicate (the
+    optimization guide §4.4 shows this duplicating Python UDFs; it
+    applies to any expression). For a cheap predicate that is good;
+    when the projected column is a heavy tree (tokenize + positional
+    windows over a document), the pushed copy re-runs the full tree
+    below any exchange — in the scan's partitioning, i.e. on ONE core
+    for a single-row-group file — and the projection above evaluates it
+    AGAIN for the surviving rows (measured: phrase_search paid its
+    2.2 s phrase pass twice).
+
+    The guide's fix is ``asNondeterministic`` on the UDF; the built-in
+    equivalent is a value-identical nondeterministic wrapper:
+    ``element_at(shuffle(array(expr)), 1)`` — shuffling a one-element
+    array is the identity for ANY column type, but ``shuffle`` is
+    flagged nondeterministic, so the optimizer may not duplicate,
+    reorder, or push predicates through it and the column is computed
+    exactly once, exactly where it is written. Two rejected variants:
+    a nondeterministic SIBLING column no longer blocks the push in
+    Spark 4 (predicates are split and pushed selectively), and
+    ``WHEN rand() >= -1 THEN expr`` is constant-folded away by the
+    rand-bounds simplification. Cost: one 1-element array per row —
+    noise next to any expression worth wrapping."""
+    return F.element_at(F.shuffle(F.array(col)), 1)

@@ -54,6 +54,19 @@ def get_spark(
     initial_partitions = int(
         os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "512")
     )
+    # AQE coalescing targets BYTES, but several engine stages are
+    # CPU-dense per byte (the 64-permutation md5 minhash partial
+    # aggregate reads a ~3 MB compressed shuffle and burns ~10 s of
+    # CPU): with the default 1m floor AQE collapses those stages to
+    # 2-4 partitions and the work runs nearly single-threaded
+    # (measured round-12: minhash64 5.2 s -> 1.2 s at a 64k floor;
+    # neardup_eval 16.3 -> 12.0; semantic_dedup 1.85 -> 0.88).
+    # parallelismFirst (default true) already ignores the advisory
+    # size in favor of parallelism; this floor is the remaining knob.
+    # Scale-safe: when shuffles carry real bytes the total/parallelism
+    # target dominates and a 64k floor is inert; it only bites on
+    # small-bytes/high-CPU stages, where more tasks is exactly right.
+    min_coalesced = os.environ.get("SPARK_GRAFT_MIN_COALESCED_PARTITION", "64k")
     builder = (
         builder.config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -64,6 +77,10 @@ def get_spark(
             str(max(initial_partitions, shuffle_partitions)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            min_coalesced,
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
