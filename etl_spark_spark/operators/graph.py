@@ -94,6 +94,11 @@ def connected_components(
         # wall without changing a single label (labels still only
         # ever decrease; a converged double-step has an equal
         # checksum exactly like a converged single step did).
+        # Round-12 A/B: FOUR steps per round was tried and measured
+        # NO faster — convergence detection still needs the final
+        # equal-checksum confirming round, so the round count did not
+        # drop (2 -> 2 on the fixture) while each round carried two
+        # more joins. Two steps stays.
         labels = propagate(propagate(labels)).localCheckpoint()
         new = checksum(labels)
         if new == cur:

@@ -89,6 +89,19 @@ def curate_documents(
     )
     # exact dedup: survivors whose id is the minimum of their fingerprint
     fp = kept.withColumn("__fp", fingerprint(text_col))
+    # Pin the exact-dedup survivors: the near-dup pair stage reads this
+    # table MANY times (sizes, frequencies, prefix positions, both
+    # sides of the candidate join, the verify join, the final
+    # anti-join) and without a materialization each read re-executes
+    # the whole quality-scoring + fingerprint-dedup lineage from the
+    # raw corpus — 36 separate document scans in the round-12 plan
+    # audit, zero ReusedExchange. Same move as curate_for_training's
+    # curated_ids pin; a production pipeline persists the curated
+    # corpus between stages anyway (round-12, guide §5 "caching is
+    # worth it when a DataFrame is reused and recomputing is more
+    # expensive than the memory pressure").
+    import os
+
     canon = (
         fp.join(
             fp.groupBy("__fp").agg(F.min(id_col).alias("__keep")),
@@ -97,6 +110,8 @@ def curate_documents(
         .filter(F.col(id_col) == F.col("__keep"))
         .drop("__fp", "__keep")
     )
+    if os.environ.get("SPARK_GRAFT_PIN", "on") != "off":
+        canon = canon.localCheckpoint()
     # near-dup removal among survivors: drop the higher id of each pair
     toks = canon.select(F.col(id_col), tokens(text_col).alias("__t"))
     if pair_stage == "exact":
