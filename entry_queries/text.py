@@ -2188,12 +2188,19 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count("*").alias("n_tp"))
     )
+    # coalesce-0: sum() over ZERO rows is NULL, but the pre-round-12
+    # crossJoin-of-count-aggregates produced 0 for an empty/dup-free
+    # corpus — keep that contract (ADVICE r12; value-identical on any
+    # corpus with at least one qualifying pair, e.g. every fixture SF)
     exact_counts = exact.agg(
         *[
-            F.sum(
-                F.when(F.col("jaccard") >= F.lit(t), F.lit(1)).otherwise(
-                    F.lit(0)
-                )
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("jaccard") >= F.lit(t), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
             ).cast("long").alias(f"__ne_{tags[t]}")
             for t in _EVAL_THRESHOLDS
         ]

@@ -42,12 +42,15 @@ END_OF_WORD = "</w>"
 def word_symbol_table(docs: DataFrame, text_col: str) -> DataFrame:
     """Distinct-word frequency table with the initial character-level
     symbol string: ``SEP c1 SEP c2 ... SEP </w> SEP``."""
-    from .skew import fan_out
-
-    # tokenize+explode evaluate in the input's partitioning — one task
-    # on a single-row-group scan (guide §2.5); no-op at real scale
+    # NOT fanned out (round-13): round-12 added a fan_out here on a
+    # "neutral within noise" same-session A/B, but the driver's cold
+    # protocol measured the bpe family >=2.4-3x SLOWER (bpe_token_counts
+    # 4.33 s, bpe_merges 3.45 s from <1.45 s) — tokenize+explode feeding
+    # a hash-aggregate reducer is the efficient-partial-agg shape where
+    # an extra raw-row exchange only costs (the round-12 quantile-family
+    # law, OPTIMIZATION_r12.md G4/wave-2).
     words = (
-        fan_out(docs).select(F.explode(tokens(text_col)).alias("w"))
+        docs.select(F.explode(tokens(text_col)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
@@ -201,9 +204,9 @@ def bpe_token_counts(
             "__wtoks"
         ),
     )
-    from .skew import fan_out
-
-    doc_words = fan_out(docs).select(
+    # NOT fanned out (round-13) — same driver-measured revert as
+    # word_symbol_table above.
+    doc_words = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("w")
     ).filter(F.col("w") != "")
     return (

@@ -76,13 +76,11 @@ def jl_project(
         raise ValueError(f"out_dim must be positive, got {out_dim}")
     if dim is None:
         dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
-    from .skew import fan_out
-
-    # out_dim integer folds per row run in the input's partitioning —
-    # one task on a single-row-group scan (guide §2.5); values are
-    # per-row exact integers, so the round-robin cannot move them.
-    # No-op when the scan already has >= cores splits (real scale).
-    emb = fan_out(emb)
+    # NOT fanned out (round-13): round-12 added a fan_out here on a
+    # 0.88x same-session A/B, but the driver's cold protocol measured
+    # emb_jl_projection at 0.71 (2.38 s -> 3.37 s) — the integer folds
+    # are too light per row to buy back the raw-vector exchange
+    # (VERDICT r12 task 2).
     signs = jl_signs(dim, out_dim)
     q = emb.select(
         F.col(id_col),

@@ -302,14 +302,14 @@ def assign_kmeans_clusters(
                 }
             )
 
-    from .skew import fan_out
-
-    # fan_out ONLY the assignment leg: centroid training above samples
-    # the first rows per partition of the ORIGINAL base (partition-
-    # dependent by design), so its input must stay untouched; the
-    # assignment itself is per-row against broadcast centroids —
-    # partition-independent, and single-task on a 1-split scan.
-    assigned = fan_out(base).mapInPandas(fn, schema="id long, cluster long")
+    # NOT fanned out (round-13): round-12 fanned the assignment leg on
+    # a neutral same-session A/B; the driver's cold protocol measured
+    # the kmeans/encode fan-out family as losses (emb_near_dup_lsh
+    # >=1.8x slower) — the per-batch numpy matmul against broadcast
+    # centroids is too light to buy back the exchange + AQE job
+    # (VERDICT r12 rows 9/#2; same mechanism as the REVERTED LSH/IVF
+    # bucket legs above).
+    assigned = base.mapInPandas(fn, schema="id long, cluster long")
     return df.join(
         assigned.withColumnRenamed("id", id_col), id_col
     )
@@ -793,12 +793,11 @@ def cosine_topk_ivf_pq(
                 }
             )
 
-    from .skew import fan_out
-
-    # encode is per-row against broadcast models (coarse/books/rot all
-    # trained above from the ORIGINAL partitioning) — fan_out only this
-    # leg: partition-independent values, parallel on a 1-split scan.
-    encoded = fan_out(base).mapInPandas(
+    # NOT fanned out (round-13): driver protocol measured the PQ encode
+    # fan-out at 0.83 (emb_cosine_topk_ivfpq 2.15 s -> 2.58 s) — the
+    # per-batch numpy encode against broadcast books is too light for
+    # the exchange (VERDICT r12 task 2).
+    encoded = base.mapInPandas(
         encode, schema="neighbor_id long, list_id int, codes array<smallint>"
     )
 
@@ -905,7 +904,10 @@ def cosine_topk_ivf_pq(
                 }
             )
 
-    sq = fan_out(base).mapInPandas(
+    # NOT fanned out (round-13): driver measured 0.81 for the int8 leg
+    # (emb_cosine_topk_ivfpq_int8 2.28 s -> 2.81 s) — same revert as the
+    # PQ encode above (VERDICT r12 task 2).
+    sq = base.mapInPandas(
         sq_encode, schema="neighbor_id long, sq array<tinyint>, sq_scale double"
     )
     bc_q = spark.sparkContext.broadcast(

@@ -54,14 +54,15 @@ def cms_build(
     one hash aggregate; merge sketches by re-aggregating sum(cnt)."""
     if width <= 0 or depth <= 0:
         raise ValueError(f"width and depth must be positive: {width}, {depth}")
-    from .skew import fan_out
-
     term = F.col(term) if isinstance(term, str) else term
     group_cols = list(group_cols or [])
-    # depth salted md5s per occurrence run in the INPUT's partitioning —
-    # one task on a single-row-group scan lineage (guide §2.5); fan_out
-    # is a no-op once the input is already parallel (real scale)
-    occurrences = fan_out(occurrences)
+    # NOT fanned out (round-13): the depth-salted md5 explode feeds a
+    # hash-aggregate reducer — round-12's fan_out here was kept on a
+    # neutral same-session A/B, but the driver's cold protocol measured
+    # the sketch family as a loss (hll_stream_fold 0.71, hll_source_overlap
+    # 0.84, hll_distinct_tokens >=1.6x slower); exchanging raw occurrence
+    # rows to parallelize a light per-row map costs more than it buys
+    # (VERDICT r12 task 2).
     cells = occurrences.select(
         *group_cols,
         F.explode(
@@ -167,14 +168,13 @@ def hll_cells(
     a hash-exact oracle. Rank is a generated 50-branch comparison
     chain (no log2 — IEEE log of a power boundary is not guaranteed
     exact cross-engine)."""
-    from .skew import fan_out
-
     key = F.col(key) if isinstance(key, str) else key
     group_cols = list(group_cols or [])
-    # the per-occurrence md5 + 50-branch rank chain evaluates in the
-    # input's partitioning (partial aggregation) — single-task on a
-    # one-row-group scan lineage (guide §2.5); no-op at real scale
-    occurrences = fan_out(occurrences)
+    # NOT fanned out (round-13): same driver-measured revert as
+    # cms_build above — the md5 + rank chain is ONE hash per occurrence
+    # feeding a max-merge partial aggregate; the round-12 exchange of
+    # raw occurrence rows regressed every hll_* query on the driver's
+    # cold protocol (VERDICT r12 task 2).
     h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
     w = F.expr(f"__h div {HLL_M}")
     rank = F.lit(HLL_RANK_MAX)
@@ -312,7 +312,6 @@ def quantile_sketch_build(
     cumulative-distribution family discipline (loud raise — see
     stats._checked_measure).
     """
-    from .skew import fan_out
     from .stats import _checked_measure
 
     if sample_mod <= 0:
@@ -322,9 +321,13 @@ def quantile_sketch_build(
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("qsk~"), key)), 1, 15), 16, 10
     ).cast("long")
-    # the per-row membership md5 evaluates in the input's partitioning
-    # (guide §2.5: single-task on a one-row-group scan); no-op at scale
-    df = fan_out(df)
+    # NOT fanned out (round-13): one membership md5 + filter per row
+    # feeding the distribution hash-aggregate — the same efficient-
+    # partial-agg shape as exact_group_quantiles, where round-12
+    # measured a raw-row fan-out exchange at 1.5x WORSE; round-12's own
+    # A/B here read 1.04x (a slight loss it kept for symmetry), and the
+    # driver protocol scored the sketch-family fan_outs net negative
+    # (VERDICT r12 task 2).
     return (
         df.filter(h % F.lit(int(sample_mod)) == 0)
         .select(

@@ -274,6 +274,31 @@ def test_no_unbounded_nested_loop_joins_in_any_query(all_query_plans):
             )
 
 
+def test_phrase_expression_computed_once(all_query_plans):
+    """computed_once (operators/skew.py) must keep q_phrase_search's
+    heavy phrase tree from being substituted-and-pushed below its
+    projection — the round-12 plan audit caught the optimizer running
+    the whole tokenize+positional-window tree TWICE (once in a pushed
+    Filter, once in the Project; plans/r12/phrase_search_before.txt
+    shows two copies of the filter lambda). The wrapper is
+    element_at(shuffle(array(col)), 1): value-identical but
+    nondeterministic, so today's optimizer may not duplicate it — but
+    if a future Spark constant-folds single-element shuffle, the guard
+    silently vanishes with no snapshot catching it (snapshots count
+    exchanges, not duplicated expression trees; ADVICE r12). The phrase
+    expression is the plan's only lambda, so its count IS the number
+    of evaluations."""
+    plan = all_query_plans["phrase_search"]
+    assert plan.count("lambdafunction") == 1, (
+        "phrase_search's phrase tree is evaluated more than once — "
+        "computed_once no longer blocks filter-pushdown substitution"
+    )
+    assert "shuffle(array" in plan, (
+        "computed_once's nondeterministic wrapper was optimized away — "
+        "re-derive a new unfoldable identity (see skew.py docstring)"
+    )
+
+
 def test_plan_shapes_match_snapshot(all_query_plans):
     """Plan-shape regression gate: every query's scale-critical
     operator counts (shuffles, join strategies, Python nodes) must
