@@ -622,6 +622,8 @@ def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposed path and shares this query's oracle verbatim."""
     from etl_spark_spark.operators.stats import exact_group_quantiles
 
+    import os
+
     li = table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
     med = exact_group_quantiles(
         li, ["l_returnflag"], "l_extendedprice", qs=(0.5,)
@@ -630,12 +632,23 @@ def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         F.col("q50").alias("median_price"),
     )
+    # pin the per-group medians (3 rows): med feeds the deviation join,
+    # the MAD pipeline, the outlier count AND the final select — without
+    # a materialization each reference re-executes the whole
+    # distribution+window quantile lineage from the fact scan (round-13
+    # plan audit: 34 scans / 0 ReusedExchange in the scalable twin; the
+    # same §5 move as the round-12 curation pin, same SPARK_GRAFT_PIN
+    # A/B gate). Values unchanged — this truncates lineage only.
+    if os.environ.get("SPARK_GRAFT_PIN", "on") != "off":
+        med = med.localCheckpoint()
     with_dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
         "__dev", F.abs(F.col("l_extendedprice") - F.col("median_price"))
     )
     mad = exact_group_quantiles(
         with_dev, ["l_returnflag"], "__dev", qs=(0.5,)
     ).select("l_returnflag", F.col("q50").alias("mad"))
+    if os.environ.get("SPARK_GRAFT_PIN", "on") != "off":
+        mad = mad.localCheckpoint()  # same pin: feeds flagged + final
     flagged = (
         with_dev.join(F.broadcast(mad), "l_returnflag")
         .filter(F.col("__dev") > 10 * F.col("mad"))
@@ -644,7 +657,9 @@ def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         med.join(F.broadcast(mad), "l_returnflag")
-        .join(flagged, "l_returnflag", "left")
+        # flagged is <= one row per group: broadcast it so the pinned
+        # 3-row med side does not plan a SortMergeJoin (round-13)
+        .join(F.broadcast(flagged), "l_returnflag", "left")
         .select(
             "l_returnflag",
             "n_rows",
@@ -667,6 +682,8 @@ def q_price_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(dev/100) (both monotone by construction, guards enforced).
     Bit-identical to the plain composite — this query's oracle IS
     q_price_outliers' oracle, verbatim."""
+    import os
+
     from etl_spark_spark.operators.stats import scalable_group_quantiles
 
     li = table(
@@ -680,6 +697,14 @@ def q_price_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         F.col("q50").alias("median_price"),
     )
+    # pin the 3-row medians/MAD exactly as in q_price_outliers — the
+    # decomposed pipeline is DEEPER than the plain one, so its
+    # re-execution per reference was costlier still (round-13 profile:
+    # 34.2 task-seconds for a 10.2 task-second computation; 34 fact
+    # scans, 0 ReusedExchange). Lineage truncation only; values
+    # unchanged (shares q_price_outliers' oracle verbatim).
+    if os.environ.get("SPARK_GRAFT_PIN", "on") != "off":
+        med = med.localCheckpoint()
     with_dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
         "__dev", F.abs(F.col("l_extendedprice") - F.col("median_price"))
     )
@@ -687,6 +712,8 @@ def q_price_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_dev, ["l_returnflag"], "__dev",
         bucket_of=F.floor(F.col("__dev") / 100), qs=(0.5,),
     ).select("l_returnflag", F.col("q50").alias("mad"))
+    if os.environ.get("SPARK_GRAFT_PIN", "on") != "off":
+        mad = mad.localCheckpoint()
     flagged = (
         with_dev.join(F.broadcast(mad), "l_returnflag")
         .filter(F.col("__dev") > 10 * F.col("mad"))
@@ -695,7 +722,9 @@ def q_price_outliers_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         med.join(F.broadcast(mad), "l_returnflag")
-        .join(flagged, "l_returnflag", "left")
+        # flagged is <= one row per group: broadcast it so the pinned
+        # 3-row med side does not plan a SortMergeJoin (round-13)
+        .join(F.broadcast(flagged), "l_returnflag", "left")
         .select(
             "l_returnflag",
             "n_rows",

@@ -2065,20 +2065,32 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         t: plan_banding(t, _EVAL_TARGET_RECALL, _EVAL_MAX_PERMS)
         for t in _EVAL_THRESHOLDS
     }
+    from etl_spark_spark.concurrency import run_concurrently
+
     sh = shingle_set(toks, "doc_id", word_shingles("t", 3))
     reps_sh, members = collapse_identical_sets(sh, "doc_id")
-    reps_sh = reps_sh.localCheckpoint()
-    members = members.localCheckpoint()
-    exact = prefix_filtered_jaccard_pairs(
-        toks,
-        "doc_id",
-        word_shingles("t", 3),
-        threshold=min(_EVAL_THRESHOLDS),
-        _collapsed=(reps_sh, members),
-    ).select("id_a", "id_b", "jaccard").localCheckpoint()
-    sig = minhash_signature(
-        reps_sh, "doc_id", max(np_ for np_, _ in plans.values())
-    ).localCheckpoint()
+    # the pinned intermediates materialize as OVERLAPPED driver-thread
+    # jobs (guide §2.6): reps_sh/members are independent of each other,
+    # and — once both are pinned — the exact prefix-join side and the
+    # 64-perm signature side are independent too, so the two heaviest
+    # materializations of this query run concurrently instead of
+    # back-to-back (round-13; the query's wall is half scheduler gap —
+    # 49 jobs / 4.1 s gap over 4.4 s of ideal work in the profile)
+    reps_sh, members = run_concurrently(
+        reps_sh.localCheckpoint, members.localCheckpoint
+    )
+    exact, sig = run_concurrently(
+        lambda: prefix_filtered_jaccard_pairs(
+            toks,
+            "doc_id",
+            word_shingles("t", 3),
+            threshold=min(_EVAL_THRESHOLDS),
+            _collapsed=(reps_sh, members),
+        ).select("id_a", "id_b", "jaccard").localCheckpoint(),
+        lambda: minhash_signature(
+            reps_sh, "doc_id", max(np_ for np_, _ in plans.values())
+        ).localCheckpoint(),
+    )
     # rep-level exact pairs: the doc-level exact table restricted to
     # family representatives (reps are members of their own families,
     # so rep-rep pairs appear verbatim in the expanded exact output)

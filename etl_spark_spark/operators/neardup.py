@@ -1227,44 +1227,83 @@ def prefix_filtered_jaccard_pairs(
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("df_", "shingle")
+    # TWO prefix lengths per doc (round-13, the full AllPairs/PPJoin
+    # prefix scheme — previously both join sides used the probe
+    # prefix):
+    #   probe prefix  |x| - ceil(t*|x|) + 1        (as before)
+    #   index prefix  |x| - ceil(2t/(1+t)*|x|) + 1 (STRICTLY SHORTER)
+    # For a qualifying pair J(x,y) >= t with |y| <= |x| (ties by id),
+    # overlap O >= ceil(t/(1+t)(|x|+|y|)) >= ceil(2t/(1+t)|y|) and
+    # O >= ceil(t|x|) (using |y| >= t|x| from the size filter). The
+    # EARLIEST common shingle in the global (df_, shingle) order sits
+    # at position <= |z| - O + 1 in each doc z (at least O-1 common
+    # shingles follow it), i.e. within the INDEX prefix of the smaller
+    # doc AND the PROBE prefix of the larger — so joining only
+    # indexPrefix(smaller) x probePrefix(larger) still finds every
+    # qualifying pair, with ~1/3 fewer posting rows on the index side
+    # at t=0.5 (the candidate join is this operator's dominant cost).
+    # The 1e-9 slack errs toward LONGER prefixes (candidate superset —
+    # safe, the verify join restores exactness).
     pos = (
         sh.join(freq, "shingle")
         .withColumn("pos", F.row_number().over(w))
         .join(sizes, id_col)
-        # prefix length |x| - ceil(t*|x|) + 1; the 1e-9 slack makes
-        # float jitter err toward a LONGER prefix (superset of
-        # candidates — safe, the verify join restores exactness)
         .filter(
             F.col("pos")
             <= F.col("n")
             - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
             + F.lit(1)
         )
-        .select(id_col, "shingle", "n", "pos")
+        .select(
+            id_col,
+            "shingle",
+            "n",
+            "pos",
+            (
+                F.col("pos")
+                <= F.col("n")
+                - F.ceil(
+                    F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("n")
+                    - F.lit(1e-9)
+                )
+                + F.lit(1)
+            ).alias("__in_idx"),
+        )
     )
-    a = pos.withColumnsRenamed({id_col: "id_a", "n": "n_a", "pos": "pos_a"})
-    b = pos.withColumnsRenamed({id_col: "id_b", "n": "n_b", "pos": "pos_b"})
-    # J >= t  <=>  inter >= t/(1+t) * (n_a + n_b)  (the PPJoin overlap
+    # index role = the SMALLER doc of the pair (ties by id): short prefix
+    idx = pos.filter(F.col("__in_idx")).withColumnsRenamed(
+        {id_col: "id_i", "n": "n_i", "pos": "pos_i"}
+    ).select("shingle", "id_i", "n_i", "pos_i")
+    # probe role = the LARGER doc: full probe prefix
+    prb = pos.withColumnsRenamed(
+        {id_col: "id_p", "n": "n_p", "pos": "pos_p"}
+    ).select("shingle", "id_p", "n_p", "pos_p")
+    # J >= t  <=>  inter >= t/(1+t) * (n_i + n_p)  (the PPJoin overlap
     # requirement alpha); slack errs toward keeping — verify decides
     alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_i") + F.col("n_p"))
         - F.lit(1e-9)
     )
     # merge hints: prefix tables are corpus-sized and carry verbatim-
     # duplicated shingle strings on twin-heavy corpora — the lying-
     # compression case AQE's dynamic broadcast must not fall for
     cand = (
-        a.hint("merge")
-        .join(b.hint("merge"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        # size/length filter: J >= t  =>  t * max <= min
+        idx.hint("merge")
+        .join(prb.hint("merge"), "shingle")
+        # size-role ordering: the index side is the smaller doc (ties
+        # broken by id) — each unordered pair is considered in exactly
+        # one role assignment
         .filter(
-            F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9)
-            <= F.least("n_a", "n_b")
+            (F.col("n_i") < F.col("n_p"))
+            | ((F.col("n_i") == F.col("n_p")) & (F.col("id_i") < F.col("id_p")))
+        )
+        # size/length filter: J >= t  =>  t * max <= min (max = n_p)
+        .filter(
+            F.lit(threshold) * F.col("n_p") - F.lit(1e-9) <= F.col("n_i")
         )
         # PPJoin positional filter (Xiao et al., WWW'08): everything at
         # or after the matched prefix position is the most that can
-        # still overlap — 1 + min(n_a - pos_a, n_b - pos_b) — so pairs
+        # still overlap — 1 + min(n_i - pos_i, n_p - pos_p) — so pairs
         # whose shared shingle sits too LATE in either prefix can never
         # reach alpha and are pruned before the expensive verify join
         # (measured 96.2M -> far fewer candidates on the 30x twin
@@ -1273,13 +1312,24 @@ def prefix_filtered_jaccard_pairs(
         .filter(
             F.lit(1)
             + F.least(
-                F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")
+                F.col("n_i") - F.col("pos_i"), F.col("n_p") - F.col("pos_p")
             )
             >= alpha
         )
-        # n_a/n_b are functions of the ids, so carrying them through
-        # the distinct costs no cardinality and saves the size re-join
-        .select("id_a", "id_b", "n_a", "n_b")
+        # normalize roles back to the (id_a < id_b) pair identity the
+        # verify join and every consumer key on; n follows its id
+        # (n is a function of the id, so carrying both through the
+        # distinct costs no cardinality and saves the size re-join)
+        .select(
+            F.least("id_i", "id_p").alias("id_a"),
+            F.greatest("id_i", "id_p").alias("id_b"),
+            F.when(F.col("id_i") < F.col("id_p"), F.col("n_i"))
+            .otherwise(F.col("n_p"))
+            .alias("n_a"),
+            F.when(F.col("id_i") < F.col("id_p"), F.col("n_p"))
+            .otherwise(F.col("n_i"))
+            .alias("n_b"),
+        )
         .distinct()
     )
     ov = pair_overlap_counts(cand, sh, id_col, carry_cols=("n_a", "n_b"))

@@ -81,6 +81,9 @@ def salted_sum(
     )
 
 
+_FANOUT_DECISIONS: dict[tuple[int, int], bool] = {}
+
+
 def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Scale-adaptive CPU fan-out for heavy per-row work sitting on a
     low-parallelism scan (optimization guide §2.5 "input skew: one huge
@@ -109,9 +112,24 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # The partition-count probe (df.rdd.getNumPartitions()) runs the
+    # optimizer + physical planner + RDD translation for the whole
+    # upstream plan on the driver, per call (ADVICE r12) — and warm
+    # re-runs of a query rebuild the IDENTICAL plan, paying it again.
+    # Cache the decision per (analyzed-plan semantic hash, target):
+    # the key costs only analysis (which any use of df pays anyway),
+    # repeated calls become dict hits. Same semantic plan over changed
+    # underlying files could stale-hit, but no fan_out call site reads
+    # a mutated path, and a stale entry can only add or skip one
+    # round-robin exchange — never change a value.
+    key = (df._jdf.queryExecution().analyzed().semanticHash(), int(target))
+    fan = _FANOUT_DECISIONS.get(key)
+    if fan is None:
+        fan = df.rdd.getNumPartitions() < target
+        if len(_FANOUT_DECISIONS) > 4096:  # unbounded-growth backstop
+            _FANOUT_DECISIONS.clear()
+        _FANOUT_DECISIONS[key] = fan
+    return df.repartition(target) if fan else df
 
 
 def computed_once(col: Column) -> Column:

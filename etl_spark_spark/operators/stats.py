@@ -216,6 +216,16 @@ def scalable_group_quantiles(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = tagged.withColumn("__within", F.sum("__c").over(w_in))
+    # totals stays a plain hash aggregate over `tagged` — round-13
+    # MEASURED the tempting "share the window's exchange" rewrite
+    # (totals = within.groupBy(...).agg(max(__within), ...)) and it is
+    # a trap: exchange REUSE only dedups the shuffle, not the Sort +
+    # Window above it, so the totals branch re-ran the full
+    # sort-and-scan of the distribution — ruinous when the
+    # distribution is large (nation_theil_sen_blocked, whose dist is
+    # the O(n²) slope table, went 2.2 s -> 5.0 s). The partial
+    # aggregate below shuffles only per-(group, bucket)-per-map rows,
+    # so its "extra" exchange is near-free at any scale.
     totals = tagged.groupBy(*keys, "__bkt").agg(
         F.sum("__c").alias("__t"),
         F.min(value_col).alias("__om"),
@@ -241,7 +251,12 @@ def scalable_group_quantiles(
         _checked_offset(F.col("__off"), op).alias("__off"),
         "__n",
     )
-    lhs, rhs = within.alias("__sgl"), offsets.alias("__sgr")
+    # broadcast the offsets spine: it is the per-(group, bucket) table
+    # — the same bounded-cardinality table scalable_running_sum already
+    # broadcasts (windows.py) — so the distribution-sized `within` side
+    # joins WITHOUT leaving its window partitioning (no exchange of the
+    # big side; round-13, guide §3.1)
+    lhs, rhs = within.alias("__sgl"), F.broadcast(offsets.alias("__sgr"))
     cond = F.col("__sgl.__bkt").eqNullSafe(F.col("__sgr.__bkt"))
     for k in keys:
         cond = cond & F.col(f"__sgl.{k}").eqNullSafe(F.col(f"__sgr.{k}"))

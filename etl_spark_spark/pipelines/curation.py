@@ -185,6 +185,8 @@ def curate_for_training(
     overlap alone can exceed any sane threshold and silently empty the
     training set.)
     """
+    import os
+
     curated = curate_documents(
         docs, id_col=id_col, text_col=text_col,
         pair_stage=pair_stage, bucket_cap=bucket_cap,
@@ -196,9 +198,33 @@ def curate_for_training(
     # the incremental-dedup fold uses; a production pipeline would
     # persist the curated corpus between stages anyway.
     curated_ids = curated.select(id_col).localCheckpoint()
-    base = docs.select(id_col, text_col, "source").join(curated_ids, id_col)
-    toks = base.select(F.col(id_col), tokens(text_col).alias("__t"))
-    pairs = shingle_set(toks, id_col, word_shingles("__t", decontam_shingle_n))
+    # ONE pass over the survivors' text computes BOTH heavy text
+    # derivatives — the decontamination token array and the packing
+    # BPE token count (round-13, VERDICT r12 task 6 / guide §2.4):
+    # previously the contamination branch tokenized the survivors and
+    # the split/pack branch ran its own regexp_count pass over the same
+    # text, two full regex passes over the corpus per run. Pinning the
+    # compact feature table (id, source, tokens, n_tokens — text itself
+    # is NOT carried; nothing downstream needs it) makes both branches
+    # read it instead of re-deriving from the raw corpus. Values are
+    # unchanged: same expressions over the same rows, evaluated once.
+    feats = (
+        docs.select(id_col, text_col, "source")
+        .join(curated_ids, id_col)
+        .select(
+            F.col(id_col),
+            F.col("source"),
+            tokens(text_col).alias("__t"),
+            bpe_token_count(text_col).cast("long").alias("n_tokens"),
+        )
+    )
+    if os.environ.get("SPARK_GRAFT_PIN", "on") != "off":
+        feats = feats.localCheckpoint()
+    pairs = shingle_set(
+        feats.select(F.col(id_col), "__t"),
+        id_col,
+        word_shingles("__t", decontam_shingle_n),
+    )
     is_eval = hash_bucket(id_col, len(eval_bucket)) == eval_bucket
     contaminated = (
         contamination_scores(
@@ -207,15 +233,16 @@ def curate_for_training(
         .filter(F.col("contamination") >= contamination_max)
         .select(id_col)
     )
-    clean = base.filter(~is_eval).join(contaminated, id_col, "left_anti")
+    clean = (
+        feats.filter(~is_eval)
+        .join(contaminated, id_col, "left_anti")
+        .drop("__t")
+    )
     split = hash_split(
         clean, id_col, [("train", "d"), ("val", "f"), ("test", None)]
     )
-    with_toks = split.withColumn(
-        "n_tokens", bpe_token_count(text_col).cast("long")
-    )
     packed = pack_by_token_budget(
-        with_toks, ["split", "source"], id_col, "n_tokens", budget=budget
+        split, ["split", "source"], id_col, "n_tokens", budget=budget
     )
     return packed.select(
         id_col, "source", "split", "n_tokens", "pack_offset", "pack_id"

@@ -275,6 +275,25 @@ def _append_partition(df: DataFrame, batch_id: int, path: str) -> None:
     )
 
 
+def _concurrently(*thunks):
+    """Overlap this fold's independent actions (round-13, guide §2.6;
+    canonical helper: ``etl_spark_spark.concurrency.run_concurrently``).
+    Each per-batch state write is its own scheduler job whose FIXED
+    cost (~100-200 ms of AQE/stage bookkeeping at fixture scale;
+    round-13 profile: join_mv_temporal ran 53 jobs carrying 1.0 s of
+    task work under a 3.6 s wall) is paid serially when the driver
+    calls actions one after another. The per-fold writes (left / right
+    / view) and the two batch-input pins are mutually independent: the
+    view delta reads only the CHECKPOINTED batch inputs plus history
+    partitions STRICTLY BELOW this batch id — listed before any write
+    starts, and excluded by the ``__batch_id < batch_id`` filter even
+    if re-listed — so overlapping them costs max() instead of sum()
+    and cannot change any row written."""
+    from ..concurrency import run_concurrently
+
+    return run_concurrently(*thunks)
+
+
 def apply_join_batch(
     batch_left: DataFrame,
     batch_right: DataFrame,
@@ -296,8 +315,11 @@ def apply_join_batch(
 
     # pin the batch inputs: each side is referenced by two delta terms
     # and then appended — one materialization keeps them consistent
-    bl = batch_left.localCheckpoint()
-    br = batch_right.localCheckpoint()
+    # (the two pins and the three state writes below each run as
+    # overlapped driver threads — see _concurrently)
+    bl, br = _concurrently(
+        batch_left.localCheckpoint, batch_right.localCheckpoint
+    )
 
     l_prev = _read_prior(spark, l_path, batch_id)
     r_prev = _read_prior(spark, r_path, batch_id)
@@ -308,9 +330,11 @@ def apply_join_batch(
     if l_prev is not None:
         dv = dv.unionByName(l_prev.join(br, on))
 
-    _append_partition(bl, batch_id, l_path)
-    _append_partition(br, batch_id, r_path)
-    _append_partition(dv, batch_id, v_path)
+    _concurrently(
+        lambda: _append_partition(bl, batch_id, l_path),
+        lambda: _append_partition(br, batch_id, r_path),
+        lambda: _append_partition(dv, batch_id, v_path),
+    )
 
 
 def _read_all(spark: SparkSession, path: str) -> DataFrame:
@@ -419,8 +443,14 @@ def apply_join_batch_bucketed(
     spark = batch_left.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     on = list(on)
-    bl = batch_left.localCheckpoint()
-    br = batch_right.localCheckpoint()
+    bl, br = _concurrently(
+        batch_left.localCheckpoint, batch_right.localCheckpoint
+    )
+    # NOTE: unlike the path-based forms, the three writes below stay
+    # SEQUENTIAL — the two _accumulate calls mutate the shared session
+    # catalog (saveAsTable / insertInto) and, with location_root, a
+    # shared _bucket_meta.json via read-modify-replace; overlapping
+    # them would race the manifest on the table-creation batch.
 
     def _record_manifest(batch: DataFrame, tbl: str) -> None:
         """Append this table to the location_root manifest so a fresh
@@ -551,17 +581,29 @@ def apply_join_batch_temporal(
         raise ValueError("band_seconds/delay_seconds must be >= 0")
     _require_local_state(state_path, "apply_join_batch_temporal")
 
-    def _checked(df: DataFrame, ts: str) -> DataFrame:
-        n_null = df.filter(F.col(ts).isNull()).limit(1).count()
-        if n_null:
+    def _pin_and_stats(df: DataFrame, ts: str) -> tuple[DataFrame, int | None]:
+        """Pin the batch and compute BOTH per-batch stats the fold
+        needs — the NULL-event-time guard and the eviction manifest's
+        max event time — in ONE aggregate over the pinned rows
+        (round-13: previously a limit-probe job + a checkpoint job + a
+        separate max-collect job per side; the fold family's wall is
+        scheduler-job fixed cost, so every merged job counts)."""
+        pinned = df.localCheckpoint()
+        row = pinned.agg(
+            F.max(F.col(ts).cast("long")).alias("m"),
+            F.count(F.when(F.col(ts).isNull(), 1)).alias("n_null"),
+        ).collect()[0]
+        if row["n_null"]:
             raise ValueError(
                 f"temporal join-MV rows must carry a non-null {ts!r} "
                 "event time (NULL rows are never evictable)"
             )
-        return df.localCheckpoint()
+        return pinned, (None if row["m"] is None else int(row["m"]))
 
-    bl = _checked(batch_left, ts_left)
-    br = _checked(batch_right, ts_right)
+    (bl, max_l), (br, max_r) = _concurrently(
+        lambda: _pin_and_stats(batch_left, ts_left),
+        lambda: _pin_and_stats(batch_right, ts_right),
+    )
     l_path = f"{state_path}/left"
     r_path = f"{state_path}/right"
     v_path = f"{state_path}/view"
@@ -581,22 +623,16 @@ def apply_join_batch_temporal(
     if l_prev is not None:
         dv = dv.unionByName(_bjoin(l_prev, br))
 
-    _append_partition(bl, batch_id, l_path)
-    _append_partition(br, batch_id, r_path)
-    _append_partition(dv, batch_id, v_path)
+    _concurrently(
+        lambda: _append_partition(bl, batch_id, l_path),
+        lambda: _append_partition(br, batch_id, r_path),
+        lambda: _append_partition(dv, batch_id, v_path),
+    )
     _record_ts_stats(
         state_path,
         batch_id,
-        {
-            "left": _max_ts_epoch(bl, ts_left),
-            "right": _max_ts_epoch(br, ts_right),
-        },
+        {"left": max_l, "right": max_r},
     )
-
-
-def _max_ts_epoch(df: DataFrame, ts: str) -> int | None:
-    row = df.agg(F.max(F.col(ts).cast("long")).alias("m")).collect()[0]
-    return None if row["m"] is None else int(row["m"])
 
 
 def _ts_stats_path(state_path: str) -> str:
@@ -965,8 +1001,10 @@ def apply_join_batch_z(
             df = df.withColumn(MULT_COL, F.lit(1).cast("long"))
         return df.withColumn(MULT_COL, F.col(MULT_COL).cast("long"))
 
-    bl = _signed(batch_left).localCheckpoint()
-    br = _signed(batch_right).localCheckpoint()
+    bl, br = _concurrently(
+        lambda: _signed(batch_left).localCheckpoint(),
+        lambda: _signed(batch_right).localCheckpoint(),
+    )
     l_path = f"{state_path}/left"
     r_path = f"{state_path}/right"
     v_path = f"{state_path}/view"
@@ -988,9 +1026,11 @@ def apply_join_batch_z(
     if l_prev is not None:
         dv = dv.unionByName(_zjoin(l_prev, br))
 
-    _append_partition(bl, batch_id, l_path)
-    _append_partition(br, batch_id, r_path)
-    _append_partition(dv, batch_id, v_path)
+    _concurrently(
+        lambda: _append_partition(bl, batch_id, l_path),
+        lambda: _append_partition(br, batch_id, r_path),
+        lambda: _append_partition(dv, batch_id, v_path),
+    )
 
 
 def read_join_view_z(spark: SparkSession, state_path: str) -> DataFrame:

@@ -96,6 +96,64 @@ def test_prefix_filtered_jaccard_equals_brute_force(spark, sf_dir):
     assert brute, "fixture should contain pairs at jaccard >= 0.9"
 
 
+def test_prefix_index_role_covers_adversarial_shapes(spark):
+    """Round-13 tightened the candidate join to the full AllPairs/PPJoin
+    scheme: the SMALLER doc of a pair contributes only its INDEX prefix
+    (|x| - ceil(2t/(1+t)|x|) + 1, strictly shorter than the probe
+    prefix). Exactness rests on the earliest-common-shingle argument,
+    whose edges this corpus is built to hit:
+
+    - equal-size docs (the (n, id) tie-break decides the index role);
+    - a pair EXACTLY at the threshold (overlap == ceil bound, so the
+      earliest common shingle sits at the last admissible prefix slot);
+    - nested sizes at the size-filter boundary (|small| == t*|large|);
+    - a qualifying pair whose common shingles are the globally most
+      FREQUENT ones (they sort to the prefix ends — the worst case for
+      any prefix shortening).
+    The qualifying pair set must equal the quadratic join's at every
+    threshold."""
+    from etl_spark_spark.operators.neardup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    def doc(i, words):
+        return (i, words.split())
+
+    # vocabulary letters double as shingles (1-gram shingles below), so
+    # set overlaps are controlled exactly; x/y/z are made high-frequency
+    # so they land at prefix ENDS in the (df, shingle) global order
+    rows = [
+        doc(1, "a b c d x y z"),        # 7 tokens
+        doc(2, "a b c d x y q"),        # equal size, J = 6/8 = 0.75
+        doc(3, "a b x y z"),            # nested in 1: J = 5/7 ~ 0.714
+        doc(4, "x y z"),                # tiny, shares only hubs
+        doc(5, "p q r s t u v w"),      # disjoint-ish filler
+        doc(6, "p q r s t u v x"),      # J(5,6) = 7/9 ~ 0.778
+        doc(7, "x y z x y z"),          # dup tokens -> set {x,y,z}
+        doc(8, "a b c d"),              # |8|=4 vs |1|=7: size boundary-ish
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "t"])
+    sh = F.col("t")  # token array AS the shingle array (1-grams)
+    for t in (0.4, 0.5, 0.7, 0.75, 0.8):
+        brute = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", sh, threshold=t, collapse_identical=False
+            ).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_filtered_jaccard_pairs(
+                df, "doc_id", sh, threshold=t
+            ).collect()
+        }
+        assert pref == brute, (
+            f"t={t}: missing={set(brute) - set(pref)} "
+            f"extra={set(pref) - set(brute)}"
+        )
+
+
 def test_verbatim_collapse_bit_identical_on_twin_corpus(spark, sf_dir):
     """Every pair generator collapses identical shingle sets before its
     candidate/verify machinery (collapse_identical_sets). On a corpus

